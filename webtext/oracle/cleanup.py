@@ -1,0 +1,72 @@
+"""Text cleanup normalizer (E10) and per-document near-dup removal (E11).
+
+Semantics match the reference's ``_cleanup_extracted_text`` (ref:161-208)
+and ``_remove_duplicate_content`` (ref:297-343), where ``ref:`` cites
+/root/reference/common_scripts/web_text_extractor_ver1.5.py.
+
+Both are pure, deterministic, per-document functions — they run inside the
+extraction actor's batch loop, never as a corpus-wide shuffle (the dedup
+here is *within* one document; corpus-level dedup lives in
+``webtext.functions.dedup``).
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+from . import rules
+
+
+def remove_duplicate_paragraphs(text: str) -> str:
+    """Drop paragraphs >0.8-similar to any previously kept paragraph.
+
+    ref:297-343.  Documents shorter than 100 chars or with <2 paragraphs
+    pass through untouched.  Order-stable: first occurrence wins.
+
+    Cost note: worst case O(P² · L) via SequenceMatcher — this is the
+    straggler source at scale (SURVEY §7 hard-part b).  The quick-ratio
+    upper-bound prefilter below does not change results, only cost.
+    """
+    if not text or len(text.strip()) < rules.PARA_DEDUP_MIN_CHARS:
+        return text
+    paragraphs = [p.strip() for p in text.split("\n\n") if p.strip()]
+    if len(paragraphs) < 2:
+        return text
+
+    unique: list[str] = []
+    for para in paragraphs:
+        is_dup = False
+        for seen in unique:
+            sm = SequenceMatcher(None, para, seen)
+            # real_quick_ratio/quick_ratio are upper bounds on ratio():
+            # if they can't exceed the threshold, ratio() can't either.
+            if (sm.real_quick_ratio() > rules.PARA_DEDUP_SIM_THRESHOLD
+                    and sm.quick_ratio() > rules.PARA_DEDUP_SIM_THRESHOLD
+                    and sm.ratio() > rules.PARA_DEDUP_SIM_THRESHOLD):
+                is_dup = True
+                break
+        if not is_dup:
+            unique.append(para)
+    return "\n\n".join(unique)
+
+
+def cleanup_extracted_text(text: str) -> str:
+    """URL strip → blank squeeze → strip → printable filter → para dedup.
+
+    ref:161-208.  Order of operations is load-bearing: URL removal runs
+    before the printable filter, and paragraph dedup runs last on the
+    cleaned text.  The printable filter keeps ``\\n\\t\\r`` plus
+    ``str.isprintable()`` characters and drops U+FFFD (ref:195-203).
+    """
+    if not text:
+        return text
+
+    text = rules.URL_RE_HTTP.sub("", text)
+    text = rules.URL_RE_WWW.sub("", text)
+    text = rules.URL_RE_BROAD.sub("", text)
+    text = rules.BLANK_SQUEEZE_RE.sub("\n\n", text)
+    text = text.strip()
+    text = text.replace(rules.REPLACEMENT_CHAR, "")
+    text = "".join(
+        ch for ch in text if ch in "\n\t\r" or ch.isprintable())
+    return remove_duplicate_paragraphs(text)

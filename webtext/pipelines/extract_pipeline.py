@@ -1,0 +1,228 @@
+"""End-to-end extraction pipeline: read → (rebalance) → extract → write,
+with shard-granular commit + resume.
+
+Execution model (SURVEY §4): one streaming pass per round — no barrier
+between read, extract and write; Ray's streaming executor pipelines
+blocks with backpressure and spills via the object store.  Rounds exist
+only as the commit granularity: a round of input shards is extracted,
+written, and committed atomically to the manifest; a failed round leaves
+no commit record and is redone idempotently (its round directory is
+overwritten by shard-list hash).  This is the reference's
+"completed_folder subtraction" resume pattern (run_all_starts.py:21-42)
+at shard granularity, without its batch barrier: within a round all
+shards stream concurrently.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import time
+
+import pyarrow as pa
+
+from ..sources.io import list_fragments, read_documents
+from ..sources.manifest import CommitManifest
+from ..stages.extractor import ExtractorActor
+
+KEPT_STATUSES = ("ok", "timeout")
+
+
+def extract_dataset(ds, *, batch_size: int = 32, concurrency=None):
+    """Attach the extraction actor-pool stage to a documents Dataset."""
+    import ray
+
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, ncpu))
+    return ds.map_batches(
+        ExtractorActor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def _round_id(shards: list[str]) -> str:
+    h = hashlib.sha256("\n".join(os.path.basename(s)
+                                 for s in shards).encode())
+    return h.hexdigest()[:12]
+
+
+def _shard_name(path: str) -> str:
+    return os.path.basename(path).replace(".parquet", "")
+
+
+class _ShardTagger:
+    """Adds the shard provenance column from the reader's path column."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        paths = batch.column("path").to_pylist()
+        shard = pa.array([_shard_name(p) for p in paths], pa.string())
+        batch = batch.drop_columns(["path"])
+        return batch.append_column("shard", shard)
+
+
+def run_extraction(
+    input_dir: str,
+    output_dir: str,
+    *,
+    batch_size: int = 32,
+    concurrency=None,
+    shards_per_round: int = 16,
+    resume: bool = True,
+    rebalance: bool = False,
+    hot_fraction: float = 0.05,
+    salt_buckets: int = 16,
+) -> dict:
+    """Extract every pending input shard; returns manifest totals.
+
+    ``rebalance=True`` inserts the salted-domain repartition before the
+    classify stage (see webtext.stages.skew for when that pays off).
+    """
+    import ray.data
+
+    manifest = CommitManifest(output_dir)
+    shards = list_fragments(input_dir)
+    if resume:
+        done = manifest.committed_shards()
+        shards = [s for s in shards if _shard_name(s) not in done]
+
+    for start in range(0, len(shards), shards_per_round):
+        round_shards = shards[start:start + shards_per_round]
+        round_dir = os.path.join(output_dir,
+                                 f"round-{_round_id(round_shards)}")
+        if os.path.exists(round_dir):
+            shutil.rmtree(round_dir)   # uncommitted partial from a crash
+
+        t0 = time.perf_counter()
+        ds = ray.data.read_parquet(round_shards,
+                                   columns=["doc_id", "spans"],
+                                   include_paths=True)
+        ds = ds.map_batches(_ShardTagger, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=1)
+        if rebalance:
+            from ..stages.skew import detect_hot_domains, rebalance_by_domain
+            docs_only = ds.drop_columns(["shard"])
+            hot = detect_hot_domains(docs_only, hot_fraction=hot_fraction)
+            if hot:
+                ds = rebalance_by_domain(ds, hot, buckets=salt_buckets)
+                ds = ds.drop_columns(["domain", "skew_key"])
+
+        extracted = _extract_keeping_shard(ds, batch_size=batch_size,
+                                           concurrency=concurrency)
+        extracted.write_parquet(round_dir, partition_cols=["shard"])
+        seconds = time.perf_counter() - t0
+
+        records = _collect_round_metrics(round_dir, round_shards, seconds)
+        manifest.commit(records)
+
+    return manifest.totals()
+
+
+class _ExtractorWithShard(ExtractorActor):
+    """Extraction actor that forwards the shard provenance column."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        shards = batch.column("shard")
+        out = super().__call__(batch.drop_columns(["shard"]))
+        return out.append_column("shard", shards)
+
+
+def _extract_keeping_shard(ds, *, batch_size, concurrency):
+    import ray
+
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, ncpu))
+    return ds.map_batches(
+        _ExtractorWithShard,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def _collect_round_metrics(round_dir: str, round_shards: list[str],
+                           seconds: float) -> list[dict]:
+    """Per-shard lineage records from a cheap columnar read-back of the
+    just-written round (status/method/n_chars_out only — no payloads)."""
+    import collections
+
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(round_dir, partitioning="hive")
+    table = dataset.to_table(columns=["status", "method", "n_chars_out",
+                                      "shard"])
+    by_shard: dict[str, dict] = {}
+    rows = table.to_pylist()
+    total_docs = max(1, len(rows))
+    for row in rows:
+        shard = str(row["shard"])
+        rec = by_shard.setdefault(shard, {
+            "shard": shard, "docs": 0, "ok": 0, "timeout": 0, "failed": 0,
+            "error_pattern": 0, "n_chars_out": 0,
+            "method_histogram": collections.Counter(),
+            "round_dir": os.path.basename(round_dir),
+        })
+        rec["docs"] += 1
+        rec[row["status"]] += 1
+        rec["n_chars_out"] += row["n_chars_out"]
+        for m in (row["method"] or "").split(","):
+            if m:
+                rec["method_histogram"][m] += 1
+    records = []
+    for shard_path in round_shards:
+        name = _shard_name(shard_path)
+        rec = by_shard.get(name, {
+            "shard": name, "docs": 0, "ok": 0, "timeout": 0, "failed": 0,
+            "error_pattern": 0, "n_chars_out": 0, "method_histogram": {},
+            "round_dir": os.path.basename(round_dir)})
+        rec["method_histogram"] = dict(rec["method_histogram"])
+        rec["seconds"] = seconds * rec["docs"] / total_docs
+        rec["docs_per_sec"] = (rec["docs"] / rec["seconds"]
+                               if rec["seconds"] > 0 else 0.0)
+        records.append(rec)
+    return records
+
+
+def read_output(output_dir: str, statuses=KEPT_STATUSES):
+    """Dataset over committed rounds only (uncommitted partials are
+    invisible), filtered to kept statuses."""
+    import ray.data
+
+    import glob
+
+    manifest = CommitManifest(output_dir)
+    round_dirs = sorted({r["round_dir"] for r in manifest.records()})
+    files = [
+        f
+        for d in round_dirs
+        for f in sorted(glob.glob(os.path.join(output_dir, d, "**",
+                                               "*.parquet"),
+                                  recursive=True))
+    ]
+    if not files:
+        raise FileNotFoundError(f"no committed rounds under {output_dir}")
+    ds = ray.data.read_parquet(files)
+    allowed = list(statuses)
+    return ds.filter(
+        expr=" or ".join(f"status == '{s}'" for s in allowed))
+
+
+def run_pipeline_in_memory(docs: list[dict], *, batch_size: int = 32,
+                           concurrency=None):
+    """Small-scale helper (tests/smoke): list of docs → extracted rows."""
+    import ray.data
+
+    from ..schema import INPUT_SCHEMA
+
+    table = pa.Table.from_pylist(docs, schema=INPUT_SCHEMA)
+    ds = ray.data.from_arrow(table)
+    return extract_dataset(ds, batch_size=batch_size,
+                           concurrency=concurrency)

@@ -1,0 +1,31 @@
+"""Table IO for the interleaved-document corpus.
+
+Lance is the documented production format (BASELINE.json input_hint:
+``ray.data.read_lance``); this container ships no Lance wheel, so parquet
+stands in with the same layout contract: a directory of independent
+fragments, each a resumable unit.  ``read_documents`` prunes to exactly
+the two pipeline columns at the read (nothing else leaves storage).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+
+def list_fragments(input_dir: str) -> list[str]:
+    """Input fragments in stable (name-sorted) order."""
+    if os.path.isfile(input_dir):
+        return [input_dir]
+    return sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+
+
+def read_documents(paths, *, override_num_blocks=None):
+    """Ray Dataset over input fragments, pruned to (doc_id, spans)."""
+    import ray.data
+
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    return ray.data.read_parquet(paths, columns=["doc_id", "spans"],
+                                 **kwargs)
