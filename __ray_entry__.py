@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() correctness.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in the webtext library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every queries() entry maps to an operator/pipeline from SURVEY.md §2 or a
+training-data op (dedup / similarity / text analysis / media).  SQL
+oracles share exact column names and integer/string-only outputs with the
+Ray implementations wherever the op is SQL-expressible; non-expressible
+ops (the extraction pipeline itself, LSH/simhash/IVF, media stubs) are
+rows-only by design.
 """
 
 from __future__ import annotations
@@ -18,27 +16,231 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_EN = "('the','a','of','and','in','to')"
+_ES = "('el','la','de','y','en','que')"
+_DE = "('der','die','das','und','ist','von')"
+_FR = "('le','la','et','les','des','un')"
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_cols(sf_dir: str, cols: list[str]):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=cols)
+
+
+def _emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _synth_docs(sf_dir: str) -> list[dict]:
+    """Deterministic interleaved corpus for the extraction queries,
+    scaled by sf tag (the driver tables are flat text, not interleaved —
+    FIXTURES.md)."""
+    from webtext.synth import generate_docs
+
+    n = 16 if sf_dir.rstrip("/").endswith("0.1") else 8
+    return generate_docs(n_per_family=n, seed=42)
+
+
+def _extracted(sf_dir: str):
+    from webtext.pipelines import run_pipeline_in_memory
+
+    return run_pipeline_in_memory(_synth_docs(sf_dir), batch_size=32)
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full extraction pipeline over the interleaved corpus at
+    sf0.001 scale; returns the kept rows."""
+    ds = _extracted("/root/testdata/sf0.001")
+    return ds.filter(expr="status == 'ok' or status == 'timeout'")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from webtext.functions import ann, dedup, textstats
+    from webtext.functions.media import media_features
+    from webtext.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def extract_spans(sf_dir):
+        """Flattened span output of the extraction pipeline."""
+        import pyarrow as pa
+
+        rows = _extracted(sf_dir).take_all()
+        flat = {k: [] for k in ("doc_id", "offset", "kind", "text",
+                                "media_ref", "status")}
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            for s in r["spans"]:
+                flat["doc_id"].append(r["doc_id"])
+                flat["offset"].append(s["offset"])
+                flat["kind"].append(s["kind"])
+                flat["text"].append(s["text"])
+                flat["media_ref"].append(s["media_ref"])
+                flat["status"].append(r["status"])
+        return pa.Table.from_pydict(flat)
+
+    def extract_status(sf_dir):
+        import collections
+
+        import pyarrow as pa
+
+        rows = _extracted(sf_dir).take_all()
+        c = collections.Counter(r["status"] for r in rows)
+        return pa.Table.from_pydict({
+            "status": sorted(c), "n": [c[s] for s in sorted(c)]})
+
+    def media_feats(sf_dir):
+        return media_features(_extracted(sf_dir))
+
+    def knn(sf_dir):
+        ds = _emb(sf_dir)
+        q = ann.get_query_vector(ds, 0)
+        return ann.knn_brute(ds, q, k=10)
+
+    def ivf(sf_dir):
+        ds = _emb(sf_dir)
+        q = ann.get_query_vector(ds, 0)
+        return ann.knn_ivf(ds, q, k=10)
+
+    def union_q(sf_dir):
+        a = _docs_cols(sf_dir, ["doc_id", "source"]).filter(
+            expr="source == 'src0'")
+        b = _docs_cols(sf_dir, ["doc_id", "source"]).filter(
+            expr="source == 'src1'")
+        return rel.union_sources(a, b)
+
+    return {
+        # extraction pipeline (non-SQL: rows-only driver check; the
+        # span-equality gate is tests/test_pipeline.py vs the oracle)
+        "extract_spans": extract_spans,
+        "extract_status": extract_status,
+        "media_features": media_feats,
+        # corpus-level dedup
+        "exact_dedup": lambda sf: dedup.exact_dedup(
+            _docs_cols(sf, ["doc_id", "text"])),
+        "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(
+            _docs_cols(sf, ["doc_id", "text"])),
+        "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(
+            _docs_cols(sf, ["doc_id", "text"])),
+        "simhash": lambda sf: dedup.simhash(
+            _docs_cols(sf, ["doc_id", "text"])),
+        "cosine_dup_pairs": lambda sf: ann.cosine_dup_pairs(_emb(sf), 0.4),
+        # similarity search
+        "knn_cosine": knn,
+        "knn_ivf": ivf,
+        "cosine_nn": lambda sf: ann.nearest_neighbor_ids(_emb(sf)),
+        # text analysis
+        "token_count": lambda sf: textstats.token_count(
+            _docs_cols(sf, ["doc_id", "text"])),
+        "quality_score": lambda sf: textstats.quality_score(
+            _docs_cols(sf, ["doc_id", "text"])),
+        "lang_id": lambda sf: textstats.lang_id(
+            _docs_cols(sf, ["doc_id", "text"])),
+        "doc_fingerprint": lambda sf: textstats.fingerprint(
+            _docs_cols(sf, ["doc_id", "text"])),
+        # relational skeleton (U5/U9/A1/A2/A3/E12 shapes)
+        "topk_per_group": lambda sf: rel.topk_per_group(_docs(sf)),
+        "ordered_dedup": lambda sf: rel.ordered_dedup(_docs(sf)),
+        "union_sources": union_q,
+        "sort_limit": lambda sf: rel.sort_limit(_docs(sf)),
+        "group_counts": lambda sf: rel.group_counts(_docs(sf)),
+        "failure_filter": lambda sf: rel.failure_filter(_docs(sf)),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup":
+            "SELECT min(doc_id) AS doc_id, text FROM documents "
+            "GROUP BY text",
+        "ngram_jaccard_pairs": f"""
+            SELECT * FROM (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                len(list_filter(list_distinct(string_split(a.text,' ')),
+                    x -> list_contains(string_split(b.text,' '), x)))::BIGINT
+                    AS inter_n,
+                len(list_distinct(list_concat(string_split(a.text,' '),
+                    string_split(b.text,' '))))::BIGINT AS union_n
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            ) t WHERE inter_n * 10 >= union_n * 3""",
+        "knn_cosine": """
+            SELECT e.vec_id, e.label FROM embeddings e,
+              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY list_cosine_similarity(e.embedding, q.embedding)
+              DESC, e.vec_id
+            LIMIT 10""",
+        "cosine_nn": """
+            SELECT vec_id, nn_id FROM (
+              SELECT a.vec_id, b.vec_id AS nn_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+                    DESC, b.vec_id) AS rn
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ) t WHERE rn = 1""",
+        "cosine_dup_pairs": """
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+        "token_count":
+            "SELECT doc_id, len(string_split(text, ' '))::BIGINT "
+            "AS n_tokens FROM documents",
+        "quality_score": f"""
+            SELECT doc_id,
+              length(text)::BIGINT AS n_chars_q,
+              len(string_split(text,' '))::BIGINT AS n_tokens,
+              len(list_filter(string_split(text,' '),
+                  x -> x IN {_EN}))::BIGINT AS n_stop,
+              len(list_distinct(string_split(text,' ')))::BIGINT AS n_uniq
+            FROM documents""",
+        "lang_id": f"""
+            SELECT doc_id, CASE
+              WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+              WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+              WHEN de > 0 AND de >= fr THEN 'de'
+              WHEN fr > 0 THEN 'fr'
+              ELSE 'und' END AS pred_lang
+            FROM (
+              SELECT doc_id,
+                len(list_filter(w, x -> x IN {_EN})) AS en,
+                len(list_filter(w, x -> x IN {_ES})) AS es,
+                len(list_filter(w, x -> x IN {_DE})) AS de,
+                len(list_filter(w, x -> x IN {_FR})) AS fr
+              FROM (SELECT doc_id, string_split(text,' ') AS w
+                    FROM documents) s
+            ) c""",
+        "doc_fingerprint":
+            "SELECT doc_id, md5(text) AS fp FROM documents",
+        "topk_per_group": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars, row_number() OVER (
+                PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) t
+            WHERE rn <= 3""",
+        "ordered_dedup":
+            "SELECT source, min(doc_id) AS doc_id FROM documents "
+            "GROUP BY source",
+        "union_sources":
+            "SELECT doc_id, source FROM documents WHERE source = 'src0' "
+            "UNION ALL "
+            "SELECT doc_id, source FROM documents WHERE source = 'src1'",
+        "sort_limit":
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 100",
+        "group_counts":
+            "SELECT lang, count(*)::BIGINT AS n FROM documents "
+            "GROUP BY lang",
+        "failure_filter":
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE NOT contains(text, 'slow')",
+    }

@@ -1,0 +1,205 @@
+"""Training-data operator tests: dedup, ANN, text stats, media stubs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webtext.functions import ann, dedup, textstats
+from webtext.functions.media import FakeDecoder, media_features
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+# -- dedup ------------------------------------------------------------------
+
+def test_exact_dedup_keeps_first(ray_session):
+    import ray.data
+
+    t = pa.table({"doc_id": pa.array([3, 1, 2], pa.int64()),
+                  "text": ["same", "same", "other"]})
+    out = dedup.exact_dedup(ray.data.from_arrow(t)).take_all()
+    got = {r["text"]: r["doc_id"] for r in out}
+    assert got == {"same": 1, "other": 2}
+
+
+def test_minhash_signature_deterministic_and_similar():
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox jumps over the lazy cat"
+    c = "completely different words entirely here now"
+    sa, sb, sc = (dedup.minhash_signature(x) for x in (a, b, c))
+    assert (sa == dedup.minhash_signature(a)).all()
+    agree_ab = (sa == sb).mean()
+    agree_ac = (sa == sc).mean()
+    assert agree_ab > 0.5 > agree_ac
+
+
+def test_minhash_lsh_finds_planted_near_dups(ray_session):
+    import ray.data
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("upsilon", "psi")
+    rows = [{"doc_id": 1, "text": base}, {"doc_id": 2, "text": near},
+            {"doc_id": 3, "text": "entirely unrelated text with other "
+                                  "tokens and no overlap at all ok"}]
+    ds = ray.data.from_items(rows)
+    pairs = dedup.minhash_lsh_pairs(ds, threshold=0.5).take_all()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_simhash_near_texts_close_hamming():
+    a = "the quick brown fox jumps over the lazy dog " * 3
+    b = a.replace("dog", "cat")
+    c = "totally different content with other words " * 3
+    ha, hb, hc = (dedup.simhash64(x) for x in (a, b, c))
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(ha, hb) < ham(ha, hc)
+    assert dedup.simhash64(a) == ha  # deterministic
+
+
+def test_simhash_dup_pairs_on_planted(ray_session):
+    import ray.data
+
+    a = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [{"doc_id": 1, "text": a},
+            {"doc_id": 2, "text": a.replace("dog", "cat")},
+            {"doc_id": 3, "text": "totally different content here " * 3}]
+    pairs = dedup.simhash_dup_pairs(
+        ray.data.from_items(rows), max_hamming=16).take_all()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_word_jaccard_int_contract():
+    assert dedup.word_jaccard("a b c", "b c d") == (2, 4)
+    assert dedup.word_jaccard("a", "a") == (1, 1)
+
+
+def test_ngram_jaccard_pairs_consecutive_only(ray_session, docs_ds):
+    out = dedup.ngram_jaccard_pairs(docs_ds).take_all()
+    assert out, "expected some high-jaccard consecutive pairs"
+    for r in out:
+        assert r["right_id"] == r["left_id"] + 1
+        assert r["inter_n"] * 10 >= r["union_n"] * 3
+
+
+# -- ANN --------------------------------------------------------------------
+
+def test_knn_brute_matches_numpy(ray_session, emb_ds):
+    import pyarrow.parquet as pq
+
+    q = ann.get_query_vector(emb_ds, 0)
+    got = [r["vec_id"] for r in ann.knn_brute(emb_ds, q, k=10).take_all()]
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(t["vec_id"].to_pylist())
+    sims = ann._cos(M, q)
+    sims[ids == 0] = -np.inf
+    want = ids[np.lexsort((ids, -sims))[:10]].tolist()
+    assert got == want
+
+
+def test_knn_ivf_recall_vs_brute(ray_session, emb_ds):
+    q = ann.get_query_vector(emb_ds, 0)
+    brute = {r["vec_id"] for r in ann.knn_brute(emb_ds, q, k=10).take_all()}
+    approx = {r["vec_id"] for r in
+              ann.knn_ivf(emb_ds, q, k=10, nlist=8, nprobe=4).take_all()}
+    assert len(approx) == 10
+    assert len(brute & approx) / 10 >= 0.5     # recall bound for nprobe=4/8
+
+
+def test_cosine_dup_pairs_symmetric_free(ray_session, emb_ds):
+    pairs = ann.cosine_dup_pairs(emb_ds, threshold=0.4).take_all()
+    seen = set()
+    for r in pairs:
+        assert r["left_id"] < r["right_id"]
+        key = (r["left_id"], r["right_id"])
+        assert key not in seen
+        seen.add(key)
+
+
+# -- text stats -------------------------------------------------------------
+
+def test_token_count_matches_python_split(ray_session, docs_ds):
+    out = {r["doc_id"]: r["n_tokens"]
+           for r in textstats.token_count(docs_ds).take_all()}
+    rows = docs_ds.take(20)
+    for r in rows:
+        assert out[r["doc_id"]] == len(r["text"].split(" "))
+
+
+def test_quality_score_columns_and_sanity(ray_session, docs_ds):
+    out = textstats.quality_score(docs_ds).take(5)
+    for r in out:
+        assert set(r) == {"doc_id", "n_chars_q", "n_tokens", "n_stop",
+                          "n_uniq"}
+        assert r["n_uniq"] <= r["n_tokens"]
+        assert r["n_stop"] <= r["n_tokens"]
+
+
+def test_lang_id_stopword_heuristic(ray_session):
+    import ray.data
+
+    rows = [{"doc_id": 1, "text": "the cat sat on the mat in a hat"},
+            {"doc_id": 2, "text": "el gato y la casa en que vive"},
+            {"doc_id": 3, "text": "zzz qqq www"}]
+    out = {r["doc_id"]: r["pred_lang"]
+           for r in textstats.lang_id(ray.data.from_items(rows)).take_all()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_fingerprint_is_md5(ray_session):
+    import hashlib
+
+    import ray.data
+
+    rows = [{"doc_id": 1, "text": "hello world"}]
+    out = textstats.fingerprint(ray.data.from_items(rows)).take_all()
+    assert out[0]["fp"] == hashlib.md5(b"hello world").hexdigest()
+
+
+# -- media ------------------------------------------------------------------
+
+def test_fake_decoder_deterministic():
+    d = FakeDecoder()
+    a = d.decode("media://x/1")
+    assert a == d.decode("media://x/1")
+    assert a != d.decode("media://x/2")
+    assert a["width"] >= 160 and a["height"] >= 120
+
+
+def test_media_features_plumbing(ray_session):
+    from webtext.pipelines import run_pipeline_in_memory
+    from webtext.synth import generate_docs
+
+    docs = generate_docs(n_per_family=4, seed=42,
+                         families=["interleaved-media", "media-only"])
+    extracted = run_pipeline_in_memory(docs, concurrency=(1, 2))
+    feats = media_features(extracted, concurrency=(1, 2)).take_all()
+    assert feats
+    media_refs_in = {
+        s["media_ref"] for d in docs for s in d["spans"]
+        if s["media_ref"]}
+    assert {f["media_ref"] for f in feats} == media_refs_in
+    for f in feats:
+        assert f["kind"] == "media"
+        assert f["n_frames"] >= 1

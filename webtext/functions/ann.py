@@ -1,0 +1,213 @@
+"""Similarity search over an embedding column (list<float>).
+
+* knn_brute    — exact cosine top-k: per-batch numpy matmul against a
+                 broadcast query vector, per-batch partial top-k, tiny
+                 final sort.  The broadcast is a single ``ray.put``; the
+                 partial top-k means only k rows per block reach the
+                 driver-side merge (never the full score column).
+* knn_ivf      — IVF scale path: deterministic mini-kmeans centroids,
+                 cluster assignment via map_batches, probe the nprobe
+                 nearest lists, brute-force within.
+* cosine_dup_pairs — embedding near-dup pairs above a cosine threshold
+                 via blockwise matmul against the broadcast matrix
+                 (O(n·block) per task; the LSH/IVF bucketing above is
+                 the 100 TB path).
+
+All cosine math runs in float64 so results agree bit-for-bit with the
+DuckDB ``list_cosine_similarity`` oracle on id-level output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _matrix(batch: pa.Table) -> np.ndarray:
+    col = batch.column("embedding")
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _cos(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    qn = q / np.linalg.norm(q)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return (mat @ qn) / norms
+
+
+def get_query_vector(ds, vec_id: int = 0) -> np.ndarray:
+    row = ds.filter(expr=f"vec_id == {vec_id}").take(1)[0]
+    return np.array(row["embedding"], dtype=np.float64)
+
+
+def knn_brute(ds, query: np.ndarray, k: int = 10, exclude_id: int | None = 0):
+    """Exact top-k by cosine; returns (vec_id, label) rows, ties broken
+    by vec_id ascending (matches the SQL oracle's ORDER BY)."""
+    import ray
+
+    qref = ray.put(query)
+
+    class PartialTopK:
+        def __init__(self, ref, k):
+            self.q = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sims = _cos(_matrix(batch), self.q)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            labels = batch.column("label").to_numpy(zero_copy_only=False)
+            if exclude_id is not None:
+                keep = ids != exclude_id
+                sims, ids, labels = sims[keep], ids[keep], labels[keep]
+            order = np.lexsort((ids, -sims))[:self.k]
+            return pa.Table.from_arrays(
+                [pa.array(ids[order], pa.int64()),
+                 pa.array(labels[order], pa.int32()),
+                 pa.array(sims[order], pa.float64())],
+                names=["vec_id", "label", "sim"])
+
+    partial = ds.map_batches(
+        PartialTopK, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4), fn_constructor_args=(qref, k))
+    # final merge: ≤ k rows per block — tiny
+    top = partial.sort(["sim", "vec_id"], descending=[True, False])
+    return top.limit(k).drop_columns(["sim"])
+
+
+def kmeans_centroids(mat: np.ndarray, nlist: int, iters: int = 5
+                     ) -> np.ndarray:
+    """Deterministic mini-kmeans: centroids seeded from evenly spaced
+    rows, fixed iteration count, no RNG."""
+    idx = np.linspace(0, len(mat) - 1, nlist).astype(int)
+    cents = mat[idx].copy()
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(nlist):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def knn_ivf(ds, query: np.ndarray, k: int = 10, nlist: int = 16,
+            nprobe: int = 4, exclude_id: int | None = 0):
+    """IVF approximate top-k: assign → probe nearest lists → brute-force
+    within the probed subset.  Centroid fit here samples the dataset
+    driver-side (fine: centroids are tiny); at scale the fit becomes a
+    map_batches partial-sum pass."""
+    import ray
+
+    sample = _matrix(
+        pa.Table.from_pylist(ds.limit(2048).take_all()))
+    cents = kmeans_centroids(sample, nlist)
+    probe = np.argsort(((cents - query) ** 2).sum(axis=1))[:nprobe]
+    cref = ray.put((cents, set(int(p) for p in probe), query))
+
+    class ProbeFilter:
+        def __init__(self, ref, k):
+            self.cents, self.probe, self.q = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _matrix(batch)
+            d = ((mat[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            keep = np.array([a in self.probe for a in assign])
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            labels = batch.column("label").to_numpy(zero_copy_only=False)
+            if exclude_id is not None:
+                keep &= ids != exclude_id
+            mat, ids, labels = mat[keep], ids[keep], labels[keep]
+            if not len(ids):
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int32()),
+                     pa.array([], pa.float64())],
+                    names=["vec_id", "label", "sim"])
+            sims = _cos(mat, self.q)
+            order = np.lexsort((ids, -sims))[:self.k]
+            return pa.Table.from_arrays(
+                [pa.array(ids[order], pa.int64()),
+                 pa.array(labels[order], pa.int32()),
+                 pa.array(sims[order], pa.float64())],
+                names=["vec_id", "label", "sim"])
+
+    partial = ds.map_batches(
+        ProbeFilter, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4), fn_constructor_args=(cref, k))
+    top = partial.sort(["sim", "vec_id"], descending=[True, False])
+    return top.limit(k).drop_columns(["sim"])
+
+
+def cosine_dup_pairs(ds, threshold: float = 0.4):
+    """All (a < b) pairs with cosine ≥ threshold: blockwise matmul of
+    each batch against the broadcast full matrix."""
+    import ray
+
+    rows = ds.select_columns(["vec_id", "embedding"]).take_all()
+    all_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    all_mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    all_mat = all_mat / np.linalg.norm(all_mat, axis=1, keepdims=True)
+    ref = ray.put((all_ids, all_mat))
+
+    class PairFinder:
+        def __init__(self, r, t):
+            self.ids, self.mat = ray.get(r)
+            self.t = t
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            m = _matrix(batch)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ self.mat.T                     # (batch, n)
+            left, right = [], []
+            bi, bj = np.nonzero(sims >= self.t)
+            for i, j in zip(bi, bj):
+                a, b = int(ids[i]), int(self.ids[j])
+                if a < b:
+                    left.append(a)
+                    right.append(b)
+            return pa.Table.from_arrays(
+                [pa.array(left, pa.int64()), pa.array(right, pa.int64())],
+                names=["left_id", "right_id"])
+
+    return ds.map_batches(
+        PairFinder, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4), fn_constructor_args=(ref, threshold))
+
+
+def nearest_neighbor_ids(ds):
+    """(vec_id, nn_id): exact nearest neighbor of every vector — the
+    id-only output the SQL cross-join oracle can replicate."""
+    import ray
+
+    rows = ds.select_columns(["vec_id", "embedding"]).take_all()
+    all_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    all_mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    all_mat = all_mat / np.linalg.norm(all_mat, axis=1, keepdims=True)
+    ref = ray.put((all_ids, all_mat))
+
+    class NN:
+        def __init__(self, r):
+            self.ids, self.mat = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            m = _matrix(batch)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ self.mat.T
+            out = []
+            for i, a in enumerate(ids):
+                s = sims[i].copy()
+                s[self.ids == a] = -np.inf
+                # max sim; ties → smallest id (matches oracle ORDER BY)
+                best = np.max(s)
+                cand = self.ids[s == best]
+                out.append(int(cand.min()))
+            return pa.Table.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(out, pa.int64())],
+                names=["vec_id", "nn_id"])
+
+    return ds.map_batches(
+        NN, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4), fn_constructor_args=(ref,))

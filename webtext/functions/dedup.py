@@ -1,0 +1,275 @@
+"""Corpus-level deduplication operators over the documents table.
+
+The reference only dedups *within* one document (E11) and does ordered
+URL dedup (U9); a training-data pipeline needs corpus-level dedup, built
+here Ray-Data-first:
+
+* exact_dedup       — groupby(first-id).  At 100 TB: group on a content
+                      hash (fingerprint) so the shuffle ships 16-byte
+                      keys, then resolve winners; here the text column
+                      itself is the key for oracle-exactness.
+* minhash_lsh_pairs — shingle → minhash → band → bucket groupby →
+                      candidate pairs → Jaccard verify.  The banding
+                      groupby is the only all-to-all exchange, and it
+                      ships (band, hash, id) triples, never documents.
+* simhash           — 64-bit simhash per doc + banded duplicate pairs.
+* ngram_jaccard_pairs — word-set Jaccard of consecutive-id pairs, the
+                      shuffle-join expressed as an emit-twice groupby
+                      (doc k → keys {k, k-1}), integer output for the
+                      SQL oracle.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+# 64 universal-hash permutations over 32-bit shingle hashes,
+# deterministic constants (seeded numpy, fixed)
+_P = (1 << 61) - 1
+_rs = np.random.RandomState(12345)
+_A = _rs.randint(1, _P, size=64, dtype=np.int64)
+_B = _rs.randint(0, _P, size=64, dtype=np.int64)
+NUM_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    words = text.split(" ")
+    if len(words) < k:
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    return np.array([zlib.crc32(g.encode("utf-8")) for g in grams],
+                    dtype=np.int64)
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    h = _shingle_hashes(text, k)
+    # (64, n) universal hashes, min over shingles — vectorized
+    vals = (np.outer(_A, h) + _B[:, None]) % _P
+    return vals.min(axis=1)
+
+
+def _band_rows(batch: pa.Table) -> pa.Table:
+    """doc → BANDS rows (band_id, band_hash, doc_id): the LSH flat_map."""
+    doc_ids, bands, hashes = [], [], []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        sig = minhash_signature(text)
+        for b in range(BANDS):
+            chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+            doc_ids.append(doc_id)
+            bands.append(b)
+            hashes.append(int(zlib.crc32(chunk.tobytes())))
+    return pa.Table.from_arrays(
+        [pa.array(doc_ids, pa.int64()), pa.array(bands, pa.int32()),
+         pa.array(hashes, pa.int64())],
+        names=["doc_id", "band_id", "band_hash"])
+
+
+def word_jaccard(a: str, b: str) -> tuple[int, int]:
+    """(|A∩B|, |A∪B|) over single-space word tokens — integer output so
+    thresholds compare exactly across engines."""
+    sa, sb = set(a.split(" ")), set(b.split(" "))
+    return len(sa & sb), len(sa | sb)
+
+
+def minhash_lsh_pairs(ds, texts_ref=None, threshold: float = 0.5):
+    """Confirmed near-dup pairs via MinHash+LSH banding.
+
+    ``texts_ref``: a ``ray.put`` handle to {doc_id: text} used by the
+    verify stage (broadcast once per actor, not per batch).  At real
+    scale this broadcast becomes a shuffle join candidate_pairs ⋈ texts;
+    the banding/bucketing stages are unchanged.
+    """
+    import ray
+
+    if texts_ref is None:
+        rows = ds.select_columns(["doc_id", "text"]).take_all()
+        texts_ref = ray.put({r["doc_id"]: r["text"] for r in rows})
+
+    bands = ds.map_batches(_band_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        left, right = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                left.append(ids[i])
+                right.append(ids[j])
+        return pa.Table.from_arrays(
+            [pa.array(left, pa.int64()), pa.array(right, pa.int64())],
+            names=["left_id", "right_id"])
+
+    candidates = bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    # dedupe candidate pairs found in multiple bands
+    candidates = candidates.groupby(["left_id", "right_id"]).count()
+    candidates = candidates.drop_columns(["count()"])
+
+    class Verifier:
+        def __init__(self, ref):
+            self.texts = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep_l, keep_r = [], []
+            for lid, rid in zip(batch.column("left_id").to_pylist(),
+                                batch.column("right_id").to_pylist()):
+                inter, union = word_jaccard(self.texts[lid], self.texts[rid])
+                if union and inter / union >= threshold:
+                    keep_l.append(lid)
+                    keep_r.append(rid)
+            return pa.Table.from_arrays(
+                [pa.array(keep_l, pa.int64()), pa.array(keep_r, pa.int64())],
+                names=["left_id", "right_id"])
+
+    return candidates.map_batches(
+        Verifier, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4), fn_constructor_args=(texts_ref,))
+
+
+def exact_dedup(ds):
+    """First (min doc_id) document per distinct text."""
+    agg = ds.groupby("text").min("doc_id")
+    return agg.map_batches(
+        lambda b: b.rename_columns(
+            ["text", "doc_id"]).select(["doc_id", "text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit simhash over word crc hashes (deterministic)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
+    for w in text.split(" "):
+        h = np.uint64(zlib.crc32(w.encode())
+                      | (zlib.crc32(w[::-1].encode()) << 32))
+        bits = (h >> shifts) & one
+        acc += np.where(bits == one, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= (1 << i)
+    return out - (1 << 63)          # store as signed int64
+
+
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    sh = [simhash64(t) for t in batch.column("text").to_pylist()]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(sh, pa.int64())],
+        names=["doc_id", "simhash"])
+
+
+def simhash(ds):
+    return ds.map_batches(_simhash_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def simhash_dup_pairs(ds, max_hamming: int = 8):
+    """Candidate pairs whose simhashes agree on ≥1 of 4 16-bit bands,
+    confirmed by Hamming distance ≤ max_hamming."""
+    sh = simhash(ds)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids, bands, keys = [], [], []
+        for did, h in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("simhash").to_pylist()):
+            u = h + (1 << 63)
+            for b in range(4):
+                ids.append(did)
+                bands.append(b)
+                keys.append((u >> (16 * b)) & 0xFFFF)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(bands, pa.int32()),
+             pa.array(keys, pa.int64())],
+            names=["doc_id", "band_id", "band_key"])
+
+    rows = {r["doc_id"]: r["simhash"] for r in sh.take_all()}
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        left, right = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                d = bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    left.append(a)
+                    right.append(b)
+        return pa.Table.from_arrays(
+            [pa.array(left, pa.int64()), pa.array(right, pa.int64())],
+            names=["left_id", "right_id"])
+
+    banded = sh.map_batches(band_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    pairs = banded.groupby(["band_id", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    uniq = pairs.groupby(["left_id", "right_id"]).count()
+    return uniq.drop_columns(["count()"])
+
+
+# ---------------------------------------------------------------------------
+# consecutive-id n-gram Jaccard (SQL-oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(ds, min_inter_x10_per_union: int = 3):
+    """Word-set Jaccard for every (doc_id k, k+1) pair, keeping pairs
+    with jaccard ≥ min/10 — all-integer output.
+
+    The self-join is expressed as an emit-twice groupby: doc k emits
+    (key=k, role=L) and (key=k-1, role=R); groups holding both roles are
+    exactly the consecutive pairs.  Scales as one shuffle of (key, text)
+    — the canonical Ray Data join-by-groupby pattern.
+    """
+
+    def emit(batch: pa.Table) -> pa.Table:
+        keys, roles, ids, texts = [], [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            keys.append(did); roles.append("L"); ids.append(did)
+            texts.append(text)
+            keys.append(did - 1); roles.append("R"); ids.append(did)
+            texts.append(text)
+        return pa.Table.from_arrays(
+            [pa.array(keys, pa.int64()), pa.array(roles, pa.string()),
+             pa.array(ids, pa.int64()), pa.array(texts, pa.string())],
+            names=["pair_key", "role", "doc_id", "text"])
+
+    def join_group(group: pa.Table) -> pa.Table:
+        left = right = None
+        for role, did, text in zip(group.column("role").to_pylist(),
+                                   group.column("doc_id").to_pylist(),
+                                   group.column("text").to_pylist()):
+            if role == "L":
+                left = (did, text)
+            else:
+                right = (did, text)
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64())] * 4,
+            names=["left_id", "right_id", "inter_n", "union_n"])
+        if left is None or right is None:
+            return empty
+        inter, union = word_jaccard(left[1], right[1])
+        if inter * 10 < union * min_inter_x10_per_union:
+            return empty
+        return pa.Table.from_arrays(
+            [pa.array([left[0]], pa.int64()),
+             pa.array([right[0]], pa.int64()),
+             pa.array([inter], pa.int64()),
+             pa.array([union], pa.int64())],
+            names=["left_id", "right_id", "inter_n", "union_n"])
+
+    emitted = ds.map_batches(emit, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return emitted.groupby("pair_key").map_groups(
+        join_group, batch_format="pyarrow")

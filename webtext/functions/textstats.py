@@ -1,0 +1,137 @@
+"""Text-analysis operators over a plain documents table
+(doc_id:int64, text, lang, source, n_chars).
+
+Each operator is a vectorized ``map_batches`` stage (pyarrow.compute
+kernels; no Python row loops) and has an exact ANSI-SQL oracle in
+``__ray_entry__.oracle_sql`` — outputs are integers/strings only, so the
+driver's value-hash comparison is float-free.
+
+Tokenization contract (shared with every oracle): split on single
+spaces, empties kept — ``string_split(text, ' ')`` in DuckDB ==
+``pc.split_pattern(text, ' ')`` in Arrow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# tiny per-language stopword tables for the n-gram/stopword lang-id
+# heuristic; tie-break = table order, all-zero → 'und'
+LANG_STOPWORDS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "a", "of", "and", "in", "to")),
+    ("es", ("el", "la", "de", "y", "en", "que")),
+    ("de", ("der", "die", "das", "und", "ist", "von")),
+    ("fr", ("le", "la", "et", "les", "des", "un")),
+)
+
+
+def _tokens(batch: pa.Table) -> pa.ListArray:
+    return pc.split_pattern(batch.column("text"), " ")
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens): whitespace-token count, fully vectorized."""
+    n = pc.list_value_length(_tokens(batch))
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), n.cast(pa.int64())],
+        names=["doc_id", "n_tokens"])
+
+
+def _count_in_set(tokens: pa.ChunkedArray, words: tuple[str, ...]):
+    """Per-row count of tokens that are in ``words`` (vectorized:
+    flatten → is_in → sum per list via list parent indices)."""
+    flat_counts = []
+    for chunk in (tokens.chunks if isinstance(tokens, pa.ChunkedArray)
+                  else [tokens]):
+        mask = pc.is_in(pc.list_flatten(chunk),
+                        value_set=pa.array(words, pa.string()))
+        # aggregate the flat mask back per list row
+        lengths = pc.list_value_length(chunk).to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        m = mask.to_numpy(zero_copy_only=False).astype("int64")
+        idx = np.repeat(np.arange(len(lengths)), lengths)
+        out = np.zeros(len(lengths), dtype="int64")
+        np.add.at(out, idx, m)
+        flat_counts.append(pa.array(out, pa.int64()))
+    return pa.chunked_array(flat_counts) if len(flat_counts) > 1 \
+        else flat_counts[0]
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_chars_q, n_tokens, n_stop, n_uniq) — length, token
+    count, english-stopword count, distinct-token count."""
+    tokens = _tokens(batch)
+    n_chars = pc.utf8_length(batch.column("text")).cast(pa.int64())
+    n_tokens = pc.list_value_length(tokens).cast(pa.int64())
+    n_stop = _count_in_set(tokens, LANG_STOPWORDS[0][1])
+    uniq = _list_distinct_length(tokens)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), n_chars, n_tokens, n_stop, uniq],
+        names=["doc_id", "n_chars_q", "n_tokens", "n_stop", "n_uniq"])
+
+
+def _list_distinct_length(tokens):
+    """Distinct-token count per row (small Python fallback: Arrow has no
+    list_distinct kernel; rows are short token lists)."""
+    out = []
+    for chunk in (tokens.chunks if isinstance(tokens, pa.ChunkedArray)
+                  else [tokens]):
+        out.extend(len(set(lst)) for lst in chunk.to_pylist())
+    return pa.array(out, pa.int64())
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, pred_lang): stopword-count heuristic; ties break by table
+    order; zero evidence → 'und'.  The SQL oracle replicates the same
+    CASE chain."""
+    tokens = _tokens(batch)
+    counts = [
+        _count_in_set(tokens, words).to_pylist()
+        for _lang, words in LANG_STOPWORDS
+    ]
+    preds = []
+    for row in zip(*counts):
+        best_lang, best_n = "und", 0
+        for (lang, _w), n in zip(LANG_STOPWORDS, row):
+            if n > best_n:
+                best_lang, best_n = lang, n
+        preds.append(best_lang)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(preds, pa.string())],
+        names=["doc_id", "pred_lang"])
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, fp): md5 document fingerprint (hex) — exact-dup key and
+    content-addressable id.  SQL oracle: ``md5(text)``."""
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+           for t in batch.column("text").to_pylist()]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(fps, pa.string())],
+        names=["doc_id", "fp"])
+
+
+# -- dataset-level wrappers -------------------------------------------------
+
+def token_count(ds):
+    return ds.map_batches(token_count_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def quality_score(ds):
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def lang_id(ds):
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def fingerprint(ds):
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -29,13 +29,24 @@ from ..stages.extractor import ExtractorActor
 KEPT_STATUSES = ("ok", "timeout")
 
 
+def default_pool_size() -> int:
+    """Fixed actor-pool size leaving ~25% CPU headroom for the read and
+    write task operators.  An exact-fit pool (actors == cluster CPUs)
+    starves the reader and collapses throughput (measured: 32/32 actors
+    on 32 CPUs ran 4x slower than 24/32); a fixed pool also avoids the
+    autoscaling ramp that dominates short jobs."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return max(2, int(ncpu * 0.75))
+
+
 def extract_dataset(ds, *, batch_size: int = 32, concurrency=None):
     """Attach the extraction actor-pool stage to a documents Dataset."""
     import ray
 
     if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, ncpu))
+        concurrency = default_pool_size()
     return ds.map_batches(
         ExtractorActor,
         batch_format="pyarrow",
@@ -56,14 +67,14 @@ def _shard_name(path: str) -> str:
     return os.path.basename(path).replace(".parquet", "")
 
 
-class _ShardTagger:
-    """Adds the shard provenance column from the reader's path column."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        paths = batch.column("path").to_pylist()
-        shard = pa.array([_shard_name(p) for p in paths], pa.string())
-        batch = batch.drop_columns(["path"])
-        return batch.append_column("shard", shard)
+def _tag_shard(batch: pa.Table) -> pa.Table:
+    """Adds the shard provenance column from the reader's path column.
+    Plain function → task-based map, fused with the read (an actor here
+    would funnel every batch through one process)."""
+    paths = batch.column("path").to_pylist()
+    shard = pa.array([_shard_name(p) for p in paths], pa.string())
+    batch = batch.drop_columns(["path"])
+    return batch.append_column("shard", shard)
 
 
 def run_extraction(
@@ -102,8 +113,8 @@ def run_extraction(
         ds = ray.data.read_parquet(round_shards,
                                    columns=["doc_id", "spans"],
                                    include_paths=True)
-        ds = ds.map_batches(_ShardTagger, batch_format="pyarrow",
-                            zero_copy_batch=True, concurrency=1)
+        ds = ds.map_batches(_tag_shard, batch_format="pyarrow",
+                            zero_copy_batch=True)
         if rebalance:
             from ..stages.skew import detect_hot_domains, rebalance_by_domain
             docs_only = ds.drop_columns(["shard"])
@@ -136,8 +147,7 @@ def _extract_keeping_shard(ds, *, batch_size, concurrency):
     import ray
 
     if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, ncpu))
+        concurrency = default_pool_size()
     return ds.map_batches(
         _ExtractorWithShard,
         batch_format="pyarrow",

@@ -1,0 +1,80 @@
+"""Relational-skeleton operators over plain tables — the Ray Data
+expression of the reference's list-processing ops (SURVEY §2.3/§2.4):
+ordered dedup (U9), per-group top-k (U5), union of engine outputs (A3),
+order restoration (A1), small aggregates (A2), failure filtering
+(E12/E13's relational shape).
+
+Every function takes/returns a ``ray.data.Dataset``; column names match
+the DuckDB oracles in ``__ray_entry__`` exactly.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def topk_per_group(ds, group_col: str = "lang", order_col: str = "n_chars",
+                   k: int = 3):
+    """Top-k rows per group by (order_col desc, doc_id asc) — U5's
+    per-related-search ``limit(3)`` as groupby().map_groups."""
+
+    def head(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(order_col, "descending"),
+                              ("doc_id", "ascending")])
+        return group.take(idx[:k]).select(["doc_id", group_col, order_col])
+
+    return ds.select_columns(["doc_id", group_col, order_col]) \
+             .groupby(group_col).map_groups(head, batch_format="pyarrow")
+
+
+def ordered_dedup(ds, key_col: str = "source"):
+    """First-occurrence-wins dedup (U9): min doc_id per key."""
+    agg = ds.select_columns([key_col, "doc_id"]).groupby(key_col) \
+            .min("doc_id")
+    return agg.map_batches(
+        lambda b: b.rename_columns([key_col, "doc_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def union_sources(ds_a, ds_b):
+    """A3: append-union, deliberately NOT deduped (integrated.py:45)."""
+    return ds_a.union(ds_b)
+
+
+def sort_limit(ds, n: int = 100):
+    """A1 order restoration: deterministic total order + limit."""
+    return ds.select_columns(["doc_id", "n_chars"]) \
+             .sort(["n_chars", "doc_id"], descending=[True, False]) \
+             .limit(n)
+
+
+def group_counts(ds, group_col: str = "lang"):
+    """A2-style small aggregate with the combiner pattern: per-batch
+    partial counts inside map_batches, then a tiny groupby-sum shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = batch.select([group_col]).group_by(group_col) \
+                      .aggregate([(group_col, "count")])
+        return counts.rename_columns([group_col, "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    summed = partials.groupby(group_col).sum("n")
+    return summed.map_batches(
+        lambda b: b.rename_columns([group_col, "n"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def failure_filter(ds, pattern: str = "slow"):
+    """E12's shape: vectorized substring predicate, keep non-matching
+    rows.  (The real browser-error patterns live in oracle.rules; this
+    relational variant filters the plain documents table.)"""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.match_substring(batch.column("text"), pattern))
+        return batch.filter(mask).select(["doc_id", "n_chars"])
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
