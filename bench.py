@@ -150,6 +150,11 @@ def run_scaling() -> dict:
     (8, 32) — the driver protocol pair — and (2, 8), which stays inside
     the sandbox's physical cores and is therefore the faithful stand-in
     for N→4N *nodes* (real nodes add real cores)."""
+    # This sandbox is a shared microVM with noisy-neighbor steal (load
+    # fluctuates without any in-VM consumer), so each level runs twice,
+    # best-of-2, and the pure-CPU hardware ceiling is measured in the
+    # same window to normalize against.
+    repeats = int(os.environ.get("WEBTEXT_BENCH_REPEATS", "2"))
     results: dict[int, dict] = {}
     for ncpu in (2, 8, 32):
         # pool = ncpu//2 at every level: identical CPU-fraction per
@@ -157,14 +162,23 @@ def run_scaling() -> dict:
         env = dict(os.environ,
                    WEBTEXT_BENCH_DOCS=str(BENCH_DOCS),
                    WEBTEXT_BENCH_POOL=str(max(1, ncpu // 2)))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--headline-only", "--cpus", str(ncpu)],
-            capture_output=True, text=True, cwd=REPO, env=env, check=False)
-        line = [ln for ln in proc.stdout.strip().splitlines()
-                if ln.startswith("{")][-1]
-        results[ncpu] = json.loads(line)
+        best = None
+        for _ in range(repeats):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--headline-only", "--cpus", str(ncpu)],
+                capture_output=True, text=True, cwd=REPO, env=env,
+                check=False)
+            line = [ln for ln in proc.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            res = json.loads(line)
+            if best is None or res["docs_per_sec"] > best["docs_per_sec"]:
+                best = res
+        results[ncpu] = best
     t2, t8, t32 = (results[n]["docs_per_sec"] for n in (2, 8, 32))
+    hw = _hardware_ceiling()
+    ceiling_2_8 = (hw[8] / hw[2]) / 4
+    ceiling_8_32 = (hw[32] / hw[8]) / 4
     return {
         "metric": "scaling efficiency, N to 4N parallelism "
                   "(primary pair 2 to 8 cpus, within physical cores)",
@@ -176,9 +190,15 @@ def run_scaling() -> dict:
         "docs_per_sec_32": round(t32, 1),
         "efficiency_2_8": round((t8 / t2) / 4, 3),
         "efficiency_8_32": round((t32 / t8) / 4, 3),
+        "hardware_ceiling_2_8": round(ceiling_2_8, 3),
+        "hardware_ceiling_8_32": round(ceiling_8_32, 3),
+        "efficiency_vs_ceiling_2_8": round((t8 / t2) / 4 / ceiling_2_8, 3)
+        if ceiling_2_8 else None,
+        "efficiency_vs_ceiling_8_32": round((t32 / t8) / 4 / ceiling_8_32, 3)
+        if ceiling_8_32 else None,
         "seconds_8": round(results[8]["seconds"], 2),
         "seconds_32": round(results[32]["seconds"], 2),
-        "hardware_effective_parallelism": _hardware_ceiling(),
+        "hardware_effective_parallelism": hw,
     }
 
 

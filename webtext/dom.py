@@ -350,6 +350,41 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(TextNode(data, self.stack[-1]))
 
 
+# ---------------------------------------------------------------------------
+# precompiled multi-selector matching (hot-path helper)
+# ---------------------------------------------------------------------------
+
+class CompiledSelector:
+    """A parsed selector list, reusable across documents."""
+
+    __slots__ = ("chains",)
+
+    def __init__(self, css: str):
+        self.chains = [_parse_compound_chain(part)
+                       for part in _split_toplevel_commas(css)
+                       if part.strip()]
+
+    def matches(self, el: Node) -> bool:
+        return any(_match_chain(el, chain) for chain in self.chains)
+
+
+def multi_select(root: Node,
+                 compiled: list[CompiledSelector]) -> list[list[Node]]:
+    """Document-order matches for MANY selectors in ONE tree walk.
+
+    Semantically identical to ``[root.select(s) for s in selectors]`` —
+    the walk is the same DFS ``select`` uses — but the tree is traversed
+    once instead of once per selector.  This is the extraction actor's
+    hot path (the generic cascade probes 15 selectors, unwanted-removal
+    28)."""
+    out: list[list[Node]] = [[] for _ in compiled]
+    for el in root.walk():
+        for i, sel in enumerate(compiled):
+            if sel.matches(el):
+                out[i].append(el)
+    return out
+
+
 def parse_html(html: str) -> Document:
     builder = _TreeBuilder()
     builder.feed(html or "")

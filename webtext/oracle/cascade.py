@@ -17,13 +17,23 @@ Two deliberate reference behaviors preserved:
   stage, exactly as each reference stage re-fetches;
 * the heuristic's exclude check is a *substring* match against the
   ``str(list)`` repr of the class list (ref:1304-1306) — e.g. a class
-  "card" is excluded because "ad" ⊂ "['card']".  That quirk is part of
-  the classifier's observable behavior and is kept bit-for-bit.
+  "badge" is excluded because "ad" ⊂ "badge".  That quirk is part of the
+  classifier's observable behavior and is kept bit-for-bit.
+
+Performance: this is the extraction actor's hot path.  All selectors are
+precompiled at import, and the selector probes run as ONE tree walk via
+``dom.multi_select`` instead of one walk per selector.  The single
+behavioral wrinkle — the reference's (b) loop decomposes inside a
+matched element and *continues* when the cleaned text comes out empty,
+so later selectors see a mutated tree — is handled by dropping to the
+original per-selector path from that point on (the rare branch); the
+common case (first matching selector yields text, or no selector
+matches) is bit-identical on an unmutated tree.
 """
 
 from __future__ import annotations
 
-from ..dom import Document, Node
+from ..dom import CompiledSelector, Document, Node, multi_select
 from . import rules
 
 # method labels for lineage / metrics
@@ -34,19 +44,41 @@ M_BODY = "body"
 M_TITLE = "title"
 M_EMPTY = "empty"
 
+_MAIN_COMPILED = [CompiledSelector(s) for s in rules.MAIN_CONTENT_SELECTORS]
+_UNWANTED_COMPILED = [CompiledSelector(s) for s in rules.UNWANTED_IN_CONTENT]
+_BODY_UNWANTED_COMPILED = [CompiledSelector(s)
+                           for s in rules.UNWANTED_IN_BODY]
+_DOMAIN_COMPILED = {
+    domain: [CompiledSelector(s) for s in sels]
+    for domain, sels in rules.DOMAIN_SPECIFIC_SELECTORS.items()
+}
+
 
 def _class_repr(el: Node) -> str:
     """``str(block.get('class', []))`` of the reference (ref:1304)."""
     return str(el.classes).lower()
 
 
+def _decompose_unwanted(scope: Node, compiled: list[CompiledSelector]) -> None:
+    """Remove every element matching any unwanted selector.
+
+    The reference iterates selector-by-selector, decomposing as it goes
+    (ref:1285-1287); collecting all matches in one walk first and then
+    decomposing yields the identical final text (removal of an
+    already-detached subtree's node is a no-op w.r.t. the scope's text).
+    """
+    for matches in multi_select(scope, compiled):
+        for tag in matches:
+            tag.decompose()
+
+
 def extract_main_content(doc: Document, domain: str) -> tuple[str, str]:
     """Returns (text, method); text == "" iff nothing matched (ref:1363)."""
 
-    # (a) per-domain rule table — joins ALL matching elements with \n\n
-    if domain in rules.DOMAIN_SPECIFIC_SELECTORS:
-        for selector in rules.DOMAIN_SPECIFIC_SELECTORS[domain]:
-            elements = doc.select(selector)
+    # (a) per-domain rule table — joins ALL matching elements with \n\n.
+    # No mutation inside this loop → upfront multi_select is exact.
+    if domain in _DOMAIN_COMPILED:
+        for elements in multi_select(doc, _DOMAIN_COMPILED[domain]):
             if elements:
                 return (
                     "\n\n".join(
@@ -57,17 +89,20 @@ def extract_main_content(doc: Document, domain: str) -> tuple[str, str]:
 
     # (b)+(c) generic cascade: first selector with matches; among matches
     # pick the longest-text element; strip unwanted; non-empty text wins.
-    for selector in rules.MAIN_CONTENT_SELECTORS:
-        elements = doc.select(selector)
+    per_selector = multi_select(doc, _MAIN_COMPILED)
+    mutated_at: int | None = None
+    for idx, elements in enumerate(per_selector):
+        if mutated_at is not None:
+            # slow path: the tree changed under us; recompute live
+            elements = doc.select(rules.MAIN_CONTENT_SELECTORS[idx])
         if elements:
             best = max(elements,
                        key=lambda el: len(el.get_text(strip=True)))
-            for unwanted_sel in rules.UNWANTED_IN_CONTENT:
-                for tag in best.select(unwanted_sel):
-                    tag.decompose()
+            _decompose_unwanted(best, _UNWANTED_COMPILED)
             main_text = best.get_text(separator="\n", strip=True)
             if main_text:
                 return main_text, M_GENERIC
+            mutated_at = idx   # empty after removal → continue, mutated
 
     # (d) text-density heuristic
     text_blocks: list[tuple[Node, str, float]] = []
@@ -95,9 +130,7 @@ def extract_main_content(doc: Document, domain: str) -> tuple[str, str]:
         # list.sort (ref:1322-1323)
         text_blocks.sort(key=lambda t: t[2], reverse=True)
         best_block = text_blocks[0][0]
-        for unwanted_sel in rules.UNWANTED_IN_CONTENT:
-            for tag in best_block.select(unwanted_sel):
-                tag.decompose()
+        _decompose_unwanted(best_block, _UNWANTED_COMPILED)
         best_text = best_block.get_text(separator="\n", strip=True)
         if best_text:
             return best_text, M_HEURISTIC
@@ -105,9 +138,7 @@ def extract_main_content(doc: Document, domain: str) -> tuple[str, str]:
     # (e) whole-body fallback
     body = doc.body
     if body is not None:
-        for unwanted_sel in rules.UNWANTED_IN_BODY:
-            for tag in body.select(unwanted_sel):
-                tag.decompose()
+        _decompose_unwanted(body, _BODY_UNWANTED_COMPILED)
         body_text = body.get_text(separator="\n", strip=True)
         if body_text and len(body_text) > rules.BODY_FALLBACK_MIN_CHARS:
             return body_text, M_BODY

@@ -67,6 +67,20 @@ def cleanup_extracted_text(text: str) -> str:
     text = rules.BLANK_SQUEEZE_RE.sub("\n\n", text)
     text = text.strip()
     text = text.replace(rules.REPLACEMENT_CHAR, "")
-    text = "".join(
-        ch for ch in text if ch in "\n\t\r" or ch.isprintable())
+    text = text.translate(_PRINTABLE_TABLE)
     return remove_duplicate_paragraphs(text)
+
+
+class _PrintableFilterTable(dict):
+    """str.translate table equivalent to the per-char loop
+    ``ch in '\\n\\t\\r' or ch.isprintable()`` (ref:197-203), memoized per
+    codepoint — C-speed instead of a Python generator over every char."""
+
+    def __missing__(self, cp: int):
+        ch = chr(cp)
+        res = ch if (ch in "\n\t\r" or ch.isprintable()) else None
+        self[cp] = res
+        return res
+
+
+_PRINTABLE_TABLE = _PrintableFilterTable()
