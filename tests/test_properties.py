@@ -1,0 +1,122 @@
+"""Property-based checks (SURVEY §5): cleanup idempotence, dedup
+order-stability, dispatch totality, parser robustness."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webtext.dom import parse_html
+from webtext.oracle import (
+    classify_failure,
+    extract_document,
+    extract_span,
+)
+from webtext.oracle.cleanup import (
+    cleanup_extracted_text,
+    remove_duplicate_paragraphs,
+)
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400)
+word_st = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=10)
+para_st = st.lists(word_st, min_size=3, max_size=30).map(" ".join)
+
+
+def test_cleanup_not_strictly_idempotent_reference_faithful():
+    """The reference strips BEFORE the printable filter (ref:193 before
+    ref:195-203), so dropping a trailing unprintable can expose new
+    trailing whitespace: '0 \\x1b' → '0 ' → (second pass) '0'.  This
+    non-idempotence is reference behavior, kept deliberately."""
+    assert cleanup_extracted_text("0 \x1b") == "0 "
+    assert cleanup_extracted_text("0 ") == "0"
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_cleanup_converges_by_second_application(text):
+    c1 = cleanup_extracted_text(text)
+    c2 = cleanup_extracted_text(c1)
+    assert cleanup_extracted_text(c2) == c2
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_cleanup_output_printable(text):
+    out = cleanup_extracted_text(text)
+    assert all(ch in "\n\t\r" or ch.isprintable() for ch in out)
+    assert "�" not in out
+
+
+@given(st.lists(para_st, min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_dedup_is_stable_subsequence(paras):
+    text = "\n\n".join(paras)
+    out = remove_duplicate_paragraphs(text)
+    out_paras = [p for p in out.split("\n\n") if p.strip()]
+    # kept paragraphs are a subsequence of the (stripped) input paragraphs
+    it = iter(p.strip() for p in paras)
+    assert all(any(p == q for q in it) for p in out_paras) or out == text
+
+
+@given(st.lists(para_st, min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_dedup_idempotent(paras):
+    text = "\n\n".join(paras)
+    once = remove_duplicate_paragraphs(text)
+    assert remove_duplicate_paragraphs(once) == once
+
+
+DOMAINS = st.sampled_from([
+    "example-news.com", "www.nikkansports.com", "news.yahoo.co.jp",
+    "x.com", "instagram.com", "pinterest.com",
+    "detail.chiebukuro.yahoo.co.jp", "youtube.com", "no-selectors.net",
+])
+KINDS = st.sampled_from(["html", "text", "markdown", "pdf"])
+
+
+@given(DOMAINS, KINDS, text_st)
+@settings(max_examples=150, deadline=None)
+def test_dispatch_totality(domain, kind, payload):
+    """Every (kind, domain, payload) lands in exactly one branch and
+    yields a status — never an exception."""
+    url = f"https://{domain}/prop/1"
+    r = extract_span(kind, payload, "", url)
+    assert r.status in ("ok", "timeout", "failed")
+    if r.status == "failed":
+        assert r.message
+        # every produced failure is recognized by the E13 classifier
+        assert classify_failure(r.message, url) is not None
+    else:
+        assert isinstance(r.text, str)
+
+
+@given(st.text(alphabet=string.printable, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_parser_never_raises(junk):
+    doc = parse_html(junk)
+    doc.get_text(separator="\n", strip=True)
+    doc.select("div, .cls, #id, a[href*='x'], main p")
+
+
+@given(DOMAINS, st.lists(
+    st.tuples(st.sampled_from(["html", "text", "image", "video"]), text_st),
+    max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_document_assembly_invariants(domain, kind_payloads):
+    spans = []
+    for off, (kind, payload) in enumerate(kind_payloads):
+        media_ref = f"media://d/{off}" if kind in ("image", "video") else ""
+        text = payload if kind not in ("image", "video") else ""
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref,
+                      "offset": off})
+    r = extract_document(f"https://{domain}/doc/1", spans)
+    assert r.status in ("ok", "timeout", "failed", "error_pattern")
+    # offsets dense ascending; media refs preserved in relative order
+    assert [s["offset"] for s in r.spans] == list(range(len(r.spans)))
+    in_media = [s["media_ref"] for s in spans if s["media_ref"]]
+    out_media = [s["media_ref"] for s in r.spans if s["kind"] == "media"]
+    if r.status in ("ok", "timeout"):
+        assert out_media == in_media
+    else:
+        assert r.spans == []

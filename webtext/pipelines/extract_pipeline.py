@@ -98,6 +98,9 @@ def run_extraction(
 
     manifest = CommitManifest(output_dir)
     shards = list_fragments(input_dir)
+    if not shards:
+        raise FileNotFoundError(
+            f"no input fragments (*.parquet) under {input_dir!r}")
     if resume:
         done = manifest.committed_shards()
         shards = [s for s in shards if _shard_name(s) not in done]
