@@ -13,8 +13,15 @@ rows-only by design.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# make the webtext package importable regardless of the driver's cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 _EN = "('the','a','of','and','in','to')"
 _ES = "('el','la','de','y','en','que')"

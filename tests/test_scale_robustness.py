@@ -1,0 +1,86 @@
+"""Scale-posture tests: wide rows, pathological dedup, youtube parity."""
+
+import time
+
+from webtext.dom import parse_html
+from webtext.oracle import extract_document, extract_span
+from webtext.oracle.cleanup import remove_duplicate_paragraphs
+from webtext.oracle.handlers import handle_youtube
+
+
+def test_youtube_handler_labels():
+    doc = parse_html(
+        '<html><body><h1 class="title">My Video Title</h1>'
+        '<div id="description-inline-expander">line one<br>line two</div>'
+        "</body></html>")
+    out = handle_youtube(doc, "https://youtube.com/watch?v=1")
+    assert out.startswith("【タイトル】My Video Title")
+    assert "【説明】" in out and "line one" in out
+
+
+def test_youtube_handler_empty():
+    assert handle_youtube(parse_html("<body></body>"), "u") == ""
+
+
+def test_multi_megabyte_html_span():
+    """Wide-row posture: a ~2 MB page extracts correctly and in bounded
+    time (block-size tuning relies on this not exploding)."""
+    para = "words and more words in a paragraph of reasonable size. " * 10
+    body = "".join(f"<p>{para}</p>" for _ in range(3600))   # ~2 MB
+    html = f"<html><body><main>{body}</main></body></html>"
+    assert len(html) > 2_000_000
+    t0 = time.perf_counter()
+    r = extract_span("html", html, "", "https://big.example.com/x")
+    dt = time.perf_counter() - t0
+    assert r.status == "ok"
+    assert len(r.text) > 100_000
+    assert dt < 30, f"2MB doc took {dt:.1f}s"
+
+
+def test_pathological_paragraph_dedup_bounded():
+    """E11 is O(P²) worst case (SURVEY hard-part b): 250 distinct
+    same-vocab paragraphs (the quick-ratio bound never fires) must stay
+    in interactive time via the cached-matcher exact optimization."""
+    import random
+
+    vocab = [f"w{i:02d}" for i in range(60)]
+    paras = [" ".join(random.Random(i).sample(vocab, 25))
+             for i in range(250)]
+    text = "\n\n".join(paras)
+    t0 = time.perf_counter()
+    out = remove_duplicate_paragraphs(text)
+    dt = time.perf_counter() - t0
+    assert dt < 20, f"250-para dedup took {dt:.1f}s"
+    assert len(out.split("\n\n")) == 250   # all kept (they differ)
+
+
+def test_dedup_budget_yields_timeout_sentinel():
+    """Beyond the deterministic budget the document becomes a KEPT
+    timeout-sentinel row — the reference's 600 s timeout analogue."""
+    from webtext.oracle.rules import TIMEOUT_SENTINEL
+
+    paras = [f"paragraph number {i} " + "y" * 120 for i in range(600)]
+    text = "\n\n".join(paras)
+    r = extract_span("text", text, "", "https://huge.example.com/x")
+    assert r.status == "timeout"
+    assert r.text == TIMEOUT_SENTINEL
+    doc = extract_document("https://huge.example.com/x",
+                           [{"kind": "text", "text": text,
+                             "media_ref": "", "offset": 0}])
+    assert doc.status == "timeout"
+    assert doc.spans[0]["text"] == TIMEOUT_SENTINEL
+
+
+def test_many_spans_document():
+    spans = []
+    for i in range(200):
+        kind = "image" if i % 3 == 0 else "text"
+        spans.append({
+            "kind": kind,
+            "text": "" if kind == "image"
+            else f"span number {i} with some real content in it",
+            "media_ref": f"media://d/{i}" if kind == "image" else "",
+            "offset": i})
+    r = extract_document("https://many.example.com/d", spans)
+    assert r.status == "ok"
+    assert len(r.spans) == 200

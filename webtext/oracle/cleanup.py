@@ -17,36 +17,60 @@ from difflib import SequenceMatcher
 from . import rules
 
 
+class DedupBudgetExceeded(Exception):
+    """Raised when a document exceeds the deterministic E11 cost budget
+    (rules.PARA_DEDUP_MAX_PARAGRAPHS).  The dispatcher converts it into
+    the reference's timeout-sentinel row (ref:1388-1393, kept at
+    ref:1628-1630) — the size-based, reproducible analogue of the
+    reference's 600 s wall-clock guard."""
+
+
 def remove_duplicate_paragraphs(text: str) -> str:
     """Drop paragraphs >0.8-similar to any previously kept paragraph.
 
     ref:297-343.  Documents shorter than 100 chars or with <2 paragraphs
     pass through untouched.  Order-stable: first occurrence wins.
 
-    Cost note: worst case O(P² · L) via SequenceMatcher — this is the
-    straggler source at scale (SURVEY §7 hard-part b).  The quick-ratio
-    upper-bound prefilter below does not change results, only cost.
+    Cost notes (worst case O(P² · L) — SURVEY §7 hard-part b, the
+    straggler source at scale); none of these change results:
+      * quick-ratio upper bounds skip provably-dissimilar pairs;
+      * one SequenceMatcher per kept paragraph (seq2 fixed) reuses the
+        b2j index across comparisons — ``set_seq1`` keeps b-side state;
+      * documents beyond PARA_DEDUP_MAX_PARAGRAPHS raise
+        DedupBudgetExceeded → timeout-sentinel row upstream.
     """
     if not text or len(text.strip()) < rules.PARA_DEDUP_MIN_CHARS:
         return text
     paragraphs = [p.strip() for p in text.split("\n\n") if p.strip()]
     if len(paragraphs) < 2:
         return text
+    if len(paragraphs) > rules.PARA_DEDUP_MAX_PARAGRAPHS:
+        raise DedupBudgetExceeded(
+            f"{len(paragraphs)} paragraphs > "
+            f"{rules.PARA_DEDUP_MAX_PARAGRAPHS}")
+    cost = len(paragraphs) * sum(len(p) for p in paragraphs)
+    if cost > rules.PARA_DEDUP_MAX_COST:
+        raise DedupBudgetExceeded(
+            f"P×chars cost {cost} > {rules.PARA_DEDUP_MAX_COST}")
 
+    threshold = rules.PARA_DEDUP_SIM_THRESHOLD
     unique: list[str] = []
+    matchers: list[SequenceMatcher] = []
     for para in paragraphs:
         is_dup = False
-        for seen in unique:
-            sm = SequenceMatcher(None, para, seen)
+        for sm in matchers:
+            sm.set_seq1(para)
             # real_quick_ratio/quick_ratio are upper bounds on ratio():
             # if they can't exceed the threshold, ratio() can't either.
-            if (sm.real_quick_ratio() > rules.PARA_DEDUP_SIM_THRESHOLD
-                    and sm.quick_ratio() > rules.PARA_DEDUP_SIM_THRESHOLD
-                    and sm.ratio() > rules.PARA_DEDUP_SIM_THRESHOLD):
+            if (sm.real_quick_ratio() > threshold
+                    and sm.quick_ratio() > threshold
+                    and sm.ratio() > threshold):
                 is_dup = True
                 break
         if not is_dup:
             unique.append(para)
+            sm = SequenceMatcher(None, "", para)
+            matchers.append(sm)
     return "\n\n".join(unique)
 
 

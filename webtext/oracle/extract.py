@@ -42,7 +42,7 @@ from dataclasses import dataclass, field
 from ..dom import parse_html
 from . import rules
 from .cascade import extract_main_content
-from .cleanup import cleanup_extracted_text
+from .cleanup import DedupBudgetExceeded, cleanup_extracted_text
 from .handlers import (
     handle_chiebukuro,
     handle_instagram,
@@ -258,6 +258,16 @@ def _extract_text_span(url: str, payload: str) -> SpanResult:
 
 
 def extract_span(kind: str, text: str, media_ref: str, url: str) -> SpanResult:
+    try:
+        return _extract_span_inner(kind, text, media_ref, url)
+    except DedupBudgetExceeded:
+        # deterministic analogue of the reference's 600 s per-document
+        # timeout (ref:1388-1393): the sentinel row is KEPT
+        return SpanResult(TIMEOUT, rules.TIMEOUT_SENTINEL, "timeout:budget")
+
+
+def _extract_span_inner(kind: str, text: str, media_ref: str,
+                        url: str) -> SpanResult:
     if kind == "pdf":
         pdf_text = extract_pdf_text(text, url)
         if pdf_text and rules.FAILURE_MARKER not in pdf_text:

@@ -59,6 +59,31 @@ def handle_instagram(doc: Document, url: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# YouTube (ref:911-955)
+# ---------------------------------------------------------------------------
+
+def handle_youtube(doc: Document, url: str) -> str:
+    """【タイトル】/【説明】 labeled assembly (ref:943-949).
+
+    NOTE: in the reference this handler is dispatch-dead — the E1 chain
+    routes youtube.com to the markdownizer (ref:386-401) and never calls
+    ``handle_youtube_page`` — and this engine reproduces that routing
+    (see oracle.extract).  The handler is implemented for operator-
+    inventory parity (SURVEY §2.2 E8) and is callable directly."""
+    title_el = doc.select_one("h1.title")
+    title = title_el.get_text(strip=True) if title_el else ""
+    desc_el = doc.select_one("#description-inline-expander")
+    description = desc_el.get_text(separator="\n", strip=True) \
+        if desc_el else ""
+    result = []
+    if title:
+        result.append(f"【タイトル】{title}")
+    if description:
+        result.append(f"【説明】\n{description}")
+    return "\n\n".join(result)
+
+
+# ---------------------------------------------------------------------------
 # Yahoo Chiebukuro (ref:682-909)
 # ---------------------------------------------------------------------------
 

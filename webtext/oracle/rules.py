@@ -91,6 +91,15 @@ URL_RE_BROAD = re.compile(
 BLANK_SQUEEZE_RE = re.compile(r"\n\s*\n\s*\n+")      # ref:190 → "\n\n"
 PARA_DEDUP_SIM_THRESHOLD = 0.8                        # ref:329
 PARA_DEDUP_MIN_CHARS = 100                            # ref:307
+# deterministic stand-in for the reference's 600 s per-document timeout
+# (ref:1388-1393): E11 is O(P²)·SequenceMatcher; beyond this paragraph
+# count the document is emitted as a timeout-sentinel row (same sentinel,
+# same keep-semantics, ref:1628-1630) instead of stalling an actor.
+# Size-based, not wall-clock-based, so results are reproducible.
+PARA_DEDUP_MAX_PARAGRAPHS = 512
+# companion cost cap: P × total_chars bounds the O(P²·L̄) work even when
+# paragraphs are long; ≈30 s worst case on one core at the cap.
+PARA_DEDUP_MAX_COST = 20_000_000
 REPLACEMENT_CHAR = "�"                           # ref:196
 
 # --- markdown (Jina-style) normalizer (ref:89-109)
