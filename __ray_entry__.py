@@ -119,6 +119,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = ann.get_query_vector(ds, 0)
         return ann.knn_ivf(ds, q, k=10)
 
+    def links_q(sf_dir):
+        import pyarrow as pa
+        import ray.data
+
+        from webtext.pipelines.links import (
+            dedup_links, extract_links, top_links_per_domain)
+        from webtext.schema import INPUT_SCHEMA
+
+        table = pa.Table.from_pylist(_synth_docs(sf_dir),
+                                     schema=INPUT_SCHEMA)
+        links = extract_links(ray.data.from_arrow(table))
+        return top_links_per_domain(dedup_links(links))
+
     def union_q(sf_dir):
         a = _docs_cols(sf_dir, ["doc_id", "source"]).filter(
             expr="source == 'src0'")
@@ -132,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": extract_spans,
         "extract_status": extract_status,
         "media_features": media_feats,
+        "extract_links": links_q,
         # corpus-level dedup
         "exact_dedup": lambda sf: dedup.exact_dedup(
             _docs_cols(sf, ["doc_id", "text"])),

@@ -76,7 +76,7 @@ def test_job_cli_end_to_end(ray_session, small_corpus_dir, tmp_path):
 
     line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
     totals = json.loads(line)
-    assert totals["docs"] == 108 and totals["shards"] == 4
+    assert totals["docs"] == 114 and totals["shards"] == 4
 
     # resubmit resumes: identical totals, no recompute
     proc2 = subprocess.run(

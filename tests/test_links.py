@@ -1,0 +1,87 @@
+"""Link-mining pipeline tests (U1/U2/U3/U9/U5 shapes)."""
+
+import pytest
+
+from webtext.pipelines.links import (
+    dedup_links,
+    extract_links,
+    is_excluded_url,
+    is_navigation_text,
+    top_links_per_domain,
+)
+
+
+def _doc(doc_id, html):
+    return {"doc_id": doc_id,
+            "spans": [{"kind": "html", "text": html, "media_ref": "",
+                       "offset": 0}]}
+
+
+HTML_A = """<html><body>
+<a href="https://news.site-a.com/article/1">a real article headline</a>
+<a href="https://google.com/search?q=x">search result page</a>
+<a href="https://site-b.net/privacy">privacy policy page</a>
+<a href="https://site-b.net/story/2">another story worth reading</a>
+<a href="https://site-c.org/style.css">stylesheet</a>
+<a href="https://nav.example.com/x">ログイン</a>
+<a href="https://short.example.com/y">ab</a>
+</body></html>"""
+
+HTML_B = """<html><body>
+<a href="https://news.site-a.com/article/1">duplicate of the first link</a>
+<a href="https://news.site-a.com/article/2">second site-a article</a>
+<a href="https://news.site-a.com/article/3">third site-a article</a>
+<a href="https://news.site-a.com/article/4">fourth site-a article</a>
+</body></html>"""
+
+
+@pytest.fixture(scope="module")
+def links(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items([_doc("https://x.com/d/1", HTML_A),
+                              _doc("https://x.com/d/2", HTML_B)])
+    return extract_links(ds)
+
+
+def test_predicates():
+    assert is_excluded_url("https://google.com/search?q=a")
+    assert is_excluded_url("https://site.net/terms-of-use")
+    assert is_excluded_url("https://cdn.site.com/app.js")
+    assert not is_excluded_url("https://news.site.com/article")
+    assert is_navigation_text("ログイン")
+    assert is_navigation_text("ab")
+    assert not is_navigation_text("a real headline")
+
+
+def test_extract_links_filters_and_ranks(links):
+    rows = links.take_all()
+    urls = [r["url"] for r in rows]
+    assert "https://google.com/search?q=x" not in urls
+    assert "https://site-b.net/privacy" not in urls
+    assert "https://site-c.org/style.css" not in urls
+    assert "https://nav.example.com/x" not in urls       # nav text
+    assert "https://short.example.com/y" not in urls     # ≤2 chars
+    d1 = sorted((r["rank"], r["url"]) for r in rows
+                if r["doc_id"].endswith("/1"))
+    assert d1[0] == (0, "https://news.site-a.com/article/1")
+    assert d1[1] == (1, "https://site-b.net/story/2")
+
+
+def test_dedup_first_wins(links):
+    rows = dedup_links(links).take_all()
+    by_url = {r["url"]: r for r in rows}
+    assert len(by_url) == len(rows)               # unique
+    # the duplicate resolves to its FIRST occurrence (doc 1, rank 0)
+    first = by_url["https://news.site-a.com/article/1"]
+    assert first["doc_id"].endswith("/1") and first["rank"] == 0
+
+
+def test_top_k_per_domain(links):
+    rows = top_links_per_domain(dedup_links(links), k=3).take_all()
+    site_a = [r for r in rows if r["target_domain"] == "news.site-a.com"]
+    assert len(site_a) == 3                       # capped from 4
+    assert {r["url"] for r in site_a} == {
+        "https://news.site-a.com/article/1",
+        "https://news.site-a.com/article/2",
+        "https://news.site-a.com/article/3"}

@@ -60,7 +60,7 @@ def test_run_extraction_commit_resume(ray_session, small_corpus_dir,
     out = str(tmp_path / "out")
     totals = run_extraction(small_corpus_dir, out, batch_size=16,
                             concurrency=(1, 4), shards_per_round=2)
-    assert totals["docs"] == 108
+    assert totals["docs"] == 114
     assert totals["shards"] == 4
 
     # resume: nothing left to do, totals unchanged, no duplicate commits

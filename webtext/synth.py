@@ -444,6 +444,24 @@ def gen_short_content(seed: int, i: int) -> dict:
     return _html_doc(doc_id, html)
 
 
+def gen_link_page(seed: int, i: int) -> dict:
+    """Anchor-bearing pages for the link-mining pipeline (U1/U2/U3/U9/U5
+    — webtext.pipelines.links): good links (some duplicated across docs),
+    an excluded URL, a nav-text anchor, a resource file."""
+    rng = _rng(seed, "link-page", i)
+    doc_id = f"https://links.example.com/link-page/{i}"
+    good = "".join(
+        f'<a href="https://content{j}.example.org/story/{i % 4}">'
+        f"{_sentence(rng)}</a>" for j in range(3))
+    html = (f"<html><head><title>links {i}</title></head><body>"
+            f"<p>{_paragraph(rng)}</p>{good}"
+            f'<a href="https://google.com/search?q={i}">search page</a>'
+            f'<a href="https://nav.example.com/login">ログイン</a>'
+            f'<a href="https://cdn.example.com/app.js">bundle</a>'
+            f"</body></html>")
+    return _html_doc(doc_id, html)
+
+
 def gen_media_only(seed: int, i: int) -> dict:
     """Media-only documents: status ok, pure pass-through."""
     doc_id = f"https://mixed.example.com/media-only/{i}"
@@ -481,6 +499,7 @@ FAMILY_GENERATORS = {
     "interleaved-media": gen_interleaved_media,
     "short-content": gen_short_content,
     "media-only": gen_media_only,
+    "link-page": gen_link_page,
 }
 
 
