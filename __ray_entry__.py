@@ -48,6 +48,25 @@ def _emb(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events_windowed(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import windowed_counts
+
+    return windowed_counts(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]))
+
+
+def _events_sessionize(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import sessionize
+
+    return sessionize(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"]))
+
+
 def _synth_docs(sf_dir: str) -> list[dict]:
     """Deterministic interleaved corpus for the extraction queries,
     scaled by sf tag (the driver tables are flat text, not interleaved —
@@ -169,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "doc_fingerprint": lambda sf: textstats.fingerprint(
             _docs_cols(sf, ["doc_id", "text"])),
+        # event-stream windows (beyond the reference: time-windowed ops)
+        "windowed_events": lambda sf: _events_windowed(sf),
+        "sessionize": lambda sf: _events_sessionize(sf),
         # relational skeleton (U5/U9/A1/A2/A3/E12 shapes)
         "topk_per_group": lambda sf: rel.topk_per_group(_docs(sf)),
         "ordered_dedup": lambda sf: rel.ordered_dedup(_docs(sf)),
@@ -242,6 +264,21 @@ def oracle_sql() -> dict[str, str]:
             ) c""",
         "doc_fingerprint":
             "SELECT doc_id, md5(text) AS fp FROM documents",
+        "windowed_events":
+            "SELECT event_type, "
+            "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, "
+            "count(*)::BIGINT AS n FROM events GROUP BY event_type, w",
+        "sessionize": """
+            SELECT user_id,
+                   (1 + coalesce(sum(CASE WHEN gap_us > 30*60*1000000
+                                          THEN 1 ELSE 0 END), 0))::BIGINT
+                   AS n_sessions
+            FROM (
+              SELECT user_id,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM events) t
+            GROUP BY user_id""",
         "topk_per_group": """
             SELECT doc_id, lang, n_chars FROM (
               SELECT doc_id, lang, n_chars, row_number() OVER (

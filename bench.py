@@ -96,7 +96,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "cosine_dup_pairs", "token_count", "quality_score",
                  "lang_id", "doc_fingerprint", "topk_per_group",
                  "ordered_dedup", "union_sources", "sort_limit",
-                 "group_counts", "failure_filter", "extract_spans",
+                 "group_counts", "failure_filter", "windowed_events",
+                 "sessionize", "extract_spans", "extract_links",
                  "media_features"):
         t0 = time.perf_counter()
         _consume(qs[name](sf_dir))

@@ -50,12 +50,16 @@ def _gen_batch(batch, seed: int) -> pa.Table:
     return pa.Table.from_pylist(docs, schema=INPUT_SCHEMA)
 
 
+# bump when any generator changes so cached corpora invalidate
+GEN_VERSION = 2
+
+
 def ensure_bench_corpus(n_docs: int = 60_000, seed: int = 42,
                         root: str = "/tmp/webtext_bench") -> str:
     """Generate (once) and return the corpus directory."""
     import ray.data
 
-    path = os.path.join(root, f"corpus-n{n_docs}-s{seed}")
+    path = os.path.join(root, f"corpus-v{GEN_VERSION}-n{n_docs}-s{seed}")
     marker = os.path.join(path, "_COMPLETE")
     if os.path.exists(marker):
         return path
