@@ -188,6 +188,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "doc_fingerprint": lambda sf: textstats.fingerprint(
             _docs_cols(sf, ["doc_id", "text"])),
+        "token_count_bpe": lambda sf: textstats.token_count_bpe(
+            _docs_cols(sf, ["doc_id", "text"])),
+        "winnow_fingerprint": lambda sf: textstats.winnow(
+            _docs_cols(sf, ["doc_id", "text"])),
+        "lsh_cosine_pairs": lambda sf: ann.lsh_cosine_dup_pairs(
+            _emb(sf), 0.4),
         # event-stream windows (beyond the reference: time-windowed ops)
         "windowed_events": lambda sf: _events_windowed(sf),
         "sessionize": lambda sf: _events_sessionize(sf),
@@ -264,6 +270,10 @@ def oracle_sql() -> dict[str, str]:
             ) c""",
         "doc_fingerprint":
             "SELECT doc_id, md5(text) AS fp FROM documents",
+        "token_count_bpe":
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))::BIGINT "
+            "AS n_bpe_tokens FROM documents",
         "windowed_events":
             "SELECT event_type, "
             "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, "

@@ -25,7 +25,8 @@ def test_queries_and_oracles_consistent():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {"extract_spans", "extract_status",
                          "media_features", "minhash_lsh_pairs", "simhash",
-                         "knn_ivf", "extract_links"}
+                         "knn_ivf", "extract_links", "winnow_fingerprint",
+                         "lsh_cosine_pairs"}
 
 
 @pytest.mark.parametrize("name", ["token_count", "group_counts",

@@ -115,6 +115,66 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         names=["doc_id", "fp"])
 
 
+import re as _re
+import zlib as _zlib
+
+# BPE-ish pretokenizer: letter runs / digit runs / other runs, optional
+# leading space — the same class-based pattern runs under Python re and
+# DuckDB's RE2 so the SQL oracle is exact.
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+_BPE_RE = _re.compile(BPE_TOKEN_PATTERN)
+
+
+def token_count_bpe_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_bpe_tokens): BPE-style pretokenization count."""
+    counts = [len(_BPE_RE.findall(t))
+              for t in batch.column("text").to_pylist()]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(counts, pa.int64())],
+        names=["doc_id", "n_bpe_tokens"])
+
+
+WINNOW_K = 5          # k-gram length (chars)
+WINNOW_WINDOW = 4     # winnowing window
+
+
+def winnow_fingerprints(text: str, k: int = WINNOW_K,
+                        w: int = WINNOW_WINDOW) -> list[int]:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): rolling crc32 over char k-grams, keep each window's
+    minimum (rightmost on ties), dedup consecutive selections."""
+    if len(text) < k:
+        return [_zlib.crc32(text.encode("utf-8"))] if text else []
+    hashes = [_zlib.crc32(text[i:i + k].encode("utf-8"))
+              for i in range(len(text) - k + 1)]
+    fps: list[int] = []
+    last_idx = -1
+    for start in range(max(1, len(hashes) - w + 1)):
+        window = hashes[start:start + w]
+        m = min(window)
+        # rightmost minimal position in the window
+        idx = start + max(i for i, h in enumerate(window) if h == m)
+        if idx != last_idx:
+            fps.append(hashes[idx])
+            last_idx = idx
+    return fps
+
+
+def winnow_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_fps, min_fp, max_fp): per-doc winnowed fingerprint
+    summary (the fingerprint sets themselves feed overlap detection)."""
+    n, mn, mx = [], [], []
+    for t in batch.column("text").to_pylist():
+        fps = winnow_fingerprints(t)
+        n.append(len(fps))
+        mn.append(min(fps) if fps else 0)
+        mx.append(max(fps) if fps else 0)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(n, pa.int64()),
+         pa.array(mn, pa.int64()), pa.array(mx, pa.int64())],
+        names=["doc_id", "n_fps", "min_fp", "max_fp"])
+
+
 # -- dataset-level wrappers -------------------------------------------------
 
 def token_count(ds):
@@ -134,4 +194,14 @@ def lang_id(ds):
 
 def fingerprint(ds):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def token_count_bpe(ds):
+    return ds.map_batches(token_count_bpe_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def winnow(ds):
+    return ds.map_batches(winnow_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
