@@ -355,16 +355,46 @@ class _TreeBuilder(HTMLParser):
 # ---------------------------------------------------------------------------
 
 class CompiledSelector:
-    """A parsed selector list, reusable across documents."""
+    """A parsed selector list, reusable across documents.
 
-    __slots__ = ("chains",)
+    Single-compound chains (the overwhelming majority in the rule
+    tables: bare tags and single classes) get specialized matchers —
+    ``matches`` is the innermost call of the cascade's tree walk."""
+
+    __slots__ = ("chains", "_fast")
 
     def __init__(self, css: str):
         self.chains = [_parse_compound_chain(part)
                        for part in _split_toplevel_commas(css)
                        if part.strip()]
+        self._fast = self._specialize()
+
+    def _specialize(self):
+        fns = []
+        for chain in self.chains:
+            if len(chain) != 1:
+                return None
+            spec = chain[0][1]
+            tag, cid = spec["tag"], spec["id"]
+            classes, attrs = spec["classes"], spec["attrs"]
+            if tag and not cid and not classes and not attrs:
+                fns.append(("tag", tag))
+            elif len(classes) == 1 and not tag and not cid and not attrs:
+                fns.append(("cls", classes[0]))
+            else:
+                return None
+        return fns
 
     def matches(self, el: Node) -> bool:
+        fast = self._fast
+        if fast is not None:
+            for kind, val in fast:
+                if kind == "tag":
+                    if el.name == val:
+                        return True
+                elif val in el.classes:
+                    return True
+            return False
         return any(_match_chain(el, chain) for chain in self.chains)
 
 
