@@ -99,31 +99,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webtext.pipelines import relational as rel
 
     def extract_spans(sf_dir):
-        """Flattened span output of the extraction pipeline."""
-        import pyarrow as pa
+        """Flattened span output of the extraction pipeline — the span
+        explode runs as a distributed map_batches, not a driver loop."""
+        from webtext.pipelines.relational import flatten_spans
 
-        rows = _extracted(sf_dir).take_all()
-        flat = {k: [] for k in ("doc_id", "offset", "kind", "text",
-                                "media_ref", "status")}
-        for r in sorted(rows, key=lambda r: r["doc_id"]):
-            for s in r["spans"]:
-                flat["doc_id"].append(r["doc_id"])
-                flat["offset"].append(s["offset"])
-                flat["kind"].append(s["kind"])
-                flat["text"].append(s["text"])
-                flat["media_ref"].append(s["media_ref"])
-                flat["status"].append(r["status"])
-        return pa.Table.from_pydict(flat)
+        return flatten_spans(_extracted(sf_dir))
 
     def extract_status(sf_dir):
-        import collections
-
+        """Per-status doc counts via a Ray groupby (tiny result)."""
         import pyarrow as pa
 
-        rows = _extracted(sf_dir).take_all()
-        c = collections.Counter(r["status"] for r in rows)
+        agg = _extracted(sf_dir).groupby("status").count().take_all()
+        agg.sort(key=lambda r: r["status"])
         return pa.Table.from_pydict({
-            "status": sorted(c), "n": [c[s] for s in sorted(c)]})
+            "status": [r["status"] for r in agg],
+            "n": [r["count()"] for r in agg]})
 
     def media_feats(sf_dir):
         return media_features(_extracted(sf_dir))

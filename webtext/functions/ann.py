@@ -23,9 +23,20 @@ import numpy as np
 import pyarrow as pa
 
 
-def _matrix(batch: pa.Table) -> np.ndarray:
-    col = batch.column("embedding")
-    return np.array(col.to_pylist(), dtype=np.float64)
+def _matrix(batch: pa.Table, column: str = "embedding") -> np.ndarray:
+    """Zero-copy-ish (n, dim) float64 matrix from a list<float> column:
+    flatten the list buffer and reshape (embeddings are fixed-dim)."""
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    if flat.size % n:
+        # ragged rows — fall back to the slow path
+        return np.array(col.to_pylist(), dtype=np.float64)
+    return flat.reshape(n, flat.size // n)
 
 
 def _cos(mat: np.ndarray, q: np.ndarray) -> np.ndarray:

@@ -88,20 +88,20 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, pred_lang): stopword-count heuristic; ties break by table
     order; zero evidence → 'und'.  The SQL oracle replicates the same
     CASE chain."""
+    import numpy as np
+
     tokens = _tokens(batch)
-    counts = [
-        _count_in_set(tokens, words).to_pylist()
+    mat = np.stack([
+        np.asarray(_count_in_set(tokens, words).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
         for _lang, words in LANG_STOPWORDS
-    ]
-    preds = []
-    for row in zip(*counts):
-        best_lang, best_n = "und", 0
-        for (lang, _w), n in zip(LANG_STOPWORDS, row):
-            if n > best_n:
-                best_lang, best_n = lang, n
-        preds.append(best_lang)
+    ])                                  # (n_langs, n_rows)
+    # argmax returns the FIRST maximal index — exactly the table-order
+    # tie-break; all-zero rows → 'und'
+    langs = np.array([lang for lang, _w in LANG_STOPWORDS])
+    preds = np.where(mat.max(axis=0) > 0, langs[mat.argmax(axis=0)], "und")
     return pa.Table.from_arrays(
-        [batch.column("doc_id"), pa.array(preds, pa.string())],
+        [batch.column("doc_id"), pa.array(preds.tolist(), pa.string())],
         names=["doc_id", "pred_lang"])
 
 

@@ -164,31 +164,52 @@ def _extract_keeping_shard(ds, *, batch_size, concurrency):
 def _collect_round_metrics(round_dir: str, round_shards: list[str],
                            seconds: float) -> list[dict]:
     """Per-shard lineage records from a cheap columnar read-back of the
-    just-written round (status/method/n_chars_out only — no payloads)."""
+    just-written round (status/method/n_chars_out only — no payloads).
+
+    Streaming Arrow aggregation: each scanner batch is group-by-reduced
+    in C (shard × status × method-combo partials), partials are merged,
+    and only the tiny aggregate table is ever turned into Python objects
+    — per-document rows never materialize on the driver."""
     import collections
 
     import pyarrow.dataset as pads
 
     dataset = pads.dataset(round_dir, partitioning="hive")
-    table = dataset.to_table(columns=["status", "method", "n_chars_out",
-                                      "shard"])
+    keys = ["shard", "status", "method"]
+    partials = []
+    for rb in dataset.to_batches(columns=["status", "method",
+                                          "n_chars_out", "shard"]):
+        t = pa.Table.from_batches([rb])
+        partials.append(t.group_by(keys).aggregate(
+            [("n_chars_out", "sum"), ("status", "count")]))
+    if partials:
+        merged = pa.concat_tables(partials).group_by(keys).aggregate(
+            [("n_chars_out_sum", "sum"), ("status_count", "sum")])
+        merged = merged.rename_columns(
+            keys + ["n_chars_out_sum", "status_count_sum"])
+    else:
+        merged = pa.Table.from_pydict(
+            {k: [] for k in keys + ["n_chars_out_sum",
+                                    "status_count_sum"]})
+
     by_shard: dict[str, dict] = {}
-    rows = table.to_pylist()
-    total_docs = max(1, len(rows))
-    for row in rows:
-        shard = str(row["shard"])
+    total_docs = 0
+    for row in merged.to_pylist():          # aggregate rows only — tiny
+        shard, n = str(row["shard"]), int(row["status_count_sum"])
         rec = by_shard.setdefault(shard, {
             "shard": shard, "docs": 0, "ok": 0, "timeout": 0, "failed": 0,
             "error_pattern": 0, "n_chars_out": 0,
             "method_histogram": collections.Counter(),
             "round_dir": os.path.basename(round_dir),
         })
-        rec["docs"] += 1
-        rec[row["status"]] += 1
-        rec["n_chars_out"] += row["n_chars_out"]
+        rec["docs"] += n
+        rec[row["status"]] += n
+        rec["n_chars_out"] += int(row["n_chars_out_sum"])
         for m in (row["method"] or "").split(","):
             if m:
-                rec["method_histogram"][m] += 1
+                rec["method_histogram"][m] += n
+        total_docs += n
+    total_docs = max(1, total_docs)
     records = []
     for shard_path in round_shards:
         name = _shard_name(shard_path)

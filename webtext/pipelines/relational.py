@@ -67,6 +67,36 @@ def group_counts(ds, group_col: str = "lang"):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def flatten_spans(ds):
+    """Explode (doc_id, spans, status) rows into one row per span —
+    (doc_id, offset, kind, text, media_ref, status) — as a vectorized
+    map_batches: list lengths drive a repeat of the parent columns and
+    the struct children are taken flat, no Python per-row loop."""
+    import numpy as np
+
+    def explode(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        lengths = pc.list_value_length(spans) \
+            .fill_null(0).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(lengths)), lengths)
+        parent_idx = pa.array(parent, pa.int64())
+        flat = spans.flatten()          # struct array of all spans
+        return pa.Table.from_arrays(
+            [batch.column("doc_id").take(parent_idx),
+             flat.field("offset"),
+             flat.field("kind"),
+             flat.field("text"),
+             flat.field("media_ref"),
+             batch.column("status").take(parent_idx)],
+            names=["doc_id", "offset", "kind", "text", "media_ref",
+                   "status"])
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def failure_filter(ds, pattern: str = "slow"):
     """E12's shape: vectorized substring predicate, keep non-matching
     rows.  (The real browser-error patterns live in oracle.rules; this
