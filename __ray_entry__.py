@@ -83,6 +83,26 @@ def _extracted(sf_dir: str):
     return run_pipeline_in_memory(_synth_docs(sf_dir), batch_size=32)
 
 
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")) or "sf"
+
+
+def _committed_run(sf_dir: str, seed: int = 42) -> str:
+    """Materialized extraction run under /tmp for the output-side
+    queries (rejects / integrate / error scan): corpus written once,
+    run_extraction is resume-idempotent on reruns."""
+    from webtext.pipelines import run_extraction
+    from webtext.synth import write_corpus
+
+    n = 16 if _sf_tag(sf_dir).endswith("0.1") else 8
+    base = f"/tmp/webtext_q_{_sf_tag(sf_dir)}_s{seed}"
+    inp, out = f"{base}/in", f"{base}/out"
+    if not os.path.exists(inp):
+        write_corpus(inp, n_per_family=n, seed=seed, rows_per_file=40)
+    run_extraction(inp, out, shards_per_round=4)
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -141,6 +161,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
         links = extract_links(ray.data.from_arrow(table))
         return top_links_per_domain(dedup_links(links))
 
+    def rejects_q(sf_dir):
+        """E14 reject manifest over a committed run; list column joined
+        to a string so the driver's value-hash applies."""
+        import pyarrow as pa
+
+        from webtext.pipelines.integrate import read_rejects
+
+        def join_msgs(batch: pa.Table) -> pa.Table:
+            msgs = [";".join(m or []) for m in
+                    batch.column("messages").to_pylist()]
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), batch.column("status"),
+                 pa.array(msgs, pa.string())],
+                names=["doc_id", "status", "messages_joined"])
+
+        return read_rejects(_committed_run(sf_dir)).map_batches(
+            join_msgs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def integrate_q(sf_dir):
+        """S5/A3 integrator: append-union of two committed runs,
+        flattened to span rows."""
+        from webtext.pipelines.integrate import integrate_outputs
+        from webtext.pipelines.relational import flatten_spans
+
+        u = integrate_outputs(_committed_run(sf_dir, seed=42),
+                              _committed_run(sf_dir, seed=43))
+        return flatten_spans(u)
+
+    def scan_errors_q(sf_dir):
+        """E15 retro error scan of kept output (clean corpus → 0 rows;
+        the check pins schema + emptiness).  The repair list is bounded
+        tiny, so collect it into a schema-stable Arrow table — an empty
+        Dataset loses its schema on to_pandas."""
+        import pyarrow as pa
+
+        from webtext.pipelines.integrate import scan_output_for_errors
+
+        rows = scan_output_for_errors(_committed_run(sf_dir)).take_all()
+        return pa.Table.from_pydict(
+            {"doc_id": [r["doc_id"] for r in rows],
+             "pattern": [r["pattern"] for r in rows]},
+            schema=pa.schema([("doc_id", pa.string()),
+                              ("pattern", pa.string())]))
+
+    def search_links_q(sf_dir):
+        """U4/U6/U7/U8: engine-specific SERP miners over the
+        deterministic SERP fixture corpus, one unioned table."""
+        import pyarrow as pa
+        import ray.data
+
+        from webtext.pipelines.links import (
+            extract_search_links, serp_fixture_docs)
+        from webtext.schema import INPUT_SCHEMA
+
+        table = pa.Table.from_pylist(serp_fixture_docs(),
+                                     schema=INPUT_SCHEMA)
+        parts = []
+        for engine in ("yahoo", "yahoo_related", "google_related"):
+            links = extract_search_links(ray.data.from_arrow(table),
+                                         engine)
+            parts.append(links.map_batches(
+                lambda b, e=engine: b.append_column(
+                    "engine", pa.array([e] * b.num_rows, pa.string())),
+                batch_format="pyarrow", zero_copy_batch=True))
+        return parts[0].union(*parts[1:])
+
     def union_q(sf_dir):
         a = _docs_cols(sf_dir, ["doc_id", "source"]).filter(
             expr="source == 'src0'")
@@ -155,6 +241,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_status": extract_status,
         "media_features": media_feats,
         "extract_links": links_q,
+        "search_engine_links": search_links_q,
+        "read_rejects": rejects_q,
+        "integrate_outputs": integrate_q,
+        "scan_output_for_errors": scan_errors_q,
         # corpus-level dedup
         "exact_dedup": lambda sf: dedup.exact_dedup(
             _docs_cols(sf, ["doc_id", "text"])),
@@ -163,6 +253,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(
             _docs_cols(sf, ["doc_id", "text"])),
         "simhash": lambda sf: dedup.simhash(
+            _docs_cols(sf, ["doc_id", "text"])),
+        "simhash_dup_pairs": lambda sf: dedup.simhash_dup_pairs(
+            _docs_cols(sf, ["doc_id", "text"])),
+        "dedup_apply": lambda sf: dedup.dedup_apply(
             _docs_cols(sf, ["doc_id", "text"])),
         "cosine_dup_pairs": lambda sf: ann.cosine_dup_pairs(_emb(sf), 0.4),
         # similarity search
@@ -198,7 +292,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    # Golden expected-output tables (committed parquet under
+    # goldens/<sf>/, generated by tools/gen_goldens.py from independent
+    # single-process reimplementations — see that file's docstring).
+    # The driver runs at sf0.01; tools/check_queries.py rewrites the tag
+    # when validating other scale factors locally.
+    gold = {
+        name: ("SELECT * FROM read_parquet("
+               f"'{_REPO}/goldens/sf0.01/{name}.parquet')")
+        for name in (
+            "extract_spans", "extract_status", "media_features",
+            "extract_links", "minhash_lsh_pairs", "simhash",
+            "simhash_dup_pairs", "dedup_apply", "knn_ivf",
+            "winnow_fingerprint", "lsh_cosine_pairs", "read_rejects",
+            "integrate_outputs", "scan_output_for_errors",
+            "search_engine_links")
+    }
+    return gold | {
         "exact_dedup":
             "SELECT min(doc_id) AS doc_id, text FROM documents "
             "GROUP BY text",

@@ -21,12 +21,22 @@ def test_queries_and_oracles_consistent():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # every oracle-free query is a documented non-SQL op
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {"extract_spans", "extract_status",
-                         "media_features", "minhash_lsh_pairs", "simhash",
-                         "knn_ivf", "extract_links", "winnow_fingerprint",
-                         "lsh_cosine_pairs"}
+    # since round 2 every query is oracle-checked: SQL-expressible ops
+    # against live DuckDB SQL, the rest against committed golden parquet
+    # (tools/gen_goldens.py)
+    assert set(qs) == set(oracles)
+
+
+def test_golden_files_exist_for_driver_sf():
+    import duckdb
+
+    golden_sql = {k: v for k, v in entrymod.oracle_sql().items()
+                  if "read_parquet" in v}
+    assert len(golden_sql) >= 14
+    con = duckdb.connect()
+    for name, sql in golden_sql.items():
+        n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+        assert n >= 0, name
 
 
 @pytest.mark.parametrize("name", ["token_count", "group_counts",

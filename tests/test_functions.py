@@ -101,6 +101,39 @@ def test_ngram_jaccard_pairs_consecutive_only(ray_session, docs_ds):
         assert r["inter_n"] * 10 >= r["union_n"] * 3
 
 
+def test_connected_components_chain(ray_session):
+    import ray.data
+
+    pairs = ray.data.from_items(
+        [{"left_id": 1, "right_id": 2}, {"left_id": 2, "right_id": 3},
+         {"left_id": 7, "right_id": 9}])
+    labels = {r["node"]: r["label"]
+              for r in dedup.connected_components(pairs).take_all()}
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dedup_apply_keeps_min_id_survivors(ray_session):
+    import ray.data
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base.replace("upsilon", "psi")},
+        {"doc_id": 3, "text": base.replace("alpha", "omega")},
+        {"doc_id": 4, "text": "entirely unrelated text with other tokens"},
+        {"doc_id": 5, "text": "second unrelated document of other words"},
+    ]
+    surv = sorted(r["doc_id"] for r in dedup.dedup_apply(
+        ray.data.from_items(rows), 0.5).take_all())
+    assert surv == [1, 4, 5]
+
+    # no duplicates at all → identity
+    surv2 = sorted(r["doc_id"] for r in dedup.dedup_apply(
+        ray.data.from_items(rows[3:]), 0.5).take_all())
+    assert surv2 == [4, 5]
+
+
 # -- ANN --------------------------------------------------------------------
 
 def test_knn_brute_matches_numpy(ray_session, emb_ds):
@@ -135,6 +168,38 @@ def test_cosine_dup_pairs_symmetric_free(ray_session, emb_ds):
         key = (r["left_id"], r["right_id"])
         assert key not in seen
         seen.add(key)
+
+
+def test_cosine_ops_route_to_lsh_above_size_gate(ray_session, emb_ds):
+    """Above exact_max_rows the broadcast designs must route to the
+    bucketed LSH paths: same schema, output ⊆ the exact output."""
+    exact = {(r["left_id"], r["right_id"]) for r in
+             ann.cosine_dup_pairs(emb_ds, 0.4).take_all()}
+    routed = {(r["left_id"], r["right_id"]) for r in
+              ann.cosine_dup_pairs(emb_ds, 0.4, exact_max_rows=10)
+              .take_all()}
+    assert routed and routed <= exact
+
+    exact_nn = {r["vec_id"]: r["nn_id"] for r in
+                ann.nearest_neighbor_ids(emb_ds).take_all()}
+    routed_nn = {r["vec_id"]: r["nn_id"] for r in
+                 ann.nearest_neighbor_ids(emb_ds, exact_max_rows=10)
+                 .take_all()}
+    assert set(routed_nn) == set(exact_nn)      # one row per vector
+    hits = sum(routed_nn[v] == exact_nn[v] for v in exact_nn
+               if routed_nn[v] != -1)
+    answered = sum(1 for v in routed_nn.values() if v != -1)
+    assert answered > 0 and hits / answered >= 0.3   # approximate path
+
+
+def test_kmeans_fit_distributed_deterministic(ray_session, emb_ds):
+    """Fixed-point partial sums → bit-identical centroids across runs
+    (and, by associativity, across any block split)."""
+    a = ann.kmeans_fit_distributed(emb_ds, nlist=8)
+    b = ann.kmeans_fit_distributed(
+        emb_ds.repartition(7), nlist=8)
+    assert a.shape == b.shape
+    assert (a == b).all()
 
 
 # -- text stats -------------------------------------------------------------

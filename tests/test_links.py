@@ -85,3 +85,78 @@ def test_top_k_per_domain(links):
         "https://news.site-a.com/article/1",
         "https://news.site-a.com/article/2",
         "https://news.site-a.com/article/3"}
+
+
+# -- engine-specific miners (U4/U6/U7/U8) -----------------------------------
+
+def test_yahoo_card_miner_branches():
+    from webtext.dom import parse_html
+    from webtext.pipelines.links import mine_yahoo_cards, serp_fixture_docs
+
+    doc = parse_html(serp_fixture_docs()[0]["spans"][0]["text"])
+    urls = mine_yahoo_cards(doc)
+    # ping decoded, skip-sections skipped, excludes applied, ordered dedup
+    assert urls == ["https://example.com/a1", "https://example.org/pinged"]
+
+
+def test_yahoo_ping_decode():
+    from webtext.pipelines.links import decode_ping_url
+
+    assert decode_ping_url(
+        "https://rd.yahoo.co.jp/x/*-https%3A//ex.org/p?a=1") \
+        == "https://ex.org/p?a=1"
+    assert decode_ping_url("https://plain.example/x") \
+        == "https://plain.example/x"
+
+
+def test_yahoo_exclude_rules():
+    from webtext.pipelines.links import is_excluded_url_yahoo
+
+    assert is_excluded_url_yahoo("https://search.yahoo.co.jp/x?rs=4")
+    assert is_excluded_url_yahoo("https://search.yahoo.co.jp/y?sqs=1")
+    assert is_excluded_url_yahoo("https://shopping.yahoo.co.jp/item")
+    assert not is_excluded_url_yahoo("https://detail.chiebukuro.yahoo.co.jp/q")
+    assert not is_excluded_url_yahoo("https://example.com/ok")
+
+
+def test_yahoo_related_miner():
+    from webtext.dom import parse_html
+    from webtext.pipelines.links import (mine_yahoo_related,
+                                         serp_fixture_docs)
+
+    doc = parse_html(serp_fixture_docs()[0]["spans"][0]["text"])
+    assert mine_yahoo_related(doc) == [
+        "https://search.yahoo.co.jp/search?p=rel1",
+        "https://search.yahoo.co.jp/search?p=rel2"]
+
+
+def test_google_related_primary_and_fallback():
+    from webtext.dom import parse_html
+    from webtext.pipelines.links import (mine_google_related,
+                                         serp_fixture_docs)
+
+    docs = serp_fixture_docs()
+    primary = parse_html(docs[1]["spans"][0]["text"])
+    assert mine_google_related(primary) == [
+        "https://www.google.com/search?q=rel+one",
+        "https://www.google.com/search?q=rel+two"]
+    fallback = parse_html(docs[2]["spans"][0]["text"])
+    assert mine_google_related(fallback) == [
+        "https://www.google.com/search?q=fallback+one",
+        "https://www.google.com/search?q=fallback+two"]
+
+
+def test_extract_search_links_dataset_stage(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from webtext.pipelines.links import (extract_search_links,
+                                         serp_fixture_docs)
+    from webtext.schema import INPUT_SCHEMA
+
+    table = pa.Table.from_pylist(serp_fixture_docs(), schema=INPUT_SCHEMA)
+    rows = extract_search_links(
+        ray.data.from_arrow(table), "yahoo").take_all()
+    got = sorted((r["doc_id"], r["rank"], r["url"]) for r in rows)
+    assert got == [("serp://yahoo/1", 0, "https://example.com/a1"),
+                   ("serp://yahoo/1", 1, "https://example.org/pinged")]

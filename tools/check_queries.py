@@ -48,6 +48,11 @@ def main(sf_dir: str) -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # golden oracles are pinned to the driver's sf0.01 path — retarget
+    # them when checking another scale factor locally
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    oracles = {k: v.replace("/goldens/sf0.01/", f"/goldens/{tag}/")
+               for k, v in oracles.items()}
     failed = []
     for name, fn in qs.items():
         try:

@@ -1,0 +1,462 @@
+"""Golden expected-output tables for the queries with no SQL oracle.
+
+Each golden is computed by an INDEPENDENT single-process implementation
+(pure numpy / python below — no Ray, no webtext.functions imports except
+where noted) over the same inputs the driver passes to ``queries()``,
+and committed as parquet under ``goldens/<sf_tag>/``.  The matching
+``oracle_sql()`` entry is then ``SELECT * FROM read_parquet(...)`` so
+the driver hash-checks the Ray pipeline against the golden.
+
+Two families:
+
+* algorithmic ops (minhash / simhash / winnow / LSH-cosine / IVF /
+  dedup-apply): re-derived here from the published spec constants
+  (seeds, crc32 formulas) — a differential oracle: two implementations
+  of one spec must agree bit-for-bit (fixed-point k-means sums make the
+  distributed fit order-invariant, see functions/ann.py).
+* extraction-surface ops (extract_spans / status / media_features /
+  links / rejects / integrate / error-scan): computed by driving the
+  pure-Python oracle ``webtext.oracle.extract_document`` directly over
+  the deterministic synth corpus — independent of all Ray plumbing
+  (actors, manifests, shuffles) that the queries() side exercises.
+
+Regenerate (``python tools/gen_goldens.py``) ONLY on an intended
+semantic change, alongside the tests/test_golden.py hash.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1"]
+OUT_BASE = os.path.join(REPO, "goldens")
+
+
+# ---------------------------------------------------------------------------
+# spec constants, re-derived (must match webtext/functions/dedup.py & ann.py)
+# ---------------------------------------------------------------------------
+
+_P = (1 << 61) - 1
+_rs = np.random.RandomState(12345)
+_A = _rs.randint(1, _P, size=64, dtype=np.int64)
+_B = _rs.randint(0, _P, size=64, dtype=np.int64)
+BANDS, ROWS_PER_BAND = 16, 4
+KMEANS_SCALE = 1_000_000
+
+
+def minhash_sig(text: str, k: int = 3) -> np.ndarray:
+    words = text.split(" ")
+    grams = ([" ".join(words)] if len(words) < k else
+             [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)])
+    h = np.array([zlib.crc32(g.encode("utf-8")) for g in grams],
+                 dtype=np.int64)
+    return ((np.outer(_A, h) + _B[:, None]) % _P).min(axis=1)
+
+
+def word_jaccard(a: str, b: str) -> tuple[int, int]:
+    sa, sb = set(a.split(" ")), set(b.split(" "))
+    return len(sa & sb), len(sa | sb)
+
+
+def golden_minhash_pairs(ids, texts, threshold=0.5):
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, text in zip(ids, texts):
+        sig = minhash_sig(text)
+        for b in range(BANDS):
+            chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+            key = (b, zlib.crc32(chunk.tobytes()))
+            buckets.setdefault(key, []).append(did)
+    by_id = dict(zip(ids, texts))
+    cands = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cands.add((ms[i], ms[j]))
+    out = []
+    for a, b in sorted(cands):
+        inter, union = word_jaccard(by_id[a], by_id[b])
+        if union and inter / union >= threshold:
+            out.append((a, b))
+    return out
+
+
+def simhash64(text: str) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
+    for w in text.split(" "):
+        h = np.uint64(zlib.crc32(w.encode())
+                      | (zlib.crc32(w[::-1].encode()) << 32))
+        bits = (h >> shifts) & one
+        acc += np.where(bits == one, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= (1 << i)
+    return out - (1 << 63)
+
+
+def golden_simhash_pairs(ids, hashes, max_hamming=8):
+    buckets: dict[tuple[int, int], list[int]] = {}
+    by_id = dict(zip(ids, hashes))
+    for did, h in zip(ids, hashes):
+        u = h + (1 << 63)
+        for b in range(4):
+            buckets.setdefault((b, (u >> (16 * b)) & 0xFFFF), []).append(did)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                a, b = ms[i], ms[j]
+                d = bin((by_id[a] ^ by_id[b]) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    pairs.add((a, b))
+    return sorted(pairs)
+
+
+def winnow_fps(text: str, k: int = 5, w: int = 4) -> list[int]:
+    if len(text) < k:
+        return [zlib.crc32(text.encode("utf-8"))] if text else []
+    hashes = [zlib.crc32(text[i:i + k].encode("utf-8"))
+              for i in range(len(text) - k + 1)]
+    fps, last = [], -1
+    for start in range(max(1, len(hashes) - w + 1)):
+        window = hashes[start:start + w]
+        m = min(window)
+        idx = start + max(i for i, h in enumerate(window) if h == m)
+        if idx != last:
+            fps.append(hashes[idx])
+            last = idx
+    return fps
+
+
+class UnionFind:
+    def __init__(self):
+        self.p: dict[int, int] = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # min-id becomes the root (matches min-label propagation)
+            lo, hi = sorted((ra, rb))
+            self.p[hi] = lo
+
+
+# -- embeddings-side spec replication ---------------------------------------
+
+def emb_matrix(sf_dir):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_numpy())
+    labels = np.asarray(t["label"].to_numpy())
+    col = t["embedding"].combine_chunks()
+    mat = np.asarray(col.flatten(), dtype=np.float64).reshape(len(ids), -1)
+    return ids, labels, mat
+
+
+def cos(mat, q):
+    qn = q / np.linalg.norm(q)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return (mat @ qn) / norms
+
+
+def golden_knn_ivf(sf_dir, k=10, nlist=16, nprobe=4, iters=5):
+    ids, labels, mat = emb_matrix(sf_dir)
+    query = mat[ids == 0][0]
+    seed_ids = sorted(set(int(i) for i in
+                          np.linspace(0, ids.max(), nlist).astype(int)))
+    order = np.argsort(ids)
+    cents = np.stack([mat[ids == s][0] for s in seed_ids])
+    del order
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        q = np.rint(mat * KMEANS_SCALE).astype(np.int64)
+        tot = np.zeros((len(cents), mat.shape[1]), dtype=np.int64)
+        np.add.at(tot, assign, q)
+        cnt = np.bincount(assign, minlength=len(cents)).astype(np.int64)
+        new = cents.copy()
+        nz = cnt > 0
+        new[nz] = (tot[nz] / KMEANS_SCALE) / cnt[nz, None]
+        cents = new
+    probe = set(np.argsort(((cents - query) ** 2).sum(axis=1))[:nprobe]
+                .tolist())
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    keep = np.isin(assign, list(probe)) & (ids != 0)
+    sims = cos(mat[keep], query)
+    kids, klabels = ids[keep], labels[keep]
+    order = np.lexsort((kids, -sims))[:k]
+    return kids[order], klabels[order]
+
+
+def golden_lsh_cosine_pairs(sf_dir, threshold=0.4, n_planes=5, n_tables=8):
+    ids, _labels, mat = emb_matrix(sf_dir)
+    rng = np.random.RandomState(987)
+    planes = rng.normal(size=(n_tables, n_planes, mat.shape[1]))
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    pairs = set()
+    for t in range(n_tables):
+        signs = (mat @ planes[t].T) > 0
+        keys = signs.dot(1 << np.arange(n_planes))
+        buckets: dict[int, list[int]] = {}
+        for i, vid in enumerate(ids):
+            buckets.setdefault(int(keys[i]), []).append(i)
+        for members in buckets.values():
+            if len(members) < 2:
+                continue
+            sub = norm[members]
+            sims = sub @ sub.T
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    if sims[i, j] >= threshold:
+                        a, b = sorted((int(ids[members[i]]),
+                                       int(ids[members[j]])))
+                        pairs.add((a, b))
+    return sorted(pairs)
+
+
+# ---------------------------------------------------------------------------
+# extraction-surface goldens (pure oracle, no Ray)
+# ---------------------------------------------------------------------------
+
+def fake_decode(media_ref: str) -> tuple[int, int, int]:
+    h = zlib.crc32(media_ref.encode("utf-8"))
+    return (160 + (h & 0x3FF), 120 + ((h >> 10) & 0x3FF),
+            1 + ((h >> 20) & 0xFF))
+
+
+def oracle_results(n_per_family: int, seed: int):
+    from webtext.oracle import extract_document
+    from webtext.synth import generate_docs
+
+    docs = generate_docs(n_per_family=n_per_family, seed=seed)
+    return [(d, extract_document(d["doc_id"], d["spans"])) for d in docs]
+
+
+def flat_span_rows(results, statuses=None):
+    rows = {k: [] for k in ("doc_id", "offset", "kind", "text",
+                            "media_ref", "status")}
+    for _doc, r in results:
+        if statuses is not None and r.status not in statuses:
+            continue
+        for s in r.spans:
+            rows["doc_id"].append(r.doc_id)
+            rows["offset"].append(s["offset"])
+            rows["kind"].append(s["kind"])
+            rows["text"].append(s["text"])
+            rows["media_ref"].append(s["media_ref"])
+            rows["status"].append(r.status)
+    return rows
+
+
+FLAT_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("offset", pa.int32()), ("kind", pa.string()),
+    ("text", pa.string()), ("media_ref", pa.string()),
+    ("status", pa.string())])
+
+
+def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    n_fam = 16 if tag.endswith("0.1") else 8
+
+    g: dict[str, pa.Table] = {}
+
+    # -- documents-table algorithmic ops
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+
+    mh = golden_minhash_pairs(ids, texts)
+    g["minhash_lsh_pairs"] = pa.table(
+        {"left_id": pa.array([p[0] for p in mh], pa.int64()),
+         "right_id": pa.array([p[1] for p in mh], pa.int64())})
+
+    hashes = [simhash64(x) for x in texts]
+    g["simhash"] = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "simhash": pa.array(hashes, pa.int64())})
+
+    sp = golden_simhash_pairs(ids, hashes)
+    g["simhash_dup_pairs"] = pa.table(
+        {"left_id": pa.array([p[0] for p in sp], pa.int64()),
+         "right_id": pa.array([p[1] for p in sp], pa.int64())})
+
+    fps = [winnow_fps(x) for x in texts]
+    g["winnow_fingerprint"] = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "n_fps": pa.array([len(f) for f in fps], pa.int64()),
+         "min_fp": pa.array([min(f) if f else 0 for f in fps], pa.int64()),
+         "max_fp": pa.array([max(f) if f else 0 for f in fps], pa.int64())})
+
+    uf = UnionFind()
+    for a, b in mh:
+        uf.union(a, b)
+    dropped = {x for x in uf.p if uf.find(x) != x}
+    keep = [(d, x) for d, x in zip(ids, texts) if d not in dropped]
+    g["dedup_apply"] = pa.table(
+        {"doc_id": pa.array([d for d, _ in keep], pa.int64()),
+         "text": pa.array([x for _, x in keep], pa.string())})
+
+    # -- embeddings ops
+    kids, klabels = golden_knn_ivf(sf_dir)
+    g["knn_ivf"] = pa.table(
+        {"vec_id": pa.array(kids.tolist(), pa.int64()),
+         "label": pa.array(klabels.tolist(), pa.int32())})
+
+    lc = golden_lsh_cosine_pairs(sf_dir)
+    g["lsh_cosine_pairs"] = pa.table(
+        {"left_id": pa.array([p[0] for p in lc], pa.int64()),
+         "right_id": pa.array([p[1] for p in lc], pa.int64())})
+
+    # -- extraction surface (oracle over the deterministic synth corpus)
+    res42 = oracle_results(n_fam, seed=42)
+    g["extract_spans"] = pa.Table.from_pydict(
+        flat_span_rows(res42), schema=FLAT_SCHEMA)
+
+    from collections import Counter
+    c = Counter(r.status for _d, r in res42)
+    g["extract_status"] = pa.table(
+        {"status": pa.array(sorted(c), pa.string()),
+         "n": pa.array([c[s] for s in sorted(c)], pa.int64())})
+
+    mf = {k: [] for k in ("doc_id", "media_ref", "kind", "width",
+                          "height", "n_frames")}
+    for _d, r in res42:
+        for s in r.spans:
+            if s["kind"] != "media":
+                continue
+            w, h, nf = fake_decode(s["media_ref"])
+            mf["doc_id"].append(r.doc_id)
+            mf["media_ref"].append(s["media_ref"])
+            mf["kind"].append(s["kind"])
+            mf["width"].append(w)
+            mf["height"].append(h)
+            mf["n_frames"].append(nf)
+    g["media_features"] = pa.Table.from_pydict(mf, schema=pa.schema([
+        ("doc_id", pa.string()), ("media_ref", pa.string()),
+        ("kind", pa.string()), ("width", pa.int32()),
+        ("height", pa.int32()), ("n_frames", pa.int32())]))
+
+    # links: DOM mining via the (pytest-covered) batch miner applied
+    # directly — dedup + per-domain top-k replicated in plain python
+    from webtext.oracle.rules import domain_strip_www
+    from webtext.pipelines.links import _mine_batch
+    from webtext.schema import INPUT_SCHEMA
+    from webtext.synth import generate_docs
+
+    docs_tab = pa.Table.from_pylist(generate_docs(n_fam, seed=42),
+                                    schema=INPUT_SCHEMA)
+    mined = _mine_batch(docs_tab).to_pylist()
+    first_by_url: dict[str, dict] = {}
+    for row in mined:
+        cur = first_by_url.get(row["url"])
+        if cur is None or (row["doc_id"], row["rank"]) < (cur["doc_id"],
+                                                          cur["rank"]):
+            first_by_url[row["url"]] = row
+    by_dom: dict[str, list[dict]] = {}
+    for row in first_by_url.values():
+        by_dom.setdefault(domain_strip_www(row["url"]), []).append(row)
+    link_rows = []
+    for dom in by_dom:
+        rows = sorted(by_dom[dom], key=lambda r: (r["doc_id"], r["rank"]))
+        for row in rows[:3]:
+            link_rows.append({**row, "target_domain": dom})
+    g["extract_links"] = pa.Table.from_pylist(link_rows, schema=pa.schema([
+        ("doc_id", pa.string()), ("rank", pa.int32()), ("url", pa.string()),
+        ("anchor", pa.string()), ("target_domain", pa.string())]))
+
+    # rejects / integrate / error-scan over committed-run semantics
+    rej = {k: [] for k in ("doc_id", "status", "messages_joined")}
+    for _d, r in res42:
+        if r.status in ("failed", "error_pattern"):
+            rej["doc_id"].append(r.doc_id)
+            rej["status"].append(r.status)
+            rej["messages_joined"].append(";".join(r.failures))
+    g["read_rejects"] = pa.Table.from_pydict(rej, schema=pa.schema([
+        ("doc_id", pa.string()), ("status", pa.string()),
+        ("messages_joined", pa.string())]))
+
+    res43 = oracle_results(n_fam, seed=43)
+    kept = ("ok", "timeout")
+    both = {k: v + flat_span_rows(res43, kept)[k]
+            for k, v in flat_span_rows(res42, kept).items()}
+    g["integrate_outputs"] = pa.Table.from_pydict(both, schema=FLAT_SCHEMA)
+
+    # engine-specific SERP miners over the literal fixture corpus
+    from webtext.dom import parse_html
+    from webtext.pipelines.links import (
+        _ENGINE_MINERS, serp_fixture_docs)
+
+    srows = {"doc_id": [], "rank": [], "url": [], "engine": []}
+    fixture = serp_fixture_docs()
+    for engine in ("yahoo", "yahoo_related", "google_related"):
+        miner = _ENGINE_MINERS[engine]
+        for d in fixture:
+            seen: list[str] = []
+            for span in sorted(d["spans"], key=lambda s: s["offset"]):
+                if span["kind"] != "html":
+                    continue
+                for url in miner(parse_html(span["text"])):
+                    if url not in seen:
+                        seen.append(url)
+            for rank, url in enumerate(seen):
+                srows["doc_id"].append(d["doc_id"])
+                srows["rank"].append(rank)
+                srows["url"].append(url)
+                srows["engine"].append(engine)
+    g["search_engine_links"] = pa.Table.from_pydict(
+        srows, schema=pa.schema([
+            ("doc_id", pa.string()), ("rank", pa.int32()),
+            ("url", pa.string()), ("engine", pa.string())]))
+
+    from webtext.oracle.rules import BROWSER_ERROR_PATTERNS
+    scan = {"doc_id": [], "pattern": []}
+    for _d, r in res42:
+        if r.status not in kept:
+            continue
+        joined = "\n".join(s["text"] for s in r.spans)
+        for pat in BROWSER_ERROR_PATTERNS:
+            if pat in joined:
+                scan["doc_id"].append(r.doc_id)
+                scan["pattern"].append(pat)
+    g["scan_output_for_errors"] = pa.Table.from_pydict(
+        scan, schema=pa.schema([("doc_id", pa.string()),
+                                ("pattern", pa.string())]))
+
+    return g
+
+
+def main():
+    for sf_dir in SF_DIRS:
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        out_dir = os.path.join(OUT_BASE, tag)
+        os.makedirs(out_dir, exist_ok=True)
+        goldens = build_goldens(sf_dir)
+        for name, table in goldens.items():
+            pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+            print(f"{tag}/{name}: {table.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -85,33 +85,82 @@ def knn_brute(ds, query: np.ndarray, k: int = 10, exclude_id: int | None = 0):
     return top.limit(k).drop_columns(["sim"])
 
 
-def kmeans_centroids(mat: np.ndarray, nlist: int, iters: int = 5
-                     ) -> np.ndarray:
-    """Deterministic mini-kmeans: centroids seeded from evenly spaced
-    rows, fixed iteration count, no RNG."""
-    idx = np.linspace(0, len(mat) - 1, nlist).astype(int)
-    cents = mat[idx].copy()
+KMEANS_SCALE = 1_000_000  # fixed-point quantum for order-invariant sums
+
+
+def _assign_clusters(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment (squared euclid, first-min wins).
+    One shared formula so the distributed fit and any independent
+    re-implementation agree bit-for-bit."""
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1)
+
+
+def kmeans_fit_distributed(ds, nlist: int, iters: int = 5) -> np.ndarray:
+    """Distributed k-means over the embeddings Dataset.
+
+    Init: the vectors at evenly spaced vec_ids (deterministic, no RNG).
+    Each iteration is one map_batches pass emitting per-cluster
+    *fixed-point int64* partial sums (embedding × 1e6 rounded) plus
+    counts; integer addition is associative, so the reduce is
+    order-invariant — the fitted centroids are bit-identical regardless
+    of block boundaries or parallelism.  Only centroid-sized data
+    (nlist × dim per block) ever reaches the driver."""
+    import ray
+
+    from ray.data.aggregate import Max
+
+    max_id = ds.select_columns(["vec_id"]).aggregate(
+        Max("vec_id"))["max(vec_id)"]
+    seed_ids = sorted(set(int(i) for i in
+                          np.linspace(0, max_id, nlist).astype(int)))
+    seeds = ds.filter(
+        expr=" or ".join(f"vec_id == {i}" for i in seed_ids)) \
+        .select_columns(["vec_id", "embedding"]).take_all()
+    seeds.sort(key=lambda r: r["vec_id"])
+    cents = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+    nlist = len(cents)
+
     for _ in range(iters):
-        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(nlist):
-            members = mat[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            mat = _matrix(batch)
+            assign = _assign_clusters(mat, c)
+            q = np.rint(mat * KMEANS_SCALE).astype(np.int64)
+            dim = mat.shape[1]
+            sums = np.zeros((len(c), dim), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pa.Table.from_arrays(
+                [pa.array(np.arange(len(c), dtype=np.int64)),
+                 pa.array(counts),
+                 pa.array(sums.tolist(), pa.list_(pa.int64()))],
+                names=["cluster", "count", "sum_fp"])
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+        dim = cents.shape[1]
+        tot = np.zeros((nlist, dim), dtype=np.int64)
+        cnt = np.zeros(nlist, dtype=np.int64)
+        for row in parts:                      # nlist × n_blocks tiny rows
+            tot[row["cluster"]] += np.asarray(row["sum_fp"], dtype=np.int64)
+            cnt[row["cluster"]] += row["count"]
+        new = cents.copy()
+        nz = cnt > 0
+        new[nz] = (tot[nz] / KMEANS_SCALE) / cnt[nz, None]
+        cents = new
     return cents
 
 
 def knn_ivf(ds, query: np.ndarray, k: int = 10, nlist: int = 16,
             nprobe: int = 4, exclude_id: int | None = 0):
-    """IVF approximate top-k: assign → probe nearest lists → brute-force
-    within the probed subset.  Centroid fit here samples the dataset
-    driver-side (fine: centroids are tiny); at scale the fit becomes a
-    map_batches partial-sum pass."""
+    """IVF approximate top-k: distributed centroid fit → assign → probe
+    the nprobe nearest lists → brute-force within the probed subset."""
     import ray
 
-    sample = _matrix(
-        pa.Table.from_pylist(ds.limit(2048).take_all()))
-    cents = kmeans_centroids(sample, nlist)
+    cents = kmeans_fit_distributed(ds, nlist)
     probe = np.argsort(((cents - query) ** 2).sum(axis=1))[:nprobe]
     cref = ray.put((cents, set(int(p) for p in probe), query))
 
@@ -122,9 +171,8 @@ def knn_ivf(ds, query: np.ndarray, k: int = 10, nlist: int = 16,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             mat = _matrix(batch)
-            d = ((mat[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            keep = np.array([a in self.probe for a in assign])
+            assign = _assign_clusters(mat, self.cents)
+            keep = np.isin(assign, list(self.probe))
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             labels = batch.column("label").to_numpy(zero_copy_only=False)
             if exclude_id is not None:
@@ -150,11 +198,24 @@ def knn_ivf(ds, query: np.ndarray, k: int = 10, nlist: int = 16,
     return top.limit(k).drop_columns(["sim"])
 
 
-def cosine_dup_pairs(ds, threshold: float = 0.4):
+# Above this row count the exact O(n²) broadcast designs route to the
+# LSH-bucketed scale path (approximate: recall per lsh_cosine_dup_pairs'
+# docstring).  Below it the broadcast matrix is ≤ ~10 MB — a legitimate
+# small-side ray.put, and the exact outputs serve as oracles for LSH.
+EXACT_MAX_ROWS = 20_000
+
+
+def cosine_dup_pairs(ds, threshold: float = 0.4,
+                     exact_max_rows: int = EXACT_MAX_ROWS):
     """All (a < b) pairs with cosine ≥ threshold: blockwise matmul of
-    each batch against the broadcast full matrix."""
+    each batch against the broadcast full matrix.
+
+    Exact up to ``exact_max_rows`` rows; larger inputs route to
+    ``lsh_cosine_dup_pairs`` (bucketed, no broadcast, approximate)."""
     import ray
 
+    if ds.count() > exact_max_rows:
+        return lsh_cosine_dup_pairs(ds, threshold)
     rows = ds.select_columns(["vec_id", "embedding"]).take_all()
     all_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     all_mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
@@ -228,7 +289,7 @@ def lsh_cosine_dup_pairs(ds, threshold: float = 0.4, n_planes: int = 5,
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         ids = group.column("vec_id").to_pylist()
-        mat = np.array(group.column("emb").to_pylist(), dtype=np.float64)
+        mat = _matrix(group, "emb")
         if len(ids) < 2:
             return pa.Table.from_arrays(
                 [pa.array([], pa.int64()), pa.array([], pa.int64())],
@@ -255,11 +316,98 @@ def lsh_cosine_dup_pairs(ds, threshold: float = 0.4, n_planes: int = 5,
     return uniq.drop_columns(["count()"])
 
 
-def nearest_neighbor_ids(ds):
+def lsh_nearest_neighbor_ids(ds, n_planes: int = 5, n_tables: int = 8,
+                             dim: int = 64):
+    """Approximate (vec_id, nn_id) at scale: random-hyperplane LSH
+    buckets → per-bucket best neighbor partials → groupby(vec_id) keeps
+    the global best (max sim, ties → min nn_id).  Vectors that share no
+    bucket with anyone get nn_id = -1 (documented miss marker).  No
+    broadcast table; embeddings ride the bucketing shuffle once per
+    table."""
+    rng = np.random.RandomState(987)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _matrix(batch)
+        out_t, out_b, out_id, out_emb = [], [], [], []
+        for t in range(n_tables):
+            signs = (mat @ planes[t].T) > 0
+            keys = signs.dot(1 << np.arange(n_planes))
+            for i, vid in enumerate(ids):
+                out_t.append(t)
+                out_b.append(int(keys[i]))
+                out_id.append(int(vid))
+                out_emb.append(mat[i].tolist())
+        return pa.Table.from_arrays(
+            [pa.array(out_t, pa.int32()), pa.array(out_b, pa.int64()),
+             pa.array(out_id, pa.int64()),
+             pa.array(out_emb, pa.list_(pa.float64()))],
+            names=["table", "bucket", "vec_id", "emb"])
+
+    def best_in_bucket(group: pa.Table) -> pa.Table:
+        ids = np.array(group.column("vec_id").to_pylist(), dtype=np.int64)
+        if len(ids) < 2:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=["vec_id", "nn_id", "sim"])
+        mat = _matrix(group, "emb")
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        np.fill_diagonal(sims, -np.inf)
+        out_id, out_nn, out_sim = [], [], []
+        for i in range(len(ids)):
+            best = sims[i].max()
+            cand = ids[sims[i] == best]
+            out_id.append(int(ids[i]))
+            out_nn.append(int(cand.min()))
+            out_sim.append(float(best))
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()), pa.array(out_nn, pa.int64()),
+             pa.array(out_sim, pa.float64())],
+            names=["vec_id", "nn_id", "sim"])
+
+    def fallback(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [batch.column("vec_id").cast(pa.int64()),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             pa.array(np.full(n, -np.inf))],
+            names=["vec_id", "nn_id", "sim"])
+
+    def pick_best(group: pa.Table) -> pa.Table:
+        nns = np.array(group.column("nn_id").to_pylist(), dtype=np.int64)
+        sims = np.array(group.column("sim").to_pylist(), dtype=np.float64)
+        best = sims.max()
+        cand = nns[sims == best] if np.isfinite(best) else np.array([-1])
+        return pa.Table.from_arrays(
+            [pa.array([group.column("vec_id")[0].as_py()], pa.int64()),
+             pa.array([int(cand.min())], pa.int64())],
+            names=["vec_id", "nn_id"])
+
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    partials = bucketed.groupby(["table", "bucket"]).map_groups(
+        best_in_bucket, batch_format="pyarrow")
+    partials = partials.union(
+        ds.select_columns(["vec_id"]).map_batches(
+            fallback, batch_format="pyarrow", zero_copy_batch=True))
+    return partials.groupby("vec_id").map_groups(
+        pick_best, batch_format="pyarrow")
+
+
+def nearest_neighbor_ids(ds, exact_max_rows: int = EXACT_MAX_ROWS):
     """(vec_id, nn_id): exact nearest neighbor of every vector — the
-    id-only output the SQL cross-join oracle can replicate."""
+    id-only output the SQL cross-join oracle can replicate.
+
+    Exact up to ``exact_max_rows`` rows; larger inputs route to
+    ``lsh_nearest_neighbor_ids`` (bucketed, no broadcast,
+    approximate)."""
     import ray
 
+    if ds.count() > exact_max_rows:
+        return lsh_nearest_neighbor_ids(ds)
     rows = ds.select_columns(["vec_id", "embedding"]).take_all()
     all_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     all_mat = np.array([r["embedding"] for r in rows], dtype=np.float64)

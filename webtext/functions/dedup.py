@@ -25,6 +25,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # 64 universal-hash permutations over 32-bit shingle hashes,
 # deterministic constants (seeded numpy, fixed)
@@ -286,6 +287,138 @@ def simhash_dup_pairs(ds, max_hamming: int = 8):
         bucket_pairs, batch_format="pyarrow")
     uniq = pairs.groupby(["left_id", "right_id"]).count()
     return uniq.drop_columns(["count()"])
+
+
+# ---------------------------------------------------------------------------
+# corpus-level dedup APPLY: pairs → connected components → survivors
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs, max_iters: int = 50):
+    """Distributed connected components over (left_id, right_id) edges
+    by iterated min-label propagation: every node starts labelled with
+    its own id; each round a node's label becomes the min of its own and
+    its neighbors' labels (two groupby shuffles per round, label state
+    checkpointed with materialize()).  Labels only decrease, so the
+    label-sum is a monotone convergence witness — stable sum ⇒ fixed
+    point.  Never materializes nodes/edges on the driver.
+
+    Returns a Dataset (node, label) where label = min doc_id of the
+    node's component."""
+    from ray.data.aggregate import Sum
+
+    def bidirect(batch: pa.Table) -> pa.Table:
+        left = batch.column("left_id").cast(pa.int64())
+        right = batch.column("right_id").cast(pa.int64())
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([left.combine_chunks(),
+                               right.combine_chunks()]),
+             pa.concat_arrays([right.combine_chunks(),
+                               left.combine_chunks()])],
+            names=["src", "dst"])
+
+    edges = pairs.map_batches(bidirect, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    nodes = edges.groupby("src").count().drop_columns(["count()"])
+    labels = nodes.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("src"), b.column("src")], names=["node", "label"]),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def lab_emit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [batch.column("node"),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             batch.column("label")],
+            names=["key", "dst", "label"])
+
+    def edge_emit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [batch.column("src"), batch.column("dst"),
+             pa.array(np.full(n, -1, dtype=np.int64))],
+            names=["key", "dst", "label"])
+
+    def spread(group: pa.Table) -> pa.Table:
+        dsts = group.column("dst").to_pylist()
+        labs = group.column("label").to_pylist()
+        key = group.column("key")[0].as_py()
+        label = min(l for d, l in zip(dsts, labs) if d == -1)
+        out_nodes = [key] + [d for d in dsts if d != -1]
+        return pa.Table.from_arrays(
+            [pa.array(out_nodes, pa.int64()),
+             pa.array([label] * len(out_nodes), pa.int64())],
+            names=["node", "cand"])
+
+    prev_sum = None
+    for _ in range(max_iters):
+        u = labels.map_batches(lab_emit, batch_format="pyarrow",
+                               zero_copy_batch=True).union(
+            edges.map_batches(edge_emit, batch_format="pyarrow",
+                              zero_copy_batch=True))
+        msgs = u.groupby("key").map_groups(spread, batch_format="pyarrow")
+        labels = msgs.groupby("node").min("cand").map_batches(
+            lambda b: b.rename_columns(["node", "label"]),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        s = labels.aggregate(Sum("label"))["sum(label)"]
+        if s == prev_sum:
+            return labels
+        prev_sum = s
+    raise RuntimeError(f"connected_components: no fixed point after "
+                       f"{max_iters} iterations")
+
+
+def dedup_apply(ds, threshold: float = 0.5):
+    """Corpus-level near-dup REMOVAL — the operation an LLM-data user
+    actually runs (the reference applies its dedup per-document at
+    web_text_extractor_ver1.5.py:297-343; this is the corpus analogue):
+
+      minhash_lsh_pairs → connected components → keep the min-doc_id
+      representative of each dup cluster → anti-join the corpus.
+
+    Returns the surviving (doc_id, text) rows, fully distributed: the
+    anti-join is the emit-union groupby pattern keyed by doc_id."""
+    pairs = minhash_lsh_pairs(ds, threshold)
+    labels = connected_components(pairs)
+
+    def drop_emit(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch.column("node"),
+                                    batch.column("label"))
+        dropped = batch.filter(mask)
+        n = dropped.num_rows
+        return pa.Table.from_arrays(
+            [dropped.column("node"),
+             pa.array([""] * n, pa.string()),
+             pa.array(np.ones(n, dtype=np.int8))],
+            names=["key", "text", "is_drop"])
+
+    def doc_emit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [batch.column("doc_id").cast(pa.int64()),
+             batch.column("text"),
+             pa.array(np.zeros(n, dtype=np.int8))],
+            names=["key", "text", "is_drop"])
+
+    def keep(group: pa.Table) -> pa.Table:
+        drops = group.column("is_drop").to_pylist()
+        if any(drops):
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.string())],
+                names=["doc_id", "text"])
+        keep_rows = group.filter(
+            pc.equal(group.column("is_drop"),
+                             pa.scalar(0, pa.int8())))
+        return pa.Table.from_arrays(
+            [keep_rows.column("key"), keep_rows.column("text")],
+            names=["doc_id", "text"])
+
+    u = ds.select_columns(["doc_id", "text"]).map_batches(
+        doc_emit, batch_format="pyarrow", zero_copy_batch=True).union(
+        labels.map_batches(drop_emit, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    return u.groupby("key").map_groups(keep, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -65,6 +65,236 @@ def is_navigation_text(text: str) -> bool:
     return len(text) <= 2
 
 
+# ---------------------------------------------------------------------------
+# engine-specific search-result miners (U4 / U6 / U7 / U8)
+# ---------------------------------------------------------------------------
+
+# U7 Yahoo exclude regex blocklist (yahoo_url_search.py:23-50)
+YAHOO_EXCLUDE_URL_RES: tuple[re.Pattern, ...] = tuple(re.compile(p) for p in (
+    r"search\.yahoo\.co\.jp/search",
+    r"search\.yahoo\.co\.jp/video",
+    r"support\.yahoo\.co\.jp",
+    r"accounts\.yahoo\.co\.jp",
+    r"search\.yahoo\.co\.jp/.*\?rs=4",      # 「他の人はこちらも質問」
+    r"search\.yahoo\.co\.jp/.*\?sqs=1",     # 関連検索クエリ
+    r"ads\.yahoo\.co\.jp",
+    r"shopping\.yahoo\.co\.jp",
+    r"map\.yahoo\.co\.jp",
+    r"translate\.yahoo\.co\.jp",
+    r"auctions\.yahoo\.co\.jp",
+    r"chiebukuro\.yahoo\.co\.jp/search",
+    r"privacy\.yahoo\.co\.jp",
+    r"terms\.yahoo\.co\.jp",
+    r"yahoo\.co\.jp/preferences",
+    r"b\.hatena\.ne\.jp/entry",
+    r".*\.(css|js|xml|ico)$",
+))
+
+
+def is_excluded_url_yahoo(url: str) -> bool:
+    return any(p.search(url) for p in YAHOO_EXCLUDE_URL_RES)
+
+
+# U6 ping-wrapped URL decode (yahoo_url_search.py:128-135; the backup
+# DOM path at :182-188 only unescapes the scheme — we follow the primary
+# JS path's full decodeURIComponent)
+_PING_URL_RE = re.compile(r".*?/\*-(.*)")
+
+
+def decode_ping_url(url: str) -> str:
+    if "/*-" in url:
+        m = _PING_URL_RE.match(url)
+        if m and m.group(1):
+            from urllib.parse import unquote
+
+            return unquote(m.group(1))
+    return url
+
+
+def _has_ancestor_class(node, cls: str) -> bool:
+    p = node.parent
+    while p is not None:
+        classes = (p.get("class") or "") if hasattr(p, "get") else ""
+        if cls in classes.split():
+            return True
+        p = getattr(p, "parent", None)
+    return False
+
+
+def mine_yahoo_cards(doc) -> list[str]:
+    """U6: ordered result URLs from Yahoo SERP cards ``.sw-Card.Algo``
+    (yahoo_url_search.py:163-188): skip cards inside
+    AnswerRelatedQuestions / AnswerExploreUniversal sections, take the
+    ``.sw-Card__titleInner`` link, decode ping wrappers, apply the U7
+    exclude rules, first-occurrence dedup."""
+    urls: list[str] = []
+    for card in doc.select(".sw-Card.Algo"):
+        if _has_ancestor_class(card, "AnswerRelatedQuestions") \
+                or _has_ancestor_class(card, "AnswerExploreUniversal"):
+            continue
+        link = card.select_one(".sw-Card__titleInner")
+        if link is None:
+            continue
+        url = decode_ping_url(link.get("href") or "")
+        if url and url.startswith("http") \
+                and not is_excluded_url_yahoo(url) and url not in urls:
+            urls.append(url)
+    return urls
+
+
+def mine_yahoo_related(doc) -> list[str]:
+    """U8: Yahoo related-search URLs (yahoo_url_search.py:228-248):
+    ``.Unit--south .SouthUnitItem__inner`` +
+    ``.AnswerExploreUniversal__queryList .SouthUnitItem__inner`` links
+    pointing back into search.yahoo.co.jp, ordered dedup."""
+    urls: list[str] = []
+    links = doc.select(".Unit--south .SouthUnitItem__inner") \
+        + doc.select(".AnswerExploreUniversal__queryList "
+                     ".SouthUnitItem__inner")
+    for link in links:
+        url = link.get("href") or ""
+        if url.startswith("http") and "search.yahoo.co.jp" in url \
+                and url not in urls:
+            urls.append(url)
+    return urls
+
+
+def mine_google_related(doc) -> list[str]:
+    """U4: Google related-search URLs (google_url_serch.py:319-371):
+    primary selector ``a.ngTNl.ggLgoc`` (href startswith http, ordered
+    dedup); if none, the ``#botstuff a`` fallback filtered to
+    google.com/search links with non-navigation anchor text."""
+    urls: list[str] = []
+    for link in doc.select("a.ngTNl.ggLgoc"):
+        url = link.get("href") or ""
+        if url.startswith("http") and url not in urls:
+            urls.append(url)
+    if not urls:
+        for link in doc.select("#botstuff a"):
+            url = link.get("href") or ""
+            text = link.get_text(strip=True)
+            if url.startswith("http") and "google.com/search" in url \
+                    and url not in urls and not is_navigation_text(text):
+                urls.append(url)
+    return urls
+
+
+_ENGINE_MINERS = {
+    "yahoo": mine_yahoo_cards,
+    "yahoo_related": mine_yahoo_related,
+    "google_related": mine_google_related,
+}
+
+
+def _mine_engine_batch(batch: pa.Table, miner) -> pa.Table:
+    """flat_map: per-doc ordered URLs from one engine-specific miner,
+    applied to every html span in offset order (URL dedup is per doc,
+    matching the reference's one-SERP-per-extraction scope)."""
+    out = {"doc_id": [], "rank": [], "url": []}
+    for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("spans").to_pylist()):
+        seen: list[str] = []
+        for span in sorted(spans or [], key=lambda s: s["offset"]):
+            if span["kind"] != "html":
+                continue
+            for url in miner(parse_html(span["text"])):
+                if url not in seen:
+                    seen.append(url)
+        for rank, url in enumerate(seen):
+            out["doc_id"].append(doc_id)
+            out["rank"].append(rank)
+            out["url"].append(url)
+    return pa.Table.from_pydict(out, schema=pa.schema([
+        ("doc_id", pa.string()), ("rank", pa.int32()),
+        ("url", pa.string())]))
+
+
+def extract_search_links(ds, engine: str):
+    """Engine-specific SERP link mining as a dataset stage.
+    ``engine`` ∈ {'yahoo', 'yahoo_related', 'google_related'}."""
+    miner = _ENGINE_MINERS[engine]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _mine_engine_batch(batch, miner)
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def serp_fixture_docs() -> list[dict]:
+    """Deterministic SERP corpus exercising every engine-specific miner
+    branch: card skip-sections, ping decode, exclude rules, related
+    units, the google primary selector and the #botstuff fallback."""
+
+    yahoo_serp = (
+        '<html><body>'
+        '<div class="sw-Card Algo">'
+        '<a class="sw-Card__titleInner" href="https://example.com/a1">'
+        'First result</a></div>'
+        '<div class="sw-Card Algo">'
+        '<a class="sw-Card__titleInner" '
+        'href="https://rd.yahoo.co.jp/ping/*-https%3A//example.org/pinged">'
+        'Pinged result</a></div>'
+        '<div class="AnswerRelatedQuestions"><div class="sw-Card Algo">'
+        '<a class="sw-Card__titleInner" href="https://example.com/skipme">'
+        'Related question</a></div></div>'
+        '<div class="AnswerExploreUniversal"><div class="sw-Card Algo">'
+        '<a class="sw-Card__titleInner" href="https://example.com/skip2">'
+        'Explore</a></div></div>'
+        '<div class="sw-Card Algo">'
+        '<a class="sw-Card__titleInner" '
+        'href="https://search.yahoo.co.jp/search?p=x&amp;rs=4&amp;sqs=1">'
+        'Excluded</a></div>'
+        '<div class="sw-Card Algo">'
+        '<a class="sw-Card__titleInner" '
+        'href="https://shopping.yahoo.co.jp/item">Shop</a></div>'
+        '<div class="sw-Card Algo">'
+        '<a class="sw-Card__titleInner" href="https://example.com/a1">'
+        'Duplicate</a></div>'
+        '<div class="Unit--south">'
+        '<a class="SouthUnitItem__inner" '
+        'href="https://search.yahoo.co.jp/search?p=rel1">'
+        '<span class="SouthUnitItem__text">rel1</span></a>'
+        '<a class="SouthUnitItem__inner" href="https://other.example/x">'
+        '<span class="SouthUnitItem__text">offsite</span></a></div>'
+        '<div class="AnswerExploreUniversal__queryList">'
+        '<a class="SouthUnitItem__inner" '
+        'href="https://search.yahoo.co.jp/search?p=rel2">'
+        '<span class="SouthUnitItem__text">rel2</span></a></div>'
+        '</body></html>')
+
+    google_serp = (
+        '<html><body>'
+        '<a class="ngTNl ggLgoc" '
+        'href="https://www.google.com/search?q=rel+one">rel one</a>'
+        '<a class="ngTNl ggLgoc" href="/search?q=relative">relative</a>'
+        '<a class="ngTNl ggLgoc" '
+        'href="https://www.google.com/search?q=rel+two">rel two</a>'
+        '<a class="ngTNl ggLgoc" '
+        'href="https://www.google.com/search?q=rel+one">dup</a>'
+        '</body></html>')
+
+    google_botstuff = (
+        '<html><body>'
+        '<div id="botstuff">'
+        '<a href="https://www.google.com/search?q=fallback+one">'
+        'fallback one</a>'
+        '<a href="https://www.google.com/search?q=nav">設定</a>'
+        '<a href="https://example.com/offsite">offsite long anchor</a>'
+        '<a href="https://www.google.com/search?q=fallback+two">'
+        'fallback two</a>'
+        '</div></body></html>')
+
+    def doc(doc_id: str, html: str) -> dict:
+        return {"doc_id": doc_id,
+                "spans": [{"kind": "html", "text": html,
+                           "media_ref": "", "offset": 0}]}
+
+    return [doc("serp://yahoo/1", yahoo_serp),
+            doc("serp://google/1", google_serp),
+            doc("serp://google/2", google_botstuff)]
+
+
 def _mine_batch(batch: pa.Table) -> pa.Table:
     """flat_map: one row per surviving anchor, rank = document order."""
     out = {"doc_id": [], "rank": [], "url": [], "anchor": []}
