@@ -92,13 +92,15 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
 
     qs = entrymod.queries()
     for name in ("exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
-                 "simhash", "knn_cosine", "knn_ivf", "cosine_nn",
-                 "cosine_dup_pairs", "token_count", "quality_score",
+                 "simhash", "simhash_dup_pairs", "dedup_apply",
+                 "knn_cosine", "knn_ivf", "cosine_nn",
+                 "cosine_dup_pairs", "lsh_cosine_pairs", "token_count",
+                 "token_count_bpe", "winnow_fingerprint", "quality_score",
                  "lang_id", "doc_fingerprint", "topk_per_group",
                  "ordered_dedup", "union_sources", "sort_limit",
                  "group_counts", "failure_filter", "windowed_events",
                  "sessionize", "extract_spans", "extract_links",
-                 "media_features"):
+                 "media_features", "search_engine_links"):
         t0 = time.perf_counter()
         _consume(qs[name](sf_dir))
         queries[name] = round(time.perf_counter() - t0, 4)
@@ -203,9 +205,72 @@ def run_scaling() -> dict:
     }
 
 
+def run_spill() -> dict:
+    """Sustained-spill / backpressure evidence: the headline extraction
+    over a corpus several times larger than a deliberately tiny object
+    store (default 200 MiB).  The streaming executor must finish by
+    pipelining + spilling — completion with flat driver RSS is the
+    guard for the 100x-scale claim (payload >> memory).  Reports store
+    size, corpus size, bytes spilled (from Ray's memory summary), and
+    peak driver RSS."""
+    import resource
+
+    import ray
+
+    from webtext.pipelines import run_extraction
+    from webtext.pipelines.bench_corpus import ensure_bench_corpus
+
+    store_mb = int(os.environ.get("WEBTEXT_SPILL_STORE_MB", "200"))
+    n_docs = int(os.environ.get("WEBTEXT_SPILL_DOCS", "120000"))
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             object_store_memory=store_mb << 20)
+    corpus = ensure_bench_corpus(n_docs)
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(corpus, f))
+        for f in os.listdir(corpus) if f.endswith(".parquet"))
+
+    out_dir = f"/tmp/webtext_bench/out-spill-{os.getpid()}"
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    t0 = time.perf_counter()
+    totals = run_extraction(corpus, out_dir, batch_size=128,
+                            concurrency=4, shards_per_round=1000)
+    dt = time.perf_counter() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+
+    spilled_mb = None
+    try:
+        from ray._private.internal_api import memory_summary
+
+        summary = memory_summary(stats_only=True)
+        import re as _re
+
+        m = _re.search(r"Spilled (\d+) MiB", summary)
+        spilled_mb = int(m.group(1)) if m else 0
+    except Exception:  # noqa: BLE001 - diagnostic only
+        pass
+
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "sustained-spill extraction (corpus >> object store)",
+        "value": round(dt, 2),
+        "unit": "sec",
+        "docs": totals["docs"],
+        "docs_per_sec": round(totals["docs"] / dt, 1),
+        "object_store_mb": store_mb,
+        "corpus_parquet_mb": round(corpus_bytes / 2**20, 1),
+        "spilled_mb": spilled_mb,
+        "driver_peak_rss_mb_before": round(rss0 / 1024, 1),
+        "driver_peak_rss_mb_after": round(rss1 / 1024, 1),
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--spill", action="store_true")
     parser.add_argument("--headline-only", action="store_true")
     parser.add_argument("--cpus", type=int, default=None)
     args = parser.parse_args()
@@ -220,6 +285,9 @@ def main() -> None:
         return
     if args.scaling:
         print(json.dumps(run_scaling()))
+        return
+    if args.spill:
+        print(json.dumps(run_spill()))
         return
     print(json.dumps(run_full(sf_dir, num_cpus)))
 

@@ -376,14 +376,25 @@ def lsh_nearest_neighbor_ids(ds, n_planes: int = 5, n_tables: int = 8,
              pa.array(np.full(n, -np.inf))],
             names=["vec_id", "nn_id", "sim"])
 
+    def add_key(batch: pa.Table) -> pa.Table:
+        from .dedup import _ibucket
+
+        ids = batch.column("vec_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.append_column("key", pa.array(_ibucket(ids)))
+
     def pick_best(group: pa.Table) -> pa.Table:
-        nns = np.array(group.column("nn_id").to_pylist(), dtype=np.int64)
-        sims = np.array(group.column("sim").to_pylist(), dtype=np.float64)
-        best = sims.max()
-        cand = nns[sims == best] if np.isfinite(best) else np.array([-1])
+        """Vectorized in-bucket reduce: per vec_id keep (max sim, min
+        nn_id) via lexsort + first-occurrence."""
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        nns = group.column("nn_id").to_numpy(zero_copy_only=False)
+        sims = group.column("sim").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nns, -sims, ids))
+        ids, nns = ids[order], nns[order]
+        uniq, first = np.unique(ids, return_index=True)
         return pa.Table.from_arrays(
-            [pa.array([group.column("vec_id")[0].as_py()], pa.int64()),
-             pa.array([int(cand.min())], pa.int64())],
+            [pa.array(uniq.astype(np.int64)),
+             pa.array(nns[first].astype(np.int64))],
             names=["vec_id", "nn_id"])
 
     bucketed = ds.map_batches(bucket, batch_format="pyarrow",
@@ -393,7 +404,9 @@ def lsh_nearest_neighbor_ids(ds, n_planes: int = 5, n_tables: int = 8,
     partials = partials.union(
         ds.select_columns(["vec_id"]).map_batches(
             fallback, batch_format="pyarrow", zero_copy_batch=True))
-    return partials.groupby("vec_id").map_groups(
+    keyed = partials.map_batches(add_key, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return keyed.groupby("key").map_groups(
         pick_best, batch_format="pyarrow")
 
 

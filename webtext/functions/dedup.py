@@ -79,53 +79,73 @@ def word_jaccard(a: str, b: str) -> tuple[int, int]:
     return len(sa & sb), len(sa | sb)
 
 
+# Shuffle fan-out for every join-by-groupby stage: grouping by
+# hash(key) % N instead of by raw key keeps the group count CONSTANT
+# (not O(rows)), so map_groups pays Python/slice overhead 256 times per
+# shuffle instead of once per doc/pair — the in-bucket work is a dict
+# pass over the same total rows.  At cluster scale, buckets are the
+# partitioning unit; raise N_SHUFFLE_BUCKETS with the cluster size.
+N_SHUFFLE_BUCKETS = 256
+
+
+def _ibucket(a: np.ndarray, n: int = N_SHUFFLE_BUCKETS) -> np.ndarray:
+    """Deterministic hash bucket for int64 keys (Knuth multiplicative,
+    wrap-around is defined int64 overflow)."""
+    with np.errstate(over="ignore"):
+        mixed = a.astype(np.int64) * np.int64(2654435761)
+    return (mixed & np.int64(0x7FFFFFFFFFFFFFFF)) % np.int64(n)
+
+
+def _col_i64(batch: pa.Table, name: str) -> np.ndarray:
+    return batch.column(name).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+
+
 def _pair_text_join(pairs, docs):
     """(left_id, right_id) ⋈ (doc_id, text) without driver
-    materialization: the join-by-groupby pattern.  Every doc emits one
-    text row keyed by its id; every pair emits two stub rows keyed by
-    each member id; a groupby('key') attaches the text to both halves.
-    Texts ride exactly one all-to-all keyed by doc_id — never a
-    broadcast side-table.  Output: (left_id, right_id, side, text), two
-    rows per surviving pair (side 0 = left member's text)."""
+    materialization: the bucketed join-by-groupby pattern.  Every doc
+    emits one text row and every pair two stub rows, all keyed by
+    hash(member_id) % N_SHUFFLE_BUCKETS; one map_groups per bucket
+    attaches texts to stubs via an in-bucket dict.  Texts ride exactly
+    one all-to-all — never a broadcast side-table.  Output: (left_id,
+    right_id, side, text), two rows per pair (side 0 = left's text)."""
 
     def docs_emit(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        neg = pa.array(np.full(n, -1, dtype=np.int64))
+        ids = _col_i64(batch, "doc_id")
+        neg = pa.array(np.full(len(ids), -1, dtype=np.int64))
         return pa.Table.from_arrays(
-            [batch.column("doc_id").cast(pa.int64()), neg, neg,
+            [pa.array(_ibucket(ids)), neg, neg, pa.array(ids),
              batch.column("text")],
-            names=["key", "left_id", "right_id", "text"])
+            names=["key", "left_id", "right_id", "member", "text"])
 
     def pairs_emit(batch: pa.Table) -> pa.Table:
-        left = batch.column("left_id").cast(pa.int64())
-        right = batch.column("right_id").cast(pa.int64())
-        empty = pa.array([""] * batch.num_rows, pa.string())
+        left = _col_i64(batch, "left_id")
+        right = _col_i64(batch, "right_id")
+        empty = pa.array([""] * len(left), pa.string())
 
-        def half(key):
+        def half(member):
             return pa.Table.from_arrays(
-                [key, left, right, empty],
-                names=["key", "left_id", "right_id", "text"])
+                [pa.array(_ibucket(member)), pa.array(left),
+                 pa.array(right), pa.array(member), empty],
+                names=["key", "left_id", "right_id", "member", "text"])
 
         return pa.concat_tables([half(left), half(right)])
 
     def attach(group: pa.Table) -> pa.Table:
-        keys = group.column("key").to_pylist()
         lids = group.column("left_id").to_pylist()
         rids = group.column("right_id").to_pylist()
+        members = group.column("member").to_pylist()
         texts = group.column("text").to_pylist()
-        doc_text = None
-        for lid, t in zip(lids, texts):
-            if lid == -1:
-                doc_text = t
+        by_id = {m: t for lid, m, t in zip(lids, members, texts)
+                 if lid == -1}
         out_l, out_r, out_s, out_t = [], [], [], []
-        if doc_text is not None:
-            for k, lid, rid in zip(keys, lids, rids):
-                if lid == -1:
-                    continue
-                out_l.append(lid)
-                out_r.append(rid)
-                out_s.append(0 if k == lid else 1)
-                out_t.append(doc_text)
+        for lid, rid, m in zip(lids, rids, members):
+            if lid == -1 or m not in by_id:
+                continue
+            out_l.append(lid)
+            out_r.append(rid)
+            out_s.append(0 if m == lid else 1)
+            out_t.append(by_id[m])
         return pa.Table.from_arrays(
             [pa.array(out_l, pa.int64()), pa.array(out_r, pa.int64()),
              pa.array(out_s, pa.int32()), pa.array(out_t, pa.string())],
@@ -138,53 +158,83 @@ def _pair_text_join(pairs, docs):
     return u.groupby("key").map_groups(attach, batch_format="pyarrow")
 
 
+def _pair_bucket(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    return _ibucket(left * np.int64(1_000_003) + right)
+
+
 def _jaccard_verify_pairs(pairs, docs, threshold: float):
     """Verify candidate (left_id, right_id) pairs by word-set Jaccard ≥
-    threshold, texts joined distributively via _pair_text_join."""
+    threshold, texts joined distributively via _pair_text_join; the
+    verify shuffle is bucketed by hash(pair)."""
     joined = _pair_text_join(pairs, docs)
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = _pair_bucket(_col_i64(batch, "left_id"),
+                         _col_i64(batch, "right_id"))
+        return batch.append_column("key", pa.array(b))
+
     def verify(group: pa.Table) -> pa.Table:
-        a = b = None
-        for s, t in zip(group.column("side").to_pylist(),
-                        group.column("text").to_pylist()):
-            if s == 0:
-                a = t
-            else:
-                b = t
+        lids = group.column("left_id").to_pylist()
+        rids = group.column("right_id").to_pylist()
+        sides = group.column("side").to_pylist()
+        texts = group.column("text").to_pylist()
+        halves: dict[tuple[int, int], list] = {}
+        for lid, rid, s, t in zip(lids, rids, sides, texts):
+            slot = halves.setdefault((lid, rid), [None, None])
+            slot[s] = t
         keep_l, keep_r = [], []
-        if a is not None and b is not None:
+        for (lid, rid), (a, b) in sorted(halves.items()):
+            if a is None or b is None:
+                continue
             inter, union = word_jaccard(a, b)
             if union and inter / union >= threshold:
-                keep_l.append(group.column("left_id")[0].as_py())
-                keep_r.append(group.column("right_id")[0].as_py())
+                keep_l.append(lid)
+                keep_r.append(rid)
         return pa.Table.from_arrays(
             [pa.array(keep_l, pa.int64()), pa.array(keep_r, pa.int64())],
             names=["left_id", "right_id"])
 
-    return joined.groupby(["left_id", "right_id"]).map_groups(
-        verify, batch_format="pyarrow")
+    keyed = joined.map_batches(add_bucket, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return keyed.groupby("key").map_groups(verify, batch_format="pyarrow")
 
 
 def minhash_lsh_candidates(ds):
     """Deduplicated candidate pairs from MinHash+LSH banding.  The
-    banding groupby ships (band, hash, id) triples, never documents."""
+    banding groupby ships (band, hash, id) triples, never documents, and
+    is bucketed by hash(band, band_hash) so map_groups runs once per
+    bucket (constant fan-out) with an in-bucket dict grouping the true
+    (band_id, band_hash) cells."""
     bands = ds.map_batches(_band_rows, batch_format="pyarrow",
                            zero_copy_batch=True)
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = _ibucket(_col_i64(batch, "band_hash") * np.int64(31)
+                     + _col_i64(batch, "band_id"))
+        return batch.append_column("bucket", pa.array(b))
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
+        cells: dict[tuple[int, int], set[int]] = {}
+        for did, bid, bh in zip(group.column("doc_id").to_pylist(),
+                                group.column("band_id").to_pylist(),
+                                group.column("band_hash").to_pylist()):
+            cells.setdefault((bid, bh), set()).add(did)
         left, right = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                left.append(ids[i])
-                right.append(ids[j])
+        for cell in sorted(cells):
+            ids = sorted(cells[cell])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    left.append(ids[i])
+                    right.append(ids[j])
         return pa.Table.from_arrays(
             [pa.array(left, pa.int64()), pa.array(right, pa.int64())],
             names=["left_id", "right_id"])
 
-    candidates = bands.groupby(["band_id", "band_hash"]).map_groups(
+    keyed = bands.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    candidates = keyed.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pyarrow")
-    # dedupe candidate pairs found in multiple bands
+    # dedupe candidate pairs found in multiple bands (native aggregate)
     candidates = candidates.groupby(["left_id", "right_id"]).count()
     return candidates.drop_columns(["count()"])
 
@@ -260,30 +310,40 @@ def simhash_dup_pairs(ds, max_hamming: int = 8):
                 bands.append(b)
                 keys.append((u >> (16 * b)) & 0xFFFF)
                 hashes.append(h)
-        return pa.Table.from_arrays(
+        t = pa.Table.from_arrays(
             [pa.array(ids, pa.int64()), pa.array(bands, pa.int32()),
              pa.array(keys, pa.int64()), pa.array(hashes, pa.int64())],
             names=["doc_id", "band_id", "band_key", "simhash"])
+        b = _ibucket(_col_i64(t, "band_key") * np.int64(31)
+                     + _col_i64(t, "band_id"))
+        return t.append_column("bucket", pa.array(b))
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        by_id = dict(zip(group.column("doc_id").to_pylist(),
-                         group.column("simhash").to_pylist()))
-        ids = sorted(by_id)
+        cells: dict[tuple[int, int], dict[int, int]] = {}
+        for did, bid, bk, h in zip(group.column("doc_id").to_pylist(),
+                                   group.column("band_id").to_pylist(),
+                                   group.column("band_key").to_pylist(),
+                                   group.column("simhash").to_pylist()):
+            cells.setdefault((bid, bk), {})[did] = h
         left, right = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a, b = ids[i], ids[j]
-                d = bin((by_id[a] ^ by_id[b]) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming:
-                    left.append(a)
-                    right.append(b)
+        for cell in sorted(cells):
+            by_id = cells[cell]
+            ids = sorted(by_id)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a, b = ids[i], ids[j]
+                    d = bin((by_id[a] ^ by_id[b])
+                            & ((1 << 64) - 1)).count("1")
+                    if d <= max_hamming:
+                        left.append(a)
+                        right.append(b)
         return pa.Table.from_arrays(
             [pa.array(left, pa.int64()), pa.array(right, pa.int64())],
             names=["left_id", "right_id"])
 
     banded = sh.map_batches(band_rows, batch_format="pyarrow",
                             zero_copy_batch=True)
-    pairs = banded.groupby(["band_id", "band_key"]).map_groups(
+    pairs = banded.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pyarrow")
     uniq = pairs.groupby(["left_id", "right_id"]).count()
     return uniq.drop_columns(["count()"])
@@ -316,39 +376,53 @@ def connected_components(pairs, max_iters: int = 50):
                                left.combine_chunks()])],
             names=["src", "dst"])
 
+    # The label/edge state is tiny relative to the corpus (only docs in
+    # dup pairs).  Compact it to a few blocks before iterating: shuffle
+    # cost per round is dominated by per-block task overhead, not bytes.
+    state_blocks = max(2, N_SHUFFLE_BUCKETS // 32)
     edges = pairs.map_batches(bidirect, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
+                              zero_copy_batch=True) \
+        .repartition(state_blocks).materialize()
 
     nodes = edges.groupby("src").count().drop_columns(["count()"])
     labels = nodes.map_batches(
         lambda b: pa.Table.from_arrays(
             [b.column("src"), b.column("src")], names=["node", "label"]),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .repartition(state_blocks).materialize()
 
     def lab_emit(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+        nodes = _col_i64(batch, "node")
+        neg = pa.array(np.full(len(nodes), -1, dtype=np.int64))
         return pa.Table.from_arrays(
-            [batch.column("node"),
-             pa.array(np.full(n, -1, dtype=np.int64)),
+            [pa.array(_ibucket(nodes)), pa.array(nodes), neg,
              batch.column("label")],
-            names=["key", "dst", "label"])
+            names=["key", "node", "dst", "label"])
 
     def edge_emit(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+        srcs = _col_i64(batch, "src")
+        neg = pa.array(np.full(len(srcs), -1, dtype=np.int64))
         return pa.Table.from_arrays(
-            [batch.column("src"), batch.column("dst"),
-             pa.array(np.full(n, -1, dtype=np.int64))],
-            names=["key", "dst", "label"])
+            [pa.array(_ibucket(srcs)), pa.array(srcs),
+             batch.column("dst"), neg],
+            names=["key", "node", "dst", "label"])
 
     def spread(group: pa.Table) -> pa.Table:
+        nodes = group.column("node").to_pylist()
         dsts = group.column("dst").to_pylist()
         labs = group.column("label").to_pylist()
-        key = group.column("key")[0].as_py()
-        label = min(l for d, l in zip(dsts, labs) if d == -1)
-        out_nodes = [key] + [d for d in dsts if d != -1]
+        label_of = {n: l for n, d, l in zip(nodes, dsts, labs) if d == -1}
+        out_nodes, out_cands = [], []
+        for n, l in label_of.items():            # node keeps its label
+            out_nodes.append(n)
+            out_cands.append(l)
+        for n, d in zip(nodes, dsts):            # label flows to neighbor
+            if d != -1 and n in label_of:
+                out_nodes.append(d)
+                out_cands.append(label_of[n])
         return pa.Table.from_arrays(
             [pa.array(out_nodes, pa.int64()),
-             pa.array([label] * len(out_nodes), pa.int64())],
+             pa.array(out_cands, pa.int64())],
             names=["node", "cand"])
 
     prev_sum = None
@@ -360,7 +434,8 @@ def connected_components(pairs, max_iters: int = 50):
         msgs = u.groupby("key").map_groups(spread, batch_format="pyarrow")
         labels = msgs.groupby("node").min("cand").map_batches(
             lambda b: b.rename_columns(["node", "label"]),
-            batch_format="pyarrow", zero_copy_batch=True).materialize()
+            batch_format="pyarrow", zero_copy_batch=True) \
+            .repartition(state_blocks).materialize()
         s = labels.aggregate(Sum("label"))["sum(label)"]
         if s == prev_sum:
             return labels
@@ -383,35 +458,33 @@ def dedup_apply(ds, threshold: float = 0.5):
     labels = connected_components(pairs)
 
     def drop_emit(batch: pa.Table) -> pa.Table:
-        mask = pc.not_equal(batch.column("node"),
-                                    batch.column("label"))
+        mask = pc.not_equal(batch.column("node"), batch.column("label"))
         dropped = batch.filter(mask)
-        n = dropped.num_rows
+        ids = _col_i64(dropped, "node")
         return pa.Table.from_arrays(
-            [dropped.column("node"),
-             pa.array([""] * n, pa.string()),
-             pa.array(np.ones(n, dtype=np.int8))],
-            names=["key", "text", "is_drop"])
+            [pa.array(_ibucket(ids)), pa.array(ids),
+             pa.array([""] * len(ids), pa.string()),
+             pa.array(np.ones(len(ids), dtype=np.int8))],
+            names=["key", "doc_id", "text", "is_drop"])
 
     def doc_emit(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+        ids = _col_i64(batch, "doc_id")
         return pa.Table.from_arrays(
-            [batch.column("doc_id").cast(pa.int64()),
+            [pa.array(_ibucket(ids)), pa.array(ids),
              batch.column("text"),
-             pa.array(np.zeros(n, dtype=np.int8))],
-            names=["key", "text", "is_drop"])
+             pa.array(np.zeros(len(ids), dtype=np.int8))],
+            names=["key", "doc_id", "text", "is_drop"])
 
     def keep(group: pa.Table) -> pa.Table:
-        drops = group.column("is_drop").to_pylist()
-        if any(drops):
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.string())],
-                names=["doc_id", "text"])
-        keep_rows = group.filter(
-            pc.equal(group.column("is_drop"),
-                             pa.scalar(0, pa.int8())))
+        """Vectorized in-bucket anti-join: drop docs whose id appears in
+        the bucket's dropped set."""
+        drops = group.column("is_drop").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        dropped_ids = ids[drops == 1]
+        mask = (drops == 0) & ~np.isin(ids, dropped_ids)
+        kept = group.filter(pa.array(mask))
         return pa.Table.from_arrays(
-            [keep_rows.column("key"), keep_rows.column("text")],
+            [kept.column("doc_id"), kept.column("text")],
             names=["doc_id", "text"])
 
     u = ds.select_columns(["doc_id", "text"]).map_batches(
@@ -436,43 +509,46 @@ def ngram_jaccard_pairs(ds, min_inter_x10_per_union: int = 3):
     """
 
     def emit(batch: pa.Table) -> pa.Table:
-        keys, roles, ids, texts = [], [], [], []
-        for did, text in zip(batch.column("doc_id").to_pylist(),
-                             batch.column("text").to_pylist()):
-            keys.append(did); roles.append("L"); ids.append(did)
-            texts.append(text)
-            keys.append(did - 1); roles.append("R"); ids.append(did)
-            texts.append(text)
+        ids = _col_i64(batch, "doc_id")
+        keys = np.concatenate([ids, ids - 1])
+        roles = np.concatenate([np.zeros(len(ids), dtype=np.int8),
+                                np.ones(len(ids), dtype=np.int8)])
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
         return pa.Table.from_arrays(
-            [pa.array(keys, pa.int64()), pa.array(roles, pa.string()),
-             pa.array(ids, pa.int64()), pa.array(texts, pa.string())],
-            names=["pair_key", "role", "doc_id", "text"])
+            [pa.array(_ibucket(keys)), pa.array(keys),
+             pa.array(roles), pa.array(np.concatenate([ids, ids])),
+             pa.concat_arrays([text, text])],
+            names=["bucket", "pair_key", "role", "doc_id", "text"])
 
     def join_group(group: pa.Table) -> pa.Table:
-        left = right = None
-        for role, did, text in zip(group.column("role").to_pylist(),
-                                   group.column("doc_id").to_pylist(),
-                                   group.column("text").to_pylist()):
-            if role == "L":
-                left = (did, text)
-            else:
-                right = (did, text)
-        empty = pa.Table.from_arrays(
-            [pa.array([], pa.int64())] * 4,
-            names=["left_id", "right_id", "inter_n", "union_n"])
-        if left is None or right is None:
-            return empty
-        inter, union = word_jaccard(left[1], right[1])
-        if inter * 10 < union * min_inter_x10_per_union:
-            return empty
+        cells: dict[int, list] = {}
+        for pk, role, did, text in zip(
+                group.column("pair_key").to_pylist(),
+                group.column("role").to_pylist(),
+                group.column("doc_id").to_pylist(),
+                group.column("text").to_pylist()):
+            cells.setdefault(pk, [None, None])[role] = (did, text)
+        out = {k: [] for k in ("left_id", "right_id", "inter_n",
+                               "union_n")}
+        for pk in sorted(cells):
+            left, right = cells[pk]
+            if left is None or right is None:
+                continue
+            inter, union = word_jaccard(left[1], right[1])
+            if inter * 10 < union * min_inter_x10_per_union:
+                continue
+            out["left_id"].append(left[0])
+            out["right_id"].append(right[0])
+            out["inter_n"].append(inter)
+            out["union_n"].append(union)
         return pa.Table.from_arrays(
-            [pa.array([left[0]], pa.int64()),
-             pa.array([right[0]], pa.int64()),
-             pa.array([inter], pa.int64()),
-             pa.array([union], pa.int64())],
+            [pa.array(out[k], pa.int64()) for k in
+             ("left_id", "right_id", "inter_n", "union_n")],
             names=["left_id", "right_id", "inter_n", "union_n"])
 
     emitted = ds.map_batches(emit, batch_format="pyarrow",
                              zero_copy_batch=True)
-    return emitted.groupby("pair_key").map_groups(
+    return emitted.groupby("bucket").map_groups(
         join_group, batch_format="pyarrow")
