@@ -258,6 +258,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "dedup_apply": lambda sf: dedup.dedup_apply(
             _docs_cols(sf, ["doc_id", "text"])),
+        "exact_dedup_hashed": lambda sf: dedup.exact_dedup_hashed(
+            _docs_cols(sf, ["doc_id", "text"])),
+        "dedup_apply_emb": lambda sf: ann.dedup_apply_embeddings(
+            _emb(sf), 0.4),
         "cosine_dup_pairs": lambda sf: ann.cosine_dup_pairs(_emb(sf), 0.4),
         # similarity search
         "knn_cosine": knn,
@@ -306,12 +310,15 @@ def oracle_sql() -> dict[str, str]:
             "simhash_dup_pairs", "dedup_apply", "knn_ivf",
             "winnow_fingerprint", "lsh_cosine_pairs", "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
-            "search_engine_links")
+            "search_engine_links", "dedup_apply_emb")
     }
     return gold | {
         "exact_dedup":
             "SELECT min(doc_id) AS doc_id, text FROM documents "
             "GROUP BY text",
+        "exact_dedup_hashed":
+            "SELECT min(doc_id) AS doc_id, md5(text) AS fp "
+            "FROM documents GROUP BY fp",
         "ngram_jaccard_pairs": f"""
             SELECT * FROM (
               SELECT a.doc_id AS left_id, b.doc_id AS right_id,

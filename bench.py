@@ -93,6 +93,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     qs = entrymod.queries()
     for name in ("exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
                  "simhash", "simhash_dup_pairs", "dedup_apply",
+                 "exact_dedup_hashed", "dedup_apply_emb",
                  "knn_cosine", "knn_ivf", "cosine_nn",
                  "cosine_dup_pairs", "lsh_cosine_pairs", "token_count",
                  "token_count_bpe", "winnow_fingerprint", "quality_score",
@@ -220,10 +221,24 @@ def run_spill() -> dict:
     from webtext.pipelines import run_extraction
     from webtext.pipelines.bench_corpus import ensure_bench_corpus
 
+    def spilled_bytes() -> int:
+        import glob
+
+        tot = 0
+        for p in glob.glob("/tmp/ray/**/ray_spilled_objects_*/**",
+                           recursive=True):
+            if os.path.isfile(p):
+                try:
+                    tot += os.path.getsize(p)
+                except OSError:
+                    pass
+        return tot
+
     store_mb = int(os.environ.get("WEBTEXT_SPILL_STORE_MB", "200"))
     n_docs = int(os.environ.get("WEBTEXT_SPILL_DOCS", "120000"))
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              object_store_memory=store_mb << 20)
+    spill0 = spilled_bytes()
     corpus = ensure_bench_corpus(n_docs)
     corpus_bytes = sum(
         os.path.getsize(os.path.join(corpus, f))
@@ -231,23 +246,20 @@ def run_spill() -> dict:
 
     out_dir = f"/tmp/webtext_bench/out-spill-{os.getpid()}"
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    rebalance = os.environ.get("WEBTEXT_SPILL_REBALANCE", "") == "1"
     t0 = time.perf_counter()
+    # rebalance=True inserts the salted-domain all-to-all, which holds
+    # every block of the round in the object store at once — the forced
+    # spill case; the default streaming path is bounded by backpressure
+    # and typically completes with ZERO spill even when the corpus is
+    # larger than the store.
     totals = run_extraction(corpus, out_dir, batch_size=128,
-                            concurrency=4, shards_per_round=1000)
+                            concurrency=4, shards_per_round=1000,
+                            rebalance=rebalance)
     dt = time.perf_counter() - t0
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
 
-    spilled_mb = None
-    try:
-        from ray._private.internal_api import memory_summary
-
-        summary = memory_summary(stats_only=True)
-        import re as _re
-
-        m = _re.search(r"Spilled (\d+) MiB", summary)
-        spilled_mb = int(m.group(1)) if m else 0
-    except Exception:  # noqa: BLE001 - diagnostic only
-        pass
+    spilled_mb = round((spilled_bytes() - spill0) / 2**20, 1)
 
     import shutil
 
@@ -259,6 +271,7 @@ def run_spill() -> dict:
         "unit": "sec",
         "docs": totals["docs"],
         "docs_per_sec": round(totals["docs"] / dt, 1),
+        "rebalance_all_to_all": rebalance,
         "object_store_mb": store_mb,
         "corpus_parquet_mb": round(corpus_bytes / 2**20, 1),
         "spilled_mb": spilled_mb,

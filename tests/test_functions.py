@@ -268,3 +268,25 @@ def test_media_features_plumbing(ray_session):
     for f in feats:
         assert f["kind"] == "media"
         assert f["n_frames"] >= 1
+
+
+def test_exact_dedup_hashed_matches_text_dedup(ray_session, docs_ds):
+    by_text = {(r["doc_id"]) for r in dedup.exact_dedup(docs_ds).take_all()}
+    by_hash = {(r["doc_id"]) for r in
+               dedup.exact_dedup_hashed(docs_ds).take_all()}
+    assert by_text == by_hash          # md5 keying must pick same winners
+
+
+def test_dedup_apply_embeddings_survivors(ray_session, emb_ds):
+    surv = ann.dedup_apply_embeddings(emb_ds, 0.4).take_all()
+    ids = sorted(r["vec_id"] for r in surv)
+    assert ids and len(ids) == len(set(ids))
+    # every dropped vector belongs to some cluster whose min-id survived:
+    pairs = ann.lsh_cosine_dup_pairs(emb_ds, 0.4).take_all()
+    labels = {r["node"]: r["label"] for r in dedup.connected_components(
+        __import__("ray").data.from_items(
+            [{"left_id": p["left_id"], "right_id": p["right_id"]}
+             for p in pairs])).take_all()}
+    dropped = {n for n, l in labels.items() if n != l}
+    assert set(ids).isdisjoint(dropped)
+    assert {l for l in labels.values()} <= set(ids) | dropped

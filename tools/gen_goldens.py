@@ -329,6 +329,18 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
         {"left_id": pa.array([p[0] for p in lc], pa.int64()),
          "right_id": pa.array([p[1] for p in lc], pa.int64())})
 
+    vids, vlabels, _vmat = emb_matrix(sf_dir)
+    uf_e = UnionFind()
+    for a, b in lc:
+        uf_e.union(a, b)
+    dropped_e = {x for x in uf_e.p if uf_e.find(x) != x}
+    keep_mask = [int(v) not in dropped_e for v in vids]
+    g["dedup_apply_emb"] = pa.table(
+        {"vec_id": pa.array([int(v) for v, k in zip(vids, keep_mask)
+                             if k], pa.int64()),
+         "label": pa.array([int(l) for l, k in zip(vlabels, keep_mask)
+                            if k], pa.int32())})
+
     # -- extraction surface (oracle over the deterministic synth corpus)
     res42 = oracle_results(n_fam, seed=42)
     g["extract_spans"] = pa.Table.from_pydict(

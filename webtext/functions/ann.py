@@ -410,6 +410,53 @@ def lsh_nearest_neighbor_ids(ds, n_planes: int = 5, n_tables: int = 8,
         pick_best, batch_format="pyarrow")
 
 
+def dedup_apply_embeddings(ds, threshold: float = 0.4):
+    """Corpus-level embedding near-dup REMOVAL: LSH cosine pairs →
+    distributed connected components → keep the min-vec_id
+    representative of each cluster.  Bucketed anti-join, same shape as
+    dedup.dedup_apply.  Returns surviving (vec_id, label) rows."""
+    from .dedup import _ibucket, connected_components
+
+    pairs = lsh_cosine_dup_pairs(ds, threshold)
+    labels = connected_components(pairs)
+
+    def drop_emit(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dropped = batch.filter(
+            pc.not_equal(batch.column("node"), batch.column("label")))
+        ids = dropped.column("node").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ids)), pa.array(ids.astype(np.int64)),
+             pa.array(np.zeros(len(ids), dtype=np.int32)),
+             pa.array(np.ones(len(ids), dtype=np.int8))],
+            names=["key", "vec_id", "label", "is_drop"])
+
+    def vec_emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ids)), pa.array(ids),
+             batch.column("label"),
+             pa.array(np.zeros(len(ids), dtype=np.int8))],
+            names=["key", "vec_id", "label", "is_drop"])
+
+    def keep(group: pa.Table) -> pa.Table:
+        drops = group.column("is_drop").to_numpy(zero_copy_only=False)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = (drops == 0) & ~np.isin(ids, ids[drops == 1])
+        kept = group.filter(pa.array(mask))
+        return pa.Table.from_arrays(
+            [kept.column("vec_id"), kept.column("label")],
+            names=["vec_id", "label"])
+
+    u = ds.select_columns(["vec_id", "label"]).map_batches(
+        vec_emit, batch_format="pyarrow", zero_copy_batch=True).union(
+        labels.map_batches(drop_emit, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    return u.groupby("key").map_groups(keep, batch_format="pyarrow")
+
+
 def nearest_neighbor_ids(ds, exact_max_rows: int = EXACT_MAX_ROWS):
     """(vec_id, nn_id): exact nearest neighbor of every vector — the
     id-only output the SQL cross-join oracle can replicate.

@@ -258,6 +258,30 @@ def exact_dedup(ds):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def exact_dedup_hashed(ds):
+    """The 100 TB-shaped exact dedup: group on an md5 content
+    fingerprint so the all-to-all ships 32-hex-byte keys instead of
+    document payloads; winner = min doc_id per fingerprint.  Returns
+    (doc_id, fp) — payload resolution is a later pruned read or a
+    _pair_text_join against the survivor ids."""
+    import hashlib
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+               for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(fps, pa.string())],
+            names=["doc_id", "fp"])
+
+    fps = ds.map_batches(fp_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    agg = fps.groupby("fp").min("doc_id")
+    return agg.map_batches(
+        lambda b: b.rename_columns(["fp", "doc_id"]).select(
+            ["doc_id", "fp"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
