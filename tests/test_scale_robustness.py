@@ -84,3 +84,47 @@ def test_many_spans_document():
     r = extract_document("https://many.example.com/d", spans)
     assert r.status == "ok"
     assert len(r.spans) == 200
+
+
+# -- block-split invariance: distributed ops must give identical results
+# regardless of how the input is partitioned (the property that makes
+# single-node answers transfer to a 256-node cluster)
+
+def _pairs_set(ds_result):
+    return {(r["left_id"], r["right_id"]) for r in ds_result.take_all()}
+
+
+def test_dedup_ops_invariant_under_repartition(ray_session):
+    import ray.data
+
+    from webtext.functions import dedup
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"])
+    for k in (3, 11):
+        split = ds.repartition(k)
+        assert _pairs_set(dedup.minhash_lsh_pairs(split)) \
+            == _pairs_set(dedup.minhash_lsh_pairs(ds))
+        assert _pairs_set(dedup.simhash_dup_pairs(split)) \
+            == _pairs_set(dedup.simhash_dup_pairs(ds))
+    surv_a = sorted(r["doc_id"]
+                    for r in dedup.dedup_apply(ds).take_all())
+    surv_b = sorted(r["doc_id"]
+                    for r in dedup.dedup_apply(ds.repartition(7)).take_all())
+    assert surv_a == surv_b
+
+
+def test_ann_ops_invariant_under_repartition(ray_session):
+    import ray.data
+
+    from webtext.functions import ann
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    split = ds.repartition(9)
+    assert _pairs_set(ann.lsh_cosine_dup_pairs(ds, 0.4)) \
+        == _pairs_set(ann.lsh_cosine_dup_pairs(split, 0.4))
+    q = ann.get_query_vector(ds, 0)
+    a = [r["vec_id"] for r in ann.knn_ivf(ds, q, k=10).take_all()]
+    b = [r["vec_id"] for r in ann.knn_ivf(split, q, k=10).take_all()]
+    assert a == b       # fixed-point k-means ⇒ identical probe/topk
