@@ -129,3 +129,12 @@ def test_output_partitioned_by_shard(ray_session, small_corpus_dir,
     ds = pads.dataset(round_dir, partitioning="hive")
     names = set(ds.schema.names)
     assert "shard" in names and "spans" in names
+
+
+def test_read_documents_lance_seam_raises_cleanly():
+    import pytest
+
+    from webtext.sources.io import read_documents_lance
+
+    with pytest.raises(ImportError, match="lance is not installed"):
+        read_documents_lance("/tmp/nonexistent.lance")

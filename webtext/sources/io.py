@@ -29,3 +29,23 @@ def read_documents(paths, *, override_num_blocks=None):
         kwargs["override_num_blocks"] = override_num_blocks
     return ray.data.read_parquet(paths, columns=["doc_id", "spans"],
                                  **kwargs)
+
+
+def read_documents_lance(uri: str, **kwargs):
+    """Production reader per BASELINE.json input_hint:
+    ``ray.data.read_lance`` with the same (doc_id, spans) pruning.
+
+    DEPLOYMENT SEAM — this container ships no ``lance`` wheel, so this
+    raises ImportError here; in production it is a drop-in replacement
+    for ``read_documents`` (same schema contract, fragment-granular
+    resumability maps to Lance fragments)."""
+    import ray.data
+
+    try:
+        import lance  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "lance is not installed in this environment; use "
+            "read_documents (parquet fragments) — the tested stand-in "
+            "with the same layout contract") from e
+    return ray.data.read_lance(uri, columns=["doc_id", "spans"], **kwargs)
