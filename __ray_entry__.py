@@ -189,6 +189,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               _committed_run(sf_dir, seed=43))
         return flatten_spans(u)
 
+    def timeout_ids_q(sf_dir):
+        """A2 timeout collect-aggregate: the timeout-sentinel doc ids
+        from a committed run (the warning-preamble id list)."""
+        from webtext.pipelines.extract_pipeline import read_output
+
+        return read_output(_committed_run(sf_dir),
+                           statuses=("timeout",)) \
+            .select_columns(["doc_id", "status"])
+
     def scan_errors_q(sf_dir):
         """E15 retro error scan of kept output (clean corpus → 0 rows;
         the check pins schema + emptiness).  The repair list is bounded
@@ -245,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "read_rejects": rejects_q,
         "integrate_outputs": integrate_q,
         "scan_output_for_errors": scan_errors_q,
+        "timeout_ids": timeout_ids_q,
         # corpus-level dedup
         "exact_dedup": lambda sf: dedup.exact_dedup(
             _docs_cols(sf, ["doc_id", "text"])),
@@ -310,7 +320,7 @@ def oracle_sql() -> dict[str, str]:
             "simhash_dup_pairs", "dedup_apply", "knn_ivf",
             "winnow_fingerprint", "lsh_cosine_pairs", "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
-            "search_engine_links", "dedup_apply_emb")
+            "search_engine_links", "dedup_apply_emb", "timeout_ids")
     }
     return gold | {
         "exact_dedup":

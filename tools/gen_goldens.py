@@ -409,6 +409,11 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
         ("doc_id", pa.string()), ("status", pa.string()),
         ("messages_joined", pa.string())]))
 
+    tids = sorted(r.doc_id for _d, r in res42 if r.status == "timeout")
+    g["timeout_ids"] = pa.table(
+        {"doc_id": pa.array(tids, pa.string()),
+         "status": pa.array(["timeout"] * len(tids), pa.string())})
+
     res43 = oracle_results(n_fam, seed=43)
     kept = ("ok", "timeout")
     both = {k: v + flat_span_rows(res43, kept)[k]
