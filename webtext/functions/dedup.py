@@ -199,12 +199,16 @@ def _jaccard_verify_pairs(pairs, docs, threshold: float):
     return keyed.groupby("key").map_groups(verify, batch_format="pyarrow")
 
 
-def minhash_lsh_candidates(ds):
-    """Deduplicated candidate pairs from MinHash+LSH banding.  The
-    banding groupby ships (band, hash, id) triples, never documents, and
-    is bucketed by hash(band, band_hash) so map_groups runs once per
-    bucket (constant fan-out) with an in-bucket dict grouping the true
-    (band_id, band_hash) cells."""
+def minhash_lsh_candidates(ds, dedupe: bool = True):
+    """Candidate pairs from MinHash+LSH banding.  The banding groupby
+    ships (band, hash, id) triples, never documents, and is bucketed by
+    hash(band, band_hash) so map_groups runs once per bucket (constant
+    fan-out) with an in-bucket dict grouping the true (band_id,
+    band_hash) cells.
+
+    ``dedupe=False`` skips the cross-band uniq aggregate (one whole
+    all-to-all): callers whose downstream stage already collapses
+    duplicate pairs (the verify join's per-pair dict) take that path."""
     bands = ds.map_batches(_band_rows, batch_format="pyarrow",
                            zero_copy_batch=True)
 
@@ -234,6 +238,8 @@ def minhash_lsh_candidates(ds):
                               zero_copy_batch=True)
     candidates = keyed.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pyarrow")
+    if not dedupe:
+        return candidates
     # dedupe candidate pairs found in multiple bands (native aggregate)
     candidates = candidates.groupby(["left_id", "right_id"]).count()
     return candidates.drop_columns(["count()"])
@@ -245,8 +251,13 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5):
     Fully distributed: banding → bucket groupby → candidate pairs →
     Jaccard verify, where the verify texts are shuffle-joined to the
     candidates (``_pair_text_join``) instead of broadcasting a
-    driver-side {id: text} table (the round-1 scale-killer)."""
-    return _jaccard_verify_pairs(minhash_lsh_candidates(ds), ds, threshold)
+    driver-side {id: text} table (the round-1 scale-killer).  Cross-band
+    duplicate candidates are collapsed by the verify join itself (its
+    pair-keyed dict), so the standalone uniq aggregate is skipped — one
+    fewer all-to-all; duplicate stubs ride the join at worst BANDS
+    times per true pair."""
+    return _jaccard_verify_pairs(
+        minhash_lsh_candidates(ds, dedupe=False), ds, threshold)
 
 
 def exact_dedup(ds):
