@@ -290,6 +290,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "winnow_fingerprint": lambda sf: textstats.winnow(
             _docs_cols(sf, ["doc_id", "text"])),
+        "sample_by_hash": lambda sf: textstats.sample_by_hash(
+            _docs_cols(sf, ["doc_id", "text"]), 512, "s0"),
+        "pack_sequences": lambda sf: textstats.pack_sequences(
+            _docs_cols(sf, ["doc_id", "text"])),
         "lsh_cosine_pairs": lambda sf: ann.lsh_cosine_dup_pairs(
             _emb(sf), 0.4),
         # event-stream windows (beyond the reference: time-windowed ops)
@@ -320,7 +324,8 @@ def oracle_sql() -> dict[str, str]:
             "simhash_dup_pairs", "dedup_apply", "knn_ivf",
             "winnow_fingerprint", "lsh_cosine_pairs", "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
-            "search_engine_links", "dedup_apply_emb", "timeout_ids")
+            "search_engine_links", "dedup_apply_emb", "timeout_ids",
+            "pack_sequences")
     }
     return gold | {
         "exact_dedup":
@@ -387,6 +392,9 @@ def oracle_sql() -> dict[str, str]:
             ) c""",
         "doc_fingerprint":
             "SELECT doc_id, md5(text) AS fp FROM documents",
+        "sample_by_hash":
+            "SELECT doc_id, text FROM documents WHERE "
+            "substr(md5(CAST(doc_id AS VARCHAR) || 's0'), 1, 3) < '200'",
         "token_count_bpe":
             "SELECT doc_id, len(regexp_extract_all(text, "
             "' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))::BIGINT "

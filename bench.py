@@ -96,7 +96,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "exact_dedup_hashed", "dedup_apply_emb",
                  "knn_cosine", "knn_ivf", "cosine_nn",
                  "cosine_dup_pairs", "lsh_cosine_pairs", "token_count",
-                 "token_count_bpe", "winnow_fingerprint", "quality_score",
+                 "token_count_bpe", "winnow_fingerprint", "sample_by_hash",
+                 "pack_sequences", "quality_score",
                  "lang_id", "doc_fingerprint", "topk_per_group",
                  "ordered_dedup", "union_sources", "sort_limit",
                  "group_counts", "failure_filter", "windowed_events",

@@ -290,3 +290,35 @@ def test_dedup_apply_embeddings_survivors(ray_session, emb_ds):
     dropped = {n for n, l in labels.items() if n != l}
     assert set(ids).isdisjoint(dropped)
     assert {l for l in labels.values()} <= set(ids) | dropped
+
+
+def test_sample_by_hash_deterministic_and_salted(ray_session, docs_ds):
+    a = sorted(r["doc_id"] for r in
+               textstats.sample_by_hash(docs_ds, 512, "s0").take_all())
+    b = sorted(r["doc_id"] for r in
+               textstats.sample_by_hash(docs_ds, 512, "s0").take_all())
+    assert a == b and 0 < len(a) < 500       # ~1/8 of 500
+    c = sorted(r["doc_id"] for r in
+               textstats.sample_by_hash(docs_ds, 512, "other").take_all())
+    assert a != c                            # salt changes the subset
+    full = sorted(r["doc_id"] for r in
+                  textstats.sample_by_hash(docs_ds, 4096, "s0").take_all())
+    assert len(full) == 500                  # keep-all threshold
+
+
+def test_pack_sequences_budget_and_invariance(ray_session, docs_ds):
+    rows = textstats.pack_sequences(docs_ds, token_budget=256).take_all()
+    assert len(rows) == 500                  # every doc packed once
+    from collections import defaultdict
+    totals = defaultdict(int)
+    for r in rows:
+        totals[(r["bucket"], r["pack_id"])] += r["n_tokens"]
+    for (b, p), tot in totals.items():
+        # packs respect the budget unless a single oversized doc owns it
+        members = [r for r in rows
+                   if (r["bucket"], r["pack_id"]) == (b, p)]
+        assert tot <= 256 or len(members) == 1
+    again = textstats.pack_sequences(
+        docs_ds.repartition(7), token_budget=256).take_all()
+    key = lambda r: (r["bucket"], r["pack_id"], r["doc_id"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))

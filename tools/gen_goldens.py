@@ -318,6 +318,30 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
         {"doc_id": pa.array([d for d, _ in keep], pa.int64()),
          "text": pa.array([x for _, x in keep], pa.string())})
 
+    # sequence packing: hash-bucket (Knuth multiplicative, 64 buckets)
+    # then first-fit-sequential in doc_id order, budget 256 tokens
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    for did, text in zip(ids, texts):
+        b = ((did * 2654435761) & 0x7FFFFFFFFFFFFFFF) % 64
+        buckets.setdefault(b, []).append((did, len(text.split(" "))))
+    prow = {"bucket": [], "pack_id": [], "doc_id": [], "n_tokens": []}
+    for b in sorted(buckets):
+        cur_id, cur_tot = 0, 0
+        for did, n in sorted(buckets[b]):
+            if cur_tot and cur_tot + n > 256:
+                cur_id += 1
+                cur_tot = 0
+            cur_tot += n
+            prow["bucket"].append(b)
+            prow["pack_id"].append(cur_id)
+            prow["doc_id"].append(did)
+            prow["n_tokens"].append(n)
+    g["pack_sequences"] = pa.Table.from_pydict(
+        prow, schema=pa.schema([("bucket", pa.int64()),
+                                ("pack_id", pa.int64()),
+                                ("doc_id", pa.int64()),
+                                ("n_tokens", pa.int64())]))
+
     # -- embeddings ops
     kids, klabels = golden_knn_ivf(sf_dir)
     g["knn_ivf"] = pa.table(

@@ -175,6 +175,84 @@ def winnow_batch(batch: pa.Table) -> pa.Table:
         names=["doc_id", "n_fps", "min_fp", "max_fp"])
 
 
+def sample_by_hash_batch(batch: pa.Table, keep_of_4096: int,
+                         salt: str) -> pa.Table:
+    """Deterministic content-addressed sampling filter: keep a row iff
+    int(md5(str(doc_id) + salt)[:3], 16) < keep_of_4096.  Same predicate
+    is exactly expressible in SQL (fixed-width lowercase hex compares
+    lexicographically = numerically), so train/val splits and sampled
+    eval sets are reproducible across engines and cluster sizes."""
+    thresh = format(keep_of_4096, "03x")
+    keep = [hashlib.md5((str(d) + salt).encode()).hexdigest()[:3] < thresh
+            for d in batch.column("doc_id").to_pylist()]
+    return batch.filter(pa.array(keep))
+
+
+def sample_by_hash(ds, keep_of_4096: int = 512, salt: str = "s0"):
+    """Deterministic ~(keep_of_4096/4096) sample of the corpus.
+    ``keep_of_4096`` must be in [0, 4096]; 4096 keeps everything (the
+    fixed-width hex compare only encodes thresholds below 0x1000)."""
+    if keep_of_4096 >= 4096:
+        return ds
+    return ds.map_batches(
+        lambda b: sample_by_hash_batch(b, keep_of_4096, salt),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+PACK_TOKEN_BUDGET = 256
+
+
+def pack_sequences(ds, token_budget: int = PACK_TOKEN_BUDGET,
+                   n_buckets: int = 64):
+    """Greedy sequence packing for LLM training batches: assign docs to
+    packs so each pack's whitespace-token total stays ≤ token_budget
+    (oversized docs get a pack of their own).
+
+    Deterministic and partition-independent: docs hash-bucket by doc_id
+    (constant shuffle fan-out), then pack within each bucket in doc_id
+    order, first-fit-sequential.  Output (bucket, pack_id, doc_id,
+    n_tokens) — pack_id is bucket-local, so (bucket, pack_id) is the
+    global pack key."""
+    import numpy as np
+
+    def emit(batch: pa.Table) -> pa.Table:
+        from .dedup import _ibucket
+
+        ids = batch.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = pc.list_value_length(_tokens(batch)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ids, n_buckets)), pa.array(ids),
+             pa.array(n)],
+            names=["bucket", "doc_id", "n_tokens"])
+
+    def pack(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids, toks = ids[order], toks[order]
+        bucket = group.column("bucket")[0].as_py()
+        pack_ids, cur_id, cur_tot = [], 0, 0
+        for t in toks:
+            if cur_tot and cur_tot + t > token_budget:
+                cur_id += 1
+                cur_tot = 0
+            cur_tot += int(t)
+            pack_ids.append(cur_id)
+        n_rows = len(ids)
+        return pa.Table.from_arrays(
+            [pa.array([bucket] * n_rows, pa.int64()),
+             pa.array(pack_ids, pa.int64()),
+             pa.array(ids.astype(np.int64)),
+             pa.array(toks.astype(np.int64))],
+            names=["bucket", "pack_id", "doc_id", "n_tokens"])
+
+    return ds.map_batches(emit, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("bucket").map_groups(pack, batch_format="pyarrow")
+
+
 # -- dataset-level wrappers -------------------------------------------------
 
 def token_count(ds):
