@@ -292,6 +292,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "sample_by_hash": lambda sf: textstats.sample_by_hash(
             _docs_cols(sf, ["doc_id", "text"]), 512, "s0"),
+        "corpus_filter": lambda sf: dedup.exact_dedup(
+            textstats.corpus_quality_filter(
+                _docs_cols(sf, ["doc_id", "text"]))),
         "pack_sequences": lambda sf: textstats.pack_sequences(
             _docs_cols(sf, ["doc_id", "text"])),
         "lsh_cosine_pairs": lambda sf: ann.lsh_cosine_dup_pairs(
@@ -395,6 +398,29 @@ def oracle_sql() -> dict[str, str]:
         "sample_by_hash":
             "SELECT doc_id, text FROM documents WHERE "
             "substr(md5(CAST(doc_id AS VARCHAR) || 's0'), 1, 3) < '200'",
+        "corpus_filter": f"""
+            WITH feat AS (
+              SELECT doc_id, text,
+                len(string_split(text,' '))::BIGINT AS n_tokens,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN {_EN}))::BIGINT AS n_stop,
+                len(list_distinct(string_split(text,' ')))::BIGINT
+                    AS n_uniq,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN {_ES}))::BIGINT AS c_es,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN {_DE}))::BIGINT AS c_de,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN {_FR}))::BIGINT AS c_fr
+              FROM documents),
+            kept AS (
+              SELECT * FROM feat
+              WHERE n_stop > 0 AND n_stop >= c_es AND n_stop >= c_de
+                AND n_stop >= c_fr
+                AND n_tokens >= 10 AND n_stop * 50 >= n_tokens
+                AND n_uniq * 10 >= n_tokens * 3)
+            SELECT min(doc_id) AS doc_id, text FROM kept
+            GROUP BY text""",
         "token_count_bpe":
             "SELECT doc_id, len(regexp_extract_all(text, "
             "' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))::BIGINT "

@@ -322,3 +322,18 @@ def test_pack_sequences_budget_and_invariance(ray_session, docs_ds):
         docs_ds.repartition(7), token_budget=256).take_all()
     key = lambda r: (r["bucket"], r["pack_id"], r["doc_id"])
     assert sorted(map(key, rows)) == sorted(map(key, again))
+
+
+def test_corpus_quality_filter_predicate(ray_session):
+    import ray.data
+
+    rows = [
+        {"doc_id": 1, "text": "the cat sat on the mat and the dog ran off"},
+        {"doc_id": 2, "text": "short text"},                      # too short
+        {"doc_id": 3, "text": "el perro y el gato en la casa que "
+                              "de la y el que de en la y el que"},  # es
+        {"doc_id": 4, "text": "word " * 19 + "word"},     # low uniq ratio
+    ]
+    kept = {r["doc_id"] for r in textstats.corpus_quality_filter(
+        ray.data.from_items(rows)).take_all()}
+    assert kept == {1}

@@ -253,6 +253,35 @@ def pack_sequences(ds, token_budget: int = PACK_TOKEN_BUDGET,
         .groupby("bucket").map_groups(pack, batch_format="pyarrow")
 
 
+def quality_filter_batch(batch: pa.Table, min_tokens: int = 10) -> pa.Table:
+    """Composite quality predicate, all-integer thresholds so the SQL
+    oracle is exact: predicted-english AND n_tokens ≥ min_tokens AND
+    stopword ratio ≥ 1/50 AND distinct-token ratio ≥ 3/10."""
+    import numpy as np
+
+    tokens = _tokens(batch)
+    n_tokens = pc.list_value_length(tokens).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    n_stop = np.asarray(
+        _count_in_set(tokens, LANG_STOPWORDS[0][1])
+        .to_numpy(zero_copy_only=False), dtype=np.int64)
+    n_uniq = _list_distinct_length(tokens).to_numpy(zero_copy_only=False)
+    pred = lang_id_batch(batch).column("pred_lang").to_numpy(
+        zero_copy_only=False)
+    keep = ((pred == "en") & (n_tokens >= min_tokens)
+            & (n_stop * 50 >= n_tokens) & (n_uniq * 10 >= n_tokens * 3))
+    return batch.filter(pa.array(keep)).select(["doc_id", "text"])
+
+
+def corpus_quality_filter(ds, min_tokens: int = 10):
+    """The composite cleaning pipeline an LLM-data user actually runs:
+    vectorized per-batch quality predicate (no shuffle), ready to feed
+    exact/near dedup downstream."""
+    return ds.map_batches(
+        lambda b: quality_filter_batch(b, min_tokens),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 # -- dataset-level wrappers -------------------------------------------------
 
 def token_count(ds):
