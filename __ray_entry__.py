@@ -138,6 +138,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def media_feats(sf_dir):
         return media_features(_extracted(sf_dir))
 
+    def media_resize_q(sf_dir):
+        from webtext.functions.media import media_resize
+
+        return media_resize(_extracted(sf_dir))
+
+    def frame_sample_q(sf_dir):
+        from webtext.functions.media import frame_sample
+
+        return frame_sample(_extracted(sf_dir))
+
     def knn(sf_dir):
         ds = _emb(sf_dir)
         q = ann.get_query_vector(ds, 0)
@@ -249,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": extract_spans,
         "extract_status": extract_status,
         "media_features": media_feats,
+        "media_resize": media_resize_q,
+        "frame_sample": frame_sample_q,
         "extract_links": links_q,
         "search_engine_links": search_links_q,
         "read_rejects": rejects_q,
@@ -328,7 +340,7 @@ def oracle_sql() -> dict[str, str]:
             "winnow_fingerprint", "lsh_cosine_pairs", "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
             "search_engine_links", "dedup_apply_emb", "timeout_ids",
-            "pack_sequences")
+            "pack_sequences", "media_resize", "frame_sample")
     }
     return gold | {
         "exact_dedup":

@@ -102,7 +102,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "ordered_dedup", "union_sources", "sort_limit",
                  "group_counts", "failure_filter", "windowed_events",
                  "sessionize", "extract_spans", "extract_links",
-                 "media_features", "search_engine_links"):
+                 "media_features", "media_resize", "frame_sample",
+                 "search_engine_links"):
         t0 = time.perf_counter()
         _consume(qs[name](sf_dir))
         queries[name] = round(time.perf_counter() - t0, 4)

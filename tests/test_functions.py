@@ -337,3 +337,39 @@ def test_corpus_quality_filter_predicate(ray_session):
     kept = {r["doc_id"] for r in textstats.corpus_quality_filter(
         ray.data.from_items(rows)).take_all()}
     assert kept == {1}
+
+
+def test_media_resize_and_frame_sample(ray_session):
+    import ray.data
+
+    from webtext.functions.media import frame_sample, media_resize
+    from webtext.schema import SPAN_STRUCT
+
+    spans = [
+        {"kind": "media", "text": "", "media_ref": "img://a", "offset": 0},
+        {"kind": "text", "text": "hello", "media_ref": "", "offset": 1},
+        {"kind": "media", "text": "", "media_ref": "vid://b", "offset": 2},
+    ]
+    t = pa.Table.from_pylist(
+        [{"doc_id": "d1", "spans": spans, "status": "ok"}],
+        schema=pa.schema([("doc_id", pa.string()),
+                          ("spans", pa.list_(SPAN_STRUCT)),
+                          ("status", pa.string())]))
+    ds = ray.data.from_arrow(t)
+    rz = media_resize(ds).take_all()
+    assert len(rz) == 2
+    for r in rz:
+        assert max(r["out_w"], r["out_h"]) == 224
+        assert 1 <= min(r["out_w"], r["out_h"]) <= 224
+        # aspect preserved within integer truncation
+        big = max(r["orig_w"], r["orig_h"])
+        small = min(r["orig_w"], r["orig_h"])
+        assert min(r["out_w"], r["out_h"]) == max(1, (small * 224) // big)
+
+    fs = frame_sample(ds, max_frames=4).take_all()
+    by_ref = {}
+    for r in fs:
+        by_ref.setdefault(r["media_ref"], []).append(r["frame_idx"])
+    for ref, idxs in by_ref.items():
+        assert len(idxs) <= 4 and idxs == sorted(idxs)
+        assert all(i >= 0 for i in idxs)

@@ -394,6 +394,38 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
         ("kind", pa.string()), ("width", pa.int32()),
         ("height", pa.int32()), ("n_frames", pa.int32())]))
 
+    # resize planning (fit-within-224 box) + uniform frame sampling
+    rz = {k: [] for k in ("doc_id", "media_ref", "orig_w", "orig_h",
+                          "out_w", "out_h")}
+    fr = {k: [] for k in ("doc_id", "media_ref", "frame_idx")}
+    for _d, r in res42:
+        for s in r.spans:
+            if s["kind"] != "media":
+                continue
+            w, h, n = fake_decode(s["media_ref"])
+            if w >= h:
+                ow, oh = 224, max(1, (h * 224) // w)
+            else:
+                ow, oh = max(1, (w * 224) // h), 224
+            rz["doc_id"].append(r.doc_id)
+            rz["media_ref"].append(s["media_ref"])
+            rz["orig_w"].append(w)
+            rz["orig_h"].append(h)
+            rz["out_w"].append(ow)
+            rz["out_h"].append(oh)
+            k = min(4, n)
+            for i in range(k):
+                fr["doc_id"].append(r.doc_id)
+                fr["media_ref"].append(s["media_ref"])
+                fr["frame_idx"].append((i * n) // k)
+    g["media_resize"] = pa.Table.from_pydict(rz, schema=pa.schema([
+        ("doc_id", pa.string()), ("media_ref", pa.string()),
+        ("orig_w", pa.int32()), ("orig_h", pa.int32()),
+        ("out_w", pa.int32()), ("out_h", pa.int32())]))
+    g["frame_sample"] = pa.Table.from_pydict(fr, schema=pa.schema([
+        ("doc_id", pa.string()), ("media_ref", pa.string()),
+        ("frame_idx", pa.int32())]))
+
     # links: DOM mining via the (pytest-covered) batch miner applied
     # directly — dedup + per-domain top-k replicated in plain python
     from webtext.oracle.rules import domain_strip_www

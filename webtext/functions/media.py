@@ -68,6 +68,108 @@ class MediaFeatureActor:
         return pa.Table.from_pydict(out, schema=MEDIA_FEATURES_SCHEMA)
 
 
+RESIZE_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("media_ref", pa.string()),
+    ("orig_w", pa.int32()),
+    ("orig_h", pa.int32()),
+    ("out_w", pa.int32()),
+    ("out_h", pa.int32()),
+])
+
+
+class MediaResizeActor:
+    """Aspect-preserving resize planning over media spans: the real
+    pixel work is the decoder seam (RealDecoder swaps in); the
+    fit-within-box arithmetic, schema and actor lifecycle are
+    production-shaped.  Output dims = largest integer box ≤ (target ×
+    target) preserving aspect."""
+
+    def __init__(self, target: int = 224, decoder_cls=FakeDecoder):
+        self.target = target
+        self.decoder = decoder_cls()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in RESIZE_SCHEMA.names}
+        for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("spans").to_pylist()):
+            for span in spans or []:
+                if span["kind"] != "media":
+                    continue
+                f = self.decoder.decode(span["media_ref"])
+                w, h = f["width"], f["height"]
+                if w >= h:
+                    ow = self.target
+                    oh = max(1, (h * self.target) // w)
+                else:
+                    oh = self.target
+                    ow = max(1, (w * self.target) // h)
+                out["doc_id"].append(doc_id)
+                out["media_ref"].append(span["media_ref"])
+                out["orig_w"].append(w)
+                out["orig_h"].append(h)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+        return pa.Table.from_pydict(out, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("media_ref", pa.string()),
+    ("frame_idx", pa.int32()),
+])
+
+
+class FrameSampleActor:
+    """Uniform frame sampling over media spans: pick ≤ max_frames
+    evenly spaced frame indices from the clip's n_frames (deterministic
+    linspace-by-integer-division; the decode itself is the seam)."""
+
+    def __init__(self, max_frames: int = 4, decoder_cls=FakeDecoder):
+        self.max_frames = max_frames
+        self.decoder = decoder_cls()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in FRAME_SCHEMA.names}
+        for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("spans").to_pylist()):
+            for span in spans or []:
+                if span["kind"] != "media":
+                    continue
+                n = self.decoder.decode(span["media_ref"])["n_frames"]
+                k = min(self.max_frames, n)
+                for i in range(k):
+                    out["doc_id"].append(doc_id)
+                    out["media_ref"].append(span["media_ref"])
+                    out["frame_idx"].append((i * n) // k)
+        return pa.Table.from_pydict(out, schema=FRAME_SCHEMA)
+
+
+def _media_stage(extracted_ds, actor_cls, *, batch_size=64,
+                 concurrency=None, **actor_kwargs):
+    import ray
+
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, ncpu // 2))
+    return extracted_ds.map_batches(
+        actor_cls, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+        fn_constructor_kwargs=actor_kwargs)
+
+
+def media_resize(extracted_ds, target: int = 224, **kw):
+    """Resize-plan table over an extracted-documents dataset."""
+    return _media_stage(extracted_ds, MediaResizeActor, target=target,
+                        **kw)
+
+
+def frame_sample(extracted_ds, max_frames: int = 4, **kw):
+    """Sampled-frame index table over an extracted-documents dataset."""
+    return _media_stage(extracted_ds, FrameSampleActor,
+                        max_frames=max_frames, **kw)
+
+
 def media_features(extracted_ds, *, batch_size: int = 64, concurrency=None):
     """Feature table from an extracted-documents dataset.  Media payloads
     can be large — keep batch_size modest so batch × concurrency fits the
