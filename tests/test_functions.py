@@ -373,3 +373,18 @@ def test_media_resize_and_frame_sample(ray_session):
     for ref, idxs in by_ref.items():
         assert len(idxs) <= 4 and idxs == sorted(idxs)
         assert all(i >= 0 for i in idxs)
+
+
+def test_connected_components_long_chain_converges(ray_session):
+    """A 60-node path exercises the pointer-jumping regime: plain
+    min-propagation alone would need ~60 rounds (over any small cap);
+    with compression it converges in O(log n)."""
+    import ray.data
+
+    pairs = ray.data.from_items(
+        [{"left_id": i, "right_id": i + 1} for i in range(100, 160)])
+    labels = {r["node"]: r["label"]
+              for r in dedup.connected_components(
+                  pairs, max_iters=14).take_all()}
+    assert set(labels.values()) == {100}
+    assert len(labels) == 61

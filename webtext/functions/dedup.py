@@ -460,8 +460,53 @@ def connected_components(pairs, max_iters: int = 50):
              pa.array(out_cands, pa.int64())],
             names=["node", "cand"])
 
+    def provider_emit(batch: pa.Table) -> pa.Table:
+        nodes = _col_i64(batch, "node")
+        neg = pa.array(np.full(len(nodes), -1, dtype=np.int64))
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(nodes)), neg, pa.array(nodes),
+             batch.column("label")],
+            names=["key", "qnode", "node", "label"])
+
+    def asker_emit(batch: pa.Table) -> pa.Table:
+        nodes = _col_i64(batch, "node")
+        labs = _col_i64(batch, "label")
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(labs)), pa.array(nodes), pa.array(labs),
+             pa.array(np.full(len(nodes), -1, dtype=np.int64))],
+            names=["key", "qnode", "node", "label"])
+
+    def answer(group: pa.Table) -> pa.Table:
+        """label[n] ← label[label[n]]: providers carry the bucket's
+        label map; askers look up their label's label."""
+        qnodes = group.column("qnode").to_pylist()
+        nodes = group.column("node").to_pylist()
+        labs = group.column("label").to_pylist()
+        label_of = {n: l for q, n, l in zip(qnodes, nodes, labs)
+                    if q == -1}
+        out_n, out_l = [], []
+        for q, n in zip(qnodes, nodes):
+            if q == -1:
+                continue
+            out_n.append(q)
+            out_l.append(label_of.get(n, n))
+        return pa.Table.from_arrays(
+            [pa.array(out_n, pa.int64()), pa.array(out_l, pa.int64())],
+            names=["node", "label"])
+
+    def compress(lab):
+        """Pointer-jumping round: long chains halve per application, so
+        propagation + compression converges in O(log diameter) rounds
+        instead of O(diameter)."""
+        u = lab.map_batches(provider_emit, batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+            lab.map_batches(asker_emit, batch_format="pyarrow",
+                            zero_copy_batch=True))
+        return u.groupby("key").map_groups(answer,
+                                           batch_format="pyarrow")
+
     prev_sum = None
-    for _ in range(max_iters):
+    for it in range(max_iters):
         u = labels.map_batches(lab_emit, batch_format="pyarrow",
                                zero_copy_batch=True).union(
             edges.map_batches(edge_emit, batch_format="pyarrow",
@@ -469,8 +514,12 @@ def connected_components(pairs, max_iters: int = 50):
         msgs = u.groupby("key").map_groups(spread, batch_format="pyarrow")
         labels = msgs.groupby("node").min("cand").map_batches(
             lambda b: b.rename_columns(["node", "label"]),
-            batch_format="pyarrow", zero_copy_batch=True) \
-            .repartition(state_blocks).materialize()
+            batch_format="pyarrow", zero_copy_batch=True)
+        if it >= 3:
+            # typical dup clusters converge within 3 plain rounds; only
+            # long-chain stragglers pay the extra compression shuffle
+            labels = compress(labels)
+        labels = labels.repartition(state_blocks).materialize()
         s = labels.aggregate(Sum("label"))["sum(label)"]
         if s == prev_sum:
             return labels
