@@ -199,6 +199,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               _committed_run(sf_dir, seed=43))
         return flatten_spans(u)
 
+    def dedup_extracted_q(sf_dir):
+        """End-to-end extraction → corpus dedup composition: surviving
+        string doc_ids of a committed run after MinHash-LSH dedup over
+        the joined text spans."""
+        from webtext.pipelines.dedup_pipeline import dedup_extracted
+
+        return dedup_extracted(_committed_run(sf_dir))
+
     def timeout_ids_q(sf_dir):
         """A2 timeout collect-aggregate: the timeout-sentinel doc ids
         from a committed run (the warning-preamble id list)."""
@@ -267,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "integrate_outputs": integrate_q,
         "scan_output_for_errors": scan_errors_q,
         "timeout_ids": timeout_ids_q,
+        "dedup_extracted": dedup_extracted_q,
         # corpus-level dedup
         "exact_dedup": lambda sf: dedup.exact_dedup(
             _docs_cols(sf, ["doc_id", "text"])),
@@ -340,7 +349,8 @@ def oracle_sql() -> dict[str, str]:
             "winnow_fingerprint", "lsh_cosine_pairs", "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
             "search_engine_links", "dedup_apply_emb", "timeout_ids",
-            "pack_sequences", "media_resize", "frame_sample")
+            "pack_sequences", "media_resize", "frame_sample",
+            "dedup_extracted")
     }
     return gold | {
         "exact_dedup":

@@ -106,7 +106,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     qs = entrymod.queries()
     for name in ("exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
                  "simhash", "simhash_dup_pairs", "dedup_apply",
-                 "exact_dedup_hashed", "dedup_apply_emb",
+                 "exact_dedup_hashed", "dedup_apply_emb", "dedup_extracted",
                  "knn_cosine", "knn_ivf", "cosine_nn",
                  "cosine_dup_pairs", "lsh_cosine_pairs", "token_count",
                  "token_count_bpe", "winnow_fingerprint", "sample_by_hash",

@@ -138,3 +138,21 @@ def test_read_documents_lance_seam_raises_cleanly():
 
     with pytest.raises(ImportError, match="lance is not installed"):
         read_documents_lance("/tmp/nonexistent.lance")
+
+
+def test_dedup_extracted_composition(ray_session, tmp_path):
+    """Extraction → corpus dedup end-to-end: survivors are a subset of
+    kept docs, deterministic across runs."""
+    from webtext.pipelines import run_extraction, read_output
+    from webtext.pipelines.dedup_pipeline import dedup_extracted
+    from webtext.synth import write_corpus
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    write_corpus(inp, n_per_family=4, seed=11, rows_per_file=40)
+    run_extraction(inp, out, shards_per_round=4)
+    kept = {r["doc_id"] for r in read_output(out).take_all()}
+    surv1 = sorted(r["doc_id"] for r in dedup_extracted(out).take_all())
+    surv2 = sorted(r["doc_id"] for r in dedup_extracted(out).take_all())
+    assert surv1 == surv2
+    assert 0 < len(surv1) <= len(kept)
+    assert set(surv1) <= kept

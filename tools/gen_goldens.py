@@ -465,6 +465,31 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
         ("doc_id", pa.string()), ("status", pa.string()),
         ("messages_joined", pa.string())]))
 
+    # extraction → corpus dedup composition: kept docs' joined text
+    # spans, 63-bit md5 surrogate ids, minhash pairs, union-find
+    import hashlib as _hl
+
+    kept_docs = []
+    for _d, r in res42:
+        if r.status not in ("ok", "timeout"):
+            continue
+        text = "\n".join(s["text"] for s in r.spans
+                         if s["kind"] == "text")
+        iid = int.from_bytes(
+            _hl.md5(r.doc_id.encode("utf-8")).digest()[:8], "big") \
+            & 0x7FFFFFFFFFFFFFFF
+        kept_docs.append((iid, r.doc_id, text))
+    dmh = golden_minhash_pairs([i for i, _s, _t in kept_docs],
+                               [t for _i, _s, t in kept_docs])
+    uf_d = UnionFind()
+    for a, b in dmh:
+        uf_d.union(a, b)
+    dropped_d = {x for x in uf_d.p if uf_d.find(x) != x}
+    g["dedup_extracted"] = pa.table(
+        {"doc_id": pa.array(sorted(
+            s for i, s, _t in kept_docs if i not in dropped_d),
+            pa.string())})
+
     tids = sorted(r.doc_id for _d, r in res42 if r.status == "timeout")
     g["timeout_ids"] = pa.table(
         {"doc_id": pa.array(tids, pa.string()),

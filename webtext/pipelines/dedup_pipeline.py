@@ -1,0 +1,97 @@
+"""Corpus-level dedup over EXTRACTED output — the extraction → dedup
+composition an LLM-data user runs end-to-end.
+
+The extraction table keys documents by string doc_id (URL role); the
+dedup/CC machinery works over int64 ids (bucketing, min-label
+representatives).  Bridge: a deterministic 63-bit surrogate id from
+md5(doc_id), with the surviving surrogate set joined back to string ids
+via the same bucketed emit-union groupby used everywhere else — no
+driver materialization, no broadcast.
+
+Representative choice: min *surrogate* id per duplicate cluster (an
+arbitrary-but-deterministic member, matching the reference's
+keep-one-of-the-duplicates semantics in E11 rather than any ordering of
+URLs)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.dedup import _ibucket, dedup_apply
+from .extract_pipeline import read_output
+
+
+def surrogate_id(doc_id: str) -> int:
+    """Deterministic 63-bit int surrogate for a string doc id."""
+    return int.from_bytes(
+        hashlib.md5(doc_id.encode("utf-8")).digest()[:8], "big") \
+        & 0x7FFFFFFFFFFFFFFF
+
+
+def _to_docs(batch: pa.Table) -> pa.Table:
+    """Extraction output row → (iid, doc_id, text): text spans joined in
+    offset order (media spans contribute nothing to dedup text)."""
+    sids = batch.column("doc_id").to_pylist()
+    texts = []
+    for spans in batch.column("spans").to_pylist():
+        texts.append("\n".join(
+            s["text"] for s in sorted(spans or [],
+                                      key=lambda s: s["offset"])
+            if s["kind"] == "text"))
+    iids = [surrogate_id(s) for s in sids]
+    return pa.Table.from_arrays(
+        [pa.array(iids, pa.int64()), pa.array(sids, pa.string()),
+         pa.array(texts, pa.string())],
+        names=["iid", "doc_id", "text"])
+
+
+def dedup_extracted(extracted_dir: str, threshold: float = 0.5):
+    """Survivor view of a committed extraction output: near-dup clusters
+    (MinHash-LSH over the joined text spans) collapse to one
+    representative.  Returns a Dataset of surviving (doc_id) strings."""
+    ds = read_output(extracted_dir)
+    docs = ds.map_batches(_to_docs, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    survivors = dedup_apply(
+        docs.select_columns(["iid", "text"]).map_batches(
+            lambda b: b.rename_columns(["doc_id", "text"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        threshold)
+
+    # join surviving surrogate ids back to string doc ids (bucketed)
+    def surv_emit(batch: pa.Table) -> pa.Table:
+        iids = batch.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(iids)), pa.array(iids),
+             pa.array([""] * len(iids), pa.string()),
+             pa.array(np.ones(len(iids), dtype=np.int8))],
+            names=["key", "iid", "doc_id", "is_surv"])
+
+    def map_emit(batch: pa.Table) -> pa.Table:
+        iids = batch.column("iid").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(iids)), pa.array(iids),
+             batch.column("doc_id"),
+             pa.array(np.zeros(len(iids), dtype=np.int8))],
+            names=["key", "iid", "doc_id", "is_surv"])
+
+    def resolve(group: pa.Table) -> pa.Table:
+        flags = group.column("is_surv").to_numpy(zero_copy_only=False)
+        iids = group.column("iid").to_numpy(zero_copy_only=False)
+        surv = set(iids[flags == 1].tolist())
+        mask = (flags == 0) & np.isin(iids, list(surv))
+        kept = group.filter(pa.array(mask))
+        return pa.Table.from_arrays([kept.column("doc_id")],
+                                    names=["doc_id"])
+
+    u = docs.select_columns(["iid", "doc_id"]).map_batches(
+        map_emit, batch_format="pyarrow", zero_copy_batch=True).union(
+        survivors.select_columns(["doc_id"]).map_batches(
+            surv_emit, batch_format="pyarrow", zero_copy_batch=True))
+    return u.groupby("key").map_groups(resolve, batch_format="pyarrow")
