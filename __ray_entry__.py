@@ -316,6 +316,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter": lambda sf: dedup.exact_dedup(
             textstats.corpus_quality_filter(
                 _docs_cols(sf, ["doc_id", "text"]))),
+        "token_frequencies": lambda sf: textstats.token_frequencies(
+            _docs_cols(sf, ["doc_id", "text"]), 50),
+        "length_histogram": lambda sf: textstats.length_histogram(
+            _docs_cols(sf, ["doc_id", "text"])),
         "pack_sequences": lambda sf: textstats.pack_sequences(
             _docs_cols(sf, ["doc_id", "text"])),
         "lsh_cosine_pairs": lambda sf: ann.lsh_cosine_dup_pairs(
@@ -420,6 +424,14 @@ def oracle_sql() -> dict[str, str]:
         "sample_by_hash":
             "SELECT doc_id, text FROM documents WHERE "
             "substr(md5(CAST(doc_id AS VARCHAR) || 's0'), 1, 3) < '200'",
+        "token_frequencies":
+            "SELECT token, count(*)::BIGINT AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS token "
+            "FROM documents) t GROUP BY token "
+            "ORDER BY n DESC, token LIMIT 50",
+        "length_histogram":
+            "SELECT length(text)::BIGINT // 100 AS len_bucket, "
+            "count(*)::BIGINT AS n FROM documents GROUP BY len_bucket",
         "corpus_filter": f"""
             WITH feat AS (
               SELECT doc_id, text,

@@ -388,3 +388,17 @@ def test_connected_components_long_chain_converges(ray_session):
                   pairs, max_iters=14).take_all()}
     assert set(labels.values()) == {100}
     assert len(labels) == 61
+
+
+def test_token_frequencies_and_length_histogram(ray_session):
+    import ray.data
+
+    rows = [{"doc_id": 1, "text": "a b a c a b"},
+            {"doc_id": 2, "text": "b c " + "x" * 150}]
+    ds = ray.data.from_items(rows)
+    top = textstats.token_frequencies(ds, k=3).take_all()
+    assert [(r["token"], r["n"]) for r in top] == [
+        ("a", 3), ("b", 3), ("c", 2)]       # tie a/b → token asc
+    hist = {r["len_bucket"]: r["n"]
+            for r in textstats.length_histogram(ds).take_all()}
+    assert hist == {0: 1, 1: 1}

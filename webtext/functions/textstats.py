@@ -253,6 +253,51 @@ def pack_sequences(ds, token_budget: int = PACK_TOKEN_BUDGET,
         .groupby("bucket").map_groups(pack, batch_format="pyarrow")
 
 
+def token_frequencies(ds, k: int = 50):
+    """Top-k corpus token frequencies via the combiner pattern: each
+    batch pre-aggregates with Arrow value_counts (C kernel), the shuffle
+    carries (token, partial_n) only, a native groupby-sum reduces, and a
+    tiny deterministic sort+limit finishes (ties → token asc)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(_tokens(batch).combine_chunks()
+                               if isinstance(_tokens(batch),
+                                             pa.ChunkedArray)
+                               else _tokens(batch))
+        vc = pc.value_counts(flat)
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["token", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    summed = partials.groupby("token").sum("n").map_batches(
+        lambda b: b.rename_columns(["token", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return summed.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def length_histogram(ds, bucket_chars: int = 100):
+    """Doc-length histogram: per-batch partial counts of
+    floor(n_chars / bucket_chars), then a tiny groupby-sum."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = pc.divide(pc.utf8_length(batch.column("text"))
+                      .cast(pa.int64()),
+                      pa.scalar(bucket_chars, pa.int64()))
+        vc = pc.value_counts(b.combine_chunks()
+                             if isinstance(b, pa.ChunkedArray) else b)
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["len_bucket", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.groupby("len_bucket").sum("n").map_batches(
+        lambda b: b.rename_columns(["len_bucket", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quality_filter_batch(batch: pa.Table, min_tokens: int = 10) -> pa.Table:
     """Composite quality predicate, all-integer thresholds so the SQL
     oracle is exact: predicted-english AND n_tokens ≥ min_tokens AND
