@@ -158,6 +158,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = ann.get_query_vector(ds, 0)
         return ann.knn_ivf(ds, q, k=10)
 
+    def ivf_indexed(sf_dir):
+        """Build-once/query-many path: centroids persisted to a parquet
+        index, then loaded for the query — bit-identical to the inline
+        fit (same golden)."""
+        ds = _emb(sf_dir)
+        q = ann.get_query_vector(ds, 0)
+        path = f"/tmp/webtext_ivf_{_sf_tag(sf_dir)}.parquet"
+        if not os.path.exists(path):
+            ann.ivf_build_index(ds, path, nlist=16)
+        return ann.knn_ivf(ds, q, k=10, index_path=path)
+
     def links_q(sf_dir):
         import pyarrow as pa
         import ray.data
@@ -297,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": knn,
         "knn_ivf": ivf,
+        "knn_ivf_indexed": ivf_indexed,
         "cosine_nn": lambda sf: ann.nearest_neighbor_ids(_emb(sf)),
         # text analysis
         "token_count": lambda sf: textstats.token_count(
@@ -356,6 +368,9 @@ def oracle_sql() -> dict[str, str]:
             "pack_sequences", "media_resize", "frame_sample",
             "dedup_extracted")
     }
+    # the indexed IVF path is bit-identical to the inline fit by
+    # construction — same golden table
+    gold["knn_ivf_indexed"] = gold["knn_ivf"]
     return gold | {
         "exact_dedup":
             "SELECT min(doc_id) AS doc_id, text FROM documents "

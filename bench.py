@@ -107,7 +107,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     for name in ("exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
                  "simhash", "simhash_dup_pairs", "dedup_apply",
                  "exact_dedup_hashed", "dedup_apply_emb", "dedup_extracted",
-                 "knn_cosine", "knn_ivf", "cosine_nn",
+                 "knn_cosine", "knn_ivf", "knn_ivf_indexed", "cosine_nn",
                  "cosine_dup_pairs", "lsh_cosine_pairs", "token_count",
                  "token_count_bpe", "winnow_fingerprint", "sample_by_hash",
                  "pack_sequences", "corpus_filter", "token_frequencies",

@@ -402,3 +402,17 @@ def test_token_frequencies_and_length_histogram(ray_session):
     hist = {r["len_bucket"]: r["n"]
             for r in textstats.length_histogram(ds).take_all()}
     assert hist == {0: 1, 1: 1}
+
+
+def test_ivf_index_roundtrip_bit_identical(ray_session, emb_ds, tmp_path):
+    p = str(tmp_path / "ivf.parquet")
+    built = ann.ivf_build_index(emb_ds, p, nlist=8)
+    loaded = ann.ivf_load_index(p)
+    assert (built == loaded).all()
+    q = ann.get_query_vector(emb_ds, 0)
+    inline = [r["vec_id"] for r in
+              ann.knn_ivf(emb_ds, q, k=10, nlist=8).take_all()]
+    indexed = [r["vec_id"] for r in
+               ann.knn_ivf(emb_ds, q, k=10, nlist=8,
+                           index_path=p).take_all()]
+    assert inline == indexed

@@ -154,13 +154,45 @@ def kmeans_fit_distributed(ds, nlist: int, iters: int = 5) -> np.ndarray:
     return cents
 
 
+def ivf_build_index(ds, path: str, nlist: int = 16, iters: int = 5
+                    ) -> np.ndarray:
+    """Fit IVF centroids (distributed, order-invariant) and persist them
+    as a tiny parquet index — build once, query many.  Centroids are
+    float64 exact (derived from integer fixed-point sums), so a query
+    through the loaded index is bit-identical to an inline fit."""
+    import pyarrow.parquet as pq
+
+    cents = kmeans_fit_distributed(ds, nlist, iters)
+    table = pa.Table.from_arrays(
+        [pa.array(range(len(cents)), pa.int64()),
+         pa.array(cents.tolist(), pa.list_(pa.float64()))],
+        names=["cluster", "centroid"])
+    pq.write_table(table, path)
+    return cents
+
+
+def ivf_load_index(path: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).sort_by("cluster")
+    col = t.column("centroid").combine_chunks()
+    n = len(col)
+    return np.asarray(col.flatten(), dtype=np.float64).reshape(n, -1)
+
+
 def knn_ivf(ds, query: np.ndarray, k: int = 10, nlist: int = 16,
-            nprobe: int = 4, exclude_id: int | None = 0):
+            nprobe: int = 4, exclude_id: int | None = 0,
+            index_path: str | None = None):
     """IVF approximate top-k: distributed centroid fit → assign → probe
-    the nprobe nearest lists → brute-force within the probed subset."""
+    the nprobe nearest lists → brute-force within the probed subset.
+    Pass ``index_path`` (from ivf_build_index) to skip the fit — at
+    scale the fit is a multi-pass job you run once per corpus."""
     import ray
 
-    cents = kmeans_fit_distributed(ds, nlist)
+    if index_path is not None:
+        cents = ivf_load_index(index_path)
+    else:
+        cents = kmeans_fit_distributed(ds, nlist)
     probe = np.argsort(((cents - query) ** 2).sum(axis=1))[:nprobe]
     cref = ray.put((cents, set(int(p) for p in probe), query))
 
