@@ -22,6 +22,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .dedup import _ibucket, connected_components  # module scope: worker
+# code is shipped by value and cannot lazy-import webtext
+
 
 def _matrix(batch: pa.Table, column: str = "embedding") -> np.ndarray:
     """Zero-copy-ish (n, dim) float64 matrix from a list<float> column:
@@ -409,8 +412,6 @@ def lsh_nearest_neighbor_ids(ds, n_planes: int = 5, n_tables: int = 8,
             names=["vec_id", "nn_id", "sim"])
 
     def add_key(batch: pa.Table) -> pa.Table:
-        from .dedup import _ibucket
-
         ids = batch.column("vec_id").cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         return batch.append_column("key", pa.array(_ibucket(ids)))
@@ -447,8 +448,6 @@ def dedup_apply_embeddings(ds, threshold: float = 0.4):
     distributed connected components → keep the min-vec_id
     representative of each cluster.  Bucketed anti-join, same shape as
     dedup.dedup_apply.  Returns surviving (vec_id, label) rows."""
-    from .dedup import _ibucket, connected_components
-
     pairs = lsh_cosine_dup_pairs(ds, threshold)
     labels = connected_components(pairs)
 

@@ -18,6 +18,9 @@ import hashlib
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .dedup import _ibucket  # module scope: worker code is shipped by
+                             # value and cannot lazy-import webtext
+
 # tiny per-language stopword tables for the n-gram/stopword lang-id
 # heuristic; tie-break = table order, all-zero → 'und'
 LANG_STOPWORDS: tuple[tuple[str, tuple[str, ...]], ...] = (
@@ -216,8 +219,6 @@ def pack_sequences(ds, token_budget: int = PACK_TOKEN_BUDGET,
     import numpy as np
 
     def emit(batch: pa.Table) -> pa.Table:
-        from .dedup import _ibucket
-
         ids = batch.column("doc_id").cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         n = pc.list_value_length(_tokens(batch)).cast(pa.int64()) \

@@ -13,7 +13,8 @@ import os
 import pyarrow as pa
 
 from ..schema import INPUT_SCHEMA
-from ..synth import FAMILY_GENERATORS, gen_hot_domain
+from ..synth import (_BOILER, FAMILY_GENERATORS, _html_doc, _paragraph,
+                     _rng, gen_hot_domain)
 
 _CORE_FAMILIES = list(FAMILY_GENERATORS)
 
@@ -22,8 +23,6 @@ def _gen_hot_heavy(seed: int, i: int) -> dict:
     """Bench variant of the hot-domain family: ~8 KB pages (24
     paragraphs) so per-doc extraction cost approaches real web pages
     rather than toy snippets."""
-    from ..synth import _BOILER, _paragraph, _rng, _html_doc
-
     rng = _rng(seed, "hot-domain-heavy", i)
     doc_id = f"https://hot.example.com/hot-domain/{i}"
     paras = "".join(f"<p>{_paragraph(rng)}</p>" for _ in range(24))

@@ -38,7 +38,9 @@ def default_pool_size() -> int:
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    return max(2, int(ncpu * 0.75))
+    # never exact-fit, even on a 1-2 CPU driver cluster: leave at least
+    # one CPU for the read/write task operators or the pool stalls
+    return max(1, min(ncpu - 1, int(ncpu * 0.75)))
 
 
 def extract_dataset(ds, *, batch_size: int = 32, concurrency=None):

@@ -18,7 +18,9 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..oracle import extract_document
-from ..schema import SPAN_STRUCT
+from ..oracle import rules as _rules  # imported at module scope: workers
+from ..schema import SPAN_STRUCT      # receive code by value (webtext
+                                      # __init__) and cannot lazy-import
 
 RESULT_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
@@ -41,9 +43,9 @@ class ExtractorActor:
     """
 
     def __init__(self):
-        # touch the modules so every regex/table is compiled before the
-        # first batch (and so lazy import cost is paid once per actor)
-        from ..oracle import rules  # noqa: F401
+        # every regex/table in the rules module is compiled at module
+        # import, which the by-value pickle graph replays once per actor
+        assert _rules.FAILURE_MARKER is not None
         self._extract_document = extract_document
 
     def __call__(self, batch: pa.Table) -> pa.Table:

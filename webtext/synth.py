@@ -17,7 +17,9 @@ import random
 
 import pyarrow as pa
 
-from .schema import INPUT_SCHEMA
+from .oracle import rules as _oracle_rules  # module scope: generators
+from .schema import INPUT_SCHEMA           # run on workers via by-value
+                                           # pickling; no lazy imports
 
 WORDS = (
     "the fast key order sort table scan merge part window small hash join "
@@ -383,7 +385,7 @@ def gen_dirty_text(seed: int, i: int) -> dict:
 def gen_error_page(seed: int, i: int) -> dict:
     """Browser-error predicate → row rejected + reject manifest
     (ref:1408-1455, 1569-1656; patterns config.ini:10)."""
-    from .oracle import rules
+    rules = _oracle_rules
     rng = _rng(seed, "error-page", i)
     doc_id = f"https://err.example.com/error-page/{i}"
     pattern = rules.BROWSER_ERROR_PATTERNS[
