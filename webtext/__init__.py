@@ -36,9 +36,12 @@ def _register_portable_pickle() -> None:
     ``import webtext...`` / relative import at call time.
     """
     import importlib
+    import os
     import pkgutil
     import sys
 
+    if os.environ.get("WEBTEXT_PICKLE_BY_VALUE", "1") == "0":
+        return  # A/B escape hatch for serialization-overhead measurement
     try:
         from ray import cloudpickle
     except ImportError:  # pragma: no cover - ray is a hard dep in practice

@@ -19,6 +19,8 @@ DuckDB ``list_cosine_similarity`` oracle on id-level output.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -170,7 +172,11 @@ def ivf_build_index(ds, path: str, nlist: int = 16, iters: int = 5
         [pa.array(range(len(cents)), pa.int64()),
          pa.array(cents.tolist(), pa.list_(pa.float64()))],
         names=["cluster", "centroid"])
-    pq.write_table(table, path)
+    # atomic publish: concurrent builders (the driver may run queries in
+    # parallel) each write a private file; os.replace is last-wins-whole
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
     return cents
 
 

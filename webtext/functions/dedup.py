@@ -96,6 +96,19 @@ def _ibucket(a: np.ndarray, n: int = N_SHUFFLE_BUCKETS) -> np.ndarray:
     return (mixed & np.int64(0x7FFFFFFFFFFFFFFF)) % np.int64(n)
 
 
+def _sbucket(strings, n: int = N_SHUFFLE_BUCKETS) -> np.ndarray:
+    """Deterministic hash bucket for string keys (vectorized siphash via
+    pandas.util.hash_array; stable across processes — fixed hash key, no
+    PYTHONHASHSEED dependence)."""
+    import pandas as pd
+
+    arr = np.asarray(list(strings) if not isinstance(strings, np.ndarray)
+                     else strings, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return (pd.util.hash_array(arr) % np.uint64(n)).astype(np.int64)
+
+
 def _col_i64(batch: pa.Table, name: str) -> np.ndarray:
     return batch.column(name).cast(pa.int64()) \
         .to_numpy(zero_copy_only=False)
@@ -315,9 +328,35 @@ def simhash64(text: str) -> int:
 
 
 def _simhash_batch(batch: pa.Table) -> pa.Table:
-    sh = [simhash64(t) for t in batch.column("text").to_pylist()]
+    """Vectorized batch simhash, bit-identical to ``simhash64`` per row:
+    split all texts at once, crc-hash only the batch's UNIQUE words
+    (dictionary encode), then one (words × 64) sign expansion and one
+    np.add.reduceat per doc — the only Python loop is over the vocab."""
+    if batch.num_rows == 0:
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array([], pa.int64())],
+            names=["doc_id", "simhash"])
+    words_list = pc.split_pattern(batch.column("text"), " ")
+    n_words = pc.list_value_length(words_list).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    enc = pc.list_flatten(words_list).combine_chunks().dictionary_encode()
+    vocab = enc.dictionary.to_pylist()
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    lut = np.fromiter(
+        ((zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32))
+         for w in vocab),
+        dtype=np.uint64, count=len(vocab))
+    shifts = np.arange(64, dtype=np.uint64)
+    signs = (((lut[:, None] >> shifts) & np.uint64(1))
+             .astype(np.int32) * 2 - 1)            # (vocab, 64) of ±1
+    offsets = np.zeros(len(n_words), dtype=np.int64)
+    np.cumsum(n_words[:-1], out=offsets[1:])
+    acc = np.add.reduceat(signs[idx], offsets, axis=0)   # (docs, 64)
+    vals = ((acc > 0).astype(np.uint64) << shifts).sum(
+        axis=1, dtype=np.uint64)
+    sh = (vals ^ np.uint64(1 << 63)).view(np.int64)  # bias → two's compl.
     return pa.Table.from_arrays(
-        [batch.column("doc_id"), pa.array(sh, pa.int64())],
+        [batch.column("doc_id"), pa.array(sh)],
         names=["doc_id", "simhash"])
 
 

@@ -9,15 +9,19 @@ they are provided as first-class operators:
   combiner pattern: per-batch partial counts (vectorized
   ``floor_temporal`` + Arrow group_by) so the shuffle ships
   (event_type, window, n) triples, never events.
-* sessionize — gap-based sessionization per user: one shuffle
-  (groupby user_id), then a sorted in-group gap count.  Integer output,
-  exactly replicable by a SQL window-function oracle.
+* sessionize — gap-based sessionization per user: one shuffle grouped
+  by hash(user_id) % 256 (constant group count — never one Python group
+  per user), then one vectorized lexsort + diff pass per bucket.
+  Integer output, exactly replicable by a SQL window-function oracle.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .dedup import _ibucket
 
 SESSION_GAP_MINUTES = 30
 
@@ -46,29 +50,48 @@ def windowed_counts(ds):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
-def sessionize(ds, gap_minutes: int = SESSION_GAP_MINUTES):
+def sessionize(ds, gap_minutes: int = SESSION_GAP_MINUTES,
+               n_buckets: int = 256):
     """(user_id, n_sessions): sessions = 1 + #gaps > gap_minutes between
     consecutive events of the user (ordered by ts, then event_id for
-    determinism on ts ties)."""
+    determinism on ts ties).
+
+    All events of one user land in one hash bucket, so the per-user gap
+    count is exact; within a bucket one np.lexsort orders every user's
+    events and one np.diff finds the session breaks — no per-user group,
+    no per-row loop."""
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def count_sessions(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
-                                                ("event_id", "ascending")])
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(_ibucket(uid, n_buckets)))
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
         # normalize the unit before integer math — source timestamps may
         # be s/ms/us depending on the reader
-        ts = group.take(idx).column("ts").cast(pa.timestamp("us")) \
-                  .cast(pa.int64()).to_pylist()
-        sessions = 1
-        for prev, cur in zip(ts, ts[1:]):
-            if cur - prev > gap_us:
-                sessions += 1
-        user = group.column("user_id")[0].as_py()
+        ts = group.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        same_user = uid[1:] == uid[:-1]
+        breaks = same_user & ((ts[1:] - ts[:-1]) > gap_us)
+        users = np.unique(uid)  # sorted
+        n_sessions = np.ones(len(users), dtype=np.int64)
+        if breaks.any():
+            bu, bc = np.unique(uid[1:][breaks], return_counts=True)
+            n_sessions[np.searchsorted(users, bu)] += bc
         return pa.Table.from_arrays(
-            [pa.array([user], pa.int64()),
-             pa.array([sessions], pa.int64())],
+            [pa.array(users.astype(np.int64)), pa.array(n_sessions)],
             names=["user_id", "n_sessions"])
 
     return ds.select_columns(["user_id", "ts", "event_id"]) \
-             .groupby("user_id").map_groups(count_sessions,
-                                            batch_format="pyarrow")
+             .map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .groupby("bucket").map_groups(count_bucket,
+                                           batch_format="pyarrow")

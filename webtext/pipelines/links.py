@@ -21,6 +21,7 @@ import re
 import pyarrow as pa
 
 from ..dom import parse_html
+from ..functions.dedup import _sbucket
 from ..oracle.rules import domain_strip_www
 
 # U2 exclude regex blocklist (google_url_serch.py:22-48)
@@ -328,36 +329,93 @@ def extract_links(ds):
 
 def dedup_links(links_ds):
     """U9: first occurrence wins, order-stable — the reference's
-    ``dict.fromkeys`` over the concatenated link list becomes
-    groupby(url) keeping the minimal (doc_id, rank)."""
+    ``dict.fromkeys`` over the concatenated link list becomes a NATIVE
+    ``groupby(url).min(packed_key)`` aggregate: (doc_id, rank, anchor)
+    pack into one sortable string whose binary order equals the
+    (doc_id asc, rank asc) sort order, so the shuffle is a hash
+    aggregate with zero per-URL Python groups (at link-corpus scale
+    one map_groups group per distinct URL is the dominant cost —
+    measured precedent: dedup_apply 44s→8s after de-grouping)."""
+    import pyarrow.compute as pc
 
-    def first(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def pack(batch: pa.Table) -> pa.Table:
+        # doc_id \x00 rank(zero-padded) \x00 anchor: NUL sorts below
+        # every other byte, so prefix doc_ids order exactly as plain
+        # string sort; fixed-width rank gives numeric order; anchor is
+        # carried payload (unique per (doc_id, rank) by construction)
+        key = pc.binary_join_element_wise(
+            batch.column("doc_id"),
+            pc.utf8_lpad(pc.cast(batch.column("rank"), pa.string()),
+                         10, padding="0"),
+            batch.column("anchor"),
+            "\x00")
+        return pa.Table.from_arrays([batch.column("url"), key],
+                                    names=["url", "key"])
 
-        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending"),
-                                                ("rank", "ascending")])
-        return group.take(idx[:1])
+    def unpack(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("min(key)"), "\x00",
+                                 max_splits=2)
+        return pa.Table.from_arrays(
+            [pc.list_element(parts, 0),
+             pc.cast(pc.list_element(parts, 1), pa.int32()),
+             batch.column("url"),
+             pc.list_element(parts, 2)],
+            names=["doc_id", "rank", "url", "anchor"])
 
-    return links_ds.groupby("url").map_groups(first, batch_format="pyarrow")
+    packed = links_ds.map_batches(pack, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return packed.groupby("url").min("key").map_batches(
+        unpack, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def top_links_per_domain(links_ds, k: int = 3):
-    """U5/U8: per-target-domain limit(k), ordered by (doc_id, rank)."""
+def _topk_per_domain_table(t: pa.Table, k: int) -> pa.Table:
+    """Vectorized top-k per target_domain within one Arrow table: sort by
+    (domain, doc_id, rank), then keep run positions < k."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return t
+    idx = pc.sort_indices(t, sort_keys=[("target_domain", "ascending"),
+                                        ("doc_id", "ascending"),
+                                        ("rank", "ascending")])
+    t = t.take(idx)
+    codes = t.column("target_domain").combine_chunks() \
+        .dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    n = len(codes)
+    starts = np.ones(n, dtype=bool)
+    starts[1:] = codes[1:] != codes[:-1]
+    run_id = np.cumsum(starts) - 1
+    pos = np.arange(n) - np.flatnonzero(starts)[run_id]
+    return t.filter(pa.array(pos < k))
+
+
+def top_links_per_domain(links_ds, k: int = 3, n_buckets: int = 64):
+    """U5/U8: per-target-domain limit(k), ordered by (doc_id, rank).
+
+    Domains are heavy-tailed, so the shuffle groups by
+    hash(domain) % n_buckets (constant group count, hot domains cannot
+    become one giant Python group) and each bucket runs one vectorized
+    top-k pass; a per-block partial top-k before the shuffle bounds the
+    shipped rows to k per (block, domain)."""
 
     def add_domain(batch: pa.Table) -> pa.Table:
         domains = [domain_strip_www(u)
                    for u in batch.column("url").to_pylist()]
-        return batch.append_column("target_domain",
-                                   pa.array(domains, pa.string()))
+        batch = batch.append_column("target_domain",
+                                    pa.array(domains, pa.string()))
+        return batch.append_column(
+            "bucket", pa.array(_sbucket(domains, n_buckets)))
 
-    def head(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def partial(batch: pa.Table) -> pa.Table:
+        return _topk_per_domain_table(batch, k)
 
-        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending"),
-                                                ("rank", "ascending")])
-        return group.take(idx[:k])
+    def final(group: pa.Table) -> pa.Table:
+        return _topk_per_domain_table(group, k).drop_columns(["bucket"])
 
     keyed = links_ds.map_batches(add_domain, batch_format="pyarrow",
                                  zero_copy_batch=True)
-    return keyed.groupby("target_domain").map_groups(
-        head, batch_format="pyarrow")
+    pruned = keyed.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return pruned.groupby("bucket").map_groups(final,
+                                               batch_format="pyarrow")
