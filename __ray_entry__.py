@@ -77,10 +77,23 @@ def _synth_docs(sf_dir: str) -> list[dict]:
     return generate_docs(n_per_family=n, seed=42)
 
 
+_EXTRACTED_CACHE: dict[str, Any] = {}
+
+
 def _extracted(sf_dir: str):
+    """In-memory extraction output, materialized once per sf_dir: five
+    queries consume this same tiny corpus (spans/status/media×3), so
+    re-running the actor-pool pipeline per query would pay 5× actor
+    startup for identical rows.  The cache holds a MaterializedDataset
+    (object-store blocks, not driver heap)."""
     from webtext.pipelines import run_pipeline_in_memory
 
-    return run_pipeline_in_memory(_synth_docs(sf_dir), batch_size=32)
+    ds = _EXTRACTED_CACHE.get(sf_dir)
+    if ds is None:
+        ds = run_pipeline_in_memory(
+            _synth_docs(sf_dir), batch_size=32).materialize()
+        _EXTRACTED_CACHE[sf_dir] = ds
+    return ds
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -303,7 +316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         table = pa.Table.from_pylist(serp_fixture_docs(),
                                      schema=INPUT_SCHEMA)
         parts = []
-        for engine in ("yahoo", "yahoo_related", "google_related"):
+        for engine in ("google", "yahoo", "yahoo_related",
+                       "google_related"):
             links = extract_search_links(ray.data.from_arrow(table),
                                          engine)
             parts.append(links.map_batches(

@@ -252,6 +252,45 @@ def test_fake_decoder_deterministic():
     assert a["width"] >= 160 and a["height"] >= 120
 
 
+def test_auto_decoder_probe():
+    """auto_decoder_cls picks PilDecoder iff PIL imports, else Fake."""
+    from webtext.functions.media import (PilDecoder, auto_decoder_cls)
+
+    try:
+        import PIL  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    cls = auto_decoder_cls()
+    assert cls is (PilDecoder if have_pil else FakeDecoder)
+
+
+def test_pil_decoder_inline_png():
+    """Real-codec path: decode an inline base64 PNG (skipped when the
+    PIL wheel is absent — this container ships no codecs)."""
+    pytest.importorskip("PIL")
+    import base64
+    import io
+
+    from PIL import Image
+
+    from webtext.functions.media import PilDecoder
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    ref = "inline:" + base64.b64encode(buf.getvalue()).decode()
+    feats = PilDecoder().decode(ref)
+    assert (feats["width"], feats["height"], feats["n_frames"]) == (7, 5, 1)
+
+
+def test_pil_decoder_opaque_ref_is_seam():
+    pytest.importorskip("PIL")
+    from webtext.functions.media import PilDecoder
+
+    with pytest.raises(NotImplementedError):
+        PilDecoder().decode("media://bucket/key")
+
+
 def test_media_features_plumbing(ray_session):
     from webtext.pipelines import run_pipeline_in_memory
     from webtext.synth import generate_docs

@@ -160,3 +160,92 @@ def test_extract_search_links_dataset_stage(ray_session):
     got = sorted((r["doc_id"], r["rank"], r["url"]) for r in rows)
     assert got == [("serp://yahoo/1", 0, "https://example.com/a1"),
                    ("serp://yahoo/1", 1, "https://example.org/pinged")]
+
+
+# -- U1 literal Google result miner (google_url_serch.py ref:97-230) --------
+# These hand-written expected URL lists are the INDEPENDENT pin of the
+# miner semantics (the search_engine_links golden only pins the Ray
+# plumbing — see tools/gen_goldens.py circularity note).
+
+def test_google_results_fixture_branches():
+    from webtext.dom import parse_html
+    from webtext.pipelines.links import (mine_google_results,
+                                         serp_fixture_docs)
+
+    docs = serp_fixture_docs()
+    doc = parse_html(docs[3]["spans"][0]["text"])
+    # r1 via direct-parent anchor; r2 via div.g container; r3 via
+    # ancestor anchor; related-question, footer/nav, maps-exclude,
+    # duplicate and linkless h3s all dropped
+    assert mine_google_results(doc) == [
+        "https://example.com/r1", "https://example.com/r2",
+        "https://example.com/r3"]
+
+
+def test_google_results_main_area_priority_and_fallback():
+    from webtext.dom import parse_html
+    from webtext.pipelines.links import mine_google_results
+
+    # no #search/#center_col/#rso/#main/.v7W49e → body fallback
+    doc = parse_html(
+        '<html><body><div class="g">'
+        '<a href="https://x.example/a"></a><h3>t</h3></div>'
+        '</body></html>')
+    assert mine_google_results(doc) == ["https://x.example/a"]
+    # h3 outside every main area is not scanned
+    doc2 = parse_html(
+        '<html><body><div id="search"></div>'
+        '<div class="g"><a href="https://x.example/out"></a>'
+        '<h3>outside</h3></div></body></html>')
+    assert mine_google_results(doc2) == []
+
+
+def test_google_results_footer_nav_walk():
+    from webtext.dom import parse_html
+    from webtext.pipelines.links import mine_google_results
+
+    # id substring 'footer', exact botstuff/appbar/hdtb, class
+    # substrings footer/navcnt/NKcBbd all suppress the h3
+    for attr in ('id="page-footer"', 'id="botstuff"', 'id="appbar"',
+                 'id="hdtb"', 'class="sfooter x"', 'class="navcnt"',
+                 'class="yNKcBbdz"'):
+        doc = parse_html(
+            f'<html><body><div id="search"><div {attr}>'
+            f'<h3><a href="https://x.example/skip">s</a></h3>'
+            f'</div></div></body></html>')
+        assert mine_google_results(doc) == [], attr
+
+
+def test_google_results_related_question_link_recheck():
+    from webtext.dom import parse_html
+    from webtext.pipelines.links import mine_google_results
+
+    # the h3 sits outside the related-question block, but the resolved
+    # container link is inside one → dropped by the link re-check
+    doc = parse_html(
+        '<html><body><div id="search"><div class="g">'
+        '<div class="related-question-pair">'
+        '<a href="https://x.example/rq"></a></div>'
+        '<h3>heading</h3></div></div></body></html>')
+    assert mine_google_results(doc) == []
+
+
+def test_google_results_js_exclude_substrings():
+    from webtext.dom import parse_html
+    from webtext.pipelines.links import mine_google_results
+
+    bad = ["https://www.google.com/search?q=x",
+           "https://google.com/travel/things",
+           "https://support.google.com/websearch",
+           "https://policies.google.com/privacy",
+           "http://accounts.google.com/signin",
+           "https://www.google.com/preferences",
+           "https://www.google.com/advanced_search",
+           "ftp://example.com/not-http"]
+    items = "".join(
+        f'<div class="g"><a href="{u}"></a><h3>h{i}</h3></div>'
+        for i, u in enumerate(bad))
+    doc = parse_html(f'<html><body><div id="search">{items}'
+                     f'<div class="g"><a href="https://ok.example/k">'
+                     f'</a><h3>keep</h3></div></div></body></html>')
+    assert mine_google_results(doc) == ["https://ok.example/k"]

@@ -2,6 +2,8 @@
 
 import time
 
+import pytest
+
 from webtext.dom import parse_html
 from webtext.oracle import extract_document, extract_span
 from webtext.oracle.cleanup import remove_duplicate_paragraphs
@@ -128,3 +130,57 @@ def test_ann_ops_invariant_under_repartition(ray_session):
     a = [r["vec_id"] for r in ann.knn_ivf(ds, q, k=10).take_all()]
     b = [r["vec_id"] for r in ann.knn_ivf(split, q, k=10).take_all()]
     assert a == b       # fixed-point k-means ⇒ identical probe/topk
+
+
+def test_connected_components_checkpoint_resume(ray_session, tmp_path):
+    """Kill-mid-CC + resume: a run that crashes after committing round
+    1 must, when rerun with the same checkpoint_dir, resume from the
+    committed label state (not round 0) and produce labels identical to
+    an uncheckpointed run."""
+    import ray.data
+
+    from webtext.functions import dedup
+    from webtext.sources.manifest import CommitManifest
+
+    # a 9-node path graph (worst case for propagation: long chain)
+    edges = [{"left_id": i, "right_id": i + 1} for i in range(100, 109)]
+    pairs = ray.data.from_items(edges)
+
+    want = {r["node"]: r["label"]
+            for r in dedup.connected_components(pairs).take_all()}
+    assert set(want.values()) == {100}
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        dedup.connected_components(
+            ray.data.from_items(edges), checkpoint_dir=ckpt,
+            _fail_after_round=1)
+    committed = CommitManifest(ckpt).committed_shards()
+    assert "edges" in committed and "round_1" in committed \
+        and "round_2" not in committed
+
+    resumed = dedup.connected_components(
+        ray.data.from_items(edges), checkpoint_dir=ckpt)
+    got = {r["node"]: r["label"] for r in resumed.take_all()}
+    assert got == want
+    # resume started past the committed rounds
+    iters = sorted(r["iter"] for r in CommitManifest(ckpt).records()
+                   if str(r.get("shard", "")).startswith("round_"))
+    assert iters[0] == 0 and iters[-1] > 1
+
+
+def test_connected_components_changed_count_witness(ray_session):
+    """Two disjoint components converge with an exact changed-count
+    witness (no label-sum wraparound concerns) — labels = component
+    minima."""
+    import ray.data
+
+    from webtext.functions import dedup
+
+    edges = [{"left_id": 1, "right_id": 2},
+             {"left_id": 2, "right_id": 3},
+             {"left_id": 50, "right_id": 60}]
+    labels = {r["node"]: r["label"]
+              for r in dedup.connected_components(
+                  ray.data.from_items(edges)).take_all()}
+    assert labels == {1: 1, 2: 1, 3: 1, 50: 50, 60: 50}

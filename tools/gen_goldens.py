@@ -501,14 +501,23 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
             for k, v in flat_span_rows(res42, kept).items()}
     g["integrate_outputs"] = pa.Table.from_pydict(both, schema=FLAT_SCHEMA)
 
-    # engine-specific SERP miners over the literal fixture corpus
+    # engine-specific SERP miners over the literal fixture corpus.
+    # NOTE (circularity, by design): this golden drives the same miner
+    # functions the Ray stage wraps, so it pins the Ray plumbing
+    # (flat_map, per-doc dedup, ranks, union) and regressions — NOT the
+    # miner semantics themselves.  Miner semantics are pinned
+    # independently by the hand-written branch assertions in
+    # tests/test_links.py (per-selector fixtures with expected URL
+    # lists).  The algorithmic goldens above (minhash/simhash/winnow/
+    # LSH/IVF/CC) remain genuine independent reimplementations.
     from webtext.dom import parse_html
     from webtext.pipelines.links import (
         _ENGINE_MINERS, serp_fixture_docs)
 
     srows = {"doc_id": [], "rank": [], "url": [], "engine": []}
     fixture = serp_fixture_docs()
-    for engine in ("yahoo", "yahoo_related", "google_related"):
+    for engine in ("google", "yahoo", "yahoo_related",
+                   "google_related"):
         miner = _ENGINE_MINERS[engine]
         for d in fixture:
             seen: list[str] = []

@@ -24,8 +24,9 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from .dedup import _ibucket, connected_components  # module scope: worker
-# code is shipped by value and cannot lazy-import webtext
+from .dedup import (_ibucket, _pair_bucket,  # module scope: worker code
+                    connected_components)    # is shipped by value and
+# cannot lazy-import webtext
 
 
 def _matrix(batch: pa.Table, column: str = "embedding") -> np.ndarray:
@@ -246,16 +247,46 @@ def knn_ivf(ds, query: np.ndarray, k: int = 10, nlist: int = 16,
 EXACT_MAX_ROWS = 20_000
 
 
+def _route_exact_or_lsh(ds, method: str, exact_max_rows: int,
+                        fn_name: str) -> str:
+    """Resolve method ∈ {'auto','exact','lsh'} to 'exact' or 'lsh'.
+    'auto' routes by row count and WARNS on the exact→approximate
+    switch so callers never silently get approximate results (their
+    exact SQL oracles would no longer apply)."""
+    import warnings
+
+    if method == "exact":
+        return "exact"
+    if method == "lsh":
+        return "lsh"
+    if method != "auto":
+        raise ValueError(f"{fn_name}: method must be "
+                         f"'auto'|'exact'|'lsh', got {method!r}")
+    if ds.count() > exact_max_rows:
+        warnings.warn(
+            f"{fn_name}: input exceeds exact_max_rows={exact_max_rows}; "
+            f"routing to the approximate LSH path (output is a recall-"
+            f"bounded subset; exact SQL oracles no longer apply). Pass "
+            f"method='exact' to force the O(n^2) broadcast design or "
+            f"call the lsh_* variant directly.", stacklevel=3)
+        return "lsh"
+    return "exact"
+
+
 def cosine_dup_pairs(ds, threshold: float = 0.4,
-                     exact_max_rows: int = EXACT_MAX_ROWS):
+                     exact_max_rows: int = EXACT_MAX_ROWS,
+                     method: str = "auto"):
     """All (a < b) pairs with cosine ≥ threshold: blockwise matmul of
     each batch against the broadcast full matrix.
 
-    Exact up to ``exact_max_rows`` rows; larger inputs route to
-    ``lsh_cosine_dup_pairs`` (bucketed, no broadcast, approximate)."""
+    ``method='auto'`` stays exact up to ``exact_max_rows`` rows and
+    routes larger inputs to ``lsh_cosine_dup_pairs`` (bucketed, no
+    broadcast, approximate) with an explicit warning; 'exact'/'lsh'
+    force a path."""
     import ray
 
-    if ds.count() > exact_max_rows:
+    if _route_exact_or_lsh(ds, method, exact_max_rows,
+                           "cosine_dup_pairs") == "lsh":
         return lsh_cosine_dup_pairs(ds, threshold)
     rows = ds.select_columns(["vec_id", "embedding"]).take_all()
     all_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
@@ -289,6 +320,169 @@ def cosine_dup_pairs(ds, threshold: float = 0.4,
         concurrency=(1, 4), fn_constructor_args=(ref, threshold))
 
 
+def _lsh_band_fn(planes: np.ndarray):
+    """Vectorized id-ONLY band-row emission: (table, bucket, vec_id).
+    One einsum computes every table's sign key per batch; embeddings do
+    NOT ride this shuffle (they are joined back exactly once for the
+    verify — ~8× fewer shuffle bytes than shipping the vector per
+    table)."""
+    n_tables, n_planes = planes.shape[0], planes.shape[1]
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def band(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        mat = _matrix(batch)
+        n = len(ids)
+        if n == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int32()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["table", "bucket", "vec_id"])
+        signs = np.einsum("nd,tpd->ntp", mat, planes) > 0   # (n, T, P)
+        keys = signs.astype(np.int64) @ powers               # (n, T)
+        return pa.Table.from_arrays(
+            [pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n)),
+             pa.array(keys.reshape(-1)),
+             pa.array(np.repeat(ids, n_tables))],
+            names=["table", "bucket", "vec_id"])
+
+    return band
+
+
+def _candidate_pairs_in_cell(group: pa.Table) -> pa.Table:
+    """All (a < b) id pairs within one (table, bucket) cell —
+    vectorized triu emission, no embeddings."""
+    ids = np.unique(group.column("vec_id").to_numpy(zero_copy_only=False))
+    if len(ids) < 2:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["left_id", "right_id"])
+    i, j = np.triu_indices(len(ids), k=1)
+    return pa.Table.from_arrays(
+        [pa.array(ids[i].astype(np.int64)),
+         pa.array(ids[j].astype(np.int64))],
+        names=["left_id", "right_id"])
+
+
+def _pair_cosine_join(pairs, ds):
+    """(left_id, right_id) ⋈ embeddings → (left_id, right_id, sim):
+    the bucketed join-by-groupby pattern (dedup._pair_text_join with an
+    embedding payload).  Every vector emits ONE embedding row and every
+    pair two stub rows, keyed by hash(member id); an in-bucket pass
+    attaches vectors to stubs; a second pair-keyed groupby reunites the
+    two sides and computes the normalized dot product in float64 —
+    embeddings ride exactly one all-to-all regardless of n_tables."""
+
+    def emb_emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        mat = _matrix(batch)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        neg = pa.array(np.full(len(ids), -1, dtype=np.int64))
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ids)), neg, neg, pa.array(ids),
+             pa.array(list(mat), pa.list_(pa.float64()))],
+            names=["key", "left_id", "right_id", "member", "emb"])
+
+    def pairs_emit(batch: pa.Table) -> pa.Table:
+        left = batch.column("left_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        right = batch.column("right_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        empty = pa.array([None] * len(left), pa.list_(pa.float64()))
+
+        def half(member):
+            return pa.Table.from_arrays(
+                [pa.array(_ibucket(member)), pa.array(left),
+                 pa.array(right), pa.array(member), empty],
+                names=["key", "left_id", "right_id", "member", "emb"])
+
+        return pa.concat_tables([half(left), half(right)])
+
+    def attach(group: pa.Table) -> pa.Table:
+        lids = group.column("left_id").to_numpy(zero_copy_only=False)
+        is_emb = lids == -1
+        emb_rows = group.filter(pa.array(is_emb))
+        emb_mat = _matrix(emb_rows, "emb")
+        emb_members = emb_rows.column("member") \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(emb_members)
+        sorted_members = emb_members[order]
+        stubs = group.filter(pa.array(~is_emb))
+        want = stubs.column("member").to_numpy(zero_copy_only=False)
+        if len(sorted_members) == 0 or len(want) == 0:
+            keep = np.zeros(len(want), dtype=bool)
+            srows = np.zeros(len(want), dtype=np.int64)
+        else:
+            pos = np.clip(np.searchsorted(sorted_members, want),
+                          0, len(sorted_members) - 1)
+            keep = sorted_members[pos] == want
+            srows = order[pos]
+        stubs = stubs.filter(pa.array(keep))
+        if stubs.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64()),
+                 pa.array([], pa.list_(pa.float64()))],
+                names=["left_id", "right_id", "member", "emb"])
+        picked = emb_mat[srows[keep]]
+        return pa.Table.from_arrays(
+            [stubs.column("left_id"), stubs.column("right_id"),
+             stubs.column("member"),
+             pa.array(list(picked), pa.list_(pa.float64()))],
+            names=["left_id", "right_id", "member", "emb"])
+
+    def add_pair_key(batch: pa.Table) -> pa.Table:
+        b = _pair_bucket(
+            batch.column("left_id").to_numpy(zero_copy_only=False),
+            batch.column("right_id").to_numpy(zero_copy_only=False))
+        return batch.append_column("key", pa.array(b))
+
+    def cosine(group: pa.Table) -> pa.Table:
+        lids = group.column("left_id").to_numpy(zero_copy_only=False)
+        rids = group.column("right_id").to_numpy(zero_copy_only=False)
+        members = group.column("member").to_numpy(zero_copy_only=False)
+        mat = _matrix(group, "emb")
+        is_left = (members == lids).astype(np.int8)
+        order = np.lexsort((1 - is_left, rids, lids))
+        lids, rids, mat = lids[order], rids[order], mat[order]
+        # rows now pair-adjacent: (left side, right side) per pair
+        n2 = len(lids)
+        if n2 % 2 or n2 == 0:
+            # incomplete pairs can only mean missing vectors; drop them
+            valid = np.ones(n2, dtype=bool)
+            k = 0
+            while k < n2 - 1:
+                if lids[k] == lids[k + 1] and rids[k] == rids[k + 1]:
+                    k += 2
+                    continue
+                valid[k] = False
+                k += 1
+            if k == n2 - 1:
+                valid[k] = False
+            lids, rids, mat = lids[valid], rids[valid], mat[valid]
+        a, b = mat[0::2], mat[1::2]
+        sims = np.einsum("ij,ij->i", a, b)
+        return pa.Table.from_arrays(
+            [pa.array(lids[0::2].astype(np.int64)),
+             pa.array(rids[0::2].astype(np.int64)),
+             pa.array(sims, pa.float64())],
+            names=["left_id", "right_id", "sim"])
+
+    u = ds.map_batches(emb_emit, batch_format="pyarrow",
+                       zero_copy_batch=True).union(
+        pairs.map_batches(pairs_emit, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    joined = u.groupby("key").map_groups(attach, batch_format="pyarrow")
+    keyed = joined.map_batches(add_pair_key, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return keyed.groupby("key").map_groups(cosine,
+                                           batch_format="pyarrow")
+
+
 def lsh_cosine_dup_pairs(ds, threshold: float = 0.4, n_planes: int = 5,
                          n_tables: int = 8, dim: int = 64):
     """Scale path for cosine near-dup: random-hyperplane LSH.
@@ -296,10 +490,12 @@ def lsh_cosine_dup_pairs(ds, threshold: float = 0.4, n_planes: int = 5,
     Each of ``n_tables`` tables hashes a vector to the sign pattern of
     ``n_planes`` fixed (seeded) hyperplanes; candidate pairs share a
     bucket in ≥1 table; candidates are verified by exact cosine.  The
-    bucketing groupby ships (table, bucket, id, embedding) — at corpus
-    scale embeddings ride the shuffle once instead of an O(n²) matmul.
-    Pairs returned are always a subset of the exact
-    ``cosine_dup_pairs`` output.
+    banding shuffle ships id-only (table, bucket, vec_id) triples;
+    embeddings are joined back exactly once for the verify
+    (``_pair_cosine_join``) — at 64-dim float64 that is ~8× fewer
+    shuffle bytes than riding the vector through every table.  Pairs
+    returned are always a subset of the exact ``cosine_dup_pairs``
+    output.
 
     Tuning: per-plane sign-agreement prob is 1-θ/π, so per-table recall
     is (1-θ/π)^n_planes.  The defaults (5 planes × 8 tables) target the
@@ -310,103 +506,59 @@ def lsh_cosine_dup_pairs(ds, threshold: float = 0.4, n_planes: int = 5,
     rng = np.random.RandomState(987)
     planes = rng.normal(size=(n_tables, n_planes, dim))
 
-    def bucket(batch: pa.Table) -> pa.Table:
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        mat = _matrix(batch)
-        out_t, out_b, out_id, out_emb = [], [], [], []
-        for t in range(n_tables):
-            signs = (mat @ planes[t].T) > 0            # (n, planes)
-            keys = signs.dot(1 << np.arange(n_planes))
-            for i, vid in enumerate(ids):
-                out_t.append(t)
-                out_b.append(int(keys[i]))
-                out_id.append(int(vid))
-                out_emb.append(mat[i].tolist())
-        return pa.Table.from_arrays(
-            [pa.array(out_t, pa.int32()), pa.array(out_b, pa.int64()),
-             pa.array(out_id, pa.int64()),
-             pa.array(out_emb, pa.list_(pa.float64()))],
-            names=["table", "bucket", "vec_id", "emb"])
+    bucketed = ds.map_batches(_lsh_band_fn(planes),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+    # (table, bucket) cells are a CONSTANT n_tables × 2^n_planes groups
+    cand = bucketed.groupby(["table", "bucket"]).map_groups(
+        _candidate_pairs_in_cell, batch_format="pyarrow")
+    uniq = cand.groupby(["left_id", "right_id"]).count() \
+        .drop_columns(["count()"])
+    verified = _pair_cosine_join(uniq, ds)
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = group.column("vec_id").to_pylist()
-        mat = _matrix(group, "emb")
-        if len(ids) < 2:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64())],
-                names=["left_id", "right_id"])
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        left, right = [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    left.append(a)
-                    right.append(b)
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = batch.filter(
+            pc.greater_equal(batch.column("sim"), threshold))
         return pa.Table.from_arrays(
-            [pa.array(left, pa.int64()), pa.array(right, pa.int64())],
+            [kept.column("left_id"), kept.column("right_id")],
             names=["left_id", "right_id"])
 
-    bucketed = ds.map_batches(bucket, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    pairs = bucketed.groupby(["table", "bucket"]).map_groups(
-        pairs_in_bucket, batch_format="pyarrow")
-    uniq = pairs.groupby(["left_id", "right_id"]).count()
-    return uniq.drop_columns(["count()"])
+    return verified.map_batches(keep, batch_format="pyarrow",
+                                zero_copy_batch=True)
 
 
 def lsh_nearest_neighbor_ids(ds, n_planes: int = 5, n_tables: int = 8,
                              dim: int = 64):
-    """Approximate (vec_id, nn_id) at scale: random-hyperplane LSH
-    buckets → per-bucket best neighbor partials → groupby(vec_id) keeps
-    the global best (max sim, ties → min nn_id).  Vectors that share no
-    bucket with anyone get nn_id = -1 (documented miss marker).  No
-    broadcast table; embeddings ride the bucketing shuffle once per
-    table."""
+    """Approximate (vec_id, nn_id) at scale: id-only LSH band rows →
+    per-cell candidate pairs → ONE bucketed embedding join computes
+    pair cosines → per-vector best (max sim, ties → min nn_id) over
+    both pair directions.  Equivalent to per-bucket-best-then-global-
+    best: the best over the union of co-bucketed neighbors IS the best
+    of the per-bucket bests.  Vectors that share no bucket with anyone
+    get nn_id = -1 (documented miss marker).  No broadcast table;
+    embeddings ride exactly one shuffle instead of one per table."""
     rng = np.random.RandomState(987)
     planes = rng.normal(size=(n_tables, n_planes, dim))
 
-    def bucket(batch: pa.Table) -> pa.Table:
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        mat = _matrix(batch)
-        out_t, out_b, out_id, out_emb = [], [], [], []
-        for t in range(n_tables):
-            signs = (mat @ planes[t].T) > 0
-            keys = signs.dot(1 << np.arange(n_planes))
-            for i, vid in enumerate(ids):
-                out_t.append(t)
-                out_b.append(int(keys[i]))
-                out_id.append(int(vid))
-                out_emb.append(mat[i].tolist())
-        return pa.Table.from_arrays(
-            [pa.array(out_t, pa.int32()), pa.array(out_b, pa.int64()),
-             pa.array(out_id, pa.int64()),
-             pa.array(out_emb, pa.list_(pa.float64()))],
-            names=["table", "bucket", "vec_id", "emb"])
+    bucketed = ds.map_batches(_lsh_band_fn(planes),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+    cand = bucketed.groupby(["table", "bucket"]).map_groups(
+        _candidate_pairs_in_cell, batch_format="pyarrow")
+    uniq = cand.groupby(["left_id", "right_id"]).count() \
+        .drop_columns(["count()"])
+    sims = _pair_cosine_join(uniq, ds)
 
-    def best_in_bucket(group: pa.Table) -> pa.Table:
-        ids = np.array(group.column("vec_id").to_pylist(), dtype=np.int64)
-        if len(ids) < 2:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64()),
-                 pa.array([], pa.float64())],
-                names=["vec_id", "nn_id", "sim"])
-        mat = _matrix(group, "emb")
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        np.fill_diagonal(sims, -np.inf)
-        out_id, out_nn, out_sim = [], [], []
-        for i in range(len(ids)):
-            best = sims[i].max()
-            cand = ids[sims[i] == best]
-            out_id.append(int(ids[i]))
-            out_nn.append(int(cand.min()))
-            out_sim.append(float(best))
+    def both_directions(batch: pa.Table) -> pa.Table:
+        lids = batch.column("left_id").to_numpy(zero_copy_only=False)
+        rids = batch.column("right_id").to_numpy(zero_copy_only=False)
+        s = batch.column("sim").to_numpy(zero_copy_only=False)
         return pa.Table.from_arrays(
-            [pa.array(out_id, pa.int64()), pa.array(out_nn, pa.int64()),
-             pa.array(out_sim, pa.float64())],
+            [pa.array(np.concatenate([lids, rids]).astype(np.int64)),
+             pa.array(np.concatenate([rids, lids]).astype(np.int64)),
+             pa.array(np.concatenate([s, s]), pa.float64())],
             names=["vec_id", "nn_id", "sim"])
 
     def fallback(batch: pa.Table) -> pa.Table:
@@ -436,11 +588,8 @@ def lsh_nearest_neighbor_ids(ds, n_planes: int = 5, n_tables: int = 8,
              pa.array(nns[first].astype(np.int64))],
             names=["vec_id", "nn_id"])
 
-    bucketed = ds.map_batches(bucket, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    partials = bucketed.groupby(["table", "bucket"]).map_groups(
-        best_in_bucket, batch_format="pyarrow")
-    partials = partials.union(
+    partials = sims.map_batches(both_directions, batch_format="pyarrow",
+                                zero_copy_batch=True).union(
         ds.select_columns(["vec_id"]).map_batches(
             fallback, batch_format="pyarrow", zero_copy_batch=True))
     keyed = partials.map_batches(add_key, batch_format="pyarrow",
@@ -494,16 +643,19 @@ def dedup_apply_embeddings(ds, threshold: float = 0.4):
     return u.groupby("key").map_groups(keep, batch_format="pyarrow")
 
 
-def nearest_neighbor_ids(ds, exact_max_rows: int = EXACT_MAX_ROWS):
+def nearest_neighbor_ids(ds, exact_max_rows: int = EXACT_MAX_ROWS,
+                         method: str = "auto"):
     """(vec_id, nn_id): exact nearest neighbor of every vector — the
     id-only output the SQL cross-join oracle can replicate.
 
-    Exact up to ``exact_max_rows`` rows; larger inputs route to
-    ``lsh_nearest_neighbor_ids`` (bucketed, no broadcast,
-    approximate)."""
+    ``method='auto'`` stays exact up to ``exact_max_rows`` rows and
+    routes larger inputs to ``lsh_nearest_neighbor_ids`` (bucketed, no
+    broadcast, approximate — including nn_id=-1 bucket-miss sentinels)
+    with an explicit warning; 'exact'/'lsh' force a path."""
     import ray
 
-    if ds.count() > exact_max_rows:
+    if _route_exact_or_lsh(ds, method, exact_max_rows,
+                           "nearest_neighbor_ids") == "lsh":
         return lsh_nearest_neighbor_ids(ds)
     rows = ds.select_columns(["vec_id", "embedding"]).take_all()
     all_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)

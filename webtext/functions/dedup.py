@@ -21,11 +21,16 @@ here Ray-Data-first:
 
 from __future__ import annotations
 
+import os
+import shutil
 import zlib
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..sources.manifest import CommitManifest  # module scope: worker
+# code is shipped by value and cannot lazy-import webtext
 
 # 64 universal-hash permutations over 32-bit shingle hashes,
 # deterministic constants (seeded numpy, fixed)
@@ -427,17 +432,32 @@ def simhash_dup_pairs(ds, max_hamming: int = 8):
 # corpus-level dedup APPLY: pairs → connected components → survivors
 # ---------------------------------------------------------------------------
 
-def connected_components(pairs, max_iters: int = 50):
+def connected_components(pairs, max_iters: int = 50,
+                         checkpoint_dir: str | None = None,
+                         _fail_after_round: int | None = None):
     """Distributed connected components over (left_id, right_id) edges
     by iterated min-label propagation: every node starts labelled with
     its own id; each round a node's label becomes the min of its own and
-    its neighbors' labels (two groupby shuffles per round, label state
-    checkpointed with materialize()).  Labels only decrease, so the
-    label-sum is a monotone convergence witness — stable sum ⇒ fixed
-    point.  Never materializes nodes/edges on the driver.
+    its neighbors' labels (two bucketed groupby shuffles per round,
+    label state persisted with materialize()).  Convergence witness: a
+    per-node ``changed`` flag summed each round — 0 changed labels ⇔
+    every edge joins equal labels ⇔ global fixed point.  (The earlier
+    Sum("label") witness could in principle terminate early on an int64
+    wrap-around delta ≡ 0 mod 2^64; the changed-count is exact.)  Never
+    materializes nodes/edges on the driver.
+
+    ``checkpoint_dir``: optional commit+resume (the reference's
+    move-as-commit pattern, update_delivery_file.py ref:72-83,
+    generalized to label-state rounds): edges and each round's labels
+    are written as parquet, renamed into place atomically, and recorded
+    in a CommitManifest; a rerun with the same dir resumes from the last
+    committed round instead of restarting a 100 TB dedup from zero.
+    ``_fail_after_round`` is a test-only crash injection (raises AFTER
+    committing that round).
 
     Returns a Dataset (node, label) where label = min doc_id of the
     node's component."""
+    import ray.data
     from ray.data.aggregate import Sum
 
     def bidirect(batch: pa.Table) -> pa.Table:
@@ -454,16 +474,48 @@ def connected_components(pairs, max_iters: int = 50):
     # dup pairs).  Compact it to a few blocks before iterating: shuffle
     # cost per round is dominated by per-block task overhead, not bytes.
     state_blocks = max(2, N_SHUFFLE_BUCKETS // 32)
-    edges = pairs.map_batches(bidirect, batch_format="pyarrow",
-                              zero_copy_batch=True) \
-        .repartition(state_blocks).materialize()
 
-    nodes = edges.groupby("src").count().drop_columns(["count()"])
-    labels = nodes.map_batches(
-        lambda b: pa.Table.from_arrays(
-            [b.column("src"), b.column("src")], names=["node", "label"]),
-        batch_format="pyarrow", zero_copy_batch=True) \
-        .repartition(state_blocks).materialize()
+    manifest = CommitManifest(checkpoint_dir) if checkpoint_dir else None
+    committed = manifest.committed_shards() if manifest else set()
+
+    def _persist(ds, name: str, record: dict):
+        """write → rename → manifest-commit (atomic at each step)."""
+        final = os.path.join(checkpoint_dir, name)
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+        manifest.commit([record])
+
+    if manifest and "edges" in committed:
+        edges = ray.data.read_parquet(
+            os.path.join(checkpoint_dir, "edges")) \
+            .repartition(state_blocks).materialize()
+    else:
+        edges = pairs.map_batches(bidirect, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+            .repartition(state_blocks).materialize()
+        if manifest:
+            _persist(edges, "edges", {"shard": "edges"})
+
+    start_it = 0
+    last_round = max(
+        (r["iter"] for r in (manifest.records() if manifest else [])
+         if str(r.get("shard", "")).startswith("round_")), default=None)
+    if last_round is not None:
+        labels = ray.data.read_parquet(
+            os.path.join(checkpoint_dir, f"labels_r{last_round}")) \
+            .repartition(state_blocks).materialize()
+        start_it = last_round + 1
+    else:
+        nodes = edges.groupby("src").count().drop_columns(["count()"])
+        labels = nodes.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("src"), b.column("src")],
+                names=["node", "label"]),
+            batch_format="pyarrow", zero_copy_batch=True) \
+            .repartition(state_blocks).materialize()
 
     def lab_emit(batch: pa.Table) -> pa.Table:
         nodes = _col_i64(batch, "node")
@@ -482,56 +534,93 @@ def connected_components(pairs, max_iters: int = 50):
             names=["key", "node", "dst", "label"])
 
     def spread(group: pa.Table) -> pa.Table:
+        """Messages out of one hash(node) bucket: each node re-emits its
+        own label (is_self=1) and sends it to every neighbor
+        (is_self=0); rows are keyed by the RECEIVER's hash bucket so the
+        reduce can also run over constant-count groups."""
         nodes = group.column("node").to_pylist()
         dsts = group.column("dst").to_pylist()
         labs = group.column("label").to_pylist()
         label_of = {n: l for n, d, l in zip(nodes, dsts, labs) if d == -1}
-        out_nodes, out_cands = [], []
+        out_nodes, out_cands, out_self = [], [], []
         for n, l in label_of.items():            # node keeps its label
             out_nodes.append(n)
             out_cands.append(l)
+            out_self.append(1)
         for n, d in zip(nodes, dsts):            # label flows to neighbor
             if d != -1 and n in label_of:
                 out_nodes.append(d)
                 out_cands.append(label_of[n])
+                out_self.append(0)
+        arr_nodes = np.array(out_nodes, dtype=np.int64)
         return pa.Table.from_arrays(
-            [pa.array(out_nodes, pa.int64()),
-             pa.array(out_cands, pa.int64())],
-            names=["node", "cand"])
+            [pa.array(_ibucket(arr_nodes)), pa.array(arr_nodes),
+             pa.array(out_cands, pa.int64()),
+             pa.array(np.array(out_self, dtype=np.int8))],
+            names=["rkey", "node", "cand", "is_self"])
+
+    def reduce_labels(group: pa.Table) -> pa.Table:
+        """Vectorized in-bucket min-reduce: per node, label ← min cand;
+        ``changed`` = (new label ≠ the node's is_self row's old label).
+        Every node has exactly one self row, co-bucketed with all its
+        incoming messages (both keyed by hash(node))."""
+        nodes = group.column("node").to_numpy(zero_copy_only=False)
+        cands = group.column("cand").to_numpy(zero_copy_only=False)
+        selfs = group.column("is_self").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cands, nodes))
+        ns, cs = nodes[order], cands[order]
+        uniq, first = np.unique(ns, return_index=True)
+        new_lab = cs[first]                       # min cand per node
+        smask = selfs == 1
+        old_nodes, old_labs = nodes[smask], cands[smask]
+        oorder = np.argsort(old_nodes)
+        # old_nodes sorted equals uniq by construction (1 self row/node)
+        changed = (new_lab != old_labs[oorder]).astype(np.int8)
+        return pa.Table.from_arrays(
+            [pa.array(uniq.astype(np.int64)),
+             pa.array(new_lab.astype(np.int64)), pa.array(changed)],
+            names=["node", "label", "changed"])
 
     def provider_emit(batch: pa.Table) -> pa.Table:
         nodes = _col_i64(batch, "node")
         neg = pa.array(np.full(len(nodes), -1, dtype=np.int64))
         return pa.Table.from_arrays(
             [pa.array(_ibucket(nodes)), neg, pa.array(nodes),
-             batch.column("label")],
-            names=["key", "qnode", "node", "label"])
+             batch.column("label"),
+             pa.array(np.zeros(len(nodes), dtype=np.int8))],
+            names=["key", "qnode", "node", "label", "changed"])
 
     def asker_emit(batch: pa.Table) -> pa.Table:
         nodes = _col_i64(batch, "node")
         labs = _col_i64(batch, "label")
         return pa.Table.from_arrays(
             [pa.array(_ibucket(labs)), pa.array(nodes), pa.array(labs),
-             pa.array(np.full(len(nodes), -1, dtype=np.int64))],
-            names=["key", "qnode", "node", "label"])
+             pa.array(np.full(len(nodes), -1, dtype=np.int64)),
+             batch.column("changed")],
+            names=["key", "qnode", "node", "label", "changed"])
 
     def answer(group: pa.Table) -> pa.Table:
         """label[n] ← label[label[n]]: providers carry the bucket's
-        label map; askers look up their label's label."""
+        label map; askers look up their label's label.  The per-node
+        ``changed`` flag rides the asker rows unchanged (compression
+        rewrites pointers, not this round's convergence evidence)."""
         qnodes = group.column("qnode").to_pylist()
         nodes = group.column("node").to_pylist()
         labs = group.column("label").to_pylist()
+        chg = group.column("changed").to_pylist()
         label_of = {n: l for q, n, l in zip(qnodes, nodes, labs)
                     if q == -1}
-        out_n, out_l = [], []
-        for q, n in zip(qnodes, nodes):
+        out_n, out_l, out_c = [], [], []
+        for q, n, c in zip(qnodes, nodes, chg):
             if q == -1:
                 continue
             out_n.append(q)
             out_l.append(label_of.get(n, n))
+            out_c.append(c)
         return pa.Table.from_arrays(
-            [pa.array(out_n, pa.int64()), pa.array(out_l, pa.int64())],
-            names=["node", "label"])
+            [pa.array(out_n, pa.int64()), pa.array(out_l, pa.int64()),
+             pa.array(np.array(out_c, dtype=np.int8))],
+            names=["node", "label", "changed"])
 
     def compress(lab):
         """Pointer-jumping round: long chains halve per application, so
@@ -544,25 +633,32 @@ def connected_components(pairs, max_iters: int = 50):
         return u.groupby("key").map_groups(answer,
                                            batch_format="pyarrow")
 
-    prev_sum = None
-    for it in range(max_iters):
+    for it in range(start_it, max_iters):
         u = labels.map_batches(lab_emit, batch_format="pyarrow",
                                zero_copy_batch=True).union(
             edges.map_batches(edge_emit, batch_format="pyarrow",
                               zero_copy_batch=True))
         msgs = u.groupby("key").map_groups(spread, batch_format="pyarrow")
-        labels = msgs.groupby("node").min("cand").map_batches(
-            lambda b: b.rename_columns(["node", "label"]),
-            batch_format="pyarrow", zero_copy_batch=True)
+        cand = msgs.groupby("rkey").map_groups(
+            reduce_labels, batch_format="pyarrow")
         if it >= 3:
             # typical dup clusters converge within 3 plain rounds; only
             # long-chain stragglers pay the extra compression shuffle
-            labels = compress(labels)
-        labels = labels.repartition(state_blocks).materialize()
-        s = labels.aggregate(Sum("label"))["sum(label)"]
-        if s == prev_sum:
+            cand = compress(cand)
+        full = cand.repartition(state_blocks).materialize()
+        n_changed = full.aggregate(Sum("changed"))["sum(changed)"] or 0
+        # lazy projection over the materialized blocks — consumers
+        # (persist / next-round emit / caller) pay only a column drop
+        labels = full.drop_columns(["changed"])
+        if manifest:
+            _persist(labels, f"labels_r{it}",
+                     {"shard": f"round_{it}", "iter": it,
+                      "n_changed": int(n_changed)})
+            if _fail_after_round is not None and it >= _fail_after_round:
+                raise RuntimeError(
+                    f"injected failure after committed round {it}")
+        if n_changed == 0:
             return labels
-        prev_sum = s
     raise RuntimeError(f"connected_components: no fixed point after "
                        f"{max_iters} iterations")
 

@@ -32,6 +32,48 @@ class RealDecoder:  # pragma: no cover - deployment seam
             "decoder (PIL/ffmpeg) with the same contract")
 
 
+class PilDecoder:
+    """Codec-backed decoder used when the PIL wheel is present.
+
+    Probes PIL at construction (i.e. once per actor, in ``__init__`` of
+    the map_batches actor that holds it) — constructing it without PIL
+    raises ImportError, which ``auto_decoder_cls`` turns into the
+    FakeDecoder fallback.  Decodes ``inline:<base64>`` media_refs (bytes
+    carried in the ref itself — the shape unit tests use); refs that
+    are opaque storage pointers need the fetch layer of a real
+    deployment and raise NotImplementedError, same as RealDecoder."""
+
+    def __init__(self):
+        from PIL import Image  # probe: ImportError when wheel absent
+
+        self._Image = Image
+
+    def decode(self, media_ref: str) -> dict:
+        if not media_ref.startswith("inline:"):
+            raise NotImplementedError(
+                "PilDecoder decodes inline:<base64> refs only; opaque "
+                "storage refs need the deployment fetch layer")
+        import base64
+        import io
+
+        raw = base64.b64decode(media_ref[len("inline:"):])
+        with self._Image.open(io.BytesIO(raw)) as im:
+            return {"width": int(im.width), "height": int(im.height),
+                    "n_frames": int(getattr(im, "n_frames", 1))}
+
+
+def auto_decoder_cls():
+    """Opportunistic codec probe: PilDecoder when PIL imports, else the
+    deterministic FakeDecoder.  Pass the result as ``decoder_cls`` to
+    any media actor; the default stays FakeDecoder so pinned goldens
+    are environment-independent."""
+    try:
+        PilDecoder()
+        return PilDecoder
+    except ImportError:
+        return FakeDecoder
+
+
 class FakeDecoder:
     """Deterministic stand-in: features from the ref's crc32."""
 

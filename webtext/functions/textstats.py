@@ -78,13 +78,31 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
 
 
 def _list_distinct_length(tokens):
-    """Distinct-token count per row (small Python fallback: Arrow has no
-    list_distinct kernel; rows are short token lists)."""
-    out = []
+    """Distinct-token count per row, vectorized: Arrow has no
+    list_distinct kernel, so factorize the flattened tokens (C-speed
+    hash) and count unique (row, token-code) pairs per row — identical
+    to ``len(set(lst))`` per row."""
+    import numpy as np
+    import pandas as pd
+
+    counts = []
     for chunk in (tokens.chunks if isinstance(tokens, pa.ChunkedArray)
                   else [tokens]):
-        out.extend(len(set(lst)) for lst in chunk.to_pylist())
-    return pa.array(out, pa.int64())
+        lengths = pc.list_value_length(chunk) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(lengths)
+        if n == 0 or lengths.sum() == 0:
+            counts.append(np.zeros(n, dtype=np.int64))
+            continue
+        codes, uniques = pd.factorize(
+            pc.list_flatten(chunk).to_pandas(), sort=False)
+        n_codes = np.int64(max(1, len(uniques)))
+        rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        pairs = np.unique(rows * n_codes + codes.astype(np.int64))
+        counts.append(np.bincount((pairs // n_codes).astype(np.int64),
+                                  minlength=n).astype(np.int64))
+    return pa.array(np.concatenate(counts) if counts
+                    else np.empty(0, dtype=np.int64), pa.int64())
 
 
 def lang_id_batch(batch: pa.Table) -> pa.Table:

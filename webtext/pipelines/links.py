@@ -180,7 +180,118 @@ def mine_google_related(doc) -> list[str]:
     return urls
 
 
+# --- U1 literal Google result miner (google_url_serch.py:97-230) ----------
+
+# main-content area candidates, in the reference's priority order
+# (google_url_serch.py:101-107); ALL non-null areas are scanned
+GOOGLE_MAIN_AREAS = ("#search", "#center_col", "#rso", "#main", ".v7W49e")
+
+# the JS-side exclude list (google_url_serch.py:206-215); substring
+# semantics (`url.includes(...)`), distinct from the broader U2 regex
+# blocklist applied by the generic miner
+GOOGLE_RESULT_EXCLUDES = (
+    "google.com/search", "google.com/travel", "google.com/maps",
+    "google.co.jp/intl", "support.google.com", "policies.google.com",
+    "accounts.google.com", "google.com/preferences",
+    "google.com/advanced_search",
+)
+
+# result-container classes for the closest() link strategy
+# (google_url_serch.py:172)
+_GOOGLE_CONTAINERS = ("g", "kvH3mc", "srKDX")
+
+
+def _closest_with_class(node, cls: str):
+    """JS Element.closest('.cls'): self-inclusive ancestor walk, class
+    TOKEN match."""
+    p = node
+    while p is not None and getattr(p, "name", None) is not None:
+        if hasattr(p, "classes") and cls in p.classes:
+            return p
+        p = getattr(p, "parent", None)
+    return None
+
+
+def _google_is_footer_nav(h3, body) -> bool:
+    """Footer/nav ancestor walk (google_url_serch.py:129-155): from the
+    h3 itself up to (exclusive) body — id SUBSTRING 'footer' or exact
+    botstuff/appbar/hdtb; class-attribute SUBSTRING footer/navcnt/
+    NKcBbd (the reference checks `className.includes(...)`, i.e.
+    substring on the raw attribute, not token match)."""
+    p = h3
+    while p is not None and p is not body:
+        pid = p.get("id") or ""
+        if "footer" in pid or pid in ("botstuff", "appbar", "hdtb"):
+            return True
+        pcls = p.get("class") or ""
+        if "footer" in pcls or "navcnt" in pcls or "NKcBbd" in pcls:
+            return True
+        p = getattr(p, "parent", None)
+    return False
+
+
+def mine_google_results(doc) -> list[str]:
+    """U1: ordered organic-result URLs, the reference's h3-anchored JS
+    extraction (google_url_serch.py:97-230) reproduced over the parsed
+    DOM: scan every main-content area's h3 headings, skip
+    related-question h3s and footer/nav h3s, resolve each h3's link by
+    the three-strategy cascade (self/direct-parent anchor → closest
+    result container's first anchor → nearest anchor ancestor), drop
+    links inside related questions, apply the JS exclude substrings,
+    first-occurrence dedup."""
+    body = getattr(doc, "body", None)
+    areas = [a for a in (doc.select_one(sel) for sel in GOOGLE_MAIN_AREAS)
+             if a is not None]
+    if not areas:
+        areas = [body or doc]
+    urls: list[str] = []
+    for area in areas:
+        for h3 in area.select("h3"):
+            if _closest_with_class(h3, "related-question-pair"):
+                continue
+            if _google_is_footer_nav(h3, body):
+                continue
+            link = None
+            if h3.name == "a":                       # strategy 1
+                link = h3
+            else:
+                parent = h3.parent
+                if parent is not None \
+                        and getattr(parent, "name", None) == "a":
+                    link = parent
+            if link is None:                         # strategy 2
+                p = h3
+                container = None
+                while p is not None \
+                        and getattr(p, "name", None) is not None:
+                    if p.name == "div" and any(
+                            c in p.classes for c in _GOOGLE_CONTAINERS):
+                        container = p
+                        break
+                    p = getattr(p, "parent", None)
+                if container is not None:
+                    link = container.find_first("a")
+            if link is None:                         # strategy 3
+                cur = h3
+                while cur is not None and cur is not body:
+                    if getattr(cur, "name", None) == "a":
+                        link = cur
+                        break
+                    cur = getattr(cur, "parent", None)
+            if link is None:
+                continue
+            if _closest_with_class(link, "related-question-pair"):
+                continue
+            url = link.get("href") or ""
+            if url.startswith("http") \
+                    and not any(x in url for x in GOOGLE_RESULT_EXCLUDES) \
+                    and url not in urls:
+                urls.append(url)
+    return urls
+
+
 _ENGINE_MINERS = {
+    "google": mine_google_results,
     "yahoo": mine_yahoo_cards,
     "yahoo_related": mine_yahoo_related,
     "google_related": mine_google_related,
@@ -275,6 +386,39 @@ def serp_fixture_docs() -> list[dict]:
         'href="https://www.google.com/search?q=rel+one">dup</a>'
         '</body></html>')
 
+    google_results = (
+        '<html><body>'
+        '<div id="hdtb"><h3><a href="https://example.com/navtab">Tab'
+        '</a></h3></div>'
+        '<div id="search"><div id="rso">'
+        # strategy 1: h3 whose direct parent is the anchor
+        '<a href="https://example.com/r1"><h3>Result one</h3></a>'
+        # strategy 2: h3 inside a div.g container, anchor elsewhere in it
+        '<div class="g"><a href="https://example.com/r2"></a>'
+        '<div><h3>Result two</h3></div></div>'
+        # strategy 3: anchor is a further ancestor
+        '<a href="https://example.com/r3"><div><span>'
+        '<h3>Result three</h3></span></div></a>'
+        # related-question h3 → skipped
+        '<div class="related-question-pair"><div class="g">'
+        '<a href="https://example.com/skipme"></a><h3>Question</h3>'
+        '</div></div>'
+        # footer-class ancestor → skipped
+        '<div class="mfooter"><h3><a href="https://example.com/foot">'
+        'Footer item</a></h3></div>'
+        # excluded URL substring
+        '<div class="kvH3mc"><a href="https://google.com/maps/place/x">'
+        '</a><h3>Maps</h3></div>'
+        # duplicate of r1 via a srKDX container
+        '<div class="srKDX"><a href="https://example.com/r1"></a>'
+        '<h3>Result one again</h3></div>'
+        # h3 with no anchor anywhere → no link found
+        '<div><h3>Linkless heading</h3></div>'
+        '</div></div>'
+        '<div id="footer-thing"><h3><a href="https://example.com/f2">'
+        'Deep footer</a></h3></div>'
+        '</body></html>')
+
     google_botstuff = (
         '<html><body>'
         '<div id="botstuff">'
@@ -293,7 +437,8 @@ def serp_fixture_docs() -> list[dict]:
 
     return [doc("serp://yahoo/1", yahoo_serp),
             doc("serp://google/1", google_serp),
-            doc("serp://google/2", google_botstuff)]
+            doc("serp://google/2", google_botstuff),
+            doc("serp://google/3", google_results)]
 
 
 def _mine_batch(batch: pa.Table) -> pa.Table:
