@@ -397,6 +397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "lsh_cosine_pairs": lambda sf: ann.lsh_cosine_dup_pairs(
             _emb(sf), 0.4),
+        "lsh_nearest_neighbor": lambda sf: ann.lsh_nearest_neighbor_ids(
+            _emb(sf)),
         # event-stream windows (beyond the reference: time-windowed ops)
         "windowed_events": lambda sf: _events_windowed(sf),
         "sessionize": lambda sf: _events_sessionize(sf),
@@ -423,7 +425,8 @@ def oracle_sql() -> dict[str, str]:
             "extract_spans", "extract_status", "media_features",
             "extract_links", "minhash_lsh_pairs", "simhash",
             "simhash_dup_pairs", "dedup_apply", "knn_ivf",
-            "winnow_fingerprint", "lsh_cosine_pairs", "read_rejects",
+            "winnow_fingerprint", "lsh_cosine_pairs",
+            "lsh_nearest_neighbor", "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
             "search_engine_links", "dedup_apply_emb", "timeout_ids",
             "pack_sequences", "media_resize", "frame_sample",

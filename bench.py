@@ -121,6 +121,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.perf_counter()
         _consume(qs[name](sf_dir))
         queries[name] = round(time.perf_counter() - t0, 4)
+        print(f"[bench] {name}: {queries[name]:.2f}s", file=sys.stderr)
 
     ray.shutdown()
     return {

@@ -455,3 +455,22 @@ def test_ivf_index_roundtrip_bit_identical(ray_session, emb_ds, tmp_path):
                ann.knn_ivf(emb_ds, q, k=10, nlist=8,
                            index_path=p).take_all()]
     assert inline == indexed
+
+
+def test_lsh_verify_plans_equivalent(ray_session, emb_ds):
+    """Both LSH verify plans (in-cell matmul vs id-only band rows + one
+    embedding join) must produce identical pair sets and identical
+    nearest-neighbor maps — the plan is a physical choice, not a
+    semantic one."""
+    a = {(r["left_id"], r["right_id"]) for r in ann.lsh_cosine_dup_pairs(
+        emb_ds, 0.3, n_planes=10, verify="join").take_all()}
+    b = {(r["left_id"], r["right_id"]) for r in ann.lsh_cosine_dup_pairs(
+        emb_ds, 0.3, n_planes=10, verify="inbucket").take_all()}
+    assert a and a == b
+    na = {r["vec_id"]: r["nn_id"] for r in ann.lsh_nearest_neighbor_ids(
+        emb_ds, n_planes=10, verify="join").take_all()}
+    nb = {r["vec_id"]: r["nn_id"] for r in ann.lsh_nearest_neighbor_ids(
+        emb_ds, n_planes=10, verify="inbucket").take_all()}
+    assert na == nb
+    with pytest.raises(ValueError):
+        ann.lsh_cosine_dup_pairs(emb_ds, 0.3, verify="bogus")

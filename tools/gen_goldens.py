@@ -235,6 +235,38 @@ def golden_lsh_cosine_pairs(sf_dir, threshold=0.4, n_planes=5, n_tables=8):
     return sorted(pairs)
 
 
+def golden_lsh_nearest_neighbor(sf_dir, n_planes=5, n_tables=8):
+    """Independent reimplementation of lsh_nearest_neighbor_ids: per
+    vector, the max-cosine candidate over the union of co-bucketed
+    vectors across all tables (ties → min vec_id); no candidates →
+    nn_id = -1."""
+    ids, _labels, mat = emb_matrix(sf_dir)
+    rng = np.random.RandomState(987)
+    planes = rng.normal(size=(n_tables, n_planes, mat.shape[1]))
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cand: dict[int, set[int]] = {i: set() for i in range(len(ids))}
+    for t in range(n_tables):
+        signs = (mat @ planes[t].T) > 0
+        keys = signs.dot(1 << np.arange(n_planes))
+        buckets: dict[int, list[int]] = {}
+        for i in range(len(ids)):
+            buckets.setdefault(int(keys[i]), []).append(i)
+        for members in buckets.values():
+            for i in members:
+                cand[i].update(m for m in members if m != i)
+    out = []
+    for i in range(len(ids)):
+        cs = sorted(cand[i])
+        if not cs:
+            out.append((int(ids[i]), -1))
+            continue
+        sims = np.array([float(norm[c] @ norm[i]) for c in cs])
+        best = sims.max()
+        nn = min(int(ids[c]) for c, s in zip(cs, sims) if s == best)
+        out.append((int(ids[i]), nn))
+    return sorted(out)
+
+
 # ---------------------------------------------------------------------------
 # extraction-surface goldens (pure oracle, no Ray)
 # ---------------------------------------------------------------------------
@@ -352,6 +384,11 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["lsh_cosine_pairs"] = pa.table(
         {"left_id": pa.array([p[0] for p in lc], pa.int64()),
          "right_id": pa.array([p[1] for p in lc], pa.int64())})
+
+    ln = golden_lsh_nearest_neighbor(sf_dir)
+    g["lsh_nearest_neighbor"] = pa.table(
+        {"vec_id": pa.array([p[0] for p in ln], pa.int64()),
+         "nn_id": pa.array([p[1] for p in ln], pa.int64())})
 
     vids, vlabels, _vmat = emb_matrix(sf_dir)
     uf_e = UnionFind()

@@ -483,19 +483,67 @@ def _pair_cosine_join(pairs, ds):
                                            batch_format="pyarrow")
 
 
+def _lsh_band_emb_fn(planes: np.ndarray):
+    """Vectorized band-row emission WITH the (normalized) embedding
+    riding each row — used by the in-bucket verify plan, where each
+    cell verifies its own candidates locally."""
+    n_tables, n_planes = planes.shape[0], planes.shape[1]
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def band(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        mat = _matrix(batch)
+        n = len(ids)
+        if n == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int32()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64()),
+                 pa.array([], pa.list_(pa.float64()))],
+                names=["table", "bucket", "vec_id", "emb"])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        nmat = mat / norms
+        signs = np.einsum("nd,tpd->ntp", mat, planes) > 0   # (n, T, P)
+        keys = signs.astype(np.int64) @ powers               # (n, T)
+        rep = np.repeat(nmat, n_tables, axis=0)              # id-major
+        return pa.Table.from_arrays(
+            [pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n)),
+             pa.array(keys.reshape(-1)),
+             pa.array(np.repeat(ids, n_tables)),
+             pa.array(list(rep), pa.list_(pa.float64()))],
+            names=["table", "bucket", "vec_id", "emb"])
+
+    return band
+
+
+def _resolve_lsh_verify(verify: str, n_planes: int) -> str:
+    """'auto' plan choice by bucket sharpness: with few planes the
+    cells are coarse and candidate pairs ≈ n²/2^n_planes ≫ n — ship
+    the vector with its band rows and verify locally (matmul per
+    cell).  With sharp buckets (n_planes ≥ 10, the production
+    near-dup regime) candidates ≈ true dups — id-only band rows plus
+    ONE embedding join shuffle ~n_tables× fewer bytes."""
+    if verify == "auto":
+        return "join" if n_planes >= 10 else "inbucket"
+    if verify not in ("join", "inbucket"):
+        raise ValueError(f"verify must be auto|join|inbucket, "
+                         f"got {verify!r}")
+    return verify
+
+
 def lsh_cosine_dup_pairs(ds, threshold: float = 0.4, n_planes: int = 5,
-                         n_tables: int = 8, dim: int = 64):
+                         n_tables: int = 8, dim: int = 64,
+                         verify: str = "auto"):
     """Scale path for cosine near-dup: random-hyperplane LSH.
 
     Each of ``n_tables`` tables hashes a vector to the sign pattern of
     ``n_planes`` fixed (seeded) hyperplanes; candidate pairs share a
-    bucket in ≥1 table; candidates are verified by exact cosine.  The
-    banding shuffle ships id-only (table, bucket, vec_id) triples;
-    embeddings are joined back exactly once for the verify
-    (``_pair_cosine_join``) — at 64-dim float64 that is ~8× fewer
-    shuffle bytes than riding the vector through every table.  Pairs
-    returned are always a subset of the exact ``cosine_dup_pairs``
-    output.
+    bucket in ≥1 table; candidates are verified by exact cosine.  Both
+    verify plans produce the IDENTICAL pair set (a subset of the exact
+    ``cosine_dup_pairs`` output); see ``_resolve_lsh_verify`` for the
+    plan-choice rationale — coarse buckets verify in-cell (vectorized
+    matmul), sharp buckets use id-only band rows + one embedding join.
 
     Tuning: per-plane sign-agreement prob is 1-θ/π, so per-table recall
     is (1-θ/π)^n_planes.  The defaults (5 planes × 8 tables) target the
@@ -506,50 +554,114 @@ def lsh_cosine_dup_pairs(ds, threshold: float = 0.4, n_planes: int = 5,
     rng = np.random.RandomState(987)
     planes = rng.normal(size=(n_tables, n_planes, dim))
 
-    bucketed = ds.map_batches(_lsh_band_fn(planes),
+    if _resolve_lsh_verify(verify, n_planes) == "join":
+        bucketed = ds.map_batches(_lsh_band_fn(planes),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        cand = bucketed.groupby(["table", "bucket"]).map_groups(
+            _candidate_pairs_in_cell, batch_format="pyarrow")
+        uniq = cand.groupby(["left_id", "right_id"]).count() \
+            .drop_columns(["count()"])
+        verified = _pair_cosine_join(uniq, ds)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            kept = batch.filter(
+                pc.greater_equal(batch.column("sim"), threshold))
+            return pa.Table.from_arrays(
+                [kept.column("left_id"), kept.column("right_id")],
+                names=["left_id", "right_id"])
+
+        return verified.map_batches(keep, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    def pairs_in_cell(group: pa.Table) -> pa.Table:
+        """Vectorized in-cell verify: one matmul of the cell's
+        normalized vectors, triu mask at the threshold, canonical
+        (min,max) pair emission."""
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) < 2:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["left_id", "right_id"])
+        # a cell sees each vector once per (table,bucket); ids unique
+        mat = _matrix(group, "emb")
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= threshold
+        a, b = ids[iu[hit]], ids[ju[hit]]
+        left, right = np.minimum(a, b), np.maximum(a, b)
+        return pa.Table.from_arrays(
+            [pa.array(left.astype(np.int64)),
+             pa.array(right.astype(np.int64))],
+            names=["left_id", "right_id"])
+
+    bucketed = ds.map_batches(_lsh_band_emb_fn(planes),
                               batch_format="pyarrow",
                               zero_copy_batch=True)
     # (table, bucket) cells are a CONSTANT n_tables × 2^n_planes groups
-    cand = bucketed.groupby(["table", "bucket"]).map_groups(
-        _candidate_pairs_in_cell, batch_format="pyarrow")
-    uniq = cand.groupby(["left_id", "right_id"]).count() \
-        .drop_columns(["count()"])
-    verified = _pair_cosine_join(uniq, ds)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        kept = batch.filter(
-            pc.greater_equal(batch.column("sim"), threshold))
-        return pa.Table.from_arrays(
-            [kept.column("left_id"), kept.column("right_id")],
-            names=["left_id", "right_id"])
-
-    return verified.map_batches(keep, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    pairs = bucketed.groupby(["table", "bucket"]).map_groups(
+        pairs_in_cell, batch_format="pyarrow")
+    uniq = pairs.groupby(["left_id", "right_id"]).count()
+    return uniq.drop_columns(["count()"])
 
 
 def lsh_nearest_neighbor_ids(ds, n_planes: int = 5, n_tables: int = 8,
-                             dim: int = 64):
-    """Approximate (vec_id, nn_id) at scale: id-only LSH band rows →
-    per-cell candidate pairs → ONE bucketed embedding join computes
-    pair cosines → per-vector best (max sim, ties → min nn_id) over
-    both pair directions.  Equivalent to per-bucket-best-then-global-
-    best: the best over the union of co-bucketed neighbors IS the best
-    of the per-bucket bests.  Vectors that share no bucket with anyone
-    get nn_id = -1 (documented miss marker).  No broadcast table;
-    embeddings ride exactly one shuffle instead of one per table."""
+                             dim: int = 64, verify: str = "auto"):
+    """Approximate (vec_id, nn_id) at scale: per-vector best co-bucketed
+    neighbor (max cosine, ties → min nn_id) across all LSH tables;
+    vectors that share no bucket with anyone get nn_id = -1 (documented
+    miss marker).  No broadcast table.
+
+    Plan choice mirrors lsh_cosine_dup_pairs (``_resolve_lsh_verify``):
+    coarse buckets compute per-cell best partials locally (embedding
+    rides the band shuffle, vectorized matmul + masked argmin per
+    cell); sharp buckets ship id-only band rows, join embeddings once
+    for pair cosines, and reduce both pair directions.  Both plans
+    give the identical answer — best over the union of co-bucketed
+    neighbors = best of the per-cell bests."""
     rng = np.random.RandomState(987)
     planes = rng.normal(size=(n_tables, n_planes, dim))
+    plan = _resolve_lsh_verify(verify, n_planes)
 
-    bucketed = ds.map_batches(_lsh_band_fn(planes),
-                              batch_format="pyarrow",
-                              zero_copy_batch=True)
-    cand = bucketed.groupby(["table", "bucket"]).map_groups(
-        _candidate_pairs_in_cell, batch_format="pyarrow")
-    uniq = cand.groupby(["left_id", "right_id"]).count() \
-        .drop_columns(["count()"])
-    sims = _pair_cosine_join(uniq, ds)
+    def best_in_cell(group: pa.Table) -> pa.Table:
+        """Vectorized per-cell best neighbor: one matmul, -inf diag,
+        row max; ties resolved to the min id among the argmax set."""
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(ids) < 2:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=["vec_id", "nn_id", "sim"])
+        mat = _matrix(group, "emb")
+        sims = mat @ mat.T
+        np.fill_diagonal(sims, -np.inf)
+        best = sims.max(axis=1)
+        tied = sims == best[:, None]
+        nn = np.where(tied, ids[None, :],
+                      np.iinfo(np.int64).max).min(axis=1)
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(nn.astype(np.int64)),
+             pa.array(best, pa.float64())],
+            names=["vec_id", "nn_id", "sim"])
+
+    if plan == "inbucket":
+        bucketed = ds.map_batches(_lsh_band_emb_fn(planes),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        sims = bucketed.groupby(["table", "bucket"]).map_groups(
+            best_in_cell, batch_format="pyarrow")
+    else:
+        bucketed = ds.map_batches(_lsh_band_fn(planes),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        cand = bucketed.groupby(["table", "bucket"]).map_groups(
+            _candidate_pairs_in_cell, batch_format="pyarrow")
+        uniq = cand.groupby(["left_id", "right_id"]).count() \
+            .drop_columns(["count()"])
+        sims = _pair_cosine_join(uniq, ds)
 
     def both_directions(batch: pa.Table) -> pa.Table:
         lids = batch.column("left_id").to_numpy(zero_copy_only=False)
@@ -588,8 +700,11 @@ def lsh_nearest_neighbor_ids(ds, n_planes: int = 5, n_tables: int = 8,
              pa.array(nns[first].astype(np.int64))],
             names=["vec_id", "nn_id"])
 
-    partials = sims.map_batches(both_directions, batch_format="pyarrow",
-                                zero_copy_batch=True).union(
+    if plan == "join":
+        # pair rows carry each direction once; expand to per-vector rows
+        sims = sims.map_batches(both_directions, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    partials = sims.union(
         ds.select_columns(["vec_id"]).map_batches(
             fallback, batch_format="pyarrow", zero_copy_batch=True))
     keyed = partials.map_batches(add_key, batch_format="pyarrow",
@@ -598,13 +713,16 @@ def lsh_nearest_neighbor_ids(ds, n_planes: int = 5, n_tables: int = 8,
         pick_best, batch_format="pyarrow")
 
 
-def dedup_apply_embeddings(ds, threshold: float = 0.4):
+def dedup_apply_embeddings(ds, threshold: float = 0.4,
+                           checkpoint_dir: str | None = None):
     """Corpus-level embedding near-dup REMOVAL: LSH cosine pairs →
     distributed connected components → keep the min-vec_id
     representative of each cluster.  Bucketed anti-join, same shape as
-    dedup.dedup_apply.  Returns surviving (vec_id, label) rows."""
+    dedup.dedup_apply.  ``checkpoint_dir`` makes the CC rounds
+    resumable (see dedup.connected_components).  Returns surviving
+    (vec_id, label) rows."""
     pairs = lsh_cosine_dup_pairs(ds, threshold)
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, checkpoint_dir=checkpoint_dir)
 
     def drop_emit(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

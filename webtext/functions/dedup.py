@@ -663,7 +663,8 @@ def connected_components(pairs, max_iters: int = 50,
                        f"{max_iters} iterations")
 
 
-def dedup_apply(ds, threshold: float = 0.5):
+def dedup_apply(ds, threshold: float = 0.5,
+                checkpoint_dir: str | None = None):
     """Corpus-level near-dup REMOVAL — the operation an LLM-data user
     actually runs (the reference applies its dedup per-document at
     web_text_extractor_ver1.5.py:297-343; this is the corpus analogue):
@@ -671,10 +672,14 @@ def dedup_apply(ds, threshold: float = 0.5):
       minhash_lsh_pairs → connected components → keep the min-doc_id
       representative of each dup cluster → anti-join the corpus.
 
+    ``checkpoint_dir`` makes the CC label rounds resumable (see
+    connected_components) — a 100 TB dedup that dies in round 7 picks
+    up from the last committed label state.
+
     Returns the surviving (doc_id, text) rows, fully distributed: the
     anti-join is the emit-union groupby pattern keyed by doc_id."""
     pairs = minhash_lsh_pairs(ds, threshold)
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, checkpoint_dir=checkpoint_dir)
 
     def drop_emit(batch: pa.Table) -> pa.Table:
         mask = pc.not_equal(batch.column("node"), batch.column("label"))

@@ -147,11 +147,16 @@ _BPE_RE = _re.compile(BPE_TOKEN_PATTERN)
 
 
 def token_count_bpe_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, n_bpe_tokens): BPE-style pretokenization count."""
-    counts = [len(_BPE_RE.findall(t))
-              for t in batch.column("text").to_pylist()]
+    """(doc_id, n_bpe_tokens): BPE-style pretokenization count,
+    vectorized — pandas ``str.count`` counts non-overlapping matches of
+    the same compiled pattern, exactly ``len(findall(t))`` per row."""
+    import pandas as pd
+
+    texts = batch.column("text").to_pandas()
+    counts = texts.str.count(_BPE_RE).fillna(0).astype("int64")
     return pa.Table.from_arrays(
-        [batch.column("doc_id"), pa.array(counts, pa.int64())],
+        [batch.column("doc_id"),
+         pa.array(counts.to_numpy(), pa.int64())],
         names=["doc_id", "n_bpe_tokens"])
 
 
