@@ -67,6 +67,30 @@ def _events_sessionize(sf_dir: str):
         columns=["user_id", "ts", "event_id"]))
 
 
+def _events_quantiles(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.relational import group_quantiles
+
+    return group_quantiles(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]))
+
+
+def _events_asof(sf_dir: str):
+    """Backward as-of join: each event matched to the user's latest
+    order at or before the event time."""
+    import ray.data
+
+    from webtext.functions.events import asof_join
+
+    return asof_join(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_id", "user_id", "ts"]),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"]))
+
+
 def _synth_docs(sf_dir: str) -> list[dict]:
     """Deterministic interleaved corpus for the extraction queries,
     scaled by sf tag (the driver tables are flat text, not interleaved —
@@ -402,6 +426,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream windows (beyond the reference: time-windowed ops)
         "windowed_events": lambda sf: _events_windowed(sf),
         "sessionize": lambda sf: _events_sessionize(sf),
+        "asof_join": lambda sf: _events_asof(sf),
+        "group_quantiles": lambda sf: _events_quantiles(sf),
+        "sample_stratified": lambda sf: textstats.sample_stratified(
+            _docs_cols(sf, ["doc_id", "lang"])),
         # relational skeleton (U5/U9/A1/A2/A3/E12 shapes)
         "topk_per_group": lambda sf: rel.topk_per_group(_docs(sf)),
         "ordered_dedup": lambda sf: rel.ordered_dedup(_docs(sf)),
@@ -553,6 +581,25 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
               FROM events) t
             GROUP BY user_id""",
+        "group_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS q50,
+                   quantile_disc(value, 0.95) AS q95
+            FROM events GROUP BY event_type""",
+        "sample_stratified": """
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+              FROM documents) t WHERE rn <= 3""",
+        "asof_join": """
+            SELECT event_id, user_id, o_orderkey FROM (
+              SELECT e.event_id, e.user_id, o.o_orderkey,
+                row_number() OVER (PARTITION BY e.event_id
+                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ) t WHERE rn = 1""",
         "topk_per_group": """
             SELECT doc_id, lang, n_chars FROM (
               SELECT doc_id, lang, n_chars, row_number() OVER (

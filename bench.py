@@ -115,7 +115,9 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "lang_id", "doc_fingerprint", "topk_per_group",
                  "ordered_dedup", "union_sources", "sort_limit",
                  "group_counts", "failure_filter", "windowed_events",
-                 "sessionize", "extract_spans", "extract_links",
+                 "sessionize", "asof_join", "group_quantiles",
+                 "sample_stratified", "extract_spans",
+                 "extract_links",
                  "media_features", "media_resize", "frame_sample",
                  "search_engine_links"):
         t0 = time.perf_counter()

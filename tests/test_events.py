@@ -47,3 +47,82 @@ def test_sessionize_deterministic_on_ts_ties(ray_session):
     rows = [_ev(2, 9, 0), _ev(1, 9, 0), _ev(3, 9, 45)]
     out = sessionize(ray.data.from_items(rows)).take_all()
     assert out[0]["n_sessions"] == 2
+
+
+# -- as-of join -------------------------------------------------------------
+
+def test_asof_join_crafted_interleavings(ray_session):
+    """Hand-built timeline exercising every as-of branch: inclusive
+    boundary, tie on right_ts -> max right_id, key isolation, left
+    before any right -> dropped, forward fill across many lefts."""
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = ray.data.from_items([
+        {"event_id": 1, "user_id": 10, "ts": T(5)},   # after r100 -> 100
+        {"event_id": 2, "user_id": 10, "ts": T(10)},  # == r101 ts -> 101
+        {"event_id": 3, "user_id": 10, "ts": T(30)},  # tie r102/r103 -> 103
+        {"event_id": 4, "user_id": 20, "ts": T(1)},   # before any -> drop
+        {"event_id": 5, "user_id": 20, "ts": T(50)},  # -> 200
+        {"event_id": 6, "user_id": 30, "ts": T(50)},  # no rights -> drop
+        {"event_id": 7, "user_id": 10, "ts": T(50)},  # fill persists -> 103
+    ])
+    right = ray.data.from_items([
+        {"o_orderkey": 100, "o_custkey": 10, "o_orderdate": T(2)},
+        {"o_orderkey": 101, "o_custkey": 10, "o_orderdate": T(10)},
+        {"o_orderkey": 102, "o_custkey": 10, "o_orderdate": T(20)},
+        {"o_orderkey": 103, "o_custkey": 10, "o_orderdate": T(20)},
+        {"o_orderkey": 200, "o_custkey": 20, "o_orderdate": T(40)},
+    ])
+    got = {r["event_id"]: r["o_orderkey"]
+           for r in asof_join(left, right).take_all()}
+    assert got == {1: 100, 2: 101, 3: 103, 5: 200, 7: 103}
+
+
+def test_asof_join_matches_duckdb(ray_session):
+    """Cross-check against the SQL oracle on the real tables."""
+    import duckdb
+    import ray.data
+
+    from webtext.functions.events import asof_join
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted((r["event_id"], r["o_orderkey"]) for r in asof_join(
+        ray.data.read_parquet(f"{sf}/events.parquet",
+                              columns=["event_id", "user_id", "ts"]),
+        ray.data.read_parquet(f"{sf}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"])).take_all())
+    want = duckdb.sql(f"""
+        SELECT event_id, o_orderkey FROM (
+          SELECT e.event_id, o.o_orderkey,
+            row_number() OVER (PARTITION BY e.event_id
+              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM read_parquet('{sf}/events.parquet') e
+          JOIN read_parquet('{sf}/orders.parquet') o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ) t WHERE rn = 1 ORDER BY event_id""").fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_asof_join_invariant_under_repartition(ray_session):
+    import ray.data
+
+    from webtext.functions.events import asof_join
+
+    sf = "/root/testdata/sf0.001"
+    le = ray.data.read_parquet(f"{sf}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    ri = ray.data.read_parquet(f"{sf}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_orderdate"])
+    a = sorted((r["event_id"], r["o_orderkey"])
+               for r in asof_join(le, ri).take_all())
+    b = sorted((r["event_id"], r["o_orderkey"])
+               for r in asof_join(le.repartition(7),
+                                  ri.repartition(3)).take_all())
+    assert a == b

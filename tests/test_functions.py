@@ -474,3 +474,38 @@ def test_lsh_verify_plans_equivalent(ray_session, emb_ds):
     assert na == nb
     with pytest.raises(ValueError):
         ann.lsh_cosine_dup_pairs(emb_ds, 0.3, verify="bogus")
+
+
+def test_group_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.relational import group_quantiles
+
+    rows = [{"event_type": t, "value": v}
+            for t, v in [("a", 3.0), ("a", 1.0), ("a", 2.0), ("a", 9.5),
+                         ("b", 7.0), ("b", 7.0), ("c", 0.25)]]
+    got = {r["event_type"]: (r["q50"], r["q95"]) for r in
+           group_quantiles(ray.data.from_items(rows)).take_all()}
+    want = {r[0]: (r[1], r[2]) for r in duckdb.sql(
+        "SELECT event_type, quantile_disc(value, 0.5), "
+        "quantile_disc(value, 0.95) FROM (SELECT unnest("
+        + str([r["event_type"] for r in rows]) + ") AS event_type, unnest("
+        + str([r["value"] for r in rows]) + ") AS value) "
+        "GROUP BY event_type").fetchall()}
+    assert got == want
+
+
+def test_sample_stratified_deterministic_and_invariant(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    a = sorted((r["lang"], r["doc_id"]) for r in
+               textstats.sample_stratified(ds).take_all())
+    b = sorted((r["lang"], r["doc_id"]) for r in
+               textstats.sample_stratified(ds.repartition(9)).take_all())
+    assert a == b and a          # content-addressed: split-independent
+    langs = {l for l, _ in a}
+    for lang in langs:
+        assert sum(1 for l, _ in a if l == lang) <= 3

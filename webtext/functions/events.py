@@ -95,3 +95,87 @@ def sessionize(ds, gap_minutes: int = SESSION_GAP_MINUTES,
                           zero_copy_batch=True) \
              .groupby("bucket").map_groups(count_bucket,
                                            batch_format="pyarrow")
+
+
+def asof_join(left, right,
+              left_key: str = "user_id", left_ts: str = "ts",
+              left_id: str = "event_id",
+              right_key: str = "o_custkey", right_ts: str = "o_orderdate",
+              right_id: str = "o_orderkey",
+              n_buckets: int = 256):
+    """Backward as-of join — for each left row, the right row of the
+    same key with the greatest ``right_ts`` ≤ ``left_ts`` (inclusive;
+    ties on right_ts → greatest ``right_id``).  Inner: left rows with
+    no qualifying right row are dropped.  Output columns:
+    (left_id, left_key, right_id).
+
+    Ray Data has no as-of join; this is the documented custom-operator
+    composition (SURVEY §2 'custom operators'): both sides emit into
+    hash(key) % n_buckets groups — the CONSTANT-fan-out shuffle every
+    join-by-groupby here uses — and one vectorized in-bucket pass sorts
+    the merged rows by (key, ts, side, right_id) and forward-fills the
+    last-seen right row with np.maximum.accumulate.  Partitioning
+    assumption: all rows of one key share a bucket (guaranteed by the
+    hash); per-bucket memory is the bucket's rows, not the corpus.
+    """
+
+    def left_emit(batch: pa.Table) -> pa.Table:
+        key = batch.column(left_key).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = batch.column(left_ts).cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pid = batch.column(left_id).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(key, n_buckets)), pa.array(key),
+             pa.array(ts), pa.array(np.zeros(len(key), dtype=np.int8)),
+             pa.array(pid)],
+            names=["bucket", "key", "ts", "is_right", "payload"])
+
+    def right_emit(batch: pa.Table) -> pa.Table:
+        key = batch.column(right_key).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = batch.column(right_ts).cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pid = batch.column(right_id).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(key, n_buckets)), pa.array(key),
+             pa.array(ts), pa.array(np.ones(len(key), dtype=np.int8)),
+             pa.array(pid)],
+            names=["bucket", "key", "ts", "is_right", "payload"])
+
+    def merge(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        is_r = group.column("is_right").to_numpy(zero_copy_only=False)
+        pay = group.column("payload").to_numpy(zero_copy_only=False)
+        # rights BEFORE lefts at equal (key, ts) — inclusive <=; among
+        # equal-ts rights, ascending payload so the forward fill's last
+        # seen is the max right_id
+        order = np.lexsort((pay, 1 - is_r, ts, key))
+        key, ts, is_r, pay = key[order], ts[order], is_r[order], pay[order]
+        idx = np.where(is_r == 1, np.arange(len(key)), -1)
+        last = np.maximum.accumulate(idx)
+        lmask = is_r == 0
+        j = last[lmask]
+        ok = j >= 0
+        # the sort is key-major, so a stale fill can only leak across a
+        # key boundary — reject fills whose right row has another key
+        ok[ok] = key[j[ok]] == key[lmask][ok]
+        out_left = pay[lmask][ok]
+        out_key = key[lmask][ok]
+        out_right = pay[j[ok]]
+        return pa.Table.from_arrays(
+            [pa.array(out_left.astype(np.int64)),
+             pa.array(out_key.astype(np.int64)),
+             pa.array(out_right.astype(np.int64))],
+            names=[left_id, left_key, right_id])
+
+    u = left.select_columns([left_id, left_key, left_ts]) \
+        .map_batches(left_emit, batch_format="pyarrow",
+                     zero_copy_batch=True).union(
+        right.select_columns([right_id, right_key, right_ts])
+        .map_batches(right_emit, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    return u.groupby("bucket").map_groups(merge, batch_format="pyarrow")

@@ -381,3 +381,62 @@ def token_count_bpe(ds):
 def winnow(ds):
     return ds.map_batches(winnow_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def _stratified_partial(batch: pa.Table, group_col: str,
+                        k: int) -> pa.Table:
+    """Per-batch combiner for stratified sampling: keep only each
+    group's k smallest (md5(doc_id), doc_id) rows, so the shuffle
+    ships ≤ k rows per (batch, group) instead of the corpus."""
+    import numpy as np
+
+    ids = batch.column("doc_id").to_pylist()
+    keys = np.asarray(batch.column(group_col).to_pylist(), dtype=object)
+    ranks = np.asarray(
+        [hashlib.md5(str(d).encode()).hexdigest() for d in ids],
+        dtype=object)
+    idarr = np.asarray(ids, dtype=np.int64)
+    order = np.lexsort((idarr, ranks, keys))
+    keys_s = keys[order]
+    starts = np.r_[0, np.nonzero(keys_s[1:] != keys_s[:-1])[0] + 1]
+    pos = np.arange(len(keys_s)) - np.repeat(
+        starts, np.diff(np.r_[starts, len(keys_s)]))
+    keep_idx = order[pos < k]
+    kept = batch.take(pa.array(np.sort(keep_idx)))
+    return pa.Table.from_arrays(
+        [kept.column(group_col).cast(pa.string()),
+         kept.column("doc_id").cast(pa.int64())],
+        names=[group_col, "doc_id"])
+
+
+def sample_stratified(ds, group_col: str = "lang", k: int = 3):
+    """Deterministic stratified sample: per group, the k docs with the
+    smallest md5(doc_id) hex (ties → doc_id) — a reproducible
+    per-stratum pick that is identical across engines, block splits and
+    cluster sizes (content-addressed rank, no RNG).  SQL oracle:
+    row_number() OVER (PARTITION BY group ORDER BY md5(doc_id), doc_id).
+
+    Combiner pattern: each batch pre-selects its own top-k per group,
+    so the final (tiny) per-group selection sees ≤ k·n_batches rows."""
+    import functools
+
+    partial_fn = functools.partial(_stratified_partial,
+                                   group_col=group_col, k=k)
+
+    def final(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = group.column("doc_id").to_pylist()
+        ranks = np.asarray(
+            [hashlib.md5(str(d).encode()).hexdigest() for d in ids],
+            dtype=object)
+        order = np.lexsort((np.asarray(ids, dtype=np.int64), ranks))[:k]
+        kept = group.take(pa.array(np.sort(order)))
+        return pa.Table.from_arrays(
+            [kept.column(group_col), kept.column("doc_id")],
+            names=[group_col, "doc_id"])
+
+    return ds.select_columns([group_col, "doc_id"]) \
+        .map_batches(partial_fn, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(group_col).map_groups(final, batch_format="pyarrow")

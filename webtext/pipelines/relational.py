@@ -108,3 +108,48 @@ def failure_filter(ds, pattern: str = "slow"):
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def group_quantiles(ds, group_col: str = "event_type",
+                    value_col: str = "value",
+                    qs: tuple[float, ...] = (0.5, 0.95)):
+    """Exact discrete quantiles per group: the value at rank
+    ⌈q·n⌉−1 of the group's sorted values — DuckDB's ``quantile_disc``
+    convention, so the SQL oracle matches float-for-float (both engines
+    select an existing element; no interpolation ever happens).
+
+    Per-batch combiner is impossible for exact quantiles, so the
+    shuffle ships (group, value) pairs — column-pruned at the read.
+    Groups are hash-bucketed (`dedup._sbucket`) so high-cardinality
+    group keys never create per-key Python groups; one np.lexsort per
+    bucket ranks every group's values."""
+    import numpy as np
+
+    from ..functions.dedup import _sbucket
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(group_col).to_pylist()
+        return batch.append_column("bucket", pa.array(_sbucket(keys)))
+
+    def quantiles(group: pa.Table) -> pa.Table:
+        keys = np.asarray(group.column(group_col).to_pylist(),
+                          dtype=object)
+        vals = group.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, keys))
+        keys, vals = keys[order], vals[order]
+        uniq, starts = np.unique(keys, return_index=True)
+        ends = np.append(starts[1:], len(keys))
+        cols: dict[str, list] = {group_col: list(uniq)}
+        for q in qs:
+            n = ends - starts
+            ranks = starts + np.maximum(
+                0, np.ceil(q * n).astype(np.int64) - 1)
+            cols[f"q{int(q * 100)}"] = vals[ranks].tolist()
+        out = pa.Table.from_pydict(cols)
+        return out.set_column(
+            0, group_col, out.column(group_col).cast(pa.string()))
+
+    return ds.select_columns([group_col, value_col]) \
+        .map_batches(add_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(quantiles, batch_format="pyarrow")
