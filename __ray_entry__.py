@@ -184,6 +184,20 @@ def _ivf_index_path(sf_dir: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def prewarm(sf_dir: str) -> None:
+    """Build the per-corpus one-time artifacts (persisted IVF index,
+    committed extraction runs for seeds 42/43) so subsequent queries
+    measure steady-state cost.  Idempotent — everything is keyed by a
+    source hash and built under a flock."""
+    from webtext.functions import ann
+
+    path = _ivf_index_path(sf_dir)
+    if not os.path.exists(path):
+        ann.ivf_build_index(_emb(sf_dir), path, nlist=16)
+    _committed_run(sf_dir, seed=42)
+    _committed_run(sf_dir, seed=43)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline over the interleaved corpus at
     sf0.001 scale; returns the kept rows."""

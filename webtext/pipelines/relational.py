@@ -13,6 +13,9 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.dedup import _sbucket  # module scope: worker code is
+# shipped by value and cannot lazy-import webtext
+
 
 def topk_per_group(ds, group_col: str = "lang", order_col: str = "n_chars",
                    k: int = 3):
@@ -124,8 +127,6 @@ def group_quantiles(ds, group_col: str = "event_type",
     group keys never create per-key Python groups; one np.lexsort per
     bucket ranks every group's values."""
     import numpy as np
-
-    from ..functions.dedup import _sbucket
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         keys = batch.column(group_col).to_pylist()
