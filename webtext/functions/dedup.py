@@ -537,26 +537,34 @@ def connected_components(pairs, max_iters: int = 50,
         """Messages out of one hash(node) bucket: each node re-emits its
         own label (is_self=1) and sends it to every neighbor
         (is_self=0); rows are keyed by the RECEIVER's hash bucket so the
-        reduce can also run over constant-count groups."""
-        nodes = group.column("node").to_pylist()
-        dsts = group.column("dst").to_pylist()
-        labs = group.column("label").to_pylist()
-        label_of = {n: l for n, d, l in zip(nodes, dsts, labs) if d == -1}
-        out_nodes, out_cands, out_self = [], [], []
-        for n, l in label_of.items():            # node keeps its label
-            out_nodes.append(n)
-            out_cands.append(l)
-            out_self.append(1)
-        for n, d in zip(nodes, dsts):            # label flows to neighbor
-            if d != -1 and n in label_of:
-                out_nodes.append(d)
-                out_cands.append(label_of[n])
-                out_self.append(0)
-        arr_nodes = np.array(out_nodes, dtype=np.int64)
+        reduce can also run over constant-count groups.  Vectorized:
+        the bucket's label map is a sorted array, edge sources resolve
+        through one np.searchsorted."""
+        nodes = group.column("node").to_numpy(zero_copy_only=False)
+        dsts = group.column("dst").to_numpy(zero_copy_only=False)
+        labs = group.column("label").to_numpy(zero_copy_only=False)
+        lmask = dsts == -1
+        lab_nodes, lab_vals = nodes[lmask], labs[lmask]
+        lorder = np.argsort(lab_nodes)
+        lab_nodes, lab_vals = lab_nodes[lorder], lab_vals[lorder]
+        emask = ~lmask
+        src, dst = nodes[emask], dsts[emask]
+        if len(lab_nodes):
+            pos = np.clip(np.searchsorted(lab_nodes, src),
+                          0, len(lab_nodes) - 1)
+            hit = lab_nodes[pos] == src
+        else:
+            pos = np.zeros(len(src), dtype=np.int64)
+            hit = np.zeros(len(src), dtype=bool)
+        out_nodes = np.concatenate([lab_nodes, dst[hit]])
+        out_cands = np.concatenate([lab_vals, lab_vals[pos[hit]]])
+        out_self = np.concatenate(
+            [np.ones(len(lab_nodes), dtype=np.int8),
+             np.zeros(int(hit.sum()), dtype=np.int8)])
         return pa.Table.from_arrays(
-            [pa.array(_ibucket(arr_nodes)), pa.array(arr_nodes),
-             pa.array(out_cands, pa.int64()),
-             pa.array(np.array(out_self, dtype=np.int8))],
+            [pa.array(_ibucket(out_nodes)),
+             pa.array(out_nodes.astype(np.int64)),
+             pa.array(out_cands.astype(np.int64)), pa.array(out_self)],
             names=["rkey", "node", "cand", "is_self"])
 
     def reduce_labels(group: pa.Table) -> pa.Table:
@@ -601,25 +609,31 @@ def connected_components(pairs, max_iters: int = 50,
 
     def answer(group: pa.Table) -> pa.Table:
         """label[n] ← label[label[n]]: providers carry the bucket's
-        label map; askers look up their label's label.  The per-node
-        ``changed`` flag rides the asker rows unchanged (compression
-        rewrites pointers, not this round's convergence evidence)."""
-        qnodes = group.column("qnode").to_pylist()
-        nodes = group.column("node").to_pylist()
-        labs = group.column("label").to_pylist()
-        chg = group.column("changed").to_pylist()
-        label_of = {n: l for q, n, l in zip(qnodes, nodes, labs)
-                    if q == -1}
-        out_n, out_l, out_c = [], [], []
-        for q, n, c in zip(qnodes, nodes, chg):
-            if q == -1:
-                continue
-            out_n.append(q)
-            out_l.append(label_of.get(n, n))
-            out_c.append(c)
+        label map; askers look up their label's label (vectorized via
+        sorted map + searchsorted; a miss keeps the pointer).  The
+        per-node ``changed`` flag rides the asker rows unchanged
+        (compression rewrites pointers, not this round's convergence
+        evidence)."""
+        qnodes = group.column("qnode").to_numpy(zero_copy_only=False)
+        nodes = group.column("node").to_numpy(zero_copy_only=False)
+        labs = group.column("label").to_numpy(zero_copy_only=False)
+        chg = group.column("changed").to_numpy(zero_copy_only=False)
+        pmask = qnodes == -1
+        map_nodes, map_labs = nodes[pmask], labs[pmask]
+        morder = np.argsort(map_nodes)
+        map_nodes, map_labs = map_nodes[morder], map_labs[morder]
+        amask = ~pmask
+        ask_q, ask_n, ask_c = qnodes[amask], nodes[amask], chg[amask]
+        out_l = ask_n.copy()                     # miss → keep pointer
+        if len(map_nodes):
+            pos = np.clip(np.searchsorted(map_nodes, ask_n),
+                          0, len(map_nodes) - 1)
+            hit = map_nodes[pos] == ask_n
+            out_l[hit] = map_labs[pos[hit]]
         return pa.Table.from_arrays(
-            [pa.array(out_n, pa.int64()), pa.array(out_l, pa.int64()),
-             pa.array(np.array(out_c, dtype=np.int8))],
+            [pa.array(ask_q.astype(np.int64)),
+             pa.array(out_l.astype(np.int64)),
+             pa.array(ask_c.astype(np.int8))],
             names=["node", "label", "changed"])
 
     def compress(lab):
