@@ -67,6 +67,41 @@ def _events_sessionize(sf_dir: str):
         columns=["user_id", "ts", "event_id"]))
 
 
+def _tpch_pricing(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import pricing_summary
+
+    return pricing_summary(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"]))
+
+
+def _tpch_join(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import order_line_join
+
+    return order_line_join(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_quantity"]))
+
+
+def _tpch_regions(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import region_customer_counts
+
+    return region_customer_counts(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_nationkey"]),
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet"),
+        ray.data.read_parquet(f"{sf_dir}/region.parquet"))
+
+
 def _events_quantiles(sf_dir: str):
     import ray.data
 
@@ -442,6 +477,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": lambda sf: _events_sessionize(sf),
         "asof_join": lambda sf: _events_asof(sf),
         "group_quantiles": lambda sf: _events_quantiles(sf),
+        # TPC-H-shaped relational: combiner aggregate, large-large
+        # bucketed join, broadcast dimension enrichment
+        "pricing_summary": lambda sf: _tpch_pricing(sf),
+        "order_line_join": lambda sf: _tpch_join(sf),
+        "region_customers": lambda sf: _tpch_regions(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
             _docs_cols(sf, ["doc_id", "lang"])),
         # relational skeleton (U5/U9/A1/A2/A3/E12 shapes)
@@ -595,6 +635,27 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
               FROM events) t
             GROUP BY user_id""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS
+                     BIGINT)) AS BIGINT) AS sum_base_cents,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "order_line_join": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   count(*)::BIGINT AS n_lines,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                     AS sum_qty
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_custkey""",
+        "region_customers": """
+            SELECT r.r_name, count(*)::BIGINT AS n_customers
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name""",
         "group_quantiles": """
             SELECT event_type,
                    quantile_disc(value, 0.5) AS q50,

@@ -128,7 +128,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "ordered_dedup", "union_sources", "sort_limit",
                  "group_counts", "failure_filter", "windowed_events",
                  "sessionize", "asof_join", "group_quantiles",
-                 "sample_stratified", "extract_spans",
+                 "sample_stratified", "pricing_summary",
+                 "order_line_join", "region_customers", "extract_spans",
                  "extract_links",
                  "media_features", "media_resize", "frame_sample",
                  "search_engine_links"):

@@ -1,0 +1,97 @@
+"""TPC-H-shaped relational ops: combiner aggregate, large-large join,
+broadcast dimension enrichment."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_pricing_summary_integer_cents(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import pricing_summary
+
+    rows = [
+        {"l_returnflag": "A", "l_linestatus": "F",
+         "l_quantity": 3.0, "l_extendedprice": 10.005},
+        {"l_returnflag": "A", "l_linestatus": "F",
+         "l_quantity": 2.0, "l_extendedprice": 0.01},
+        {"l_returnflag": "N", "l_linestatus": "O",
+         "l_quantity": 7.0, "l_extendedprice": 99.99},
+    ]
+    got = {(r["l_returnflag"], r["l_linestatus"]):
+           (r["sum_qty"], r["sum_base_cents"], r["n_rows"])
+           for r in pricing_summary(ray.data.from_items(rows)).take_all()}
+    # 10.005*100 = 1000.4999... in fp → half-away rounding on the FP
+    # value, same in DuckDB
+    want = {r[0:2]: tuple(r[2:]) for r in duckdb.sql(
+        "SELECT l_returnflag, l_linestatus,"
+        " CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT),"
+        " CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT),"
+        " count(*) FROM (SELECT unnest(['A','A','N']) l_returnflag,"
+        " unnest(['F','F','O']) l_linestatus,"
+        " unnest([3.0,2.0,7.0]) l_quantity,"
+        " unnest([10.005,0.01,99.99]) l_extendedprice)"
+        " GROUP BY 1,2").fetchall()}
+    assert got == want
+
+
+def test_order_line_join_inner_semantics(ray_session):
+    import ray.data
+
+    from webtext.pipelines.tpch import order_line_join
+
+    orders = ray.data.from_items([
+        {"o_orderkey": 1, "o_custkey": 10},
+        {"o_orderkey": 2, "o_custkey": 20},   # no lines → dropped
+    ])
+    lines = ray.data.from_items([
+        {"l_orderkey": 1, "l_quantity": 5.0},
+        {"l_orderkey": 1, "l_quantity": 7.0},
+        {"l_orderkey": 99, "l_quantity": 1.0},  # no order → dropped
+    ])
+    got = {r["o_orderkey"]: (r["o_custkey"], r["n_lines"], r["sum_qty"])
+           for r in order_line_join(orders, lines).take_all()}
+    assert got == {1: (10, 2, 12)}
+
+
+def test_order_line_join_invariant_under_repartition(ray_session):
+    import ray.data
+
+    from webtext.pipelines.tpch import order_line_join
+
+    sf = "/root/testdata/sf0.001"
+    o = ray.data.read_parquet(f"{sf}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey"])
+    l = ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                              columns=["l_orderkey", "l_quantity"])
+    a = sorted((r["o_orderkey"], r["n_lines"], r["sum_qty"])
+               for r in order_line_join(o, l).take_all())
+    b = sorted((r["o_orderkey"], r["n_lines"], r["sum_qty"])
+               for r in order_line_join(o.repartition(5),
+                                        l.repartition(7)).take_all())
+    assert a == b and a
+
+
+def test_region_customer_counts_broadcast(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import region_customer_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["r_name"]: r["n_customers"] for r in region_customer_counts(
+        ray.data.read_parquet(f"{sf}/customer.parquet",
+                              columns=["c_nationkey"]),
+        ray.data.read_parquet(f"{sf}/nation.parquet"),
+        ray.data.read_parquet(f"{sf}/region.parquet")).take_all()}
+    want = dict(duckdb.sql(f"""
+        SELECT r_name, count(*) FROM
+          read_parquet('{sf}/customer.parquet') c
+        JOIN read_parquet('{sf}/nation.parquet') n
+          ON n.n_nationkey = c.c_nationkey
+        JOIN read_parquet('{sf}/region.parquet') r
+          ON r.r_regionkey = n.n_regionkey
+        GROUP BY r_name""").fetchall())
+    assert got == want

@@ -1,0 +1,185 @@
+"""TPC-H-style relational queries over the driver tables — the three
+canonical distributed-join/aggregate shapes a data engine must get
+right, each expressed Ray-Data-first with an exact SQL oracle:
+
+* pricing_summary   — Q1-shaped multi-aggregate with the COMBINER
+                      pattern (per-batch partial aggregates inside
+                      map_batches; the shuffle ships one row per
+                      (batch, group), never lineitems).  Money sums are
+                      integer cents (half-away-from-zero per element,
+                      matching DuckDB's round()) so float summation
+                      order can never skew the value hash.
+* order_line_join   — large-large equi-join (orders ⋈ lineitem) as the
+                      constant-fan-out join-by-groupby: lineitem is
+                      per-batch pre-aggregated by orderkey FIRST, both
+                      sides emit into hash(orderkey) % 256 buckets, and
+                      one vectorized in-bucket merge joins them.
+* region_customer_counts — dimension enrichment via BROADCAST: the
+                      nation→region map (a few hundred rows) is
+                      ray.put once and read inside each task; customers
+                      never shuffle, only per-batch partial counts do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.dedup import _ibucket  # module scope: worker code is
+# shipped by value and cannot lazy-import webtext
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """Positive-domain half-away-from-zero integer cents — DuckDB's
+    CAST(round(x*100) AS BIGINT) for x ≥ 0."""
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def _pricing_partial(batch: pa.Table) -> pa.Table:
+    qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+    price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    t = pa.Table.from_arrays(
+        [batch.column("l_returnflag"), batch.column("l_linestatus"),
+         pa.array(qty.astype(np.int64)), pa.array(_cents(price)),
+         pa.array(np.ones(batch.num_rows, dtype=np.int64))],
+        names=["l_returnflag", "l_linestatus", "q", "cents", "one"])
+    agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("q", "sum"), ("cents", "sum"), ("one", "sum")])
+    return agg.rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty",
+         "sum_base_cents", "n_rows"])
+
+
+def pricing_summary(lineitem):
+    """(l_returnflag, l_linestatus, sum_qty, sum_base_cents, n_rows)."""
+    partial = lineitem.select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity",
+         "l_extendedprice"]).map_batches(
+        _pricing_partial, batch_format="pyarrow", zero_copy_batch=True)
+    summed = partial.groupby(["l_returnflag", "l_linestatus"]).sum(
+        ["sum_qty", "sum_base_cents", "n_rows"])
+    return summed.map_batches(
+        lambda b: b.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty",
+             "sum_base_cents", "n_rows"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _line_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: lineitem rows → one (orderkey, n, qty) row
+    per distinct orderkey in the batch."""
+    keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+    qty = batch.column("l_quantity").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    t = pa.Table.from_arrays(
+        [pa.array(keys.astype(np.int64)), pa.array(qty),
+         pa.array(np.ones(len(keys), dtype=np.int64))],
+        names=["okey", "qty", "n"])
+    agg = t.group_by(["okey"]).aggregate([("qty", "sum"), ("n", "sum")])
+    keys2 = agg.column("okey").to_numpy(zero_copy_only=False)
+    out = pa.Table.from_arrays(
+        [pa.array(_ibucket(keys2)), pa.array(keys2),
+         pa.array(np.full(len(keys2), -1, dtype=np.int64)),
+         agg.column("qty_sum"), agg.column("n_sum")],
+        names=["bucket", "okey", "custkey", "qty", "n"])
+    return out
+
+
+def _orders_emit(batch: pa.Table) -> pa.Table:
+    keys = batch.column("o_orderkey").cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    cust = batch.column("o_custkey").cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    zero = pa.array(np.zeros(len(keys), dtype=np.int64))
+    return pa.Table.from_arrays(
+        [pa.array(_ibucket(keys)), pa.array(keys), pa.array(cust),
+         zero, zero],
+        names=["bucket", "okey", "custkey", "qty", "n"])
+
+
+def _join_bucket(group: pa.Table) -> pa.Table:
+    """Vectorized in-bucket merge: sum the lineitem partials per
+    orderkey, attach o_custkey from the orders row, keep matched keys
+    (inner join)."""
+    okey = group.column("okey").to_numpy(zero_copy_only=False)
+    cust = group.column("custkey").to_numpy(zero_copy_only=False)
+    qty = group.column("qty").to_numpy(zero_copy_only=False)
+    n = group.column("n").to_numpy(zero_copy_only=False)
+    is_order = cust != -1
+    o_keys, o_cust = okey[is_order], cust[is_order]
+    oorder = np.argsort(o_keys)
+    o_keys, o_cust = o_keys[oorder], o_cust[oorder]
+    l_keys, l_qty, l_n = okey[~is_order], qty[~is_order], n[~is_order]
+    if len(o_keys) == 0 or len(l_keys) == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["o_orderkey", "o_custkey", "n_lines", "sum_qty"])
+    pos = np.clip(np.searchsorted(o_keys, l_keys), 0, len(o_keys) - 1)
+    hit = o_keys[pos] == l_keys
+    pos, l_qty, l_n = pos[hit], l_qty[hit], l_n[hit]
+    sum_qty = np.zeros(len(o_keys), dtype=np.int64)
+    n_lines = np.zeros(len(o_keys), dtype=np.int64)
+    np.add.at(sum_qty, pos, l_qty)
+    np.add.at(n_lines, pos, l_n)
+    matched = n_lines > 0
+    return pa.Table.from_arrays(
+        [pa.array(o_keys[matched]), pa.array(o_cust[matched]),
+         pa.array(n_lines[matched]), pa.array(sum_qty[matched])],
+        names=["o_orderkey", "o_custkey", "n_lines", "sum_qty"])
+
+
+def order_line_join(orders, lineitem):
+    """(o_orderkey, o_custkey, n_lines, sum_qty) — inner equi-join of
+    orders to per-order lineitem aggregates."""
+    u = lineitem.select_columns(["l_orderkey", "l_quantity"]) \
+        .map_batches(_line_partial, batch_format="pyarrow",
+                     zero_copy_batch=True).union(
+        orders.select_columns(["o_orderkey", "o_custkey"])
+        .map_batches(_orders_emit, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    return u.groupby("bucket").map_groups(_join_bucket,
+                                          batch_format="pyarrow")
+
+
+def region_customer_counts(customer, nation, region):
+    """(r_name, n_customers) — customers counted per region name via a
+    BROADCAST of the nation→region-name map: the dimension tables are
+    collected once (they are constant-size — 25 nations, 5 regions at
+    every TPC-H scale), shipped via ray.put, and looked up inside each
+    customer batch; only per-batch partial counts reach the shuffle."""
+    import ray
+
+    n_rows = nation.select_columns(
+        ["n_nationkey", "n_regionkey"]).take_all()
+    r_rows = region.select_columns(["r_regionkey", "r_name"]).take_all()
+    rname = {r["r_regionkey"]: r["r_name"] for r in r_rows}
+    nat2region = {r["n_nationkey"]: rname[r["n_regionkey"]]
+                  for r in n_rows}
+    ref = ray.put(nat2region)
+
+    class CountPerRegion:
+        def __init__(self, mapref):
+            m = ray.get(mapref)
+            # dense vectorized lookup table (nationkeys are small ints)
+            self.lut = np.array([m.get(i, "") for i in
+                                 range(max(m) + 1)], dtype=object)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nk = batch.column("c_nationkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            names = self.lut[nk]
+            t = pa.Table.from_arrays(
+                [pa.array(names.tolist(), pa.string()),
+                 pa.array(np.ones(len(names), dtype=np.int64))],
+                names=["r_name", "n"])
+            agg = t.group_by(["r_name"]).aggregate([("n", "sum")])
+            return agg.rename_columns(["r_name", "n_customers"])
+
+    partial = customer.select_columns(["c_nationkey"]).map_batches(
+        CountPerRegion, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4), fn_constructor_args=(ref,))
+    summed = partial.groupby("r_name").sum("n_customers")
+    return summed.map_batches(
+        lambda b: b.rename_columns(["r_name", "n_customers"]),
+        batch_format="pyarrow", zero_copy_batch=True)
