@@ -102,6 +102,30 @@ def _tpch_regions(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/region.parquet"))
 
 
+def _tpch_suppliers(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import supplier_shipments
+
+    return supplier_shipments(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_suppkey", "l_quantity"]),
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_name"]))
+
+
+def _tpch_brands(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import brand_volume
+
+    return brand_volume(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_quantity"]),
+        ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand"]))
+
+
 def _events_quantiles(sf_dir: str):
     import ray.data
 
@@ -482,6 +506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": lambda sf: _tpch_pricing(sf),
         "order_line_join": lambda sf: _tpch_join(sf),
         "region_customers": lambda sf: _tpch_regions(sf),
+        "supplier_shipments": lambda sf: _tpch_suppliers(sf),
+        "brand_volume": lambda sf: _tpch_brands(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
             _docs_cols(sf, ["doc_id", "lang"])),
         # relational skeleton (U5/U9/A1/A2/A3/E12 shapes)
@@ -650,6 +676,19 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_qty
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderkey, o.o_custkey""",
+        "supplier_shipments": """
+            SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS n_lines,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                     AS sum_qty
+            FROM lineitem l JOIN supplier s
+              ON s.s_suppkey = l.l_suppkey
+            GROUP BY s.s_suppkey, s.s_name""",
+        "brand_volume": """
+            SELECT p.p_brand, count(*)::BIGINT AS n_lines,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                     AS sum_qty
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_brand""",
         "region_customers": """
             SELECT r.r_name, count(*)::BIGINT AS n_customers
             FROM customer c

@@ -129,7 +129,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "group_counts", "failure_filter", "windowed_events",
                  "sessionize", "asof_join", "group_quantiles",
                  "sample_stratified", "pricing_summary",
-                 "order_line_join", "region_customers", "extract_spans",
+                 "order_line_join", "region_customers",
+                 "supplier_shipments", "brand_volume", "extract_spans",
                  "extract_links",
                  "media_features", "media_resize", "frame_sample",
                  "search_engine_links"):

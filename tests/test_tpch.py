@@ -95,3 +95,51 @@ def test_region_customer_counts_broadcast(ray_session):
           ON r.r_regionkey = n.n_regionkey
         GROUP BY r_name""").fetchall())
     assert got == want
+
+
+def test_supplier_shipments_broadcast_names(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import supplier_shipments
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted((r["s_suppkey"], r["s_name"], r["n_lines"], r["sum_qty"])
+                 for r in supplier_shipments(
+        ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                              columns=["l_suppkey", "l_quantity"]),
+        ray.data.read_parquet(f"{sf}/supplier.parquet",
+                              columns=["s_suppkey", "s_name"]))
+        .take_all())
+    want = sorted(tuple(r) for r in duckdb.sql(f"""
+        SELECT s.s_suppkey, s.s_name, count(*),
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+        FROM read_parquet('{sf}/lineitem.parquet') l
+        JOIN read_parquet('{sf}/supplier.parquet') s
+          ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2""").fetchall())
+    assert got == want and got
+
+
+def test_brand_volume_join_reaggregate(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import brand_volume
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted((r["p_brand"], r["n_lines"], r["sum_qty"])
+                 for r in brand_volume(
+        ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                              columns=["l_partkey", "l_quantity"]),
+        ray.data.read_parquet(f"{sf}/part.parquet",
+                              columns=["p_partkey", "p_brand"]))
+        .take_all())
+    want = sorted(tuple(r) for r in duckdb.sql(f"""
+        SELECT p.p_brand, count(*),
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+        FROM read_parquet('{sf}/lineitem.parquet') l
+        JOIN read_parquet('{sf}/part.parquet') p
+          ON p.p_partkey = l.l_partkey
+        GROUP BY 1""").fetchall())
+    assert got == want and got

@@ -183,3 +183,134 @@ def region_customer_counts(customer, nation, region):
     return summed.map_batches(
         lambda b: b.rename_columns(["r_name", "n_customers"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _supp_partial(batch: pa.Table) -> pa.Table:
+    keys = batch.column("l_suppkey").cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    qty = batch.column("l_quantity").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    t = pa.Table.from_arrays(
+        [pa.array(keys), pa.array(qty),
+         pa.array(np.ones(len(keys), dtype=np.int64))],
+        names=["s_suppkey", "qty", "n"])
+    agg = t.group_by(["s_suppkey"]).aggregate(
+        [("qty", "sum"), ("n", "sum")])
+    return agg.rename_columns(["s_suppkey", "sum_qty", "n_lines"])
+
+
+def supplier_shipments(lineitem, supplier):
+    """(s_suppkey, s_name, n_lines, sum_qty) — per-supplier shipped
+    volume: lineitem pre-aggregated per batch (combiner), summed with
+    one small groupby, supplier names attached from a BROADCAST (the
+    supplier dimension is tiny relative to lineitem at every scale)."""
+    import ray
+
+    s_rows = supplier.select_columns(["s_suppkey", "s_name"]).take_all()
+    names = {r["s_suppkey"]: r["s_name"] for r in s_rows}
+    ref = ray.put(names)
+
+    partial = lineitem.select_columns(["l_suppkey", "l_quantity"]) \
+        .map_batches(_supp_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    summed = partial.groupby("s_suppkey").sum(["sum_qty", "n_lines"])
+
+    class AttachName:
+        def __init__(self, r):
+            self.names = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.rename_columns(
+                ["s_suppkey", "sum_qty", "n_lines"])
+            keys = batch.column("s_suppkey").to_numpy(
+                zero_copy_only=False)
+            sname = [self.names.get(int(k)) for k in keys]
+            keep = pa.array([s is not None for s in sname])
+            out = batch.append_column(
+                "s_name", pa.array([s or "" for s in sname],
+                                   pa.string()))
+            return out.filter(keep).select(
+                ["s_suppkey", "s_name", "n_lines", "sum_qty"])
+
+    return summed.map_batches(
+        AttachName, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 2), fn_constructor_args=(ref,))
+
+
+def _brand_line_partial(batch: pa.Table) -> pa.Table:
+    keys = batch.column("l_partkey").cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    qty = batch.column("l_quantity").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    t = pa.Table.from_arrays(
+        [pa.array(keys), pa.array(qty),
+         pa.array(np.ones(len(keys), dtype=np.int64))],
+        names=["pkey", "qty", "n"])
+    agg = t.group_by(["pkey"]).aggregate([("qty", "sum"), ("n", "sum")])
+    keys2 = agg.column("pkey").to_numpy(zero_copy_only=False)
+    return pa.Table.from_arrays(
+        [pa.array(_ibucket(keys2)), pa.array(keys2),
+         pa.array([""] * len(keys2), pa.string()),
+         agg.column("qty_sum"), agg.column("n_sum")],
+        names=["bucket", "pkey", "brand", "qty", "n"])
+
+
+def _part_emit(batch: pa.Table) -> pa.Table:
+    keys = batch.column("p_partkey").cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    zero = pa.array(np.full(len(keys), -1, dtype=np.int64))
+    return pa.Table.from_arrays(
+        [pa.array(_ibucket(keys)), pa.array(keys),
+         batch.column("p_brand"), zero, zero],
+        names=["bucket", "pkey", "brand", "qty", "n"])
+
+
+def _brand_bucket(group: pa.Table) -> pa.Table:
+    """Attach brand to the lineitem partials (searchsorted against the
+    bucket's part rows, marked by qty = -1) and pre-sum per brand."""
+    pkey = group.column("pkey").to_numpy(zero_copy_only=False)
+    qty = group.column("qty").to_numpy(zero_copy_only=False)
+    n = group.column("n").to_numpy(zero_copy_only=False)
+    brand = np.asarray(group.column("brand").to_pylist(), dtype=object)
+    is_part = qty == -1
+    p_keys, p_brand = pkey[is_part], brand[is_part]
+    order = np.argsort(p_keys)
+    p_keys, p_brand = p_keys[order], p_brand[order]
+    l_keys, l_qty, l_n = pkey[~is_part], qty[~is_part], n[~is_part]
+    if len(p_keys) == 0 or len(l_keys) == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=["p_brand", "qty", "n"])
+    pos = np.clip(np.searchsorted(p_keys, l_keys), 0, len(p_keys) - 1)
+    hit = p_keys[pos] == l_keys
+    brands = p_brand[pos[hit]]
+    t = pa.Table.from_arrays(
+        [pa.array(brands.tolist(), pa.string()),
+         pa.array(l_qty[hit]), pa.array(l_n[hit])],
+        names=["p_brand", "qty", "n"])
+    agg = t.group_by(["p_brand"]).aggregate([("qty", "sum"),
+                                             ("n", "sum")])
+    return agg.rename_columns(["p_brand", "qty", "n"])
+
+
+def brand_volume(lineitem, part):
+    """(p_brand, n_lines, sum_qty) — join-then-reaggregate: lineitem
+    partials join part brands in hash(partkey) % 256 buckets (part is
+    corpus-sized at real scale — NOT broadcast), brands pre-summed in
+    the bucket, then one tiny groupby-sum over brands."""
+    u = lineitem.select_columns(["l_partkey", "l_quantity"]) \
+        .map_batches(_brand_line_partial, batch_format="pyarrow",
+                     zero_copy_batch=True).union(
+        part.select_columns(["p_partkey", "p_brand"])
+        .map_batches(_part_emit, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    per_bucket = u.groupby("bucket").map_groups(
+        _brand_bucket, batch_format="pyarrow")
+    summed = per_bucket.groupby("p_brand").sum(["n", "qty"])
+    return summed.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("p_brand"), b.column("sum(n)"),
+             b.column("sum(qty)")],
+            names=["p_brand", "n_lines", "sum_qty"]),
+        batch_format="pyarrow", zero_copy_batch=True)
