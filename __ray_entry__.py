@@ -160,22 +160,40 @@ def _synth_docs(sf_dir: str) -> list[dict]:
     return generate_docs(n_per_family=n, seed=42)
 
 
-_EXTRACTED_CACHE: dict[str, Any] = {}
+_EXTRACTED_CACHE: dict[str, tuple[str, Any]] = {}
+
+
+def _ray_session_tag() -> str:
+    """Identifier of the CURRENT Ray session — MaterializedDataset
+    blocks die with their session, so the cache must not survive a
+    driver-side ray.shutdown()/ray.init() cycle."""
+    import ray
+
+    try:
+        # node id is random per Ray session; job id is NOT (the first
+        # job of every local session reuses the same id)
+        return ray.get_runtime_context().get_node_id()
+    except Exception:  # noqa: BLE001 - not initialized yet
+        return "no-session"
 
 
 def _extracted(sf_dir: str):
-    """In-memory extraction output, materialized once per sf_dir: five
-    queries consume this same tiny corpus (spans/status/media×3), so
-    re-running the actor-pool pipeline per query would pay 5× actor
-    startup for identical rows.  The cache holds a MaterializedDataset
-    (object-store blocks, not driver heap)."""
+    """In-memory extraction output, materialized once per (Ray session,
+    sf_dir): five queries consume this same tiny corpus
+    (spans/status/media×3), so re-running the actor-pool pipeline per
+    query would pay 5× actor startup for identical rows.  The cache
+    holds a MaterializedDataset (object-store blocks, not driver heap)
+    and is invalidated when the Ray session changes — a cached dataset
+    from a dead session would reference freed object refs."""
     from webtext.pipelines import run_pipeline_in_memory
 
-    ds = _EXTRACTED_CACHE.get(sf_dir)
-    if ds is None:
-        ds = run_pipeline_in_memory(
-            _synth_docs(sf_dir), batch_size=32).materialize()
-        _EXTRACTED_CACHE[sf_dir] = ds
+    tag = _ray_session_tag()
+    hit = _EXTRACTED_CACHE.get(sf_dir)
+    if hit is not None and hit[0] == tag:
+        return hit[1]
+    ds = run_pipeline_in_memory(
+        _synth_docs(sf_dir), batch_size=32).materialize()
+    _EXTRACTED_CACHE[sf_dir] = (tag, ds)
     return ds
 
 

@@ -509,3 +509,18 @@ def test_sample_stratified_deterministic_and_invariant(ray_session):
     langs = {l for l, _ in a}
     for lang in langs:
         assert sum(1 for l, _ in a if l == lang) <= 3
+
+
+def test_list_distinct_length_null_tokens():
+    """Regression: a null token must count as one distinct element
+    (len(set) semantics), never alias into the previous row's key
+    space or crash on row 0."""
+    import pyarrow as pa
+
+    from webtext.functions.textstats import _list_distinct_length
+
+    assert _list_distinct_length(
+        pa.array([["a", "b", "a"], ["c", None], ["d"]])
+    ).to_pylist() == [2, 2, 1]
+    assert _list_distinct_length(
+        pa.array([[None], ["x", "x"]])).to_pylist() == [1, 1]

@@ -119,31 +119,28 @@ def asof_join(left, right,
     hash); per-bucket memory is the bucket's rows, not the corpus.
     """
 
-    def left_emit(batch: pa.Table) -> pa.Table:
-        key = batch.column(left_key).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        ts = batch.column(left_ts).cast(pa.timestamp("us")) \
-            .cast(pa.int64()).to_numpy(zero_copy_only=False)
-        pid = batch.column(left_id).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        return pa.Table.from_arrays(
-            [pa.array(_ibucket(key, n_buckets)), pa.array(key),
-             pa.array(ts), pa.array(np.zeros(len(key), dtype=np.int8)),
-             pa.array(pid)],
-            names=["bucket", "key", "ts", "is_right", "payload"])
+    def _emit(id_col: str, key_col: str, ts_col: str, side: int):
+        """One emit closure for both sides — the bucketing and
+        timestamp normalization cannot drift between them."""
 
-    def right_emit(batch: pa.Table) -> pa.Table:
-        key = batch.column(right_key).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        ts = batch.column(right_ts).cast(pa.timestamp("us")) \
-            .cast(pa.int64()).to_numpy(zero_copy_only=False)
-        pid = batch.column(right_id).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        return pa.Table.from_arrays(
-            [pa.array(_ibucket(key, n_buckets)), pa.array(key),
-             pa.array(ts), pa.array(np.ones(len(key), dtype=np.int8)),
-             pa.array(pid)],
-            names=["bucket", "key", "ts", "is_right", "payload"])
+        def emit(batch: pa.Table) -> pa.Table:
+            key = batch.column(key_col).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            ts = batch.column(ts_col).cast(pa.timestamp("us")) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            pid = batch.column(id_col).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [pa.array(_ibucket(key, n_buckets)), pa.array(key),
+                 pa.array(ts),
+                 pa.array(np.full(len(key), side, dtype=np.int8)),
+                 pa.array(pid)],
+                names=["bucket", "key", "ts", "is_right", "payload"])
+
+        return emit
+
+    left_emit = _emit(left_id, left_key, left_ts, 0)
+    right_emit = _emit(right_id, right_key, right_ts, 1)
 
     def merge(group: pa.Table) -> pa.Table:
         key = group.column("key").to_numpy(zero_copy_only=False)

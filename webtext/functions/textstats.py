@@ -96,9 +96,14 @@ def _list_distinct_length(tokens):
             continue
         codes, uniques = pd.factorize(
             pc.list_flatten(chunk).to_pandas(), sort=False)
-        n_codes = np.int64(max(1, len(uniques)))
+        # shift by 1 so a null token (factorize code -1) is its own
+        # distinct value (code 0) instead of aliasing into the
+        # previous row's key space — matches len(set(lst)) where None
+        # counts as one element
+        codes = codes.astype(np.int64) + 1
+        n_codes = np.int64(len(uniques) + 1)
         rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
-        pairs = np.unique(rows * n_codes + codes.astype(np.int64))
+        pairs = np.unique(rows * n_codes + codes)
         counts.append(np.bincount((pairs // n_codes).astype(np.int64),
                                   minlength=n).astype(np.int64))
     return pa.array(np.concatenate(counts) if counts

@@ -35,12 +35,38 @@ def _cents(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 100.0 + 0.5).astype(np.int64)
 
 
+def _qty_i64(x: np.ndarray) -> np.ndarray:
+    """Positive-domain DuckDB CAST(double AS BIGINT): round half away
+    from zero (CAST(2.5)→3, CAST(2.6)→3) — NOT numpy's truncating
+    astype, which would diverge from every SQL oracle on non-integral
+    quantities."""
+    return np.floor(x + 0.5).astype(np.int64)
+
+
+def _keyed_qty_partial(batch: pa.Table, key_col: str) -> pa.Table:
+    """Shared per-batch combiner: lineitem rows → one (key, qty, n) row
+    per distinct key in the batch.  Every lineitem-side join/aggregate
+    here funnels through this one helper so the quantity-cast contract
+    cannot drift between queries."""
+    keys = batch.column(key_col).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    qty = _qty_i64(batch.column("l_quantity")
+                   .to_numpy(zero_copy_only=False))
+    t = pa.Table.from_arrays(
+        [pa.array(keys), pa.array(qty),
+         pa.array(np.ones(len(keys), dtype=np.int64))],
+        names=["key", "qty", "n"])
+    agg = t.group_by(["key"]).aggregate([("qty", "sum"), ("n", "sum")])
+    return agg.rename_columns(["key", "qty", "n"])
+
+
 def _pricing_partial(batch: pa.Table) -> pa.Table:
-    qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+    qty = _qty_i64(batch.column("l_quantity")
+                   .to_numpy(zero_copy_only=False))
     price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
     t = pa.Table.from_arrays(
         [batch.column("l_returnflag"), batch.column("l_linestatus"),
-         pa.array(qty.astype(np.int64)), pa.array(_cents(price)),
+         pa.array(qty), pa.array(_cents(price)),
          pa.array(np.ones(batch.num_rows, dtype=np.int64))],
         names=["l_returnflag", "l_linestatus", "q", "cents", "one"])
     agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
@@ -68,21 +94,13 @@ def pricing_summary(lineitem):
 def _line_partial(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: lineitem rows → one (orderkey, n, qty) row
     per distinct orderkey in the batch."""
-    keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-    qty = batch.column("l_quantity").to_numpy(zero_copy_only=False) \
-        .astype(np.int64)
-    t = pa.Table.from_arrays(
-        [pa.array(keys.astype(np.int64)), pa.array(qty),
-         pa.array(np.ones(len(keys), dtype=np.int64))],
-        names=["okey", "qty", "n"])
-    agg = t.group_by(["okey"]).aggregate([("qty", "sum"), ("n", "sum")])
-    keys2 = agg.column("okey").to_numpy(zero_copy_only=False)
-    out = pa.Table.from_arrays(
+    agg = _keyed_qty_partial(batch, "l_orderkey")
+    keys2 = agg.column("key").to_numpy(zero_copy_only=False)
+    return pa.Table.from_arrays(
         [pa.array(_ibucket(keys2)), pa.array(keys2),
          pa.array(np.full(len(keys2), -1, dtype=np.int64)),
-         agg.column("qty_sum"), agg.column("n_sum")],
+         agg.column("qty"), agg.column("n")],
         names=["bucket", "okey", "custkey", "qty", "n"])
-    return out
 
 
 def _orders_emit(batch: pa.Table) -> pa.Table:
@@ -161,14 +179,20 @@ def region_customer_counts(customer, nation, region):
     class CountPerRegion:
         def __init__(self, mapref):
             m = ray.get(mapref)
-            # dense vectorized lookup table (nationkeys are small ints)
-            self.lut = np.array([m.get(i, "") for i in
+            # dense vectorized lookup table (nationkeys are small
+            # ints); None marks missing so unknown keys DROP like the
+            # oracle's inner join instead of crashing or miscounting
+            self.lut = np.array([m.get(i) for i in
                                  range(max(m) + 1)], dtype=object)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             nk = batch.column("c_nationkey").to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            names = self.lut[nk]
+            in_range = (nk >= 0) & (nk < len(self.lut))
+            names = np.full(len(nk), None, dtype=object)
+            names[in_range] = self.lut[nk[in_range]]
+            keep = names != None  # noqa: E711 - elementwise
+            names = names[keep]
             t = pa.Table.from_arrays(
                 [pa.array(names.tolist(), pa.string()),
                  pa.array(np.ones(len(names), dtype=np.int64))],
@@ -186,16 +210,7 @@ def region_customer_counts(customer, nation, region):
 
 
 def _supp_partial(batch: pa.Table) -> pa.Table:
-    keys = batch.column("l_suppkey").cast(pa.int64()) \
-        .to_numpy(zero_copy_only=False)
-    qty = batch.column("l_quantity").to_numpy(zero_copy_only=False) \
-        .astype(np.int64)
-    t = pa.Table.from_arrays(
-        [pa.array(keys), pa.array(qty),
-         pa.array(np.ones(len(keys), dtype=np.int64))],
-        names=["s_suppkey", "qty", "n"])
-    agg = t.group_by(["s_suppkey"]).aggregate(
-        [("qty", "sum"), ("n", "sum")])
+    agg = _keyed_qty_partial(batch, "l_suppkey")
     return agg.rename_columns(["s_suppkey", "sum_qty", "n_lines"])
 
 
@@ -238,20 +253,12 @@ def supplier_shipments(lineitem, supplier):
 
 
 def _brand_line_partial(batch: pa.Table) -> pa.Table:
-    keys = batch.column("l_partkey").cast(pa.int64()) \
-        .to_numpy(zero_copy_only=False)
-    qty = batch.column("l_quantity").to_numpy(zero_copy_only=False) \
-        .astype(np.int64)
-    t = pa.Table.from_arrays(
-        [pa.array(keys), pa.array(qty),
-         pa.array(np.ones(len(keys), dtype=np.int64))],
-        names=["pkey", "qty", "n"])
-    agg = t.group_by(["pkey"]).aggregate([("qty", "sum"), ("n", "sum")])
-    keys2 = agg.column("pkey").to_numpy(zero_copy_only=False)
+    agg = _keyed_qty_partial(batch, "l_partkey")
+    keys2 = agg.column("key").to_numpy(zero_copy_only=False)
     return pa.Table.from_arrays(
         [pa.array(_ibucket(keys2)), pa.array(keys2),
          pa.array([""] * len(keys2), pa.string()),
-         agg.column("qty_sum"), agg.column("n_sum")],
+         agg.column("qty"), agg.column("n")],
         names=["bucket", "pkey", "brand", "qty", "n"])
 
 
