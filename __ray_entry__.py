@@ -510,6 +510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "pack_sequences": lambda sf: textstats.pack_sequences(
             _docs_cols(sf, ["doc_id", "text"])),
+        "training_pipeline": lambda sf: textstats.training_pipeline(
+            _docs_cols(sf, ["doc_id", "text"])),
         "lsh_cosine_pairs": lambda sf: ann.lsh_cosine_dup_pairs(
             _emb(sf), 0.4),
         "lsh_nearest_neighbor": lambda sf: ann.lsh_nearest_neighbor_ids(
@@ -552,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
             "extract_links", "minhash_lsh_pairs", "simhash",
             "simhash_dup_pairs", "dedup_apply", "knn_ivf",
             "winnow_fingerprint", "lsh_cosine_pairs",
+            "training_pipeline",
             "lsh_nearest_neighbor", "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
             "search_engine_links", "dedup_apply_emb", "timeout_ids",

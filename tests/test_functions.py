@@ -524,3 +524,28 @@ def test_list_distinct_length_null_tokens():
     ).to_pylist() == [2, 2, 1]
     assert _list_distinct_length(
         pa.array([[None], ["x", "x"]])).to_pylist() == [1, 1]
+
+
+def test_training_pipeline_chain(ray_session):
+    """End-to-end chain: only quality-passing, deduped docs are packed;
+    every pack respects the token budget; invariant under repartition."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+    rows = textstats.training_pipeline(ds).take_all()
+    assert rows
+    packs = {}
+    for r in rows:
+        packs.setdefault((r["bucket"], r["pack_id"]), []).append(
+            r["n_tokens"])
+    for members in packs.values():
+        assert sum(members) <= 256 or len(members) == 1
+    kept_ids = {r["doc_id"] for r in rows}
+    filtered = {r["doc_id"] for r in dedup.exact_dedup(
+        textstats.corpus_quality_filter(ds)).take_all()}
+    assert kept_ids == filtered
+    rows2 = textstats.training_pipeline(ds.repartition(9)).take_all()
+    assert sorted((r["bucket"], r["pack_id"], r["doc_id"])
+                  for r in rows) == \
+        sorted((r["bucket"], r["pack_id"], r["doc_id"]) for r in rows2)

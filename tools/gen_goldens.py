@@ -374,6 +374,50 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
                                 ("doc_id", pa.int64()),
                                 ("n_tokens", pa.int64())]))
 
+    # training_pipeline: quality filter → exact dedup → packing, all
+    # re-derived here from the spec (no library code)
+    STOPS = [("en", {"the", "a", "of", "and", "in", "to"}),
+             ("es", {"el", "la", "de", "y", "en", "que"}),
+             ("de", {"der", "die", "das", "und", "ist", "von"}),
+             ("fr", {"le", "la", "et", "les", "des", "un"})]
+
+    def _pred_lang(toks):
+        counts = [sum(t in words for t in toks) for _l, words in STOPS]
+        best = max(counts)
+        return STOPS[counts.index(best)][0] if best > 0 else "und"
+
+    kept_by_text: dict[str, int] = {}
+    for did, text in zip(ids, texts):
+        toks = text.split(" ")
+        n = len(toks)
+        n_stop = sum(t in STOPS[0][1] for t in toks)
+        if not (_pred_lang(toks) == "en" and n >= 10
+                and n_stop * 50 >= n and len(set(toks)) * 10 >= 3 * n):
+            continue
+        if text not in kept_by_text or did < kept_by_text[text]:
+            kept_by_text[text] = did
+    tbuckets: dict[int, list[tuple[int, int]]] = {}
+    for text, did in kept_by_text.items():
+        b = ((did * 2654435761) & 0x7FFFFFFFFFFFFFFF) % 64
+        tbuckets.setdefault(b, []).append((did, len(text.split(" "))))
+    trow = {"bucket": [], "pack_id": [], "doc_id": [], "n_tokens": []}
+    for b in sorted(tbuckets):
+        cur_id, cur_tot = 0, 0
+        for did, n in sorted(tbuckets[b]):
+            if cur_tot and cur_tot + n > 256:
+                cur_id += 1
+                cur_tot = 0
+            cur_tot += n
+            trow["bucket"].append(b)
+            trow["pack_id"].append(cur_id)
+            trow["doc_id"].append(did)
+            trow["n_tokens"].append(n)
+    g["training_pipeline"] = pa.Table.from_pydict(
+        trow, schema=pa.schema([("bucket", pa.int64()),
+                                ("pack_id", pa.int64()),
+                                ("doc_id", pa.int64()),
+                                ("n_tokens", pa.int64())]))
+
     # -- embeddings ops
     kids, klabels = golden_knn_ivf(sf_dir)
     g["knn_ivf"] = pa.table(

@@ -18,8 +18,8 @@ import hashlib
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dedup import _ibucket  # module scope: worker code is shipped by
-                             # value and cannot lazy-import webtext
+from .dedup import _ibucket, exact_dedup  # module scope: worker code
+# is shipped by value and cannot lazy-import webtext
 
 # tiny per-language stopword tables for the n-gram/stopword lang-id
 # heuristic; tie-break = table order, all-zero → 'und'
@@ -445,3 +445,22 @@ def sample_stratified(ds, group_col: str = "lang", k: int = 3):
         .map_batches(partial_fn, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .groupby(group_col).map_groups(final, batch_format="pyarrow")
+
+
+def training_pipeline(ds, min_tokens: int = 10,
+                      token_budget: int = PACK_TOKEN_BUDGET):
+    """The end-to-end LLM-training-data preparation chain, one
+    streaming Dataset pipeline:
+
+        quality filter (vectorized predicate, no shuffle)
+          → exact dedup (min doc_id per text, one groupby)
+          → sequence packing (hash-bucketed first-fit, one shuffle)
+
+    Composes the three independently-oracled stages; the whole chain is
+    pinned by its own independent golden (tools/gen_goldens.py
+    ``golden_training_pipeline`` — re-derived predicate, dedup winner
+    and packing, no library code).  Output (bucket, pack_id, doc_id,
+    n_tokens)."""
+    return pack_sequences(
+        exact_dedup(corpus_quality_filter(ds, min_tokens)),
+        token_budget)
