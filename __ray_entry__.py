@@ -126,6 +126,23 @@ def _tpch_brands(sf_dir: str):
                               columns=["p_partkey", "p_brand"]))
 
 
+def _hash_embed_nn(sf_dir: str):
+    """Documents → feature-hashing embeddings → exact nearest neighbor:
+    the text→similarity composition with no pretrained model (the
+    embedder is a pure map_batches stage feeding the ANN suite)."""
+    import pyarrow as pa
+
+    from webtext.functions import ann
+    from webtext.functions.textstats import hash_embeddings
+
+    emb = hash_embeddings(_docs_cols(sf_dir, ["doc_id", "text"]))
+    emb = emb.map_batches(
+        lambda b: b.rename_columns(["vec_id", "embedding"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return ann.nearest_neighbor_ids(emb, method="exact",
+                                    sim_quantum=1e-12)
+
+
 def _events_quantiles(sf_dir: str):
     import ray.data
 
@@ -512,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "training_pipeline": lambda sf: textstats.training_pipeline(
             _docs_cols(sf, ["doc_id", "text"])),
+        "hash_embed_nn": lambda sf: _hash_embed_nn(sf),
         "lsh_cosine_pairs": lambda sf: ann.lsh_cosine_dup_pairs(
             _emb(sf), 0.4),
         "lsh_nearest_neighbor": lambda sf: ann.lsh_nearest_neighbor_ids(
@@ -554,7 +572,7 @@ def oracle_sql() -> dict[str, str]:
             "extract_links", "minhash_lsh_pairs", "simhash",
             "simhash_dup_pairs", "dedup_apply", "knn_ivf",
             "winnow_fingerprint", "lsh_cosine_pairs",
-            "training_pipeline",
+            "training_pipeline", "hash_embed_nn",
             "lsh_nearest_neighbor", "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
             "search_engine_links", "dedup_apply_emb", "timeout_ids",

@@ -122,7 +122,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "knn_cosine", "knn_ivf", "knn_ivf_indexed", "cosine_nn",
                  "cosine_dup_pairs", "lsh_cosine_pairs", "token_count",
                  "token_count_bpe", "winnow_fingerprint", "sample_by_hash",
-                 "pack_sequences", "training_pipeline", "corpus_filter",
+                 "pack_sequences", "training_pipeline", "hash_embed_nn",
+                 "corpus_filter",
                  "token_frequencies",
                  "length_histogram", "quality_score",
                  "lang_id", "doc_fingerprint", "topk_per_group",

@@ -549,3 +549,23 @@ def test_training_pipeline_chain(ray_session):
     assert sorted((r["bucket"], r["pack_id"], r["doc_id"])
                   for r in rows) == \
         sorted((r["bucket"], r["pack_id"], r["doc_id"]) for r in rows2)
+
+
+def test_hash_embeddings_deterministic_and_composable(ray_session, docs_ds):
+    """Feature-hashing embeddings: unit-norm, deterministic across
+    block splits, and identical texts map to identical vectors (the
+    property that makes the ANN suite composable over raw text)."""
+    import numpy as np
+
+    a = {r["doc_id"]: tuple(r["embedding"]) for r in
+         textstats.hash_embeddings(docs_ds).take_all()}
+    b = {r["doc_id"]: tuple(r["embedding"]) for r in
+         textstats.hash_embeddings(docs_ds.repartition(7)).take_all()}
+    assert a == b
+    for v in list(a.values())[:50]:
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    texts = {r["doc_id"]: r["text"] for r in docs_ds.take_all()}
+    by_text = {}
+    for did, vec in a.items():
+        t = texts[did]
+        assert by_text.setdefault(t, vec) == vec

@@ -235,6 +235,36 @@ def golden_lsh_cosine_pairs(sf_dir, threshold=0.4, n_planes=5, n_tables=8):
     return sorted(pairs)
 
 
+def golden_hash_embed_nn(sf_dir, dim=64):
+    """Independent reimplementation of the documents → feature-hashing
+    embedding → exact nearest-neighbor composition: slot = crc32(token)
+    % dim, sign = bit 31, accumulate per occurrence, L2-normalize; NN =
+    max cosine (ties → min doc_id)."""
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    mat = np.zeros((len(ids), dim), dtype=np.float64)
+    for i, text in enumerate(texts):
+        for tok in text.split(" "):
+            h = zlib.crc32(tok.encode("utf-8"))
+            mat[i, h % dim] += -1.0 if (h >> 31) & 1 else 1.0
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    arr = np.array(ids, dtype=np.int64)
+    out = []
+    for i in range(len(ids)):
+        # same 1e-12 quantization as the implementation: last-ulp
+        # differences from summation order cannot flip the argmax
+        sims = np.floor((mat @ mat[i]) / 1e-12 + 0.5)
+        sims[arr == arr[i]] = -np.inf
+        best = sims.max()
+        out.append((int(arr[i]),
+                    int(arr[sims == best].min())))
+    return sorted(out)
+
+
 def golden_lsh_nearest_neighbor(sf_dir, n_planes=5, n_tables=8):
     """Independent reimplementation of lsh_nearest_neighbor_ids: per
     vector, the max-cosine candidate over the union of co-bucketed
@@ -433,6 +463,11 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["lsh_nearest_neighbor"] = pa.table(
         {"vec_id": pa.array([p[0] for p in ln], pa.int64()),
          "nn_id": pa.array([p[1] for p in ln], pa.int64())})
+
+    he = golden_hash_embed_nn(sf_dir)
+    g["hash_embed_nn"] = pa.table(
+        {"vec_id": pa.array([p[0] for p in he], pa.int64()),
+         "nn_id": pa.array([p[1] for p in he], pa.int64())})
 
     vids, vlabels, _vmat = emb_matrix(sf_dir)
     uf_e = UnionFind()

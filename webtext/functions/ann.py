@@ -762,14 +762,21 @@ def dedup_apply_embeddings(ds, threshold: float = 0.4,
 
 
 def nearest_neighbor_ids(ds, exact_max_rows: int = EXACT_MAX_ROWS,
-                         method: str = "auto"):
+                         method: str = "auto",
+                         sim_quantum: float | None = None):
     """(vec_id, nn_id): exact nearest neighbor of every vector — the
     id-only output the SQL cross-join oracle can replicate.
 
     ``method='auto'`` stays exact up to ``exact_max_rows`` rows and
     routes larger inputs to ``lsh_nearest_neighbor_ids`` (bucketed, no
     broadcast, approximate — including nn_id=-1 bucket-miss sentinels)
-    with an explicit warning; 'exact'/'lsh' force a path."""
+    with an explicit warning; 'exact'/'lsh' force a path.
+
+    ``sim_quantum`` (e.g. 1e-12): round similarities to that grid
+    before the argmax, so last-ulp differences from BLAS summation
+    order can never flip the winner — required when distinct vectors
+    can have near-identical cosines (the hash-embedding composition);
+    ties on the grid resolve to the smallest id."""
     import ray
 
     if _route_exact_or_lsh(ds, method, exact_max_rows,
@@ -790,6 +797,8 @@ def nearest_neighbor_ids(ds, exact_max_rows: int = EXACT_MAX_ROWS,
             m = _matrix(batch)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
             sims = m @ self.mat.T
+            if sim_quantum:
+                sims = np.floor(sims / sim_quantum + 0.5)
             out = []
             for i, a in enumerate(ids):
                 s = sims[i].copy()

@@ -464,3 +464,54 @@ def training_pipeline(ds, min_tokens: int = 10,
     return pack_sequences(
         exact_dedup(corpus_quality_filter(ds, min_tokens)),
         token_budget)
+
+
+HASH_EMBED_DIM = 64
+
+
+def _hash_embed_batch(batch: pa.Table, dim: int) -> pa.Table:
+    """(doc_id, embedding): deterministic feature-hashing doc vector —
+    each token t adds sign(t) to slot crc32(t) % dim (sign = bit 31 of
+    the crc), then L2-normalize.  No model, no RNG: the same text maps
+    to the same vector on every engine, block split and cluster size.
+    Vectorized: one factorize pass hashes each DISTINCT token once,
+    then a bincount scatter per (row, slot)."""
+    import numpy as np
+    import pandas as pd
+
+    tokens = _tokens(batch)
+    lengths = pc.list_value_length(tokens) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    n = batch.num_rows
+    mat = np.zeros((n, dim), dtype=np.float64)
+    if n and lengths.sum():
+        codes, uniques = pd.factorize(
+            pc.list_flatten(tokens).to_pandas(), sort=False)
+        crcs = np.array([_zlib.crc32(str(u).encode("utf-8"))
+                         for u in uniques], dtype=np.uint32)
+        slot_of = (crcs % np.uint32(dim)).astype(np.int64)
+        sign_of = np.where((crcs >> np.uint32(31)) & np.uint32(1),
+                           -1.0, 1.0)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        valid = codes >= 0
+        flat = rows[valid] * dim + slot_of[codes[valid]]
+        np.add.at(mat.reshape(-1), flat, sign_of[codes[valid]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+    return pa.Table.from_arrays(
+        [batch.column("doc_id").cast(pa.int64()),
+         pa.array(list(mat), pa.list_(pa.float64()))],
+        names=["doc_id", "embedding"])
+
+
+def hash_embeddings(ds, dim: int = HASH_EMBED_DIM):
+    """Dataset wrapper for the feature-hashing embedder — turns the
+    documents table into a (doc_id, embedding) table that feeds every
+    embedding operator here (LSH near-dup, kNN, IVF) without any
+    pretrained model.  Pure map_batches; no shuffle."""
+    import functools
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        functools.partial(_hash_embed_batch, dim=dim),
+        batch_format="pyarrow", zero_copy_batch=True)
