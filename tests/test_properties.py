@@ -120,3 +120,45 @@ def test_document_assembly_invariants(domain, kind_payloads):
         assert out_media == in_media
     else:
         assert r.spans == []
+
+
+# -- vectorized kernel properties (no Ray: the in-bucket kernels are pure) --
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5),        # key
+                          st.integers(0, 20)),      # ts
+                max_size=25),
+       st.lists(st.tuples(st.integers(0, 5),
+                          st.integers(0, 20),
+                          st.integers(100, 199)),   # right id
+                max_size=25))
+def test_asof_merge_kernel_matches_bruteforce(lefts, rights):
+    """The as-of merge kernel == brute force on random timelines:
+    inclusive boundary, max-(ts, id) winner, key isolation, unmatched
+    lefts dropped."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webtext.functions.events import _asof_merge_kernel
+
+    lefts = [(k, t, i) for i, (k, t) in enumerate(lefts)]  # unique ids
+    rows = ([(k, t, 0, p) for k, t, p in lefts]
+            + [(k, t, 1, p) for k, t, p in rights])
+    if not rows:
+        return
+    group = pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows], pa.int64()),
+         pa.array([r[1] for r in rows], pa.int64()),
+         pa.array(np.array([r[2] for r in rows], dtype=np.int8)),
+         pa.array([r[3] for r in rows], pa.int64())],
+        names=["key", "ts", "is_right", "payload"])
+    out = _asof_merge_kernel(group, "lid", "key", "rid")
+    got = dict(zip(out.column("lid").to_pylist(),
+                   out.column("rid").to_pylist()))
+    want = {}
+    for k, t, p in lefts:
+        cands = [(rt, rp) for rk, rt, rp in rights
+                 if rk == k and rt <= t]
+        if cands:
+            want[p] = max(cands)[1]
+    assert got == want

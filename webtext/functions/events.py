@@ -97,6 +97,37 @@ def sessionize(ds, gap_minutes: int = SESSION_GAP_MINUTES,
                                            batch_format="pyarrow")
 
 
+def _asof_merge_kernel(group: pa.Table, left_id: str, left_key: str,
+                       right_id: str) -> pa.Table:
+    """Vectorized in-bucket as-of merge over (key, ts, is_right,
+    payload) rows: rights sort BEFORE lefts at equal (key, ts)
+    (inclusive <=), equal-ts rights ascend by payload so the forward
+    fill's last-seen is the max right id; np.maximum.accumulate carries
+    the last right row forward; fills that cross a key boundary are
+    rejected.  Module-level so the property tests can drive it directly
+    without a Ray session."""
+    key = group.column("key").to_numpy(zero_copy_only=False)
+    ts = group.column("ts").to_numpy(zero_copy_only=False)
+    is_r = group.column("is_right").to_numpy(zero_copy_only=False)
+    pay = group.column("payload").to_numpy(zero_copy_only=False)
+    order = np.lexsort((pay, 1 - is_r, ts, key))
+    key, ts, is_r, pay = key[order], ts[order], is_r[order], pay[order]
+    idx = np.where(is_r == 1, np.arange(len(key)), -1)
+    last = np.maximum.accumulate(idx)
+    lmask = is_r == 0
+    j = last[lmask]
+    ok = j >= 0
+    ok[ok] = key[j[ok]] == key[lmask][ok]
+    out_left = pay[lmask][ok]
+    out_key = key[lmask][ok]
+    out_right = pay[j[ok]]
+    return pa.Table.from_arrays(
+        [pa.array(out_left.astype(np.int64)),
+         pa.array(out_key.astype(np.int64)),
+         pa.array(out_right.astype(np.int64))],
+        names=[left_id, left_key, right_id])
+
+
 def asof_join(left, right,
               left_key: str = "user_id", left_ts: str = "ts",
               left_id: str = "event_id",
@@ -143,31 +174,7 @@ def asof_join(left, right,
     right_emit = _emit(right_id, right_key, right_ts, 1)
 
     def merge(group: pa.Table) -> pa.Table:
-        key = group.column("key").to_numpy(zero_copy_only=False)
-        ts = group.column("ts").to_numpy(zero_copy_only=False)
-        is_r = group.column("is_right").to_numpy(zero_copy_only=False)
-        pay = group.column("payload").to_numpy(zero_copy_only=False)
-        # rights BEFORE lefts at equal (key, ts) — inclusive <=; among
-        # equal-ts rights, ascending payload so the forward fill's last
-        # seen is the max right_id
-        order = np.lexsort((pay, 1 - is_r, ts, key))
-        key, ts, is_r, pay = key[order], ts[order], is_r[order], pay[order]
-        idx = np.where(is_r == 1, np.arange(len(key)), -1)
-        last = np.maximum.accumulate(idx)
-        lmask = is_r == 0
-        j = last[lmask]
-        ok = j >= 0
-        # the sort is key-major, so a stale fill can only leak across a
-        # key boundary — reject fills whose right row has another key
-        ok[ok] = key[j[ok]] == key[lmask][ok]
-        out_left = pay[lmask][ok]
-        out_key = key[lmask][ok]
-        out_right = pay[j[ok]]
-        return pa.Table.from_arrays(
-            [pa.array(out_left.astype(np.int64)),
-             pa.array(out_key.astype(np.int64)),
-             pa.array(out_right.astype(np.int64))],
-            names=[left_id, left_key, right_id])
+        return _asof_merge_kernel(group, left_id, left_key, right_id)
 
     u = left.select_columns([left_id, left_key, left_ts]) \
         .map_batches(left_emit, batch_format="pyarrow",
