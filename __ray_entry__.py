@@ -299,8 +299,35 @@ def entry() -> Any:
     return ds.filter(expr="status == 'ok' or status == 'timeout'")
 
 
+def _pii_fixture(sf_dir: str):
+    """documents with deterministic PII appended per row (email + IPv4 +
+    phone derived from doc_id) so the redaction oracle actually fires on
+    every row — built vectorized, mirrored exactly by the oracle's
+    ``text || …`` concatenation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def augment(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id")
+        idn = ids.to_numpy(zero_copy_only=False)
+        s = pc.cast(ids, pa.string())
+        # no pc.modulo in this pyarrow — numpy mod, then string-cast
+        ip = pa.array((idn % 256).astype("U"), pa.string())
+        tel = pc.utf8_lpad(pa.array((idn % 10000).astype("U"), pa.string()),
+                           width=4, padding="0")
+        text = pc.binary_join_element_wise(
+            batch.column("text"), " contact doc", s, "@example.com or 10.0.",
+            ip, ".1 tel +1 555-000-", tel, "")
+        return pa.Table.from_arrays([ids, text], names=["doc_id", "text"])
+
+    return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        augment, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    from webtext.functions import ann, dedup, textstats
+    from webtext.functions import ann, curation, dedup, textstats
     from webtext.functions.media import media_features
     from webtext.pipelines import relational as rel
 
@@ -521,6 +548,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter": lambda sf: dedup.exact_dedup(
             textstats.corpus_quality_filter(
                 _docs_cols(sf, ["doc_id", "text"]))),
+        # corpus curation (PII / repetition / eval-set decontamination)
+        "redact_pii": lambda sf: curation.redact_pii(_pii_fixture(sf)),
+        "repetition_stats": lambda sf: curation.repetition_stats(
+            _docs_cols(sf, ["doc_id", "text"])),
+        "decontaminate": lambda sf: curation.decontaminate(
+            curation.split_by_mod(
+                _docs_cols(sf, ["doc_id", "text"]), invert=True),
+            curation.split_by_mod(_docs_cols(sf, ["doc_id", "text"]))),
         "token_frequencies": lambda sf: textstats.token_frequencies(
             _docs_cols(sf, ["doc_id", "text"]), 50),
         "length_histogram": lambda sf: textstats.length_histogram(
@@ -650,6 +685,67 @@ def oracle_sql() -> dict[str, str]:
         "sample_by_hash":
             "SELECT doc_id, text FROM documents WHERE "
             "substr(md5(CAST(doc_id AS VARCHAR) || 's0'), 1, 3) < '200'",
+        "redact_pii": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                text || ' contact doc' || doc_id || '@example.com or 10.0.'
+                     || (doc_id % 256) || '.1 tel +1 555-000-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  AS text
+              FROM documents),
+            e AS (SELECT doc_id, text AS t0,
+                    regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g') AS t1
+                  FROM aug),
+            i AS (SELECT *, regexp_replace(t1,
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                    '<IP>', 'g') AS t2
+                  FROM e)
+            SELECT doc_id,
+              regexp_replace(t2, '\+?\d[\d -]{7,}\d', '<PHONE>', 'g')
+                AS clean_text,
+              len(regexp_extract_all(t0,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                AS n_email,
+              len(regexp_extract_all(t1,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+              len(regexp_extract_all(t2,
+                '\+?\d[\d -]{7,}\d'))::BIGINT AS n_phone
+            FROM i""",
+        "repetition_stats": """
+            WITH toks AS (SELECT doc_id, string_split(text,' ') AS w
+                          FROM documents),
+            g2 AS (SELECT doc_id,
+                     array_to_string(list_slice(w, i, i+1), ' ') AS g
+                   FROM toks, unnest(generate_series(1,
+                     greatest(len(w)-1,0))) AS t(i)),
+            g3 AS (SELECT doc_id,
+                     array_to_string(list_slice(w, i, i+2), ' ') AS g
+                   FROM toks, unnest(generate_series(1,
+                     greatest(len(w)-2,0))) AS t(i))
+            SELECT t.doc_id, len(w)::BIGINT AS n_toks,
+              len(list_distinct(w))::BIGINT AS n_uniq_toks,
+              greatest(len(w)-1,0)::BIGINT AS n_2grams,
+              (SELECT count(DISTINCT g) FROM g2
+               WHERE g2.doc_id = t.doc_id)::BIGINT AS n_uniq_2grams,
+              greatest(len(w)-2,0)::BIGINT AS n_3grams,
+              (SELECT count(DISTINCT g) FROM g3
+               WHERE g3.doc_id = t.doc_id)::BIGINT AS n_uniq_3grams
+            FROM toks t""",
+        "decontaminate": """
+            WITH toks AS (SELECT doc_id, string_split(text,' ') AS w
+                          FROM documents),
+            grams AS (SELECT doc_id,
+                        array_to_string(list_slice(w, i, i+3), ' ') AS g
+                      FROM toks, unnest(generate_series(1,
+                        greatest(len(w)-3,0))) AS t(i)),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 < 3)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 100 >= 3
+              AND NOT EXISTS (SELECT 1 FROM grams gr
+                              JOIN bench b ON gr.g = b.g
+                              WHERE gr.doc_id = d.doc_id)""",
         "token_frequencies":
             "SELECT token, count(*)::BIGINT AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS token "

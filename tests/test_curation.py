@@ -1,0 +1,157 @@
+"""Curation operators: PII redaction, repetition stats, decontamination.
+
+Semantics are pinned here with hand-computed expectations; the corpus-
+scale oracle parity lives in __ray_entry__.oracle_sql (live DuckDB SQL
+for all three queries — same RE2 engine, same n-gram definitions).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webtext.functions import curation
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tbl(rows):
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string())})
+
+
+# -- PII redaction ----------------------------------------------------------
+
+def test_redact_pii_batch_all_kinds():
+    t = _tbl([
+        (1, "mail me at bob.smith+x@corp.example.org today"),
+        (2, "server 192.168.0.1 then call +81 90-1234-5678"),
+        (3, "no pii here at all"),
+    ])
+    out = curation.redact_pii_batch(t).to_pydict()
+    assert out["clean_text"] == [
+        "mail me at <EMAIL> today",
+        "server <IP> then call <PHONE>",
+        "no pii here at all",
+    ]
+    assert out["n_email"] == [1, 0, 0]
+    assert out["n_ip"] == [0, 1, 0]
+    assert out["n_phone"] == [0, 1, 0]
+
+
+def test_redact_pii_sequential_counting():
+    # the IP is counted before the phone pattern could swallow its
+    # digits; after <IP> substitution the remaining digits are too
+    # short for the phone pattern
+    t = _tbl([(1, "x 10.0.0.1 y")])
+    out = curation.redact_pii_batch(t).to_pydict()
+    assert out["clean_text"] == ["x <IP> y"]
+    assert out["n_ip"] == [1] and out["n_phone"] == [0]
+
+
+def test_redact_pii_dataset(ray_session):
+    import ray.data
+
+    t = _tbl([(i, f"doc{i}@ex.com word") for i in range(10)])
+    out = curation.redact_pii(ray.data.from_arrow(t)).take_all()
+    assert all(r["clean_text"] == "<EMAIL> word" for r in out)
+    assert sum(r["n_email"] for r in out) == 10
+
+
+# -- repetition stats -------------------------------------------------------
+
+def test_repetition_stats_hand_computed():
+    t = _tbl([
+        (1, "a b a b a"),       # toks 5/2; 2-grams 4 -> {ab, ba} = 2
+        (2, "x y z"),           # toks 3/3; 2-grams 2/2; 3-grams 1/1
+        (3, "w w w w"),         # toks 4/1; 2-grams 3/1; 3-grams 2/1
+    ])
+    out = curation.repetition_stats_batch(t).to_pydict()
+    assert out["n_toks"] == [5, 3, 4]
+    assert out["n_uniq_toks"] == [2, 3, 1]
+    assert out["n_2grams"] == [4, 2, 3]
+    assert out["n_uniq_2grams"] == [2, 2, 1]
+    assert out["n_3grams"] == [3, 1, 2]
+    assert out["n_uniq_3grams"] == [2, 1, 1]  # {aba, bab}, {xyz}, {www}
+
+
+def test_repetition_stats_short_docs():
+    t = _tbl([(1, ""), (2, "solo"), (3, "two words")])
+    out = curation.repetition_stats_batch(t).to_pydict()
+    # "" splits to [''] -> one token
+    assert out["n_toks"] == [1, 1, 2]
+    assert out["n_2grams"] == [0, 0, 1]
+    assert out["n_3grams"] == [0, 0, 0]
+    assert out["n_uniq_3grams"] == [0, 0, 0]
+
+
+def test_repetition_gram_ids_do_not_cross_rows():
+    # rows share tokens; the 2-gram "b c" exists only via row
+    # boundaries and must NOT be counted
+    t = _tbl([(1, "a b"), (2, "c d")])
+    out = curation.repetition_stats_batch(t).to_pydict()
+    assert out["n_2grams"] == [1, 1]
+    assert out["n_uniq_2grams"] == [1, 1]
+
+
+# -- decontamination --------------------------------------------------------
+
+def test_decontaminate_drops_overlapping_docs(ray_session):
+    import ray.data
+
+    bench = ray.data.from_arrow(_tbl([
+        (100, "the quick brown fox jumps high")]))
+    corpus = ray.data.from_arrow(_tbl([
+        (1, "prefix the quick brown fox suffix"),   # shares a 4-gram
+        (2, "quick brown dog sits low today"),       # no shared 4-gram
+        (3, "too short"),                            # < n tokens
+    ]))
+    kept = sorted(r["doc_id"] for r in
+                  curation.decontaminate(corpus, bench, n=4).take_all())
+    assert kept == [2, 3]
+
+
+def test_decontaminate_empty_benchmark(ray_session):
+    import ray.data
+
+    bench = ray.data.from_arrow(_tbl([])) if False else \
+        ray.data.from_arrow(_tbl([(9, "one two three")]))  # < n grams
+    corpus = ray.data.from_arrow(_tbl([(1, "one two three four five")]))
+    kept = curation.decontaminate(corpus, bench, n=4).take_all()
+    assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_split_by_mod_partitions(ray_session):
+    import ray.data
+
+    t = _tbl([(i, "x") for i in range(20)])
+    ds = ray.data.from_arrow(t)
+    a = sorted(r["doc_id"] for r in
+               curation.split_by_mod(ds, mod=10, lt=3).take_all())
+    b = sorted(r["doc_id"] for r in
+               curation.split_by_mod(ds, mod=10, lt=3,
+                                     invert=True).take_all())
+    assert a == [0, 1, 2, 10, 11, 12]
+    assert len(a) + len(b) == 20 and not set(a) & set(b)
+
+
+def test_gram_hashes_order_sensitive():
+    chunk = pa.array([["a", "b", "c", "d"], ["d", "c", "b", "a"]])
+    _, h = curation._gram_hashes(chunk, 4)
+    assert len(h) == 2 and h[0] != h[1]
+
+
+def test_decontaminate_block_split_invariant(ray_session):
+    """Survivor set is independent of input partitioning (the single-
+    node answer transfers to a cluster by construction)."""
+    import ray.data
+
+    rows = [(i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7} "
+                f"w{(i + 3) % 7} w{i % 5}") for i in range(40)]
+    bench = ray.data.from_arrow(_tbl(rows[:4]))
+    corpus = ray.data.from_arrow(_tbl(rows[4:]))
+    base = sorted(r["doc_id"] for r in
+                  curation.decontaminate(corpus, bench, n=4).take_all())
+    resplit = sorted(r["doc_id"] for r in curation.decontaminate(
+        corpus.repartition(7), bench.repartition(3), n=4).take_all())
+    assert base == resplit and len(base) < 36  # something was dropped
