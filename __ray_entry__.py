@@ -326,6 +326,60 @@ def _pii_fixture(sf_dir: str):
         augment, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _raw_payload_fixture(sf_dir: str):
+    """documents re-encoded to bytes + a content-type header chosen
+    deterministically by doc_id % 4, exercising every rung of the E5
+    ladder: 0 → utf-8 + valid header; 1 → shift_jis + valid header;
+    2 → bogus header (falls through to apparent_encoding); 3 → no
+    header (apparent_encoding directly)."""
+    import pyarrow as pa
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        raws, cts = [], []
+        for i, txt in zip(ids, texts):
+            branch = i % 4
+            if branch == 1:
+                try:
+                    raws.append(txt.encode("shift_jis"))
+                    cts.append("text/html; charset=shift_jis")
+                    continue
+                except UnicodeEncodeError:
+                    pass  # not shift_jis-encodable → utf-8 header row
+            raws.append(txt.encode("utf-8"))
+            cts.append("text/html; charset=utf-8" if branch in (0, 1)
+                       else ("text/html; charset=bogus-xyz"
+                             if branch == 2 else None))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(raws, pa.binary()),
+             pa.array(cts, pa.string())],
+            names=["doc_id", "raw", "content_type"])
+
+    return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _decode_bytes_q(sf_dir: str):
+    """E5 ladder over the bytes fixture → (doc_id, text, used_header);
+    used_header is the integer lineage bit the SQL oracle predicts."""
+    import pyarrow as pa
+
+    from webtext.oracle.encoding import decode_documents
+
+    def project(batch: pa.Table) -> pa.Table:
+        used = pa.array(
+            [1 if s == "header" else 0
+             for s in batch.column("enc_source").to_pylist()],
+            pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), batch.column("text"), used],
+            names=["doc_id", "text", "used_header"])
+
+    return decode_documents(_raw_payload_fixture(sf_dir)).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from webtext.functions import ann, curation, dedup, textstats
     from webtext.functions.media import media_features
@@ -548,6 +602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter": lambda sf: dedup.exact_dedup(
             textstats.corpus_quality_filter(
                 _docs_cols(sf, ["doc_id", "text"]))),
+        # E5 fetch-side decode ladder over a deterministic bytes fixture
+        "decode_bytes": lambda sf: _decode_bytes_q(sf),
         # corpus curation (PII / repetition / eval-set decontamination)
         "redact_pii": lambda sf: curation.redact_pii(_pii_fixture(sf)),
         "repetition_stats": lambda sf: curation.repetition_stats(
@@ -685,6 +741,15 @@ def oracle_sql() -> dict[str, str]:
         "sample_by_hash":
             "SELECT doc_id, text FROM documents WHERE "
             "substr(md5(CAST(doc_id AS VARCHAR) || 's0'), 1, 3) < '200'",
+        # decode must round-trip the text and attribute rows with a
+        # valid header charset to the 'header' rung; the encoding NAME
+        # on the apparent rungs is charset_normalizer's business and is
+        # pinned by unit tests, not the oracle
+        "decode_bytes": """
+            SELECT doc_id, text,
+              CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END
+                AS used_header
+            FROM documents""",
         "redact_pii": r"""
             WITH aug AS (
               SELECT doc_id,
