@@ -747,7 +747,7 @@ def oracle_sql() -> dict[str, str]:
         # pinned by unit tests, not the oracle
         "decode_bytes": """
             SELECT doc_id, text,
-              CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END
+              (CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END)::BIGINT
                 AS used_header
             FROM documents""",
         "redact_pii": r"""

@@ -124,6 +124,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "token_count_bpe", "winnow_fingerprint", "sample_by_hash",
                  "pack_sequences", "training_pipeline", "hash_embed_nn",
                  "corpus_filter",
+                 "redact_pii", "repetition_stats", "decontaminate",
+                 "decode_bytes",
                  "token_frequencies",
                  "length_histogram", "quality_score",
                  "lang_id", "doc_fingerprint", "topk_per_group",
