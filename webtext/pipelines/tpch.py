@@ -314,10 +314,16 @@ def brand_volume(lineitem, part):
                      zero_copy_batch=True))
     per_bucket = u.groupby("bucket").map_groups(
         _brand_bucket, batch_format="pyarrow")
-    summed = per_bucket.groupby("p_brand").sum(["n", "qty"])
-    return summed.map_batches(
-        lambda b: pa.Table.from_arrays(
-            [b.column("p_brand"), b.column("sum(n)"),
-             b.column("sum(qty)")],
-            names=["p_brand", "n_lines", "sum_qty"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+    # Final cross-bucket sum: per_bucket is ≤ n_buckets × n_brands rows
+    # at ANY corpus size (each bucket pre-summed per brand), so a
+    # single-block Arrow group_by replaces a second sort-based
+    # all-to-all whose 128×128 tiny-partition coordination dominated
+    # wall time (~2× query cost at sf0.1, measured in ds.stats()).
+    def total(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["p_brand"]).aggregate(
+            [("n", "sum"), ("qty", "sum")])
+        return agg.rename_columns(["p_brand", "n_lines", "sum_qty"])
+
+    return per_bucket.repartition(1).map_batches(
+        total, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
