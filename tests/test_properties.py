@@ -162,3 +162,79 @@ def test_asof_merge_kernel_matches_bruteforce(lefts, rights):
         if cands:
             want[p] = max(cands)[1]
     assert got == want
+
+
+# -- curation kernels vs brute force ----------------------------------------
+
+_word_st = st.text(alphabet="abc", min_size=0, max_size=3)
+_doc_st = st.lists(_word_st, min_size=0, max_size=12).map(" ".join)
+
+
+@given(st.lists(_doc_st, min_size=1, max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_repetition_stats_matches_bruteforce(texts):
+    import pyarrow as pa
+
+    from webtext.functions.curation import repetition_stats_batch
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = repetition_stats_batch(t).to_pydict()
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        g2 = [tuple(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        g3 = [tuple(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        assert out["n_toks"][i] == len(toks)
+        assert out["n_uniq_toks"][i] == len(set(toks))
+        assert out["n_2grams"][i] == len(g2)
+        assert out["n_uniq_2grams"][i] == len(set(g2))
+        assert out["n_3grams"][i] == len(g3)
+        assert out["n_uniq_3grams"][i] == len(set(g3))
+
+
+@given(st.lists(_doc_st, min_size=1, max_size=8),
+       st.lists(_doc_st, min_size=1, max_size=4),
+       st.integers(2, 4))
+@settings(max_examples=40, deadline=None)
+def test_gram_membership_matches_bruteforce(corpus, bench, n):
+    """The hash-set membership test used by decontaminate equals exact
+    string n-gram intersection (no false hits at test scale)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webtext.functions.curation import _gram_hashes
+
+    def grams(text):
+        toks = text.split(" ")
+        return {tuple(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+
+    bench_set = set().union(*(grams(b) for b in bench)) if bench else set()
+
+    chunk = pa.array([t.split(" ") for t in corpus])
+    rows, h = _gram_hashes(chunk, n)
+    bchunk = pa.array([t.split(" ") for t in bench])
+    _, bh = _gram_hashes(bchunk, n)
+    bh = np.unique(bh)
+    contaminated_hash = set()
+    if len(h) and len(bh):
+        pos = np.searchsorted(bh, h)
+        pos[pos == len(bh)] = 0
+        contaminated_hash = set(rows[bh[pos] == h].tolist())
+    contaminated_true = {i for i, t in enumerate(corpus)
+                         if grams(t) & bench_set}
+    assert contaminated_hash == contaminated_true
+
+
+@given(st.lists(_doc_st, min_size=1, max_size=10))
+@settings(max_examples=40, deadline=None)
+def test_redact_pii_noop_on_clean_text(texts):
+    """Texts with no digits or @ are untouched and count zero."""
+    import pyarrow as pa
+
+    from webtext.functions.curation import redact_pii_batch
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = redact_pii_batch(t).to_pydict()
+    assert out["clean_text"] == texts
+    assert not any(out["n_email"] + out["n_ip"] + out["n_phone"])
