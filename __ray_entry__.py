@@ -614,6 +614,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             curation.split_by_mod(_docs_cols(sf, ["doc_id", "text"]))),
         "token_frequencies": lambda sf: textstats.token_frequencies(
             _docs_cols(sf, ["doc_id", "text"]), 50),
+        "inverted_index": lambda sf: textstats.inverted_index(
+            _docs_cols(sf, ["doc_id", "text"])),
         "length_histogram": lambda sf: textstats.length_histogram(
             _docs_cols(sf, ["doc_id", "text"])),
         "pack_sequences": lambda sf: textstats.pack_sequences(
@@ -816,6 +818,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(string_split(text, ' ')) AS token "
             "FROM documents) t GROUP BY token "
             "ORDER BY n DESC, token LIMIT 50",
+        "inverted_index":
+            "SELECT token, doc_id, count(*)::BIGINT AS tf FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+            "FROM documents) t GROUP BY token, doc_id",
         "length_histogram":
             "SELECT length(text)::BIGINT // 100 AS len_bucket, "
             "count(*)::BIGINT AS n FROM documents GROUP BY len_bucket",

@@ -443,6 +443,33 @@ def test_token_frequencies_and_length_histogram(ray_session):
     assert hist == {0: 1, 1: 1}
 
 
+def test_inverted_index_postings(ray_session):
+    import ray.data
+
+    rows = [{"doc_id": 1, "text": "a b a c a b"},
+            {"doc_id": 2, "text": "b c c"},
+            {"doc_id": 3, "text": ""}]        # "" splits to one '' token
+    ds = ray.data.from_items(rows)
+    got = {(r["token"], r["doc_id"]): r["tf"]
+           for r in textstats.inverted_index(ds).take_all()}
+    assert got == {("a", 1): 3, ("b", 1): 2, ("c", 1): 1,
+                   ("b", 2): 1, ("c", 2): 2, ("", 3): 1}
+
+
+def test_inverted_index_split_invariant(ray_session):
+    import ray.data
+
+    rows = [{"doc_id": i, "text": f"tok{i % 5} common tok{i % 3}"}
+            for i in range(40)]
+    ds = ray.data.from_items(rows)
+    one = sorted((r["token"], r["doc_id"], r["tf"]) for r in
+                 textstats.inverted_index(ds).take_all())
+    many = sorted((r["token"], r["doc_id"], r["tf"]) for r in
+                  textstats.inverted_index(
+                      ds.repartition(7)).take_all())
+    assert one == many
+
+
 def test_ivf_index_roundtrip_bit_identical(ray_session, emb_ds, tmp_path):
     p = str(tmp_path / "ivf.parquet")
     built = ann.ivf_build_index(emb_ds, p, nlist=8)

@@ -505,6 +505,73 @@ def _hash_embed_batch(batch: pa.Table, dim: int) -> pa.Table:
         names=["doc_id", "embedding"])
 
 
+def inverted_index_batch(batch: pa.Table) -> pa.Table:
+    """(token, doc_id, tf) postings: each document lives wholly in one
+    row, so per-document term frequencies are exact without ANY shuffle
+    — the op is embarrassingly parallel (the classic map phase of a
+    distributed index build; downstream df/idf is `token_frequencies`).
+    Vectorized: factorize flattened tokens, then count (row, code)
+    pairs via lexsort run-length — no per-row dicts."""
+    import pandas as pd
+
+    tokens = _tokens(batch)
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    out_tok, out_doc, out_tf = [], [], []
+    for chunk, ids in _iter_aligned(tokens, doc_ids):
+        import numpy as np
+
+        lengths = pc.list_value_length(chunk) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        if lengths.sum() == 0:
+            continue
+        flat = pc.list_flatten(chunk).to_pandas()
+        codes, uniques = pd.factorize(flat, sort=False)
+        codes = codes.astype(np.int64)
+        rows = np.repeat(np.arange(len(lengths), dtype=np.int64),
+                         lengths)
+        order = np.lexsort((codes, rows))
+        r, c = rows[order], codes[order]
+        first = np.ones(len(r), dtype=bool)
+        first[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(r)))
+        out_tok.append(pa.array(
+            np.asarray(uniques, dtype=object)[c[starts]], pa.string()))
+        out_doc.append(pa.array(ids[r[starts]], pa.int64()))
+        out_tf.append(pa.array(tf.astype(np.int64), pa.int64()))
+    if not out_tok:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=["token", "doc_id", "tf"])
+    return pa.Table.from_arrays(
+        [pa.concat_arrays(out_tok), pa.concat_arrays(out_doc),
+         pa.concat_arrays(out_tf)],
+        names=["token", "doc_id", "tf"])
+
+
+def _iter_aligned(tokens, doc_ids):
+    """Yield (chunk, matching doc_id slice) pairs for a possibly-chunked
+    list array."""
+    import numpy as np
+
+    chunks = (tokens.chunks if isinstance(tokens, pa.ChunkedArray)
+              else [tokens])
+    off = 0
+    for chunk in chunks:
+        yield chunk, np.asarray(doc_ids[off:off + len(chunk)])
+        off += len(chunk)
+
+
+def inverted_index(ds):
+    """Distributed inverted-index postings, sharded by input block.
+    At 100 TB each output fragment is the postings of its input shard;
+    a query-side merge is a groupby(token) over (token, doc_id, tf) —
+    deliberately NOT done here so the build stays shuffle-free."""
+    return ds.map_batches(inverted_index_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def hash_embeddings(ds, dim: int = HASH_EMBED_DIM):
     """Dataset wrapper for the feature-hashing embedder — turns the
     documents table into a (doc_id, embedding) table that feeds every
