@@ -167,6 +167,32 @@ def _events_asof(sf_dir: str):
                                        "o_orderdate"]))
 
 
+def _events_range_join(sf_dir: str):
+    """Attribution-style range join: every 'purchase' within 1 day
+    after a 'view' by the same user."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from webtext.functions.events import interval_join
+
+    def typed(event_type):
+        def keep(batch):
+            mask = pc.equal(batch.column("event_type"), event_type)
+            return batch.filter(mask).select(["event_id", "user_id", "ts"])
+        return keep
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+    views = ev.map_batches(typed("view"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    purchases = ev.map_batches(typed("purchase"), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return interval_join(views, purchases,
+                         window_us=24 * 3600 * 1_000_000,
+                         left_out="view_id", right_out="purchase_id")
+
+
 def _synth_docs(sf_dir: str) -> list[dict]:
     """Deterministic interleaved corpus for the extraction queries,
     scaled by sf tag (the driver tables are flat text, not interleaved —
@@ -631,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": lambda sf: _events_windowed(sf),
         "sessionize": lambda sf: _events_sessionize(sf),
         "asof_join": lambda sf: _events_asof(sf),
+        "range_join": lambda sf: _events_range_join(sf),
         "group_quantiles": lambda sf: _events_quantiles(sf),
         # TPC-H-shaped relational: combiner aggregate, large-large
         # bucketed join, broadcast dimension enrichment
@@ -920,6 +947,15 @@ def oracle_sql() -> dict[str, str]:
               FROM events e JOIN orders o
                 ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             ) t WHERE rn = 1""",
+        "range_join": """
+            SELECT a.event_id AS view_id, a.user_id AS user_id,
+                   b.event_id AS purchase_id,
+                   (epoch_us(b.ts) - epoch_us(a.ts))::BIGINT AS delta_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'view' AND b.event_type = 'purchase'
+             AND b.ts >= a.ts
+             AND b.ts < a.ts + INTERVAL 1 DAY""",
         "topk_per_group": """
             SELECT doc_id, lang, n_chars FROM (
               SELECT doc_id, lang, n_chars, row_number() OVER (

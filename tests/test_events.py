@@ -109,6 +109,28 @@ def test_asof_join_matches_duckdb(ray_session):
     assert got == [tuple(w) for w in want]
 
 
+def test_range_join_matches_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["view_id"], r["user_id"], r["purchase_id"], r["delta_us"])
+        for r in entrymod.queries()["range_join"](sf).take_all())
+    want = duckdb.sql(f"""
+        SELECT a.event_id, a.user_id, b.event_id,
+               (epoch_us(b.ts) - epoch_us(a.ts))::BIGINT
+        FROM read_parquet('{sf}/events.parquet') a
+        JOIN read_parquet('{sf}/events.parquet') b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 DAY
+        ORDER BY 1, 2, 3""").fetchall()
+    assert got == [tuple(w) for w in want]
+    assert got  # non-trivial at sf0.001
+
+
 def test_asof_join_invariant_under_repartition(ray_session):
     import ray.data
 

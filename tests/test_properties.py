@@ -164,6 +164,46 @@ def test_asof_merge_kernel_matches_bruteforce(lefts, rights):
     assert got == want
 
 
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5),        # key
+                          st.integers(0, 30)),      # ts
+                max_size=25),
+       st.lists(st.tuples(st.integers(0, 5),
+                          st.integers(0, 30),
+                          st.integers(100, 199)),   # right id
+                max_size=25),
+       st.integers(1, 12))                          # window
+def test_interval_merge_kernel_matches_bruteforce(lefts, rights, window):
+    """The interval merge kernel == brute force: half-open window
+    [ts, ts+w), key isolation, every qualifying pair emitted exactly
+    once with the right delta."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webtext.functions.events import _interval_merge_kernel
+
+    lefts = [(k, t, i) for i, (k, t) in enumerate(lefts)]  # unique ids
+    rows = ([(k, t, 0, p) for k, t, p in lefts]
+            + [(k, t, 1, p) for k, t, p in rights])
+    if not rows:
+        return
+    group = pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows], pa.int64()),
+         pa.array([r[1] for r in rows], pa.int64()),
+         pa.array(np.array([r[2] for r in rows], dtype=np.int8)),
+         pa.array([r[3] for r in rows], pa.int64())],
+        names=["key", "ts", "is_right", "payload"])
+    out = _interval_merge_kernel(group, window, "lid", "key", "rid")
+    got = sorted(zip(out.column("lid").to_pylist(),
+                     out.column("rid").to_pylist(),
+                     out.column("delta_us").to_pylist()))
+    want = sorted((lp, rp, rt - lt)
+                  for lk, lt, lp in lefts
+                  for rk, rt, rp in rights
+                  if rk == lk and lt <= rt < lt + window)
+    assert got == want
+
+
 # -- curation kernels vs brute force ----------------------------------------
 
 _word_st = st.text(alphabet="abc", min_size=0, max_size=3)

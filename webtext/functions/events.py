@@ -128,6 +128,124 @@ def _asof_merge_kernel(group: pa.Table, left_id: str, left_key: str,
         names=[left_id, left_key, right_id])
 
 
+def _interval_merge_kernel(group: pa.Table, window_us: int,
+                           left_id: str, key_name: str,
+                           right_id: str) -> pa.Table:
+    """Vectorized in-bucket interval merge over (key, ts, is_right,
+    payload) rows: for every left row emit every right row of the same
+    key with ``left.ts <= right.ts < left.ts + window_us``.
+
+    Overflow-safe composite keys: timestamps are rank-compressed
+    against the sorted union of right timestamps and both query
+    endpoints (rank preserves every <,=,> relation, including the
+    window bounds, because the endpoints themselves are union members),
+    then packed as ``key_code * (len(union)+1) + rank`` — bounded by
+    ~3·n² per bucket, never by the epoch-microsecond magnitude, so no
+    int64 overflow for any real bucket size.  Two np.searchsorted calls
+    produce per-left match ranges; the pair list is materialized with
+    the repeat/cumsum multi-range gather.  Module-level so property
+    tests can drive it without a Ray session."""
+    key = group.column("key").to_numpy(zero_copy_only=False)
+    ts = group.column("ts").to_numpy(zero_copy_only=False)
+    is_r = group.column("is_right").to_numpy(zero_copy_only=False)
+    pay = group.column("payload").to_numpy(zero_copy_only=False)
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.int64()),
+         pa.array([], pa.int64()), pa.array([], pa.int64())],
+        names=[left_id, key_name, right_id, "delta_us"])
+    lmask = is_r == 0
+    rmask = ~lmask
+    if not lmask.any() or not rmask.any():
+        return empty
+    _, codes = np.unique(key, return_inverse=True)
+    codes = codes.astype(np.int64)
+    ka, ta, pla = codes[lmask], ts[lmask], pay[lmask]
+    kb, tb, pb = codes[rmask], ts[rmask], pay[rmask]
+    qlo, qhi = ta, ta + np.int64(window_us)
+    union = np.unique(np.concatenate([tb, qlo, qhi]))
+    m = np.int64(len(union) + 1)
+    rb = np.searchsorted(union, tb).astype(np.int64)
+    keyb = kb * m + rb
+    order = np.argsort(keyb, kind="stable")
+    keyb, pb, tb = keyb[order], pb[order], tb[order]
+    lo = np.searchsorted(keyb, ka * m + np.searchsorted(union, qlo))
+    hi = np.searchsorted(keyb, ka * m + np.searchsorted(union, qhi))
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return empty
+    starts = np.cumsum(counts) - counts
+    bidx = (np.arange(total, dtype=np.int64)
+            - np.repeat(starts, counts) + np.repeat(lo, counts))
+    out_left = np.repeat(pla, counts)
+    out_key = np.repeat(key[lmask], counts)
+    out_right = pb[bidx]
+    delta = tb[bidx] - np.repeat(ta, counts)
+    return pa.Table.from_arrays(
+        [pa.array(out_left.astype(np.int64)),
+         pa.array(out_key.astype(np.int64)),
+         pa.array(out_right.astype(np.int64)),
+         pa.array(delta.astype(np.int64))],
+        names=[left_id, key_name, right_id, "delta_us"])
+
+
+def interval_join(left, right, window_us: int,
+                  left_key: str = "user_id", left_ts: str = "ts",
+                  left_id: str = "event_id",
+                  right_key: str = "user_id", right_ts: str = "ts",
+                  right_id: str = "event_id",
+                  left_out: str | None = None,
+                  right_out: str | None = None,
+                  n_buckets: int = 256):
+    """Range (interval) join — every (left, right) pair of the same key
+    with ``right_ts`` in ``[left_ts, left_ts + window_us)``.  Output
+    columns: (left_id, left_key, right_id, delta_us).
+
+    Ray Data has no range join; like :func:`asof_join` this is the
+    documented custom-operator composition: both sides emit into
+    hash(key) % n_buckets groups (constant-fan-out shuffle) and one
+    vectorized in-bucket pass answers every window query with two
+    searchsorted calls over rank-compressed composite keys.
+    Partitioning assumption: all rows of one key share a bucket
+    (guaranteed by the hash); the window predicate never crosses keys,
+    so no interval is replicated across buckets — per-bucket memory is
+    the bucket's rows, not the corpus.
+
+    ``left_out`` / ``right_out`` rename the two id columns in the
+    output (required for self-joins where both ids share a name)."""
+    left_out = left_out or left_id
+    right_out = right_out or right_id
+
+    def _emit(id_col: str, key_col: str, ts_col: str, side: int):
+        def emit(batch: pa.Table) -> pa.Table:
+            key = batch.column(key_col).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            ts = batch.column(ts_col).cast(pa.timestamp("us")) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            pid = batch.column(id_col).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [pa.array(_ibucket(key, n_buckets)), pa.array(key),
+                 pa.array(ts),
+                 pa.array(np.full(len(key), side, dtype=np.int8)),
+                 pa.array(pid)],
+                names=["bucket", "key", "ts", "is_right", "payload"])
+
+        return emit
+
+    def merge(group: pa.Table) -> pa.Table:
+        return _interval_merge_kernel(group, window_us,
+                                      left_out, left_key, right_out)
+
+    u = left.select_columns([left_id, left_key, left_ts]) \
+        .map_batches(_emit(left_id, left_key, left_ts, 0),
+                     batch_format="pyarrow", zero_copy_batch=True).union(
+        right.select_columns([right_id, right_key, right_ts])
+        .map_batches(_emit(right_id, right_key, right_ts, 1),
+                     batch_format="pyarrow", zero_copy_batch=True))
+    return u.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
 def asof_join(left, right,
               left_key: str = "user_id", left_ts: str = "ts",
               left_id: str = "event_id",
