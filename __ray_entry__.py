@@ -642,6 +642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"]), 50),
         "inverted_index": lambda sf: textstats.inverted_index(
             _docs_cols(sf, ["doc_id", "text"])),
+        "bm25_topk": lambda sf: textstats.bm25_topk(
+            _docs_cols(sf, ["doc_id", "text"])),
         "length_histogram": lambda sf: textstats.length_histogram(
             _docs_cols(sf, ["doc_id", "text"])),
         "pack_sequences": lambda sf: textstats.pack_sequences(
@@ -849,6 +851,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, doc_id, count(*)::BIGINT AS tf FROM ("
             "SELECT doc_id, unnest(string_split(text, ' ')) AS token "
             "FROM documents) t GROUP BY token, doc_id",
+        # parenthesization mirrors the numpy kernel exactly — every op
+        # is an IEEE +,-,*,/ (rational idf, no log), so double results
+        # are bit-identical and the micro-quantized scores match
+        "bm25_topk": """
+            WITH stats AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(len(string_split(text, ' ')))::DOUBLE AS tot
+              FROM documents),
+            dl AS (SELECT doc_id,
+                     len(string_split(text, ' '))::DOUBLE AS dl
+                   FROM documents),
+            posting AS (
+              SELECT doc_id, token, count(*)::DOUBLE AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents) u
+              WHERE token IN ('hash', 'join', 'merge', 'sort')
+              GROUP BY doc_id, token),
+            df AS (SELECT token, count(*)::DOUBLE AS df
+                   FROM posting GROUP BY token),
+            contrib AS (
+              SELECT p.doc_id, CAST(floor(
+                ((((s.n - d.df) + 0.5) / (d.df + 0.5)) *
+                 ((p.tf * (1.2 + 1.0)) /
+                  (p.tf + 1.2 * ((1.0 - 0.75) +
+                                 0.75 * (l.dl / (s.tot / s.n))))))
+                * 1000000.0 + 0.5) AS BIGINT) AS c
+              FROM posting p JOIN df d ON p.token = d.token
+              JOIN dl l ON l.doc_id = p.doc_id CROSS JOIN stats s)
+            SELECT doc_id, SUM(c)::BIGINT AS score_micro FROM contrib
+            GROUP BY doc_id ORDER BY score_micro DESC, doc_id
+            LIMIT 20""",
         "length_histogram":
             "SELECT length(text)::BIGINT // 100 AS len_bucket, "
             "count(*)::BIGINT AS n FROM documents GROUP BY len_bucket",

@@ -470,6 +470,57 @@ def test_inverted_index_split_invariant(ray_session):
     assert one == many
 
 
+def test_bm25_topk_matches_bruteforce(ray_session):
+    import math
+
+    import ray.data
+
+    rows = [{"doc_id": 1, "text": "hash join hash probe build"},
+            {"doc_id": 2, "text": "merge sort external run"},
+            {"doc_id": 3, "text": "nested loop join"},
+            {"doc_id": 4, "text": "no relevant terms here at all"},
+            {"doc_id": 5, "text": "sort sort sort"}]
+    terms = ("hash", "join", "merge", "sort")
+    ds = ray.data.from_items(rows)
+    got = [(r["doc_id"], r["score_micro"])
+           for r in textstats.bm25_topk(ds, terms, k=3).take_all()]
+
+    docs = {r["doc_id"]: r["text"].split(" ") for r in rows}
+    n = float(len(docs))
+    avgdl = float(sum(len(t) for t in docs.values())) / n
+    df = {t: float(sum(t in toks for toks in docs.values()))
+          for t in terms}
+    scores = {}
+    for did, toks in docs.items():
+        s = 0
+        for t in terms:
+            tf = float(toks.count(t))
+            if tf == 0:
+                continue
+            idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+            tfn = tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75)
+                                                  + 0.75 * (len(toks) / avgdl)))
+            s += int(math.floor(idf * tfn * 1000000.0 + 0.5))
+        if s:
+            scores[did] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == want
+    assert 4 not in dict(got)          # unmatched doc never surfaces
+
+
+def test_bm25_topk_split_invariant(ray_session):
+    import ray.data
+
+    rows = [{"doc_id": i,
+             "text": f"hash join x{i % 7} merge sort " * (1 + i % 4)}
+            for i in range(60)]
+    ds = ray.data.from_items(rows)
+    one = textstats.bm25_topk(ds, k=10).take_all()
+    many = textstats.bm25_topk(ds.repartition(9), k=10).take_all()
+    assert [(r["doc_id"], r["score_micro"]) for r in one] == \
+           [(r["doc_id"], r["score_micro"]) for r in many]
+
+
 def test_ivf_index_roundtrip_bit_identical(ray_session, emb_ds, tmp_path):
     p = str(tmp_path / "ivf.parquet")
     built = ann.ivf_build_index(emb_ds, p, nlist=8)

@@ -572,6 +572,141 @@ def inverted_index(ds):
                           zero_copy_batch=True)
 
 
+BM25_QUERY = ("hash", "join", "merge", "sort")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_match_batch(batch: pa.Table, terms: tuple[str, ...]) -> pa.Table:
+    """(doc_id, dl, tf_0..tf_{T-1}) for docs containing >=1 query term.
+    Fixed-width term columns (the query is known at plan time) so every
+    downstream step is plain numpy with NO per-doc groupby: a doc's
+    postings never leave the row they were born in."""
+    import numpy as np
+
+    tokens = _tokens(batch)
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sorted_terms = np.sort(np.asarray(terms, dtype=object))
+    # position of each sorted term in the caller's term order
+    col_of = np.array([list(terms).index(t) for t in sorted_terms],
+                      dtype=np.int64)
+    out = []
+    for chunk, ids in _iter_aligned(tokens, doc_ids):
+        lengths = pc.list_value_length(chunk) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(lengths)
+        if n == 0:
+            continue
+        flat = pc.list_flatten(chunk)
+        mask = pc.is_in(flat, value_set=pa.array(terms, pa.string())) \
+            .to_numpy(zero_copy_only=False)
+        tf = np.zeros((n, len(terms)), dtype=np.int64)
+        if mask.any():
+            rows = np.repeat(np.arange(n, dtype=np.int64), lengths)[mask]
+            vals = np.asarray(flat.to_pandas(), dtype=object)[mask]
+            tcol = col_of[np.searchsorted(sorted_terms, vals)]
+            np.add.at(tf, (rows, tcol), 1)
+        keep = tf.any(axis=1)
+        if not keep.any():
+            continue
+        arrays = [pa.array(ids[keep].astype(np.int64)),
+                  pa.array(lengths[keep])]
+        arrays += [pa.array(tf[keep, i]) for i in range(len(terms))]
+        out.append(pa.Table.from_arrays(
+            arrays, names=["doc_id", "dl"]
+            + [f"tf_{i}" for i in range(len(terms))]))
+    if not out:
+        schema = pa.schema([("doc_id", pa.int64()), ("dl", pa.int64())]
+                           + [(f"tf_{i}", pa.int64())
+                              for i in range(len(terms))])
+        return schema.empty_table()
+    return pa.concat_tables(out)
+
+
+def bm25_topk(ds, terms: tuple[str, ...] = BM25_QUERY, k: int = 20,
+              k1: float = BM25_K1, b: float = BM25_B):
+    """Top-k BM25 text retrieval: (doc_id, score_micro), score
+    descending then doc_id.
+
+    BM25 with a RATIONAL idf — ``(N - df + 0.5) / (df + 0.5)`` instead
+    of its logarithm — so every arithmetic op is an IEEE-correctly-
+    rounded +,-,*,/ and the score is bit-identical between numpy and
+    any SQL engine (libm log implementations differ in the last ulp;
+    division does not).  Per-term contributions are quantized to
+    integer micros (floor(x*1e6+0.5)) BEFORE summing, so the doc score
+    is an exact int64 regardless of summation order — the same
+    fixed-point trick as the distributed IVF fit.
+
+    Plan shape (scale notes):
+    * one streaming pass computes corpus stats (N, total tokens) via a
+      per-block combiner — at production scale this is corpus metadata
+      computed once, like the IVF index;
+    * one streaming pass emits fixed-width matched rows (doc_id, dl,
+      tf per query term) — a doc's postings stay in its row, so there
+      is NO per-doc shuffle;
+    * df per term = per-block indicator partial sums -> tiny global
+      sum (driver receives T numbers, like centroids);
+    * scoring is one vectorized map over matched rows, then per-block
+      partial top-k + a final sort over <=k rows per block."""
+    import numpy as np
+
+    t = tuple(terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(_tokens(batch)).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [pa.array([batch.num_rows], pa.int64()),
+             pa.array([pc.sum(n).as_py() or 0], pa.int64())],
+            names=["n_docs", "n_toks"])
+
+    agg = ds.map_batches(stats_partial, batch_format="pyarrow",
+                         zero_copy_batch=True).sum(["n_docs", "n_toks"])
+    n_docs, n_toks = agg["sum(n_docs)"], agg["sum(n_toks)"]
+    avgdl = np.float64(n_toks) / np.float64(n_docs)
+
+    matched = ds.map_batches(
+        lambda batch: _bm25_match_batch(batch, t),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array([pc.sum(pc.cast(pc.greater(
+                batch.column(f"tf_{i}"), 0), pa.int64())).as_py() or 0],
+                pa.int64()) for i in range(len(t))],
+            names=[f"df_{i}" for i in range(len(t))])
+
+    dfa = matched.map_batches(df_partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .sum([f"df_{i}" for i in range(len(t))])
+    dfs = np.array([dfa[f"sum(df_{i})"] for i in range(len(t))],
+                   dtype=np.float64)
+    nd = np.float64(n_docs)
+    idf = (nd - dfs + 0.5) / (dfs + 0.5)          # rational idf
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        norm = dl / avgdl
+        score = np.zeros(len(ids), dtype=np.int64)
+        for i in range(len(t)):
+            tf = batch.column(f"tf_{i}").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            tfn = tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * norm))
+            score += np.floor(idf[i] * tfn * 1000000.0 + 0.5) \
+                .astype(np.int64)
+        order = np.lexsort((ids, -score))[:k]
+        return pa.Table.from_arrays(
+            [pa.array(ids[order].astype(np.int64)),
+             pa.array(score[order])],
+            names=["doc_id", "score_micro"])
+
+    partial = matched.map_batches(score_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return partial.sort(["score_micro", "doc_id"],
+                        descending=[True, False]).limit(k)
+
+
 def hash_embeddings(ds, dim: int = HASH_EMBED_DIM):
     """Dataset wrapper for the feature-hashing embedder — turns the
     documents table into a (doc_id, embedding) table that feeds every
