@@ -193,6 +193,18 @@ def _events_range_join(sf_dir: str):
                          left_out="view_id", right_out="purchase_id")
 
 
+def _graph_edges(sf_dir: str):
+    """Weighted part->supplier digraph from lineitem (node ids
+    2*partkey / 2*suppkey+1 keep the bipartite sides disjoint)."""
+    import ray.data
+
+    from webtext.functions.graph import lineitem_edges
+
+    return lineitem_edges(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"]))
+
+
 def _synth_docs(sf_dir: str) -> list[dict]:
     """Deterministic interleaved corpus for the extraction queries,
     scaled by sf tag (the driver tables are flat text, not interleaved —
@@ -407,7 +419,7 @@ def _decode_bytes_q(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from webtext.functions import ann, curation, dedup, textstats
+    from webtext.functions import ann, curation, dedup, graph, textstats
     from webtext.functions.media import media_features
     from webtext.pipelines import relational as rel
 
@@ -660,6 +672,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": lambda sf: _events_sessionize(sf),
         "asof_join": lambda sf: _events_asof(sf),
         "range_join": lambda sf: _events_range_join(sf),
+        # graph ops over the lineitem part->supplier digraph
+        "graph_degrees": lambda sf: graph.degrees(_graph_edges(sf)),
+        "pagerank": lambda sf: graph.pagerank(_graph_edges(sf)),
         "group_quantiles": lambda sf: _events_quantiles(sf),
         # TPC-H-shaped relational: combiner aggregate, large-large
         # bucketed join, broadcast dimension enrichment
@@ -698,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
             "lsh_nearest_neighbor", "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
             "search_engine_links", "dedup_apply_emb", "timeout_ids",
+            "pagerank",
             "pack_sequences", "media_resize", "frame_sample",
             "dedup_extracted")
     }
@@ -980,6 +996,16 @@ def oracle_sql() -> dict[str, str]:
               FROM events e JOIN orders o
                 ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             ) t WHERE rn = 1""",
+        "graph_degrees": """
+            WITH e AS (SELECT l_partkey * 2 AS src,
+                              l_suppkey * 2 + 1 AS dst,
+                              count(*)::BIGINT AS w
+                       FROM lineitem GROUP BY 1, 2),
+            n AS (SELECT src AS node, w AS o, 0::BIGINT AS i FROM e
+                  UNION ALL SELECT dst, 0::BIGINT, w FROM e)
+            SELECT node::BIGINT AS node, SUM(o)::BIGINT AS out_deg,
+                   SUM(i)::BIGINT AS in_deg
+            FROM n GROUP BY node""",
         "range_join": """
             SELECT a.event_id AS view_id, a.user_id AS user_id,
                    b.event_id AS purchase_id,

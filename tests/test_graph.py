@@ -1,0 +1,97 @@
+"""Graph operators: degrees and fixed-point PageRank."""
+
+import numpy as np
+import pyarrow as pa
+
+from webtext.functions import graph
+
+
+def _edges_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array([r[0] for r in rows], pa.int64()),
+        "dst": pa.array([r[1] for r in rows], pa.int64()),
+        "w": pa.array([r[2] for r in rows], pa.int64())}))
+
+
+def _dense_pagerank(rows, iters=graph.PAGERANK_ITERS,
+                    scale=graph.PAGERANK_SCALE):
+    """Independent dense reference (mirrors tools/gen_goldens.py)."""
+    esrc = np.array([r[0] for r in rows], dtype=np.int64)
+    edst = np.array([r[1] for r in rows], dtype=np.int64)
+    ew = np.array([r[2] for r in rows], dtype=np.int64)
+    nodes = np.unique(np.concatenate([esrc, edst]))
+    si = np.searchsorted(nodes, esrc)
+    di = np.searchsorted(nodes, edst)
+    outdeg = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(outdeg, si, ew)
+    base = np.int64(scale // len(nodes))
+    base_next = (np.int64(3) * base) // np.int64(graph.PR_D_DEN)
+    rank = np.full(len(nodes), base, dtype=np.int64)
+    for _ in range(iters):
+        share = np.where(outdeg > 0,
+                         rank // np.maximum(outdeg, 1), np.int64(0))
+        inflow = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(inflow, di, share[si] * ew)
+        rank = base_next + (np.int64(graph.PR_D_NUM) * inflow) \
+            // np.int64(graph.PR_D_DEN)
+    return dict(zip(nodes.tolist(), rank.tolist()))
+
+
+def test_degrees_with_multiplicity(ray_session):
+    edges = _edges_ds([(0, 1, 3), (0, 3, 1), (2, 1, 2)])
+    got = {r["node"]: (r["out_deg"], r["in_deg"])
+           for r in graph.degrees(edges).take_all()}
+    assert got == {0: (4, 0), 1: (0, 5), 2: (2, 0), 3: (0, 1)}
+
+
+def test_pagerank_two_node_cycle(ray_session):
+    # symmetric cycle: ranks stay equal, mass conserved up to floor
+    edges = _edges_ds([(0, 1, 1), (1, 0, 1)])
+    got = {r["node"]: r["rank"]
+           for r in graph.pagerank(edges).take_all()}
+    assert got == _dense_pagerank([(0, 1, 1), (1, 0, 1)])
+    assert got[0] == got[1]
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    rng = np.random.RandomState(7)
+    rows = [(int(rng.randint(0, 30)), int(rng.randint(0, 30)),
+             int(rng.randint(1, 4))) for _ in range(120)]
+    rows = [(s, d, w) for s, d, w in rows if s != d]
+    # collapse duplicate (src, dst) pairs — the op contract is one
+    # weighted edge per pair (lineitem_edges guarantees this upstream)
+    agg = {}
+    for s, d, w in rows:
+        agg[(s, d)] = agg.get((s, d), 0) + w
+    rows = [(s, d, w) for (s, d), w in agg.items()]
+    got = {r["node"]: r["rank"]
+           for r in graph.pagerank(edges=_edges_ds(rows)).take_all()}
+    assert got == _dense_pagerank(rows)
+
+
+def test_pagerank_split_invariant(ray_session):
+    rows = [(i % 9, (i * 7) % 9 or 1, 1 + i % 3) for i in range(40)
+            if i % 9 != ((i * 7) % 9 or 1)]
+    agg = {}
+    for s, d, w in rows:
+        agg[(s, d)] = agg.get((s, d), 0) + w
+    rows = [(s, d, w) for (s, d), w in agg.items()]
+    one = {r["node"]: r["rank"]
+           for r in graph.pagerank(_edges_ds(rows)).take_all()}
+    many = {r["node"]: r["rank"]
+            for r in graph.pagerank(
+                _edges_ds(rows).repartition(5)).take_all()}
+    assert one == many
+
+
+def test_lineitem_edges_collapse_multiedges(ray_session):
+    import ray.data
+
+    li = ray.data.from_arrow(pa.table({
+        "l_partkey": pa.array([1, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([5, 5, 5], pa.int64())}))
+    got = sorted((r["src"], r["dst"], r["w"])
+                 for r in graph.lineitem_edges(li).take_all())
+    assert got == [(2, 11, 2), (4, 11, 1)]

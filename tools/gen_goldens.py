@@ -337,6 +337,38 @@ FLAT_SCHEMA = pa.schema([
     ("status", pa.string())])
 
 
+def golden_pagerank(sf_dir: str) -> pa.Table:
+    """Dense single-process fixed-point PageRank over the lineitem
+    part->supplier digraph — the differential oracle for the
+    distributed bucketed implementation (webtext/functions/graph.py):
+    identical integer recurrence, entirely different execution (np.add.at
+    dense scatter vs bucketed map_groups join + groupby sums)."""
+    SCALE, ITERS, D_NUM, D_DEN = 10**12, 8, 17, 20
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey"])
+    src = li["l_partkey"].to_numpy().astype(np.int64) * 2
+    dst = li["l_suppkey"].to_numpy().astype(np.int64) * 2 + 1
+    pairs = np.stack([src, dst], axis=1)
+    uniq, w = np.unique(pairs, axis=0, return_counts=True)
+    esrc, edst, ew = uniq[:, 0], uniq[:, 1], w.astype(np.int64)
+    nodes = np.unique(np.concatenate([esrc, edst]))
+    si = np.searchsorted(nodes, esrc)
+    di = np.searchsorted(nodes, edst)
+    outdeg = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(outdeg, si, ew)
+    base = np.int64(SCALE // len(nodes))
+    base_next = (np.int64(3) * base) // np.int64(D_DEN)
+    rank = np.full(len(nodes), base, dtype=np.int64)
+    for _ in range(ITERS):
+        share = np.where(outdeg > 0,
+                         rank // np.maximum(outdeg, 1), np.int64(0))
+        inflow = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(inflow, di, share[si] * ew)
+        rank = base_next + (np.int64(D_NUM) * inflow) // np.int64(D_DEN)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "rank": pa.array(rank, pa.int64())})
+
+
 def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     tag = os.path.basename(sf_dir.rstrip("/"))
     n_fam = 16 if tag.endswith("0.1") else 8
@@ -666,6 +698,8 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["scan_output_for_errors"] = pa.Table.from_pydict(
         scan, schema=pa.schema([("doc_id", pa.string()),
                                 ("pattern", pa.string())]))
+
+    g["pagerank"] = golden_pagerank(sf_dir)
 
     return g
 
