@@ -656,6 +656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "bm25_topk": lambda sf: textstats.bm25_topk(
             _docs_cols(sf, ["doc_id", "text"])),
+        "containment_pairs": lambda sf: textstats.containment_pairs(
+            _docs_cols(sf, ["doc_id", "text"])),
         "length_histogram": lambda sf: textstats.length_histogram(
             _docs_cols(sf, ["doc_id", "text"])),
         "pack_sequences": lambda sf: textstats.pack_sequences(
@@ -713,7 +715,7 @@ def oracle_sql() -> dict[str, str]:
             "lsh_nearest_neighbor", "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
             "search_engine_links", "dedup_apply_emb", "timeout_ids",
-            "pagerank",
+            "pagerank", "containment_pairs",
             "pack_sequences", "media_resize", "frame_sample",
             "dedup_extracted")
     }

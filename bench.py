@@ -121,7 +121,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "exact_dedup_hashed", "dedup_apply_emb", "dedup_extracted",
                  "knn_cosine", "knn_ivf", "knn_ivf_indexed", "cosine_nn",
                  "cosine_dup_pairs", "lsh_cosine_pairs", "token_count",
-                 "token_count_bpe", "winnow_fingerprint", "sample_by_hash",
+                 "token_count_bpe", "winnow_fingerprint",
+                 "containment_pairs", "sample_by_hash",
                  "pack_sequences", "training_pipeline", "hash_embed_nn",
                  "corpus_filter",
                  "redact_pii", "repetition_stats", "decontaminate",

@@ -521,6 +521,39 @@ def test_bm25_topk_split_invariant(ray_session):
            [(r["doc_id"], r["score_micro"]) for r in many]
 
 
+def test_containment_pairs_detects_doc_inside_doc(ray_session):
+    import ray.data
+
+    big = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [{"doc_id": 1, "text": big},
+            {"doc_id": 2, "text": big[:len(big) // 2]},   # contained
+            {"doc_id": 3, "text": "completely different content here"}]
+    ds = ray.data.from_items(rows)
+    got = {(r["left_id"], r["right_id"])
+           for r in textstats.containment_pairs(ds).take_all()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_containment_pairs_split_invariant(ray_session):
+    import ray.data
+
+    rows = [{"doc_id": i,
+             "text": ("alpha beta gamma delta epsilon zeta " * 3
+                      if i % 3 == 0 else
+                      f"unique text body number {i} with words {i * 7}")}
+            for i in range(40)]
+    ds = ray.data.from_items(rows)
+    one = sorted((r["left_id"], r["right_id"], r["shared_fps"],
+                  r["min_fps"])
+                 for r in textstats.containment_pairs(ds).take_all())
+    many = sorted((r["left_id"], r["right_id"], r["shared_fps"],
+                   r["min_fps"])
+                  for r in textstats.containment_pairs(
+                      ds.repartition(7)).take_all())
+    assert one == many and one
+
+
 def test_ivf_index_roundtrip_bit_identical(ray_session, emb_ds, tmp_path):
     p = str(tmp_path / "ivf.parquet")
     built = ann.ivf_build_index(emb_ds, p, nlist=8)

@@ -403,6 +403,32 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
          "min_fp": pa.array([min(f) if f else 0 for f in fps], pa.int64()),
          "max_fp": pa.array([max(f) if f else 0 for f in fps], pa.int64())})
 
+    # containment pairs: MOSS overlap ratio on distinct winnow fps,
+    # replicating the distributed op's deterministic hot-fp cap (docs
+    # per fp sorted ascending, truncated to 64) exactly
+    from collections import Counter
+
+    fpsets = {i: sorted(set(f)) for i, f in zip(ids, fps)}
+    nfp = {i: len(f) for i, f in fpsets.items()}
+    by_fp: dict[int, list[int]] = {}
+    for i in ids:
+        for x in fpsets[i]:
+            by_fp.setdefault(x, []).append(i)
+    shared: Counter = Counter()
+    for x, docs in by_fp.items():
+        docs = sorted(docs)[:64]
+        for ai in range(len(docs)):
+            for bi in range(ai + 1, len(docs)):
+                shared[(docs[ai], docs[bi])] += 1
+    crows = [(a, b, s, min(nfp[a], nfp[b]))
+             for (a, b), s in sorted(shared.items())
+             if s * 2 >= min(nfp[a], nfp[b])]
+    g["containment_pairs"] = pa.table(
+        {"left_id": pa.array([r[0] for r in crows], pa.int64()),
+         "right_id": pa.array([r[1] for r in crows], pa.int64()),
+         "shared_fps": pa.array([r[2] for r in crows], pa.int64()),
+         "min_fps": pa.array([r[3] for r in crows], pa.int64())})
+
     uf = UnionFind()
     for a, b in mh:
         uf.union(a, b)
