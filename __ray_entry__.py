@@ -57,6 +57,15 @@ def _events_windowed(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "ts"]))
 
 
+def _events_hopping(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import hopping_counts
+
+    return hopping_counts(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]))
+
+
 def _events_sessionize(sf_dir: str):
     import ray.data
 
@@ -671,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf)),
         # event-stream windows (beyond the reference: time-windowed ops)
         "windowed_events": lambda sf: _events_windowed(sf),
+        "hopping_events": lambda sf: _events_hopping(sf),
         "sessionize": lambda sf: _events_sessionize(sf),
         "asof_join": lambda sf: _events_asof(sf),
         "range_join": lambda sf: _events_range_join(sf),
@@ -934,6 +944,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, "
             "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, "
             "count(*)::BIGINT AS n FROM events GROUP BY event_type, w",
+        "hopping_events":
+            "SELECT event_type, "
+            "strftime(time_bucket(INTERVAL 15 MINUTE, ts) "
+            "- to_minutes(15*j), '%Y-%m-%d %H:%M:%S') AS w, "
+            "count(*)::BIGINT AS n "
+            "FROM events CROSS JOIN generate_series(0,3) s(j) "
+            "GROUP BY event_type, w",
         "sessionize": """
             SELECT user_id,
                    (1 + coalesce(sum(CASE WHEN gap_us > 30*60*1000000

@@ -28,6 +28,46 @@ def test_windowed_counts_tumbling_hours(ray_session):
     }
 
 
+def test_hopping_counts_overlapping_windows(ray_session):
+    import ray.data
+
+    from webtext.functions.events import hopping_counts
+
+    # one event at minute 5: belongs to the 60-min windows starting at
+    # -45, -30, -15, 0 (hop 15); one at minute 20 adds 15:00/-30/-15/0
+    rows = [_ev(1, 1, 5), _ev(2, 1, 20, "view")]
+    out = hopping_counts(ray.data.from_items(rows)).take_all()
+    got = {(r["event_type"], r["w"]): r["n"] for r in out}
+    assert got[("click", "2024-01-01 00:00:00")] == 1
+    assert got[("click", "2023-12-31 23:15:00")] == 1
+    assert got[("view", "2024-01-01 00:15:00")] == 1
+    assert got[("view", "2023-12-31 23:30:00")] == 1
+    # every event lands in exactly win/hop = 4 windows
+    assert sum(n for (t, _), n in got.items() if t == "click") == 4
+    assert sum(n for (t, _), n in got.items() if t == "view") == 4
+
+
+def test_hopping_counts_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.functions.events import hopping_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted((r["event_type"], r["w"], r["n"]) for r in hopping_counts(
+        ray.data.read_parquet(f"{sf}/events.parquet",
+                              columns=["event_type", "ts"])).take_all())
+    want = duckdb.sql(f"""
+        SELECT event_type,
+               strftime(time_bucket(INTERVAL 15 MINUTE, ts)
+                        - to_minutes(15*j), '%Y-%m-%d %H:%M:%S') AS w,
+               count(*)::BIGINT AS n
+        FROM read_parquet('{sf}/events.parquet')
+        CROSS JOIN generate_series(0,3) s(j)
+        GROUP BY event_type, w ORDER BY 1, 2""").fetchall()
+    assert got == [tuple(w) for w in want]
+
+
 def test_sessionize_gap_semantics(ray_session):
     import ray.data
 

@@ -50,6 +50,53 @@ def windowed_counts(ds):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+HOP_MINUTES = 15
+HOP_WINDOW_MINUTES = 60
+
+
+def _partial_hopping_counts(batch: pa.Table,
+                            hop_min: int, win_min: int) -> pa.Table:
+    """Per-batch combiner for hopping (sliding) windows: each event
+    belongs to win/hop overlapping windows; emit is a vectorized
+    floor_temporal + k-offset repeat, partial counts aggregated
+    in-batch so the shuffle ships (event_type, w, n) triples."""
+    k = win_min // hop_min
+    floored = pc.floor_temporal(batch.column("ts"), multiple=hop_min,
+                                unit="minute").cast(pa.timestamp("us")) \
+        .cast(pa.int64()).to_numpy(zero_copy_only=False)
+    hop_us = np.int64(hop_min) * 60 * 1_000_000
+    n = len(floored)
+    starts = (np.repeat(floored, k)
+              - np.tile(np.arange(k, dtype=np.int64) * hop_us, n))
+    etypes = batch.column("event_type").take(
+        pa.array(np.repeat(np.arange(n, dtype=np.int64), k)))
+    w = pc.strftime(
+        pa.array(starts).cast(pa.timestamp("us")).cast(pa.timestamp("s")),
+        format="%Y-%m-%d %H:%M:%S")
+    t = pa.Table.from_arrays([etypes, w], names=["event_type", "w"])
+    agg = t.group_by(["event_type", "w"]).aggregate([("w", "count")])
+    return agg.rename_columns(["event_type", "w", "n"])
+
+
+def hopping_counts(ds, hop_minutes: int = HOP_MINUTES,
+                   window_minutes: int = HOP_WINDOW_MINUTES):
+    """(event_type, w, n): events per type per HOPPING window of
+    ``window_minutes`` sliding every ``hop_minutes`` (hop must divide
+    window); ``w`` is the window start.  Same combiner shape as
+    windowed_counts — the k-fold window replication happens inside the
+    per-batch partial, so the shuffle still ships only (type, window,
+    n) triples."""
+    if window_minutes % hop_minutes:
+        raise ValueError("hop must divide window")
+    partial = ds.map_batches(
+        lambda b: _partial_hopping_counts(b, hop_minutes, window_minutes),
+        batch_format="pyarrow", zero_copy_batch=True)
+    summed = partial.groupby(["event_type", "w"]).sum("n")
+    return summed.map_batches(
+        lambda b: b.rename_columns(["event_type", "w", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def sessionize(ds, gap_minutes: int = SESSION_GAP_MINUTES,
                n_buckets: int = 256):
     """(user_id, n_sessions): sessions = 1 + #gaps > gap_minutes between
