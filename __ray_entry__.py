@@ -671,6 +671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "pack_sequences": lambda sf: textstats.pack_sequences(
             _docs_cols(sf, ["doc_id", "text"])),
+        "chunk_documents": lambda sf: textstats.chunk_documents(
+            _docs_cols(sf, ["doc_id", "text"])),
         "training_pipeline": lambda sf: textstats.training_pipeline(
             _docs_cols(sf, ["doc_id", "text"])),
         "hash_embed_nn": lambda sf: _hash_embed_nn(sf),
@@ -771,6 +773,16 @@ def oracle_sql() -> dict[str, str]:
         "token_count":
             "SELECT doc_id, len(string_split(text, ' '))::BIGINT "
             "AS n_tokens FROM documents",
+        "chunk_documents": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            starts AS (SELECT doc_id, t,
+                              unnest(range(0, len(t), 48)) AS s FROM toks)
+            SELECT doc_id, (s//48)::INT AS chunk_id,
+                   array_to_string(t[s+1 : least(s+64, len(t))], ' ')
+                     AS chunk_text,
+                   (least(s+64, len(t)) - s)::BIGINT AS n_chunk_tokens
+            FROM starts""",
         "quality_score": f"""
             SELECT doc_id,
               length(text)::BIGINT AS n_chars_q,

@@ -123,7 +123,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "cosine_dup_pairs", "lsh_cosine_pairs", "token_count",
                  "token_count_bpe", "winnow_fingerprint",
                  "containment_pairs", "sample_by_hash",
-                 "pack_sequences", "training_pipeline", "hash_embed_nn",
+                 "pack_sequences", "chunk_documents",
+                 "training_pipeline", "hash_embed_nn",
                  "corpus_filter",
                  "redact_pii", "repetition_stats", "decontaminate",
                  "decode_bytes",

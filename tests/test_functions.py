@@ -212,6 +212,42 @@ def test_token_count_matches_python_split(ray_session, docs_ds):
         assert out[r["doc_id"]] == len(r["text"].split(" "))
 
 
+def test_chunk_documents_semantics(ray_session):
+    """Crafted docs: short (1 chunk), exact-stride boundary, long with
+    overlap, multibyte UTF-8, consecutive spaces (empty tokens)."""
+    import ray.data
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    docs = [
+        {"doc_id": 1, "text": "hello world"},
+        {"doc_id": 2, "text": long_text},
+        {"doc_id": 3, "text": "héllo  wörld é"},   # multibyte + empties
+    ]
+    out = textstats.chunk_documents(
+        ray.data.from_items(docs), chunk_tokens=64, overlap=16).take_all()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in by_doc[1]] == ["hello world"]
+    toks = long_text.split(" ")
+    assert [r["chunk_text"] for r in by_doc[2]] == [
+        " ".join(toks[0:64]), " ".join(toks[48:100]),
+        " ".join(toks[96:100])]
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [64, 52, 4]
+    assert [r["chunk_text"] for r in by_doc[3]] == ["héllo  wörld é"]
+
+
+def test_chunk_documents_invariant_under_repartition(ray_session, docs_ds):
+    a = sorted((r["doc_id"], r["chunk_id"], r["chunk_text"])
+               for r in textstats.chunk_documents(docs_ds).take_all())
+    b = sorted((r["doc_id"], r["chunk_id"], r["chunk_text"])
+               for r in textstats.chunk_documents(
+                   docs_ds.repartition(7)).take_all())
+    assert a == b and a
+
+
 def test_quality_score_columns_and_sanity(ray_session, docs_ds):
     out = textstats.quality_score(docs_ds).take(5)
     for r in out:

@@ -423,6 +423,80 @@ def sample_by_hash(ds, keep_of_4096: int = 512, salt: str = "s0"):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents_batch(batch: pa.Table,
+                          chunk_tokens: int = CHUNK_TOKENS,
+                          overlap: int = CHUNK_OVERLAP) -> pa.Table:
+    """(doc_id, chunk_id, chunk_text, n_chunk_tokens): split each doc
+    into overlapping windows of ``chunk_tokens`` whitespace tokens with
+    stride ``chunk_tokens - overlap`` (the standard LLM context-window
+    chunker; last chunk may be short).
+
+    Fully vectorized, no per-chunk Python: because tokens are defined by
+    single-space split, every chunk is a CONTIGUOUS byte range of the
+    original text, so chunk strings are materialized with one numpy
+    fancy-indexed gather over the batch's string buffer — zero string
+    re-joining, O(output bytes)."""
+    import numpy as np
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern(col, " ")
+    loff = np.asarray(toks.offsets)
+    n = np.diff(loff)                           # tokens per doc (>= 1)
+    flat_blen = pc.binary_length(pc.list_flatten(toks)).to_numpy()
+    # prefix[j] = bytes of tokens 0..j-1 counting one separator each —
+    # subtracting the doc-base entry yields in-doc byte offsets
+    prefix = np.concatenate(
+        [[0], np.cumsum(flat_blen + 1, dtype=np.int64)])
+    n_chunks = (n - 1) // stride + 1
+    doc_rep = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    cum = np.concatenate([[0], np.cumsum(n_chunks, dtype=np.int64)])
+    chunk_idx = np.arange(cum[-1], dtype=np.int64) - cum[doc_rep]
+    start_tok = chunk_idx * stride
+    end_tok = np.minimum(start_tok + chunk_tokens, n[doc_rep])
+    base = loff[doc_rep]
+    cstart = prefix[base + start_tok] - prefix[base]
+    cend = prefix[base + end_tok] - prefix[base] - 1   # drop trail sep
+    # raw value offsets of the (possibly sliced) string array
+    vo = np.frombuffer(col.buffers()[1], np.int32)[
+        col.offset: col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    g0 = vo[doc_rep] + cstart
+    lengths = cend - cstart
+    tot = int(lengths.sum())
+    crep = np.repeat(np.arange(len(lengths)), lengths)
+    intra = np.arange(tot, dtype=np.int64) \
+        - np.concatenate([[0], np.cumsum(lengths)])[crep]
+    out = data[g0[crep] + intra]
+    offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+    text_arr = pa.LargeStringArray.from_buffers(
+        len(lengths), pa.py_buffer(offs.tobytes()),
+        pa.py_buffer(out.tobytes()))
+    return pa.Table.from_arrays(
+        [batch.column("doc_id").take(pa.array(doc_rep)),
+         pa.array(chunk_idx.astype(np.int32)),
+         text_arr.cast(pa.string()),
+         pa.array(end_tok - start_tok)],
+        names=["doc_id", "chunk_id", "chunk_text", "n_chunk_tokens"])
+
+
+def chunk_documents(ds, chunk_tokens: int = CHUNK_TOKENS,
+                    overlap: int = CHUNK_OVERLAP):
+    """Dataset wrapper for chunk_documents_batch — embarrassingly
+    parallel, no shuffle; output grows ~1/(1-overlap/chunk) ×."""
+    return ds.map_batches(
+        lambda b: chunk_documents_batch(b, chunk_tokens, overlap),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 PACK_TOKEN_BUDGET = 256
 
 
