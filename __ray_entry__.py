@@ -76,6 +76,16 @@ def _events_sessionize(sf_dir: str):
         columns=["user_id", "ts", "event_id"]))
 
 
+def _events_running(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import running_totals
+
+    return running_totals(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"]))
+
+
 def _tpch_pricing(sf_dir: str):
     import ray.data
 
@@ -684,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": lambda sf: _events_windowed(sf),
         "hopping_events": lambda sf: _events_hopping(sf),
         "sessionize": lambda sf: _events_sessionize(sf),
+        "running_totals": lambda sf: _events_running(sf),
         "asof_join": lambda sf: _events_asof(sf),
         "range_join": lambda sf: _events_range_join(sf),
         # graph ops over the lineitem part->supplier digraph
@@ -974,6 +985,12 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
               FROM events) t
             GROUP BY user_id""",
+        "running_totals": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)
+                   AS BIGINT) AS running_cents
+            FROM events""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)

@@ -133,7 +133,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "lang_id", "doc_fingerprint", "topk_per_group",
                  "ordered_dedup", "union_sources", "sort_limit",
                  "group_counts", "failure_filter", "windowed_events",
-                 "hopping_events", "sessionize", "asof_join", "range_join", "group_quantiles",
+                 "hopping_events", "sessionize", "running_totals",
+                 "asof_join", "range_join", "group_quantiles",
                  "graph_degrees", "pagerank",
                  "sample_stratified", "pricing_summary",
                  "order_line_join", "region_customers",

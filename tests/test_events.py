@@ -89,6 +89,43 @@ def test_sessionize_deterministic_on_ts_ties(ray_session):
     assert out[0]["n_sessions"] == 2
 
 
+def test_running_totals_semantics_and_negatives(ray_session):
+    import ray.data
+
+    from webtext.functions.events import running_totals
+
+    rows = [
+        dict(_ev(1, 5, 0), value=1.5),
+        dict(_ev(2, 5, 10), value=-2.0),   # negative: sign-safe reset
+        dict(_ev(3, 5, 20), value=0.25),
+        dict(_ev(4, 6, 0), value=10.0),    # second user resets to own base
+    ]
+    got = {r["event_id"]: r["running_cents"]
+           for r in running_totals(ray.data.from_items(rows)).take_all()}
+    assert got == {1: 150, 2: -50, 3: -25, 4: 1000}
+
+
+def test_running_totals_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.functions.events import running_totals
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    got = sorted((r["event_id"], r["user_id"], r["running_cents"])
+                 for r in running_totals(ds.repartition(5)).take_all())
+    want = duckdb.sql(f"""
+        SELECT event_id, user_id,
+               SUM(CAST(round(value*100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS rc
+        FROM read_parquet('{sf}/events.parquet')
+        ORDER BY 1, 2""").fetchall()
+    assert got == [tuple(w) for w in want]
+
+
 # -- as-of join -------------------------------------------------------------
 
 def test_asof_join_crafted_interleavings(ray_session):

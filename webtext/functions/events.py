@@ -144,6 +144,55 @@ def sessionize(ds, gap_minutes: int = SESSION_GAP_MINUTES,
                                            batch_format="pyarrow")
 
 
+def running_totals(ds, n_buckets: int = 256):
+    """(event_id, user_id, running_cents): per-user cumulative sum of
+    round(value*100) over events ordered by (ts, event_id) — the
+    distributed prefix-sum / running-balance shape.
+
+    Sums are integer cents so the result is bit-exact against a SQL
+    window-function oracle (float running sums are order-fragile).  One
+    shuffle grouped by hash(user_id) % n_buckets co-locates each user's
+    history; within a bucket a single lexsort + cumsum computes every
+    user's prefix sums at once, the per-user reset done by subtracting
+    the running sum at each user's segment start — no per-user group,
+    no per-row loop."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(_ibucket(uid, n_buckets)))
+
+    def scan_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = np.rint(group.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        csum = np.cumsum(cents)
+        # segment reset: subtract the cumsum just before each user's
+        # first row from that user's whole segment (index-based, so it
+        # is sign-safe for negative values)
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        seg = np.cumsum(first) - 1
+        running = csum - (csum - cents)[first][seg]
+        return pa.Table.from_arrays(
+            [pa.array(eid), pa.array(uid), pa.array(running)],
+            names=["event_id", "user_id", "running_cents"])
+
+    return ds.select_columns(["event_id", "user_id", "ts", "value"]) \
+             .map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .groupby("bucket").map_groups(scan_bucket,
+                                           batch_format="pyarrow")
+
+
 def _asof_merge_kernel(group: pa.Table, left_id: str, left_key: str,
                        right_id: str) -> pa.Table:
     """Vectorized in-bucket as-of merge over (key, ts, is_right,
