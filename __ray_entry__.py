@@ -109,6 +109,26 @@ def _tpch_join(sf_dir: str):
                               columns=["l_orderkey", "l_quantity"]))
 
 
+def _cust_orders_semi(sf_dir: str, anti: bool):
+    """Semi: customers with >=1 order.  Anti: customers with no
+    FINISHED ('F') order — the right side is filtered so the anti set
+    is non-empty in the synthetic data's dense foreign keys."""
+    import ray.data
+
+    from webtext.pipelines.relational import semi_join
+
+    right = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey",
+                                             "o_orderstatus"])
+    if anti:
+        right = right.filter(expr="o_orderstatus == 'F'")
+    return semi_join(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name"]),
+        right.select_columns(["o_custkey"]),
+        "c_custkey", "o_custkey", anti=anti)
+
+
 def _tpch_regions(sf_dir: str):
     import ray.data
 
@@ -706,6 +726,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": lambda sf: _tpch_pricing(sf),
         "order_line_join": lambda sf: _tpch_join(sf),
         "region_customers": lambda sf: _tpch_regions(sf),
+        "customers_with_orders": lambda sf: _cust_orders_semi(sf, False),
+        "customers_without_f_orders": lambda sf: _cust_orders_semi(
+            sf, True),
         "supplier_shipments": lambda sf: _tpch_suppliers(sf),
         "brand_volume": lambda sf: _tpch_brands(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
@@ -1025,6 +1048,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY r.r_name""",
+        "customers_with_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)""",
+        "customers_without_f_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')""",
         "group_quantiles": """
             SELECT event_type,
                    quantile_disc(value, 0.5) AS q50,

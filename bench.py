@@ -138,7 +138,9 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "graph_degrees", "pagerank",
                  "sample_stratified", "pricing_summary",
                  "order_line_join", "region_customers",
-                 "supplier_shipments", "brand_volume", "extract_spans",
+                 "supplier_shipments", "brand_volume",
+                 "customers_with_orders", "customers_without_f_orders",
+                 "extract_spans",
                  "extract_links",
                  "media_features", "media_resize", "frame_sample",
                  "search_engine_links"):

@@ -143,3 +143,69 @@ def test_brand_volume_join_reaggregate(ray_session):
           ON p.p_partkey = l.l_partkey
         GROUP BY 1""").fetchall())
     assert got == want and got
+
+
+def test_semi_join_and_anti_join_crafted(ray_session):
+    import ray.data
+
+    from webtext.pipelines.relational import semi_join
+
+    left = ray.data.from_items([
+        {"c_custkey": 1, "c_name": "a"},
+        {"c_custkey": 2, "c_name": "b"},
+        {"c_custkey": 3, "c_name": "c"},
+    ])
+    right = ray.data.from_items(
+        [{"o_custkey": 1}, {"o_custkey": 1}, {"o_custkey": 3},
+         {"o_custkey": 99}])
+    semi = sorted(r["c_custkey"] for r in semi_join(
+        left, right, "c_custkey", "o_custkey").take_all())
+    anti = sorted(r["c_custkey"] for r in semi_join(
+        left, right, "c_custkey", "o_custkey", anti=True).take_all())
+    assert semi == [1, 3] and anti == [2]
+
+
+def test_semi_join_string_keys(ray_session):
+    import ray.data
+
+    from webtext.pipelines.relational import semi_join
+
+    left = ray.data.from_items(
+        [{"k": "x", "v": 1}, {"k": "y", "v": 2}, {"k": "z", "v": 3}])
+    right = ray.data.from_items([{"rk": "y"}, {"rk": "nope"}])
+    assert sorted(r["k"] for r in semi_join(
+        left, right, "k", "rk").take_all()) == ["y"]
+    assert sorted(r["k"] for r in semi_join(
+        left, right, "k", "rk", anti=True).take_all()) == ["x", "z"]
+
+
+def test_customer_orders_semi_anti_match_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.relational import semi_join
+
+    sf = "/root/testdata/sf0.001"
+    left = ray.data.read_parquet(f"{sf}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    right = ray.data.read_parquet(f"{sf}/orders.parquet",
+                                  columns=["o_custkey"])
+    semi = sorted((r["c_custkey"], r["c_name"]) for r in semi_join(
+        left, right.repartition(4), "c_custkey", "o_custkey").take_all())
+    anti = sorted((r["c_custkey"], r["c_name"]) for r in semi_join(
+        left.repartition(3), right, "c_custkey", "o_custkey",
+        anti=True).take_all())
+    w_semi = duckdb.sql(f"""
+        SELECT c_custkey, c_name
+        FROM read_parquet('{sf}/customer.parquet') c
+        WHERE EXISTS (SELECT 1 FROM
+          read_parquet('{sf}/orders.parquet') o
+          WHERE o.o_custkey = c.c_custkey) ORDER BY 1""").fetchall()
+    w_anti = duckdb.sql(f"""
+        SELECT c_custkey, c_name
+        FROM read_parquet('{sf}/customer.parquet') c
+        WHERE NOT EXISTS (SELECT 1 FROM
+          read_parquet('{sf}/orders.parquet') o
+          WHERE o.o_custkey = c.c_custkey) ORDER BY 1""").fetchall()
+    assert semi == [tuple(w) for w in w_semi] and semi
+    assert anti == [tuple(w) for w in w_anti]
