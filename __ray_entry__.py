@@ -76,6 +76,33 @@ def _events_sessionize(sf_dir: str):
         columns=["user_id", "ts", "event_id"]))
 
 
+def _events_distinct_users(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import distinct_users
+
+    return distinct_users(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]))
+
+
+def _events_pivot(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import pivot_events
+
+    return pivot_events(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]))
+
+
+def _events_hll(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.sketches import hll_distinct
+
+    return hll_distinct(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]), "user_id")
+
+
 def _events_running(sf_dir: str):
     import ray.data
 
@@ -715,6 +742,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_events": lambda sf: _events_hopping(sf),
         "sessionize": lambda sf: _events_sessionize(sf),
         "running_totals": lambda sf: _events_running(sf),
+        "distinct_users": lambda sf: _events_distinct_users(sf),
+        "pivot_events": lambda sf: _events_pivot(sf),
+        # sketch: no SQL can replicate HLL registers → rows-only check
+        "hll_users": lambda sf: _events_hll(sf),
         "asof_join": lambda sf: _events_asof(sf),
         "range_join": lambda sf: _events_range_join(sf),
         # graph ops over the lineitem part->supplier digraph
@@ -1008,6 +1039,22 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
               FROM events) t
             GROUP BY user_id""",
+        "distinct_users":
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT "
+            "AS n_users FROM events GROUP BY event_type",
+        "pivot_events": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   sum(CASE WHEN event_type='click' THEN 1 ELSE 0
+                       END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type='error' THEN 1 ELSE 0
+                       END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0
+                       END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type='signup' THEN 1 ELSE 0
+                       END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type='view' THEN 1 ELSE 0
+                       END)::BIGINT AS n_view
+            FROM events GROUP BY day""",
         "running_totals": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (

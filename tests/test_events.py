@@ -225,3 +225,77 @@ def test_asof_join_invariant_under_repartition(ray_session):
                for r in asof_join(le.repartition(7),
                                   ri.repartition(3)).take_all())
     assert a == b
+
+
+def test_distinct_users_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.functions.events import distinct_users
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/events.parquet",
+                               columns=["event_type", "user_id"])
+    got = sorted((r["event_type"], r["n_users"])
+                 for r in distinct_users(ds.repartition(6)).take_all())
+    want = duckdb.sql(f"""
+        SELECT event_type, count(DISTINCT user_id)::BIGINT
+        FROM read_parquet('{sf}/events.parquet')
+        GROUP BY 1 ORDER BY 1""").fetchall()
+    assert got == [tuple(w) for w in want] and got
+
+
+def test_pivot_events_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.functions.events import pivot_events
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/events.parquet",
+                               columns=["ts", "event_type"])
+    rows = pivot_events(ds).take_all()
+    got = sorted((r["day"], r["n_click"], r["n_error"], r["n_purchase"],
+                  r["n_signup"], r["n_view"]) for r in rows)
+    want = duckdb.sql(f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)::BIGINT
+        FROM read_parquet('{sf}/events.parquet')
+        GROUP BY 1 ORDER BY 1""").fetchall()
+    assert got == [tuple(w) for w in want] and got
+
+
+def test_hll_distinct_accuracy_and_invariance(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.functions.sketches import hll_distinct
+
+    sf = "/root/testdata/sf0.01"
+    ds = ray.data.read_parquet(f"{sf}/events.parquet",
+                               columns=["user_id"])
+    est = hll_distinct(ds, "user_id").take_all()[0]["n_approx"]
+    exact = duckdb.sql(f"""
+        SELECT count(DISTINCT user_id)
+        FROM read_parquet('{sf}/events.parquet')""").fetchone()[0]
+    assert abs(est - exact) / exact < 0.02, (est, exact)
+    # bit-identical under repartition (pure function of the value set)
+    est2 = hll_distinct(ds.repartition(9),
+                        "user_id").take_all()[0]["n_approx"]
+    assert est2 == est
+
+
+def test_hll_distinct_string_column(ray_session):
+    import ray.data
+
+    from webtext.functions.sketches import hll_distinct
+
+    rows = [{"k": f"user-{i % 137}"} for i in range(4000)]
+    est = hll_distinct(ray.data.from_items(rows), "k") \
+        .take_all()[0]["n_approx"]
+    # linear-counting regime: near-exact for 137 << 4096 registers
+    assert abs(est - 137) <= 3, est

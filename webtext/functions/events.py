@@ -144,6 +144,83 @@ def sessionize(ds, gap_minutes: int = SESSION_GAP_MINUTES,
                                            batch_format="pyarrow")
 
 
+def distinct_users(ds, n_buckets: int = 256):
+    """(event_type, n_users): exact COUNT(DISTINCT user_id) per event
+    type, expressed as a two-level combiner so the all-to-all never
+    ships raw events:
+
+    1. per-batch: collapse to UNIQUE (event_type, user_id) pairs
+       (Arrow group_by — each pair crosses the wire at most once per
+       block);
+    2. bucket by hash(user_id): all copies of a pair share its user,
+       so a per-bucket unique is globally unique; count per type;
+    3. final groupby(event_type).sum over ≤ n_buckets × n_types tiny
+       partial rows."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [batch.column("event_type"),
+             batch.column("user_id").cast(pa.int64())],
+            names=["event_type", "user_id"])
+        uniq = t.group_by(["event_type", "user_id"]).aggregate([])
+        uid = uniq.column("user_id").to_numpy(zero_copy_only=False)
+        return uniq.append_column(
+            "bucket", pa.array(_ibucket(uid, n_buckets)))
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        uniq = pa.Table.from_arrays(
+            [group.column("event_type"), group.column("user_id")],
+            names=["event_type", "user_id"]) \
+            .group_by(["event_type", "user_id"]).aggregate([])
+        agg = uniq.group_by("event_type").aggregate(
+            [("user_id", "count")])
+        return agg.rename_columns(["event_type", "n"])
+
+    partial = ds.select_columns(["event_type", "user_id"]) \
+        .map_batches(pairs, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(count_bucket,
+                                      batch_format="pyarrow")
+    return partial.groupby("event_type").sum("n").map_batches(
+        lambda b: b.rename_columns(["event_type", "n_users"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_events(ds, types: tuple[str, ...] = EVENT_TYPES):
+    """(day, n_<type>...): daily event counts pivoted to one column per
+    event type (fixed, known column set — a pivot with a data-dependent
+    schema cannot stream).  Per-batch combiner emits one row per day
+    with per-type counts, so the shuffle ships days × types integers;
+    unknown types count toward no column (and are flagged nowhere —
+    callers pass the full domain)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(
+            pc.floor_temporal(batch.column("ts"), unit="day")
+            .cast(pa.timestamp("s")), format="%Y-%m-%d")
+        et = batch.column("event_type")
+        cols = [day]
+        names = ["day"]
+        for t in types:
+            cols.append(pc.equal(et, t).cast(pa.int64()))
+            names.append(f"n_{t}")
+        t_ = pa.Table.from_arrays(cols, names=names)
+        agg = t_.group_by("day").aggregate(
+            [(f"n_{t}", "sum") for t in types])
+        return agg.rename_columns(["day"] + [f"n_{t}" for t in types])
+
+    summed = ds.select_columns(["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("day").sum([f"n_{t}" for t in types])
+    return summed.map_batches(
+        lambda b: b.rename_columns(["day"] + [f"n_{t}" for t in types]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def running_totals(ds, n_buckets: int = 256):
     """(event_id, user_id, running_cents): per-user cumulative sum of
     round(value*100) over events ordered by (ts, event_id) — the

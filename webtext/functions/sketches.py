@@ -1,0 +1,114 @@
+"""Mergeable sketch operators (beyond the reference: SURVEY §2.4 notes
+the reference has no sketches; a 100 TB pipeline needs cardinality
+estimates that never ship raw keys).
+
+hll_distinct — HyperLogLog distinct count over any int64/string column:
+
+* deterministic: the element hash is blake2b-64 of the value's bytes,
+  so the estimate is a pure function of the value SET (partition- and
+  order-invariant by construction, pinned by tests);
+* distributed as the registers' natural merge: per-batch partial
+  register maxima (np.maximum.at — one (register, rho) table of at most
+  2^p rows leaves each block), groupby(register).max shuffle over ≤ 2^p
+  tiny rows, single-block finalization;
+* estimator: the Flajolet–Furé HLL with the standard small-range
+  linear-counting correction (the only regime the raw estimator is
+  biased in that matters at test scales).
+
+No SQL oracle can replicate the sketch, so the registered query is
+rows-only for the driver; correctness is pinned by pytest: ≤2% error vs
+exact at sf0.01 (p=12 ⇒ ~1.6% theoretical) and bit-identical output
+under repartition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+HLL_P = 12                      # 2^12 = 4096 registers
+_ALPHA_4096 = 0.7213 / (1 + 1.079 / 4096)
+
+
+def _hash64(values) -> np.ndarray:
+    """Deterministic 64-bit hashes of an Arrow array's values (string
+    or int64), vectorized over one blake2b pass on the concatenated
+    byte payload with length framing."""
+    if pa.types.is_integer(values.type):
+        data = values.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # splitmix64 finalizer: integer-only, exact, fully vectorized
+        x = data.astype(np.uint64)
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        z = x
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        return z
+    # strings: per-unique-value blake2b (vocabulary-sized loop, not
+    # row-sized: dictionary-encode first)
+    enc = values.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    dic = enc.dictionary.to_pylist()
+    table = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(
+            s.encode("utf-8"), digest_size=8).digest(), "little")
+         for s in dic), dtype=np.uint64, count=len(dic))
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    return table[idx]
+
+
+def _partial_registers(batch: pa.Table, col: str, p: int) -> pa.Table:
+    h = _hash64(batch.column(col).combine_chunks()
+                if isinstance(batch.column(col), pa.ChunkedArray)
+                else batch.column(col))
+    m = np.uint64(1) << np.uint64(p)
+    reg = (h & (m - np.uint64(1))).astype(np.int64)
+    w = h >> np.uint64(p)
+    # rho = position of first 1-bit in the remaining 64-p bits (1-based)
+    nbits = 64 - p
+    rho = np.full(len(w), nbits + 1, dtype=np.int64)
+    nz = w != 0
+    # floor(log2(w)) = frexp exponent - 1: exact (w < 2^52 for p>=12,
+    # so the float64 conversion is lossless)
+    rho[nz] = nbits - (np.frexp(w[nz].astype(np.float64))[1]
+                       .astype(np.int64) - 1)
+    maxima = np.zeros(1 << p, dtype=np.int64)
+    np.maximum.at(maxima, reg, rho)
+    used = np.nonzero(maxima)[0]
+    return pa.Table.from_arrays(
+        [pa.array(used.astype(np.int64)), pa.array(maxima[used])],
+        names=["register", "rho"])
+
+
+def _estimate(regs: pa.Table, p: int) -> pa.Table:
+    m = 1 << p
+    rho = np.zeros(m, dtype=np.int64)
+    rho[regs.column("register").to_numpy(zero_copy_only=False)] = \
+        regs.column("rho").to_numpy(zero_copy_only=False)
+    raw = _ALPHA_4096 * m * m / np.sum(np.power(2.0, -rho))
+    zeros = int(np.sum(rho == 0))
+    if raw <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)          # linear counting
+    else:
+        est = raw
+    return pa.Table.from_arrays(
+        [pa.array([int(round(est))], pa.int64())], names=["n_approx"])
+
+
+def hll_distinct(ds, col: str, p: int = HLL_P):
+    """Single-row (n_approx,) HyperLogLog estimate of the number of
+    distinct values in ``col``.  Shuffle payload is bounded by 2^p rows
+    per block regardless of input size."""
+    merged = ds.select_columns([col]) \
+        .map_batches(lambda b: _partial_registers(b, col, p),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("register").max("rho")
+    return merged.map_batches(
+        lambda b: b.rename_columns(["register", "rho"]),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .repartition(1) \
+        .map_batches(lambda b: _estimate(b, p),
+                     batch_format="pyarrow", zero_copy_batch=True)
