@@ -76,6 +76,16 @@ def _events_sessionize(sf_dir: str):
         columns=["user_id", "ts", "event_id"]))
 
 
+def _events_rolling(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import rolling_sums
+
+    return rolling_sums(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"]))
+
+
 def _events_distinct_users(sf_dir: str):
     import ray.data
 
@@ -742,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_events": lambda sf: _events_hopping(sf),
         "sessionize": lambda sf: _events_sessionize(sf),
         "running_totals": lambda sf: _events_running(sf),
+        "rolling_sums": lambda sf: _events_rolling(sf),
         "distinct_users": lambda sf: _events_distinct_users(sf),
         "pivot_events": lambda sf: _events_pivot(sf),
         # sketch: no SQL can replicate HLL registers → rows-only check
@@ -1039,6 +1050,13 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
               FROM events) t
             GROUP BY user_id""",
+        "rolling_sums": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS roll_cents
+            FROM events""",
         "distinct_users":
             "SELECT event_type, count(DISTINCT user_id)::BIGINT "
             "AS n_users FROM events GROUP BY event_type",

@@ -134,7 +134,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "ordered_dedup", "union_sources", "sort_limit",
                  "group_counts", "failure_filter", "windowed_events",
                  "hopping_events", "sessionize", "running_totals",
-                 "distinct_users", "pivot_events", "hll_users",
+                 "rolling_sums", "distinct_users", "pivot_events",
+                 "hll_users",
                  "asof_join", "range_join", "group_quantiles",
                  "graph_degrees", "pagerank",
                  "sample_stratified", "pricing_summary",

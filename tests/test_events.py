@@ -126,6 +126,43 @@ def test_running_totals_matches_duckdb(ray_session):
     assert got == [tuple(w) for w in want]
 
 
+def test_rolling_sums_bounded_window(ray_session):
+    import ray.data
+
+    from webtext.functions.events import rolling_sums
+
+    rows = [dict(_ev(i, 5, i), value=float(i)) for i in range(1, 8)]
+    rows.append(dict(_ev(99, 6, 0), value=3.0))  # other user isolated
+    got = {r["event_id"]: r["roll_cents"]
+           for r in rolling_sums(ray.data.from_items(rows),
+                                 window_rows=3).take_all()}
+    # window of 3 rows (2 preceding + current): 1, 1+2, 1+2+3, 2+3+4, ...
+    assert got == {1: 100, 2: 300, 3: 600, 4: 900, 5: 1200, 6: 1500,
+                   7: 1800, 99: 300}
+
+
+def test_rolling_sums_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.functions.events import rolling_sums
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    got = sorted((r["event_id"], r["user_id"], r["roll_cents"])
+                 for r in rolling_sums(ds.repartition(5)).take_all())
+    want = duckdb.sql(f"""
+        SELECT event_id, user_id,
+               SUM(CAST(round(value*100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rc
+        FROM read_parquet('{sf}/events.parquet')
+        ORDER BY 1, 2""").fetchall()
+    assert got == [tuple(w) for w in want]
+
+
 # -- as-of join -------------------------------------------------------------
 
 def test_asof_join_crafted_interleavings(ray_session):

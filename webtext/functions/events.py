@@ -270,6 +270,56 @@ def running_totals(ds, n_buckets: int = 256):
                                            batch_format="pyarrow")
 
 
+ROLL_WINDOW_ROWS = 5
+
+
+def rolling_sums(ds, window_rows: int = ROLL_WINDOW_ROWS,
+                 n_buckets: int = 256):
+    """(event_id, user_id, roll_cents): per-user rolling sum of
+    round(value*100) over the last ``window_rows`` events (current row
+    inclusive), ordered by (ts, event_id) — the bounded-window sibling
+    of running_totals (ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW).
+
+    Same bucketed shape: one shuffle by hash(user_id), then one lexsort
+    + prefix-sum difference per bucket — roll[i] = csum[i] -
+    csum[max(i-k, segment_start)] on a zero-padded prefix array, fully
+    vectorized across all users in the bucket."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(_ibucket(uid, n_buckets)))
+
+    def roll_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = np.rint(group.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        seg_start = np.flatnonzero(first)[np.cumsum(first) - 1]
+        idx = np.arange(len(uid), dtype=np.int64)
+        lo = np.maximum(idx - window_rows + 1, seg_start)
+        roll = csum[idx + 1] - csum[lo]
+        return pa.Table.from_arrays(
+            [pa.array(eid), pa.array(uid), pa.array(roll)],
+            names=["event_id", "user_id", "roll_cents"])
+
+    return ds.select_columns(["event_id", "user_id", "ts", "value"]) \
+             .map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .groupby("bucket").map_groups(roll_bucket,
+                                           batch_format="pyarrow")
+
+
 def _asof_merge_kernel(group: pa.Table, left_id: str, left_key: str,
                        right_id: str) -> pa.Table:
     """Vectorized in-bucket as-of merge over (key, ts, is_right,
