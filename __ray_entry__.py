@@ -123,6 +123,42 @@ def _events_running(sf_dir: str):
         columns=["event_id", "user_id", "ts", "value"]))
 
 
+def _events_lag(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import lag_deltas
+
+    return lag_deltas(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"]))
+
+
+def _events_growth(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import user_growth
+
+    return user_growth(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+
+
+def _tpch_shipping(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import shipping_priority
+
+    return shipping_priority(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"]),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate",
+                                       "o_orderpriority"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_extendedprice",
+                                       "l_discount", "l_shipdate"]))
+
+
 def _tpch_pricing(sf_dir: str):
     import ray.data
 
@@ -720,6 +756,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_bytes": lambda sf: _decode_bytes_q(sf),
         # corpus curation (PII / repetition / eval-set decontamination)
         "redact_pii": lambda sf: curation.redact_pii(_pii_fixture(sf)),
+        "normalize_text": lambda sf: curation.normalize_text(
+            _docs_cols(sf, ["doc_id", "text"])),
         "repetition_stats": lambda sf: curation.repetition_stats(
             _docs_cols(sf, ["doc_id", "text"])),
         "decontaminate": lambda sf: curation.decontaminate(
@@ -753,6 +791,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": lambda sf: _events_sessionize(sf),
         "running_totals": lambda sf: _events_running(sf),
         "rolling_sums": lambda sf: _events_rolling(sf),
+        "lag_deltas": lambda sf: _events_lag(sf),
+        "user_growth": lambda sf: _events_growth(sf),
         "distinct_users": lambda sf: _events_distinct_users(sf),
         "pivot_events": lambda sf: _events_pivot(sf),
         # sketch: no SQL can replicate HLL registers → rows-only check
@@ -773,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, True),
         "supplier_shipments": lambda sf: _tpch_suppliers(sf),
         "brand_volume": lambda sf: _tpch_brands(sf),
+        "shipping_priority": lambda sf: _tpch_shipping(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
             _docs_cols(sf, ["doc_id", "lang"])),
         # relational skeleton (U5/U9/A1/A2/A3/E12 shapes)
@@ -1057,6 +1098,24 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
                    AS BIGINT) AS roll_cents
             FROM events""",
+        "lag_deltas": """
+            SELECT * FROM (
+              SELECT event_id, user_id,
+                     CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                     AS BIGINT) AS gap_us
+              FROM events) t
+            WHERE gap_us IS NOT NULL""",
+        "user_growth": """
+            SELECT d, new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT)
+                     AS cum_users
+            FROM (
+              SELECT first_day AS d, count(*)::BIGINT AS new_users
+              FROM (SELECT user_id, min(date_trunc('day', ts))
+                      AS first_day
+                    FROM events GROUP BY user_id)
+              GROUP BY first_day)""",
         "distinct_users":
             "SELECT event_type, count(DISTINCT user_id)::BIGINT "
             "AS n_users FROM events GROUP BY event_type",
@@ -1107,6 +1166,27 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_qty
             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
             GROUP BY p.p_brand""",
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   revenue_cents
+            FROM (
+              SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                     CAST(SUM(CAST(round(
+                       l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM customer c
+              JOIN orders o ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1998-06-01'
+                AND l.l_shipdate > TIMESTAMP '1998-06-01'
+              GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority)
+            ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                     AS norm
+            FROM documents""",
         "region_customers": """
             SELECT r.r_name, count(*)::BIGINT AS n_customers
             FROM customer c

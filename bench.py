@@ -134,13 +134,14 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "ordered_dedup", "union_sources", "sort_limit",
                  "group_counts", "failure_filter", "windowed_events",
                  "hopping_events", "sessionize", "running_totals",
-                 "rolling_sums", "distinct_users", "pivot_events",
-                 "hll_users",
+                 "rolling_sums", "lag_deltas", "user_growth",
+                 "distinct_users", "pivot_events", "hll_users",
                  "asof_join", "range_join", "group_quantiles",
                  "graph_degrees", "pagerank",
                  "sample_stratified", "pricing_summary",
                  "order_line_join", "region_customers",
                  "supplier_shipments", "brand_volume",
+                 "shipping_priority", "normalize_text",
                  "customers_with_orders", "customers_without_f_orders",
                  "extract_spans",
                  "extract_links",

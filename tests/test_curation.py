@@ -155,3 +155,32 @@ def test_decontaminate_block_split_invariant(ray_session):
     resplit = sorted(r["doc_id"] for r in curation.decontaminate(
         corpus.repartition(7), bench.repartition(3), n=4).take_all())
     assert base == resplit and len(base) < 36  # something was dropped
+
+
+def test_normalize_text_kernel():
+    import pyarrow as pa
+
+    from webtext.functions.curation import normalize_text_batch
+
+    t = pa.table({"doc_id": [1, 2],
+                  "text": ["  Hello\t WORLD \n\nfoo ", "ABC"]})
+    out = normalize_text_batch(t)
+    assert out.column("norm").to_pylist() == ["hello world foo", "abc"]
+
+
+def test_normalize_text_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.functions.curation import normalize_text
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+    got = sorted((r["doc_id"], r["norm"])
+                 for r in normalize_text(ds).take_all())
+    want = duckdb.sql(
+        f"SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ',"
+        f" 'g')) FROM read_parquet('{sf}/documents.parquet')"
+        f" ORDER BY 1").fetchall()
+    assert got == [tuple(w) for w in want]

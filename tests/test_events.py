@@ -336,3 +336,30 @@ def test_hll_distinct_string_column(ray_session):
         .take_all()[0]["n_approx"]
     # linear-counting regime: near-exact for 137 << 4096 registers
     assert abs(est - 137) <= 3, est
+
+
+def test_lag_deltas_drops_first_event_per_user(ray_session):
+    import ray.data
+
+    from webtext.functions.events import lag_deltas
+
+    rows = [_ev(1, 5, 0), _ev(2, 5, 10), _ev(3, 5, 11),
+            _ev(4, 6, 3)]  # user 6 has one event -> no output row
+    got = {r["event_id"]: r["gap_us"]
+           for r in lag_deltas(ray.data.from_items(rows)).take_all()}
+    assert got == {2: 600_000_000, 3: 60_000_000}
+
+
+def test_user_growth_cumulative(ray_session):
+    import ray.data
+
+    from webtext.functions.events import user_growth
+
+    rows = [_ev(1, 1, 0), _ev(2, 1, 2000),       # user 1 day 0 (again d1)
+            _ev(3, 2, 1500), _ev(4, 3, 1500),    # users 2,3 first on d1
+            _ev(5, 4, 3000)]                     # user 4 first on d2
+    out = sorted(user_growth(ray.data.from_items(rows)
+                             .repartition(3)).take_all(),
+                 key=lambda r: r["d"])
+    assert [(r["new_users"], r["cum_users"]) for r in out] == \
+        [(1, 1), (2, 3), (1, 4)]

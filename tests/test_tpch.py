@@ -209,3 +209,74 @@ def test_customer_orders_semi_anti_match_duckdb(ray_session):
           WHERE o.o_custkey = c.c_custkey) ORDER BY 1""").fetchall()
     assert semi == [tuple(w) for w in w_semi] and semi
     assert anti == [tuple(w) for w in w_anti]
+
+
+def test_shipping_priority_crafted(ray_session):
+    """Hand-built 3-table join exercising every Q3 branch: wrong
+    segment dropped, order after cutoff dropped, lines shipped before
+    cutoff excluded from revenue, top-k ordering by revenue desc."""
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.pipelines.tpch import shipping_priority
+
+    D = lambda y, m, d: dt.datetime(y, m, d)
+    customer = ray.data.from_items([
+        {"c_custkey": 1, "c_mktsegment": "BUILDING"},
+        {"c_custkey": 2, "c_mktsegment": "MACHINERY"},  # dropped
+    ])
+    orders = ray.data.from_items([
+        {"o_orderkey": 10, "o_custkey": 1, "o_orderdate": D(1997, 1, 1),
+         "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 11, "o_custkey": 1, "o_orderdate": D(1999, 1, 1),
+         "o_orderpriority": "2-HIGH"},  # after cutoff -> dropped
+        {"o_orderkey": 12, "o_custkey": 2, "o_orderdate": D(1997, 1, 1),
+         "o_orderpriority": "3-MEDIUM"},  # wrong segment
+        {"o_orderkey": 13, "o_custkey": 1, "o_orderdate": D(1997, 6, 1),
+         "o_orderpriority": "4-LOW"},
+    ])
+    lineitem = ray.data.from_items([
+        {"l_orderkey": 10, "l_extendedprice": 100.0, "l_discount": 0.1,
+         "l_shipdate": D(1998, 7, 1)},              # 9000 cents
+        {"l_orderkey": 10, "l_extendedprice": 50.0, "l_discount": 0.0,
+         "l_shipdate": D(1997, 1, 2)},              # shipped early: out
+        {"l_orderkey": 13, "l_extendedprice": 200.0, "l_discount": 0.5,
+         "l_shipdate": D(1998, 6, 2)},              # 10000 cents
+        {"l_orderkey": 12, "l_extendedprice": 999.0, "l_discount": 0.0,
+         "l_shipdate": D(1998, 7, 1)},              # wrong segment
+    ])
+    out = shipping_priority(customer, orders, lineitem).take_all()
+    got = [(r["l_orderkey"], r["revenue_cents"], r["o_orderpriority"])
+           for r in out]
+    assert got == [(13, 10000, "4-LOW"), (10, 9000, "1-URGENT")]
+
+
+def test_shipping_priority_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import shipping_priority
+
+    sf = "/root/testdata/sf0.001"
+    got = shipping_priority(
+        ray.data.read_parquet(f"{sf}/customer.parquet"),
+        ray.data.read_parquet(f"{sf}/orders.parquet"),
+        ray.data.read_parquet(f"{sf}/lineitem.parquet")).take_all()
+    want = duckdb.sql(f"""
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(round(
+                 l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT))
+                 AS BIGINT) AS revenue_cents
+        FROM read_parquet('{sf}/customer.parquet') c
+        JOIN read_parquet('{sf}/orders.parquet') o
+          ON o.o_custkey = c.c_custkey
+        JOIN read_parquet('{sf}/lineitem.parquet') l
+          ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l.l_orderkey
+        ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""").fetchall()
+    assert [(r["l_orderkey"], r["revenue_cents"]) for r in got] == \
+        [tuple(w) for w in want]

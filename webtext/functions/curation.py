@@ -272,3 +272,27 @@ def decontaminate(ds, bench_ds, n: int = 4):
 
     return ds.map_batches(keep_clean, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# Text normalization
+# --------------------------------------------------------------------------
+
+def normalize_text_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, norm): lowercase + whitespace-squeeze + trim — the
+    canonical pre-dedup normalization pass.  Pure Arrow kernels
+    (utf8_lower + RE2 replace — the same regex engine DuckDB uses, so
+    the SQL oracle `trim(regexp_replace(lower(text),'\\s+',' ','g'))`
+    is bit-exact)."""
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(
+            pc.utf8_lower(batch.column("text")),
+            pattern=r"\s+", replacement=" "))
+    return pa.Table.from_arrays([batch.column("doc_id"), norm],
+                                names=["doc_id", "norm"])
+
+
+def normalize_text(ds):
+    """Corpus-wide normalization: pure per-batch map, no shuffle."""
+    return ds.map_batches(normalize_text_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)

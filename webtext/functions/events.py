@@ -320,6 +320,104 @@ def rolling_sums(ds, window_rows: int = ROLL_WINDOW_ROWS,
                                            batch_format="pyarrow")
 
 
+def lag_deltas(ds, n_buckets: int = 256):
+    """(event_id, user_id, gap_us): per-event time delta to the user's
+    previous event (LAG window function), ordered by (ts, event_id);
+    each user's first event has no predecessor and is dropped.
+
+    Same bucketed shape as running_totals: one shuffle by
+    hash(user_id) % n_buckets, then one lexsort + np.diff pass per
+    bucket — vectorized across every user in the bucket."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(_ibucket(uid, n_buckets)))
+
+    def lag_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, ts = uid[order], eid[order], ts[order]
+        same_user = np.concatenate([[False], uid[1:] == uid[:-1]])
+        gap = np.empty(len(ts), dtype=np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        keep = same_user
+        return pa.Table.from_arrays(
+            [pa.array(eid[keep]), pa.array(uid[keep]),
+             pa.array(gap[keep])],
+            names=["event_id", "user_id", "gap_us"])
+
+    return ds.select_columns(["event_id", "user_id", "ts"]) \
+             .map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .groupby("bucket").map_groups(lag_bucket,
+                                           batch_format="pyarrow")
+
+
+def user_growth(ds):
+    """(d, new_users, cum_users): per-day count of first-seen users and
+    the running total — the classic growth curve, computed with TWO
+    combiner-reduced exchanges over tiny state:
+
+    1. per-batch Arrow group_by min(day) per user (shuffle ships one
+       row per (batch, user), never events), then a native
+       groupby(user).min to settle each user's true first day;
+    2. per-batch count per first-day (days are few), one tiny
+       groupby-sum, then a single-block cumulative sum (the day table
+       is bounded by the calendar at any corpus size)."""
+
+    def first_day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day") \
+            .cast(pa.timestamp("us")).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("user_id").cast(pa.int64()), day],
+            names=["user_id", "day_us"])
+        agg = t.group_by(["user_id"]).aggregate([("day_us", "min")])
+        return agg.rename_columns(["user_id", "day_us"])
+
+    first = ds.select_columns(["user_id", "ts"]) \
+        .map_batches(first_day_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("user_id").min("day_us")
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        col = "min(day_us)" if "min(day_us)" in batch.column_names \
+            else "day_us"
+        t = pa.Table.from_arrays(
+            [batch.column(col),
+             pa.array(np.ones(batch.num_rows, dtype=np.int64))],
+            names=["day_us", "n"])
+        agg = t.group_by(["day_us"]).aggregate([("n", "sum")])
+        return agg.rename_columns(["day_us", "new_users"])
+
+    per_day = first.map_batches(day_counts, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby("day_us").sum("new_users")
+
+    def cumulate(batch: pa.Table) -> pa.Table:
+        day = batch.column("day_us").to_numpy(zero_copy_only=False)
+        n = batch.column("sum(new_users)" if "sum(new_users)" in
+                         batch.column_names else "new_users") \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(day)
+        day, n = day[order], n[order]
+        return pa.Table.from_arrays(
+            [pa.array(day).cast(pa.timestamp("us")), pa.array(n),
+             pa.array(np.cumsum(n))],
+            names=["d", "new_users", "cum_users"])
+
+    # the day table is calendar-bounded → single block is safe forever
+    return per_day.repartition(1).map_batches(
+        cumulate, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
 def _asof_merge_kernel(group: pa.Table, left_id: str, left_key: str,
                        right_id: str) -> pa.Table:
     """Vectorized in-bucket as-of merge over (key, ts, is_right,

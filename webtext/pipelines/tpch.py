@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.dedup import _ibucket  # module scope: worker code is
 # shipped by value and cannot lazy-import webtext
@@ -299,6 +300,178 @@ def _brand_bucket(group: pa.Table) -> pa.Table:
     agg = t.group_by(["p_brand"]).aggregate([("qty", "sum"),
                                              ("n", "sum")])
     return agg.rename_columns(["p_brand", "qty", "n"])
+
+
+def _rev_cents(price: np.ndarray, disc: np.ndarray) -> np.ndarray:
+    """DuckDB CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+    for the positive domain — identical double-op order, so bit-equal."""
+    return np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+
+
+def shipping_priority(customer, orders, lineitem,
+                      segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01", k: int = 10):
+    """TPC-H Q3 shape: top-k orders by revenue among a market segment's
+    orders placed before ``cutoff`` with lines shipped after it.
+    Output: (l_orderkey, o_orderdate, o_orderpriority, revenue_cents).
+
+    Two constant-fan-out shuffles, no broadcast of any large side:
+
+    1. semi-join orders→customer in hash(custkey) % 256 buckets —
+       customers ship only their custkey (filtered marker rows), orders
+       ship (custkey, okey, date, priority);
+    2. join the surviving orders to per-order lineitem revenue partials
+       in hash(orderkey) % 256 buckets — lineitem is pre-aggregated per
+       batch (combiner), so the shuffle carries one row per
+       (batch, orderkey), never lineitems;
+    3. top-k: each bucket emits its local top-k, a single-block final
+       pass selects the global top-k (k × 256 rows max — driver-safe at
+       any corpus size)."""
+    cut_us = np.datetime64(cutoff, "us").astype(np.int64)
+
+    def cust_emit(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("c_mktsegment"), segment)
+        keys = batch.filter(mask).column("c_custkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        neg = pa.array(np.full(len(keys), -1, dtype=np.int64))
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(keys)), pa.array(keys), neg, neg,
+             pa.array([""] * len(keys), pa.string())],
+            names=["bucket", "custkey", "okey", "odate_us", "prio"])
+
+    def orders_emit(batch: pa.Table) -> pa.Table:
+        odate = batch.column("o_orderdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = odate < cut_us
+        cust = batch.column("o_custkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[keep]
+        okey = batch.column("o_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[keep]
+        prio = batch.column("o_orderpriority").filter(pa.array(keep))
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(cust)), pa.array(cust), pa.array(okey),
+             pa.array(odate[keep]), prio],
+            names=["bucket", "custkey", "okey", "odate_us", "prio"])
+
+    def semi_bucket(group: pa.Table) -> pa.Table:
+        okey = group.column("okey").to_numpy(zero_copy_only=False)
+        cust = group.column("custkey").to_numpy(zero_copy_only=False)
+        is_cust = okey == -1
+        ckeys = np.sort(cust[is_cust])
+        o = ~is_cust
+        if len(ckeys) == 0 or not o.any():
+            return group.slice(0, 0).select(
+                ["okey", "odate_us", "prio"])
+        pos = np.searchsorted(ckeys, cust[o])
+        hit = (pos < len(ckeys)) & (ckeys[np.minimum(
+            pos, len(ckeys) - 1)] == cust[o])
+        keep = np.zeros(len(okey), dtype=bool)
+        keep[np.flatnonzero(o)[hit]] = True
+        return group.filter(pa.array(keep)).select(
+            ["okey", "odate_us", "prio"])
+
+    surviving = customer.select_columns(["c_custkey", "c_mktsegment"]) \
+        .map_batches(cust_emit, batch_format="pyarrow",
+                     zero_copy_batch=True).union(
+        orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate",
+                               "o_orderpriority"])
+        .map_batches(orders_emit, batch_format="pyarrow",
+                     zero_copy_batch=True)) \
+        .groupby("bucket").map_groups(semi_bucket,
+                                      batch_format="pyarrow")
+
+    def order_mark(batch: pa.Table) -> pa.Table:
+        okey = batch.column("okey").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(okey)), batch.column("okey"),
+             batch.column("odate_us"), batch.column("prio"),
+             pa.array(np.full(len(okey), -1, dtype=np.int64))],
+            names=["bucket", "okey", "odate_us", "prio", "rev"])
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ship > cut_us
+        okey = batch.column("l_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[keep]
+        rev = _rev_cents(
+            batch.column("l_extendedprice")
+            .to_numpy(zero_copy_only=False)[keep],
+            batch.column("l_discount")
+            .to_numpy(zero_copy_only=False)[keep])
+        t = pa.Table.from_arrays([pa.array(okey), pa.array(rev)],
+                                 names=["okey", "rev"])
+        agg = t.group_by(["okey"]).aggregate([("rev", "sum")])
+        keys2 = agg.column("okey").to_numpy(zero_copy_only=False)
+        zero = pa.array(np.zeros(len(keys2), dtype=np.int64))
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(keys2)), agg.column("okey"), zero,
+             pa.array([""] * len(keys2), pa.string()),
+             agg.column("rev_sum")],
+            names=["bucket", "okey", "odate_us", "prio", "rev"])
+
+    def join_topk(group: pa.Table) -> pa.Table:
+        okey = group.column("okey").to_numpy(zero_copy_only=False)
+        rev = group.column("rev").to_numpy(zero_copy_only=False)
+        odate = group.column("odate_us").to_numpy(zero_copy_only=False)
+        prio = np.asarray(group.column("prio").to_pylist(), dtype=object)
+        is_order = rev == -1
+        o_keys, o_date, o_prio = (okey[is_order], odate[is_order],
+                                  prio[is_order])
+        order = np.argsort(o_keys)
+        o_keys, o_date, o_prio = o_keys[order], o_date[order], \
+            o_prio[order]
+        l_keys, l_rev = okey[~is_order], rev[~is_order]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()),
+             pa.array([], pa.timestamp("us")),
+             pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["l_orderkey", "o_orderdate", "o_orderpriority",
+                   "revenue_cents"])
+        if len(o_keys) == 0 or len(l_keys) == 0:
+            return empty
+        pos = np.clip(np.searchsorted(o_keys, l_keys), 0,
+                      len(o_keys) - 1)
+        hit = o_keys[pos] == l_keys
+        revenue = np.zeros(len(o_keys), dtype=np.int64)
+        np.add.at(revenue, pos[hit], l_rev[hit])
+        matched = np.zeros(len(o_keys), dtype=bool)
+        matched[pos[hit]] = True
+        if not matched.any():
+            return empty
+        o_keys, o_date, o_prio, revenue = (o_keys[matched],
+                                           o_date[matched],
+                                           o_prio[matched],
+                                           revenue[matched])
+        top = np.lexsort((o_keys, -revenue))[:k]
+        return pa.Table.from_arrays(
+            [pa.array(o_keys[top]),
+             pa.array(o_date[top]).cast(pa.timestamp("us")),
+             pa.array(o_prio[top].tolist(), pa.string()),
+             pa.array(revenue[top])],
+            names=["l_orderkey", "o_orderdate", "o_orderpriority",
+                   "revenue_cents"])
+
+    line_side = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(line_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    per_bucket = surviving.map_batches(
+        order_mark, batch_format="pyarrow", zero_copy_batch=True) \
+        .union(line_side) \
+        .groupby("bucket").map_groups(join_topk, batch_format="pyarrow")
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        okey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rev = batch.column("revenue_cents") \
+            .to_numpy(zero_copy_only=False)
+        top = np.lexsort((okey, -rev))[:k]
+        return batch.take(pa.array(top))
+
+    # per_bucket is ≤ 256 × k rows at any corpus size
+    return per_bucket.repartition(1).map_batches(
+        final_topk, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
 
 
 def brand_volume(lineitem, part):
