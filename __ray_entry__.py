@@ -170,6 +170,41 @@ def _tpch_pricing(sf_dir: str):
                  "l_extendedprice"]))
 
 
+def _tpch_rollup(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import pricing_rollup
+
+    return pricing_rollup(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"]))
+
+
+def _tpch_left_join(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import order_line_left_join
+
+    return order_line_left_join(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_quantity"]))
+
+
+def _tpch_profile(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import profile_columns
+
+    return profile_columns(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_quantity", "l_extendedprice",
+                                       "l_discount", "l_tax"]),
+        ("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+
 def _tpch_join(sf_dir: str):
     import ray.data
 
@@ -814,6 +849,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_shipments": lambda sf: _tpch_suppliers(sf),
         "brand_volume": lambda sf: _tpch_brands(sf),
         "shipping_priority": lambda sf: _tpch_shipping(sf),
+        "pricing_rollup": lambda sf: _tpch_rollup(sf),
+        "order_line_left": lambda sf: _tpch_left_join(sf),
+        "profile_columns": lambda sf: _tpch_profile(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
             _docs_cols(sf, ["doc_id", "lang"])),
         # relational skeleton (U5/U9/A1/A2/A3/E12 shapes)
@@ -1187,6 +1225,35 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                      AS norm
             FROM documents""",
+        "pricing_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS
+                     BIGINT)) AS BIGINT) AS sum_base_cents,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "order_line_left": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   count(l.l_orderkey)::BIGINT AS n_lines,
+                   CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0)
+                     AS BIGINT) AS sum_qty
+            FROM orders o LEFT JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_custkey""",
+        "profile_columns": """
+            SELECT col AS "column", count(*)::BIGINT AS n_rows,
+                   0::BIGINT AS n_null,
+                   min(v) AS min_v, max(v) AS max_v
+            FROM (
+              SELECT 'l_quantity' AS col, l_quantity AS v FROM lineitem
+              UNION ALL SELECT 'l_extendedprice', l_extendedprice
+                FROM lineitem
+              UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+              UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+            GROUP BY col""",
         "region_customers": """
             SELECT r.r_name, count(*)::BIGINT AS n_customers
             FROM customer c

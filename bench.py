@@ -142,6 +142,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "order_line_join", "region_customers",
                  "supplier_shipments", "brand_volume",
                  "shipping_priority", "normalize_text",
+                 "pricing_rollup", "order_line_left", "profile_columns",
                  "customers_with_orders", "customers_without_f_orders",
                  "extract_spans",
                  "extract_links",

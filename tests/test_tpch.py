@@ -280,3 +280,59 @@ def test_shipping_priority_matches_duckdb(ray_session):
         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""").fetchall()
     assert [(r["l_orderkey"], r["revenue_cents"]) for r in got] == \
         [tuple(w) for w in want]
+
+
+def test_order_line_left_keeps_unmatched_orders(ray_session):
+    import ray.data
+
+    from webtext.pipelines.tpch import order_line_left_join
+
+    orders = ray.data.from_items([
+        {"o_orderkey": 1, "o_custkey": 7},
+        {"o_orderkey": 2, "o_custkey": 8},   # no lines -> zeros
+    ])
+    lineitem = ray.data.from_items([
+        {"l_orderkey": 1, "l_quantity": 2.0},
+        {"l_orderkey": 1, "l_quantity": 3.0},
+        {"l_orderkey": 9, "l_quantity": 5.0},  # dangling line dropped
+    ])
+    got = {r["o_orderkey"]: (r["n_lines"], r["sum_qty"])
+           for r in order_line_left_join(orders, lineitem).take_all()}
+    assert got == {1: (2, 5), 2: (0, 0)}
+
+
+def test_pricing_rollup_levels(ray_session):
+    import ray.data
+
+    from webtext.pipelines.tpch import pricing_rollup
+
+    rows = [
+        {"l_returnflag": "A", "l_linestatus": "F",
+         "l_quantity": 1.0, "l_extendedprice": 1.0},
+        {"l_returnflag": "A", "l_linestatus": "O",
+         "l_quantity": 2.0, "l_extendedprice": 2.0},
+        {"l_returnflag": "N", "l_linestatus": "O",
+         "l_quantity": 4.0, "l_extendedprice": 4.0},
+    ]
+    got = {(r["l_returnflag"], r["l_linestatus"]):
+           (r["sum_qty"], r["n_rows"])
+           for r in pricing_rollup(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {("A", "F"): (1, 1), ("A", "O"): (2, 1),
+                   ("N", "O"): (4, 1), ("A", "ALL"): (3, 2),
+                   ("N", "ALL"): (4, 1), ("ALL", "ALL"): (7, 3)}
+
+
+def test_profile_columns_min_max_nulls(ray_session):
+    import ray.data
+
+    from webtext.pipelines.tpch import profile_columns
+
+    rows = [{"a": 1.0, "b": None}, {"a": -2.5, "b": 7.0},
+            {"a": 4.0, "b": None}]
+    got = {r["column"]: (r["n_rows"], r["n_null"], r["min_v"],
+                         r["max_v"])
+           for r in profile_columns(
+               ray.data.from_items(rows).repartition(2),
+               ("a", "b")).take_all()}
+    assert got == {"a": (3, 0, -2.5, 4.0), "b": (3, 2, 7.0, 7.0)}

@@ -302,6 +302,133 @@ def _brand_bucket(group: pa.Table) -> pa.Table:
     return agg.rename_columns(["p_brand", "qty", "n"])
 
 
+def _left_join_bucket(group: pa.Table) -> pa.Table:
+    """Left-outer variant of _join_bucket: every orders row in the
+    bucket survives; unmatched orders get n_lines = 0, sum_qty = 0."""
+    okey = group.column("okey").to_numpy(zero_copy_only=False)
+    cust = group.column("custkey").to_numpy(zero_copy_only=False)
+    qty = group.column("qty").to_numpy(zero_copy_only=False)
+    n = group.column("n").to_numpy(zero_copy_only=False)
+    is_order = cust != -1
+    o_keys, o_cust = okey[is_order], cust[is_order]
+    oorder = np.argsort(o_keys)
+    o_keys, o_cust = o_keys[oorder], o_cust[oorder]
+    sum_qty = np.zeros(len(o_keys), dtype=np.int64)
+    n_lines = np.zeros(len(o_keys), dtype=np.int64)
+    l_keys, l_qty, l_n = okey[~is_order], qty[~is_order], n[~is_order]
+    if len(o_keys) and len(l_keys):
+        pos = np.clip(np.searchsorted(o_keys, l_keys), 0,
+                      len(o_keys) - 1)
+        hit = o_keys[pos] == l_keys
+        np.add.at(sum_qty, pos[hit], l_qty[hit])
+        np.add.at(n_lines, pos[hit], l_n[hit])
+    return pa.Table.from_arrays(
+        [pa.array(o_keys), pa.array(o_cust), pa.array(n_lines),
+         pa.array(sum_qty)],
+        names=["o_orderkey", "o_custkey", "n_lines", "sum_qty"])
+
+
+def order_line_left_join(orders, lineitem):
+    """(o_orderkey, o_custkey, n_lines, sum_qty) — LEFT OUTER join:
+    same constant-fan-out bucketed plan as order_line_join, but orders
+    with no lineitem rows survive with zero counts."""
+    u = lineitem.select_columns(["l_orderkey", "l_quantity"]) \
+        .map_batches(_line_partial, batch_format="pyarrow",
+                     zero_copy_batch=True).union(
+        orders.select_columns(["o_orderkey", "o_custkey"])
+        .map_batches(_orders_emit, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    return u.groupby("bucket").map_groups(_left_join_bucket,
+                                          batch_format="pyarrow")
+
+
+ROLLUP_ALL = "ALL"
+
+
+def _rollup_partial(batch: pa.Table) -> pa.Table:
+    """Combiner with level replication: each lineitem batch emits
+    partial aggregates at all three ROLLUP levels — (flag, status),
+    (flag, ALL), (ALL, ALL) — so the shuffle ships 3 × the tiny
+    per-batch group count and the final groupby is level-agnostic."""
+    agg = _pricing_partial(batch)
+    flag = agg.column("l_returnflag")
+    status = agg.column("l_linestatus")
+    alls = pa.array([ROLLUP_ALL] * agg.num_rows, pa.string())
+    levels = []
+    for f, s in ((flag, status), (flag, alls), (alls, alls)):
+        levels.append(pa.Table.from_arrays(
+            [f, s, agg.column("sum_qty"), agg.column("sum_base_cents"),
+             agg.column("n_rows")],
+            names=["l_returnflag", "l_linestatus", "sum_qty",
+                   "sum_base_cents", "n_rows"]))
+    t = pa.concat_tables(levels)
+    out = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("sum_qty", "sum"), ("sum_base_cents", "sum"),
+         ("n_rows", "sum")])
+    return out.rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+         "n_rows"])
+
+
+def pricing_rollup(lineitem):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) with 'ALL' standing
+    in for SQL's NULL super-aggregate rows (keeps the value-hash
+    comparison NULL-free).  Pure combiner pattern — the rollup levels
+    are replicated inside the per-batch partial, so no extra shuffle
+    vs the plain pricing_summary."""
+    partial = lineitem.select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity",
+         "l_extendedprice"]).map_batches(
+        _rollup_partial, batch_format="pyarrow", zero_copy_batch=True)
+    summed = partial.groupby(["l_returnflag", "l_linestatus"]).sum(
+        ["sum_qty", "sum_base_cents", "n_rows"])
+    return summed.map_batches(
+        lambda b: b.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty",
+             "sum_base_cents", "n_rows"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def profile_columns(ds, columns: tuple[str, ...]):
+    """(column, n_rows, n_null, min_v, max_v) per numeric column — the
+    schema-profiling pass a data engine runs before planning.  One
+    combiner map (per-batch min/max/count per column — a few rows per
+    batch regardless of width) + one tiny groupby; min/max are exact
+    element values (no accumulation), so the oracle comparison is
+    float-exact."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, n_rows, n_null, mn, mx = [], [], [], [], []
+        for c in columns:
+            col = batch.column(c)
+            v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            null_mask = np.isnan(v) if col.null_count else \
+                np.zeros(len(v), dtype=bool)
+            ok = v[~null_mask]
+            names.append(c)
+            n_rows.append(len(v))
+            n_null.append(int(null_mask.sum()))
+            mn.append(float(ok.min()) if len(ok) else np.inf)
+            mx.append(float(ok.max()) if len(ok) else -np.inf)
+        return pa.Table.from_arrays(
+            [pa.array(names, pa.string()),
+             pa.array(n_rows, pa.int64()), pa.array(n_null, pa.int64()),
+             pa.array(mn, pa.float64()), pa.array(mx, pa.float64())],
+            names=["column", "n_rows", "n_null", "min_v", "max_v"])
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = ds.select_columns(list(columns)) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("column").aggregate(
+            Sum("n_rows"), Sum("n_null"), Min("min_v"), Max("max_v"))
+    return agg.map_batches(
+        lambda b: b.rename_columns(
+            ["column", "n_rows", "n_null", "min_v", "max_v"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _rev_cents(price: np.ndarray, disc: np.ndarray) -> np.ndarray:
     """DuckDB CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
     for the positive domain — identical double-op order, so bit-equal."""
