@@ -156,3 +156,48 @@ def test_dedup_extracted_composition(ray_session, tmp_path):
     assert surv1 == surv2
     assert 0 < len(surv1) <= len(kept)
     assert set(surv1) <= kept
+
+
+def test_jsonl_roundtrip_format_agnostic(ray_session, small_corpus_dir,
+                                         tmp_path):
+    """parquet → JSONL → read_documents_jsonl must feed the extraction
+    pipeline identically to the parquet reader (schema inference keeps
+    the nested spans contract)."""
+    import ray.data
+
+    from webtext.sources.io import (read_documents_jsonl,
+                                    write_documents_jsonl)
+
+    jdir = str(tmp_path / "jsonl")
+    write_documents_jsonl(
+        ray.data.read_parquet(small_corpus_dir), jdir)
+    via_json = {r["doc_id"]: r["spans"]
+                for r in read_documents_jsonl(jdir).take_all()}
+    via_parq = {r["doc_id"]: r["spans"]
+                for r in ray.data.read_parquet(
+                    small_corpus_dir,
+                    columns=["doc_id", "spans"]).take_all()}
+    assert via_json.keys() == via_parq.keys()
+    for k in via_parq:
+        assert [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in via_json[k]] == \
+            [(s["kind"], s["text"], s["media_ref"], s["offset"])
+             for s in via_parq[k]]
+
+
+def test_read_flat_csv_prunes_columns(ray_session, tmp_path):
+    import duckdb
+
+    from webtext.sources.io import read_flat_csv
+
+    sf = "/root/testdata/sf0.001"
+    csv = str(tmp_path / "docs.csv")
+    duckdb.sql(f"COPY (SELECT doc_id, lang, n_chars FROM "
+               f"read_parquet('{sf}/documents.parquet')) TO '{csv}'")
+    ds = read_flat_csv(csv, columns=["doc_id", "lang"])
+    rows = ds.take_all()
+    assert set(rows[0].keys()) == {"doc_id", "lang"}
+    want = duckdb.sql(f"SELECT count(*) FROM "
+                      f"read_parquet('{sf}/documents.parquet')"
+                      ).fetchone()[0]
+    assert len(rows) == want

@@ -31,6 +31,41 @@ def read_documents(paths, *, override_num_blocks=None):
                                  **kwargs)
 
 
+def read_documents_jsonl(input_dir: str, **kwargs):
+    """Interleaved-document reader over JSONL fragments — the common
+    interchange format for web-scrape corpora.  Nested spans ride as
+    JSON arrays of objects; Ray's Arrow JSON reader infers the same
+    list<struct> schema as the parquet path, so the extraction pipeline
+    is format-agnostic downstream of the read."""
+    import ray.data
+
+    paths = input_dir
+    if os.path.isdir(input_dir):
+        paths = sorted(glob.glob(os.path.join(input_dir, "*.jsonl")) +
+                       glob.glob(os.path.join(input_dir, "*.json")))
+    ds = ray.data.read_json(paths, **kwargs)
+    return ds.select_columns(["doc_id", "spans"])
+
+
+def write_documents_jsonl(ds, output_dir: str) -> None:
+    """JSONL writer (one fragment file per block) — the inverse seam,
+    for handing extracted corpora to JSON-native consumers."""
+    ds.write_json(output_dir)
+
+
+def read_flat_csv(paths, columns=None, **kwargs):
+    """CSV reader for FLAT tables (documents/events/TPC-H side): CSV
+    cannot carry the nested spans column, so this seam is for the
+    curation/relational operators, with the same column pruning
+    contract as read_parquet(columns=...)."""
+    import ray.data
+
+    ds = ray.data.read_csv(paths, **kwargs)
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
+    return ds
+
+
 def read_documents_lance(uri: str, **kwargs):
     """Production reader per BASELINE.json input_hint:
     ``ray.data.read_lance`` with the same (doc_id, spans) pruning.
