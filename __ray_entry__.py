@@ -48,6 +48,18 @@ def _emb(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _incremental_dedup(sf_dir: str):
+    """Daily-crawl split: docs with doc_id % 100 < 50 are the
+    historical index, the rest are the new crawl."""
+    from webtext.functions.curation import split_by_mod
+    from webtext.pipelines.dedup_pipeline import incremental_dedup
+
+    docs = _docs_cols(sf_dir, ["doc_id", "text"])
+    return incremental_dedup(
+        split_by_mod(docs, mod=100, lt=50, invert=True),
+        split_by_mod(docs, mod=100, lt=50))
+
+
 def _events_windowed(sf_dir: str):
     import ray.data
 
@@ -801,6 +813,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             curation.split_by_mod(_docs_cols(sf, ["doc_id", "text"]))),
         "token_frequencies": lambda sf: textstats.token_frequencies(
             _docs_cols(sf, ["doc_id", "text"]), 50),
+        "vocab_coverage": lambda sf: textstats.vocab_coverage(
+            _docs_cols(sf, ["doc_id", "text"]), 50),
+        "incremental_dedup": lambda sf: _incremental_dedup(sf),
         "inverted_index": lambda sf: textstats.inverted_index(
             _docs_cols(sf, ["doc_id", "text"])),
         "bm25_topk": lambda sf: textstats.bm25_topk(
@@ -1037,6 +1052,28 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM grams gr
                               JOIN bench b ON gr.g = b.g
                               WHERE gr.doc_id = d.doc_id)""",
+        "vocab_coverage": """
+            WITH vocab AS (
+              SELECT token FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents) t
+              GROUP BY token
+              ORDER BY count(*) DESC, token LIMIT 50)
+            SELECT doc_id,
+                   sum(CASE WHEN token IN (SELECT token FROM vocab)
+                       THEN 1 ELSE 0 END)::BIGINT AS n_in_vocab,
+                   sum(CASE WHEN token IN (SELECT token FROM vocab)
+                       THEN 0 ELSE 1 END)::BIGINT AS n_unk
+            FROM (SELECT doc_id, unnest(string_split(text, ' '))
+                    AS token FROM documents) t
+            GROUP BY doc_id""",
+        "incremental_dedup": """
+            SELECT min(doc_id) AS doc_id, fp FROM (
+              SELECT doc_id, md5(text) AS fp FROM documents
+              WHERE doc_id % 100 >= 50) n
+            WHERE fp NOT IN (SELECT md5(text) FROM documents
+                             WHERE doc_id % 100 < 50)
+            GROUP BY fp""",
         "token_frequencies":
             "SELECT token, count(*)::BIGINT AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS token "

@@ -128,7 +128,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "corpus_filter",
                  "redact_pii", "repetition_stats", "decontaminate",
                  "decode_bytes",
-                 "token_frequencies", "inverted_index", "bm25_topk",
+                 "token_frequencies", "vocab_coverage",
+                 "incremental_dedup", "inverted_index", "bm25_topk",
                  "length_histogram", "quality_score",
                  "lang_id", "doc_fingerprint", "topk_per_group",
                  "ordered_dedup", "union_sources", "sort_limit",

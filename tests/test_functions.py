@@ -716,3 +716,34 @@ def test_hash_embeddings_deterministic_and_composable(ray_session, docs_ds):
     for did, vec in a.items():
         t = texts[did]
         assert by_text.setdefault(t, vec) == vec
+
+
+def test_vocab_coverage_counts(ray_session):
+    import ray.data
+
+    from webtext.functions.textstats import vocab_coverage
+
+    rows = [{"doc_id": 1, "text": "a a b c"},
+            {"doc_id": 2, "text": "b b x y"},
+            {"doc_id": 3, "text": "a z"}]
+    # top-2 vocab by (count desc, token asc): a(3), b(3)
+    got = {r["doc_id"]: (r["n_in_vocab"], r["n_unk"])
+           for r in vocab_coverage(ray.data.from_items(rows),
+                                   vocab_size=2).take_all()}
+    assert got == {1: (3, 1), 2: (2, 2), 3: (1, 1)}
+
+
+def test_incremental_dedup_drops_seen_content(ray_session):
+    import ray.data
+
+    from webtext.pipelines.dedup_pipeline import incremental_dedup
+
+    seen = ray.data.from_items([{"doc_id": 1, "text": "old news"}])
+    new = ray.data.from_items([
+        {"doc_id": 10, "text": "old news"},      # already ingested
+        {"doc_id": 11, "text": "fresh stuff"},
+        {"doc_id": 12, "text": "fresh stuff"},   # dup within new crawl
+        {"doc_id": 13, "text": "unique"}])
+    got = sorted(r["doc_id"] for r in
+                 incremental_dedup(new, seen).take_all())
+    assert got == [11, 13]

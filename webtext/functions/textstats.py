@@ -984,3 +984,44 @@ def hash_embeddings(ds, dim: int = HASH_EMBED_DIM):
     return ds.select_columns(["doc_id", "text"]).map_batches(
         functools.partial(_hash_embed_batch, dim=dim),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def vocab_coverage(ds, vocab_size: int = 50):
+    """(doc_id, n_in_vocab, n_unk): encode every document against the
+    corpus's own top-``vocab_size`` token vocabulary — the coverage
+    profile a tokenizer-training pipeline computes before committing to
+    a vocab.
+
+    Two passes over the corpus: (1) the token_frequencies combiner
+    builds the vocabulary (deterministic tie-break: count desc, token
+    asc); the vocab is driver-materialized (vocab_size rows — constant)
+    and ray.put-broadcast; (2) a pure map counts per-document hits with
+    Arrow's C is_in kernel + one bincount — no shuffle at all on the
+    encode side."""
+    import ray
+
+    vocab = [r["token"] for r in
+             token_frequencies(ds, vocab_size).take_all()]
+    ref = ray.put(vocab)
+
+    def encode(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        import numpy as np
+
+        v = _ref if isinstance(_ref, list) else ray.get(_ref)
+        toks = _tokens(batch)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(lens)), lens)
+        hit = pc.is_in(flat, value_set=pa.array(v, pa.string())) \
+            .to_numpy(zero_copy_only=False)
+        n_in = np.bincount(rows, weights=hit,
+                           minlength=len(lens)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(n_in),
+             pa.array(lens.astype(np.int64) - n_in)],
+            names=["doc_id", "n_in_vocab", "n_unk"])
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -95,3 +95,39 @@ def dedup_extracted(extracted_dir: str, threshold: float = 0.5):
         survivors.select_columns(["doc_id"]).map_batches(
             surv_emit, batch_format="pyarrow", zero_copy_batch=True))
     return u.groupby("key").map_groups(resolve, batch_format="pyarrow")
+
+
+def _fp_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, fp): md5 content fingerprint — matches DuckDB's
+    md5(text) hex so the SQL oracle is exact."""
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+           for t in batch.column("text").to_pylist()]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(fps, pa.string())],
+        names=["doc_id", "fp"])
+
+
+def incremental_dedup(new_ds, seen_ds):
+    """The daily-crawl shape: drop documents whose exact content was
+    already ingested in a previous run, then first-wins-dedup the
+    remainder.  Returns (doc_id, fp) — min doc_id per fresh fingerprint.
+
+    Scale shape: both sides reduce to md5 keys before any shuffle (the
+    historical index ships fingerprints, never text); the anti-join is
+    the bucketed semi_join with per-block distinct-key combiners; the
+    final first-wins is a native groupby.min over (fp, doc_id) pairs."""
+    from .relational import semi_join
+
+    new_f = new_ds.map_batches(_fp_batch, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    seen_f = seen_ds.map_batches(_fp_batch, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .select_columns(["fp"])
+    fresh = semi_join(new_f, seen_f, "fp", "fp", anti=True)
+    agg = fresh.groupby("fp").min("doc_id")
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("min(doc_id)" if "min(doc_id)" in b.column_names
+                      else "doc_id"), b.column("fp")],
+            names=["doc_id", "fp"]),
+        batch_format="pyarrow", zero_copy_batch=True)
