@@ -311,6 +311,16 @@ def _events_quantiles(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]))
 
 
+def _events_outliers(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.relational import outlier_filter
+
+    return outlier_filter(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"]))
+
+
 def _events_asof(sf_dir: str):
     """Backward as-of join: each event matched to the user's latest
     order at or before the event time."""
@@ -487,6 +497,9 @@ def prewarm(sf_dir: str) -> None:
         ann.ivf_build_index(_emb(sf_dir), path, nlist=16)
     _committed_run(sf_dir, seed=42)
     _committed_run(sf_dir, seed=43)
+    # the in-session materialized extraction feeds five queries; build
+    # it here so the first consumer's timing is steady-state
+    _extracted(sf_dir)
 
 
 def entry() -> Any:
@@ -853,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degrees": lambda sf: graph.degrees(_graph_edges(sf)),
         "pagerank": lambda sf: graph.pagerank(_graph_edges(sf)),
         "group_quantiles": lambda sf: _events_quantiles(sf),
+        "outlier_events": lambda sf: _events_outliers(sf),
         # TPC-H-shaped relational: combiner aggregate, large-large
         # bucketed join, broadcast dimension enrichment
         "pricing_summary": lambda sf: _tpch_pricing(sf),
@@ -1311,6 +1325,14 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.5) AS q50,
                    quantile_disc(value, 0.95) AS q95
             FROM events GROUP BY event_type""",
+        "outlier_events": """
+            SELECT e.event_id, e.event_type, e.value
+            FROM events e
+            JOIN (SELECT event_type,
+                         quantile_disc(value, 0.95) AS p
+                  FROM events GROUP BY event_type) t
+              USING (event_type)
+            WHERE e.value > t.p""",
         "sample_stratified": """
             SELECT lang, doc_id FROM (
               SELECT lang, doc_id, row_number() OVER (

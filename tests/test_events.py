@@ -363,3 +363,19 @@ def test_user_growth_cumulative(ray_session):
                  key=lambda r: r["d"])
     assert [(r["new_users"], r["cum_users"]) for r in out] == \
         [(1, 1), (2, 3), (1, 4)]
+
+
+def test_outlier_filter_strict_threshold(ray_session):
+    import ray.data
+
+    from webtext.pipelines.relational import outlier_filter
+
+    rows = [dict(_ev(i, 1, i), value=float(i)) for i in range(1, 11)]
+    rows += [dict(_ev(100, 1, 0, "view"), value=50.0),
+             dict(_ev(101, 1, 1, "view"), value=60.0)]
+    # click p95 over 1..10 (quantile_disc) = value at rank ceil(.95*10)-1
+    # = index 9 -> 10.0; strictly greater -> nothing from clicks
+    got = sorted(r["event_id"] for r in outlier_filter(
+        ray.data.from_items(rows), q=0.5).take_all())
+    # click p50 = 5.0 -> events 6..10 pass; view p50 = 50 -> 101 passes
+    assert got == [6, 7, 8, 9, 10, 101]

@@ -220,3 +220,34 @@ def group_quantiles(ds, group_col: str = "event_type",
         .map_batches(add_bucket, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .groupby("bucket").map_groups(quantiles, batch_format="pyarrow")
+
+
+def outlier_filter(ds, group_col: str = "event_type",
+                   value_col: str = "value", q: float = 0.95,
+                   keep_cols: tuple[str, ...] = ("event_id",)):
+    """Rows whose value exceeds their group's exact q-quantile — the
+    heavy-tail inspection pass (fraud spikes, outlier document lengths).
+
+    Two-phase broadcast composition: group_quantiles reduces the corpus
+    to one row per group (driver-materializes that constant-size table
+    only), the thresholds broadcast via ray.put, and the filter is a
+    single vectorized map — the corpus itself never shuffles twice."""
+    import numpy as np
+    import ray
+
+    qcol = f"q{int(q * 100)}"
+    thr = {r[group_col]: r[qcol]
+           for r in group_quantiles(ds, group_col, value_col,
+                                    (q,)).take_all()}
+    ref = ray.put(thr)
+    out_cols = list(keep_cols) + [group_col, value_col]
+
+    def flt(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        t = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        keys = batch.column(group_col).to_pylist()
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        cut = np.array([t.get(k, np.inf) for k in keys])
+        return batch.filter(pa.array(vals > cut)).select(out_cols)
+
+    return ds.select_columns(out_cols).map_batches(
+        flt, batch_format="pyarrow", zero_copy_batch=True)
