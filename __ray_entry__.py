@@ -848,6 +848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf), 0.4),
         "lsh_nearest_neighbor": lambda sf: ann.lsh_nearest_neighbor_ids(
             _emb(sf)),
+        "label_centroids": lambda sf: ann.label_centroids(_emb(sf)),
         # event-stream windows (beyond the reference: time-windowed ops)
         "windowed_events": lambda sf: _events_windowed(sf),
         "hopping_events": lambda sf: _events_hopping(sf),
@@ -1081,6 +1082,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest(string_split(text, ' '))
                     AS token FROM documents) t
             GROUP BY doc_id""",
+        "label_centroids": """
+            SELECT label::BIGINT AS label, i::BIGINT AS dim,
+                   CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE)
+                     * 1000000000) AS BIGINT)) AS BIGINT) AS sum_fp,
+                   count(*)::BIGINT AS n
+            FROM embeddings, generate_series(1, 64) s(i)
+            GROUP BY label, i""",
         "incremental_dedup": """
             SELECT min(doc_id) AS doc_id, fp FROM (
               SELECT doc_id, md5(text) AS fp FROM documents

@@ -747,3 +747,23 @@ def test_incremental_dedup_drops_seen_content(ray_session):
     got = sorted(r["doc_id"] for r in
                  incremental_dedup(new, seen).take_all())
     assert got == [11, 13]
+
+
+def test_label_centroids_fixed_point(ray_session):
+    import ray.data
+
+    from webtext.functions.ann import label_centroids
+
+    rows = [{"label": 0, "embedding": [1.0, -0.5]},
+            {"label": 0, "embedding": [0.5, 0.5]},
+            {"label": 1, "embedding": [-1.0000000005, 2.0]}]
+    got = {(r["label"], r["dim"]): (r["sum_fp"], r["n"])
+           for r in label_centroids(
+               ray.data.from_items(rows).repartition(2)).take_all()}
+    G = 10**9
+    assert got[(0, 1)] == (int(1.5 * G), 2)
+    assert got[(0, 2)] == (0, 2)
+    # half-away-from-zero on the negative side: from_items stores
+    # float64, -1.0000000005e9 = -1000000000.5 -> -1000000001
+    assert got[(1, 1)] == (-1000000001, 1)
+    assert got[(1, 2)] == (2 * G, 1)

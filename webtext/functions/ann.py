@@ -814,3 +814,46 @@ def nearest_neighbor_ids(ds, exact_max_rows: int = EXACT_MAX_ROWS,
     return ds.map_batches(
         NN, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 4), fn_constructor_args=(ref,))
+
+
+CENTROID_SCALE = 10**9
+
+
+def label_centroids(ds, scale: int = CENTROID_SCALE):
+    """(label, dim, sum_fp, n): per-label embedding centroid in
+    fixed-point — sum of round(v * scale) per dimension plus the member
+    count (consumers divide; the mean itself would be float and
+    summation-order-dependent, the int64 sums are exact and
+    order-invariant — same trick as the distributed IVF k-means fit).
+
+    Combiner shape: each batch reduces to (labels-in-batch × dim) rows
+    via one np.add.at, then a native groupby sum — the shuffle ships
+    per-batch partial centroids, never embeddings."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        x = _matrix(batch) * float(scale)
+        # DuckDB round(): half away from zero, both signs
+        fp = np.where(x >= 0, np.floor(x + 0.5),
+                      np.ceil(x - 0.5)).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        d = fp.shape[1]
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, fp)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(uniq, d)),
+             pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                              len(uniq))),
+             pa.array(sums.ravel()),
+             pa.array(np.repeat(counts, d))],
+            names=["label", "dim", "sum_fp", "n"])
+
+    summed = ds.select_columns(["label", "embedding"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["label", "dim"]).sum(["sum_fp", "n"])
+    return summed.map_batches(
+        lambda b: b.rename_columns(["label", "dim", "sum_fp", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True)
