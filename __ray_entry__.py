@@ -125,6 +125,12 @@ def _events_hll(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id"]), "user_id")
 
 
+def _cms_estimates(sf_dir: str):
+    from webtext.functions.sketches import cms_token_estimates
+
+    return cms_token_estimates(_docs_cols(sf_dir, ["doc_id", "text"]))
+
+
 def _events_running(sf_dir: str):
     import ray.data
 
@@ -861,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": lambda sf: _events_pivot(sf),
         # sketch: no SQL can replicate HLL registers → rows-only check
         "hll_users": lambda sf: _events_hll(sf),
+        "cms_token_estimates": lambda sf: _cms_estimates(sf),
         "asof_join": lambda sf: _events_asof(sf),
         "range_join": lambda sf: _events_range_join(sf),
         # graph ops over the lineitem part->supplier digraph
@@ -1096,6 +1103,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE fp NOT IN (SELECT md5(text) FROM documents
                              WHERE doc_id % 100 < 50)
             GROUP BY fp""",
+        # CMS estimates equal exact counts when the vocabulary's load
+        # factor on the 8192-wide sketch is ≪ 1 (true for every driver
+        # table); the ≥-bound under forced collisions is pytest-pinned
+        "cms_token_estimates":
+            "SELECT token, count(*)::BIGINT AS est_n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS token "
+            "FROM documents) t GROUP BY token "
+            "ORDER BY est_n DESC, token LIMIT 50",
         "token_frequencies":
             "SELECT token, count(*)::BIGINT AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS token "

@@ -137,6 +137,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "hopping_events", "sessionize", "running_totals",
                  "rolling_sums", "lag_deltas", "user_growth",
                  "distinct_users", "pivot_events", "hll_users",
+                 "cms_token_estimates",
                  "outlier_events", "label_centroids",
                  "asof_join", "range_join", "group_quantiles",
                  "graph_degrees", "pagerank",

@@ -379,3 +379,31 @@ def test_outlier_filter_strict_threshold(ray_session):
         ray.data.from_items(rows), q=0.5).take_all())
     # click p50 = 5.0 -> events 6..10 pass; view p50 = 50 -> 101 passes
     assert got == [6, 7, 8, 9, 10, 101]
+
+
+def test_cms_estimates_exact_when_sparse(ray_session):
+    import ray.data
+
+    from webtext.functions.sketches import cms_token_estimates
+
+    rows = [{"doc_id": 1, "text": "a a b"}, {"doc_id": 2, "text": "b c"}]
+    got = {r["token"]: r["est_n"]
+           for r in cms_token_estimates(
+               ray.data.from_items(rows).repartition(2),
+               k=3).to_pylist()}
+    assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_cms_overestimates_under_forced_collisions(ray_session):
+    """Width 1 forces every token into one cell per row: the estimate
+    must be the total token count (the ≥-true-count CMS bound at its
+    worst), never an undercount."""
+    import ray.data
+
+    from webtext.functions.sketches import cms_token_estimates
+
+    rows = [{"doc_id": 1, "text": "x y z z"}]
+    got = {r["token"]: r["est_n"]
+           for r in cms_token_estimates(ray.data.from_items(rows),
+                                        k=3, w=1).to_pylist()}
+    assert all(v == 4 for v in got.values())

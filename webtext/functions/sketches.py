@@ -112,3 +112,99 @@ def hll_distinct(ds, col: str, p: int = HLL_P):
         .repartition(1) \
         .map_batches(lambda b: _estimate(b, p),
                      batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+CMS_W = 8192                    # width (columns per hash row)
+CMS_D = 4                       # depth (independent hash rows)
+
+
+def _token_row_hashes(tokens: list[str], d: int) -> np.ndarray:
+    """(d, n_tokens) uint64 hash matrix: blake2b keyed per row — one
+    digest per (row, distinct token); vocabulary-sized loop, not
+    corpus-sized."""
+    out = np.empty((d, len(tokens)), dtype=np.uint64)
+    for i in range(d):
+        key = i.to_bytes(8, "little")
+        out[i] = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(
+                t.encode("utf-8"), key=key, digest_size=8).digest(),
+                "little") for t in tokens),
+            dtype=np.uint64, count=len(tokens))
+    return out
+
+
+def _cms_partial(batch: pa.Table, d: int, w: int) -> pa.Table:
+    """Per-batch sparse sketch cells: value_counts the batch's tokens
+    (C kernel), hash each DISTINCT token d ways, emit (cell, n) rows —
+    at most d × distinct-tokens rows leave the block."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(batch.column("text"), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    vc = pc.value_counts(pc.list_flatten(toks))
+    tokens = vc.field("values").to_pylist()
+    counts = vc.field("counts").cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    if not tokens:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["cell", "n"])
+    h = _token_row_hashes(tokens, d)
+    cols = (h % np.uint64(w)).astype(np.int64)
+    cells = (np.arange(d, dtype=np.int64)[:, None] * w + cols).ravel()
+    n = np.tile(counts, d)
+    # same-batch collisions (two tokens → one cell) pre-sum here
+    t = pa.Table.from_arrays([pa.array(cells), pa.array(n)],
+                             names=["cell", "n"])
+    agg = t.group_by("cell").aggregate([("n", "sum")])
+    return agg.rename_columns(["cell", "n"])
+
+
+def cms_sketch(ds, d: int = CMS_D, w: int = CMS_W):
+    """(cell, n) count-min sketch of whitespace-token frequencies —
+    mergeable by construction (cell counts sum associatively); total
+    size ≤ d·w rows at ANY corpus size."""
+    return ds.select_columns(["text"]) \
+        .map_batches(lambda b: _cms_partial(b, d, w),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("cell").sum("n") \
+        .map_batches(lambda b: b.rename_columns(["cell", "n"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cms_token_estimates(ds, k: int = 50, d: int = CMS_D, w: int = CMS_W):
+    """(token, est_n): count-min point estimates for the corpus's exact
+    top-k tokens.  The sketch build streams the corpus once (constant
+    shuffle payload); the candidate set comes from the exact
+    token_frequencies combiner; both materializations are constant-size
+    (d·w cells, k tokens).
+
+    CMS guarantees est_n ≥ true count; with load factor
+    distinct-tokens/w ≪ 1 (true for the driver vocabularies) no
+    collisions occur and est_n equals the exact count — which is what
+    the live SQL oracle checks.  The ≥-bound under forced collisions is
+    pinned by pytest with a tiny width."""
+    from .textstats import token_frequencies
+
+    sketch = {r["cell"]: r["n"] for r in cms_sketch(ds, d, w).take_all()}
+    top = token_frequencies(ds, k).take_all()
+    tokens = [r["token"] for r in top]
+    if not tokens:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["token", "est_n"])
+    h = _token_row_hashes(tokens, d)
+    cols = (h % np.uint64(w)).astype(np.int64)
+    est = np.full(len(tokens), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(d):
+        row = np.array([sketch.get(i * w + int(c), 0)
+                        for c in cols[i]], dtype=np.int64)
+        est = np.minimum(est, row)
+    return pa.Table.from_arrays(
+        [pa.array(tokens, pa.string()), pa.array(est)],
+        names=["token", "est_n"])
