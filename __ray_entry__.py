@@ -211,6 +211,25 @@ def _tpch_left_join(sf_dir: str):
                               columns=["l_orderkey", "l_quantity"]))
 
 
+def _tpch_q5(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import local_supplier_volume
+
+    return local_supplier_volume(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"]),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_suppkey",
+                                       "l_extendedprice", "l_discount"]),
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"]),
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"]))
+
+
 def _tpch_profile(sf_dir: str):
     import ray.data
 
@@ -887,6 +906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_volume": lambda sf: _tpch_brands(sf),
         "shipping_priority": lambda sf: _tpch_shipping(sf),
         "pricing_rollup": lambda sf: _tpch_rollup(sf),
+        "local_supplier_volume": lambda sf: _tpch_q5(sf),
         "order_line_left": lambda sf: _tpch_left_join(sf),
         "profile_columns": lambda sf: _tpch_profile(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
@@ -1309,6 +1329,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_rows
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "local_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(round(
+                     l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE s.s_nationkey = c.c_nationkey
+            GROUP BY n.n_name""",
         "order_line_left": """
             SELECT o.o_orderkey, o.o_custkey,
                    count(l.l_orderkey)::BIGINT AS n_lines,

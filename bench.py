@@ -146,6 +146,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "supplier_shipments", "brand_volume",
                  "shipping_priority", "normalize_text",
                  "pricing_rollup", "order_line_left", "profile_columns",
+                 "local_supplier_volume",
                  "customers_with_orders", "customers_without_f_orders",
                  "extract_spans",
                  "extract_links",

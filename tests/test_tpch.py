@@ -336,3 +336,43 @@ def test_profile_columns_min_max_nulls(ray_session):
                ray.data.from_items(rows).repartition(2),
                ("a", "b")).take_all()}
     assert got == {"a": (3, 0, -2.5, 4.0), "b": (3, 2, 7.0, 7.0)}
+
+
+def test_local_supplier_volume_crafted(ray_session):
+    """Two customers in nation 1, suppliers split across nations: only
+    lines whose supplier nation equals the customer nation count."""
+    import ray.data
+
+    from webtext.pipelines.tpch import local_supplier_volume
+
+    customer = ray.data.from_items([
+        {"c_custkey": 1, "c_nationkey": 1},
+        {"c_custkey": 2, "c_nationkey": 2},
+    ])
+    orders = ray.data.from_items([
+        {"o_orderkey": 10, "o_custkey": 1},
+        {"o_orderkey": 20, "o_custkey": 2},
+    ])
+    lineitem = ray.data.from_items([
+        # order 10 (cust nation 1): supplier 100 is nation 1 -> counts
+        {"l_orderkey": 10, "l_suppkey": 100,
+         "l_extendedprice": 10.0, "l_discount": 0.0},
+        # supplier 200 is nation 2 -> cross-nation, dropped
+        {"l_orderkey": 10, "l_suppkey": 200,
+         "l_extendedprice": 99.0, "l_discount": 0.0},
+        # order 20 (cust nation 2): supplier 200 nation 2 -> counts
+        {"l_orderkey": 20, "l_suppkey": 200,
+         "l_extendedprice": 20.0, "l_discount": 0.5},
+    ])
+    supplier = ray.data.from_items([
+        {"s_suppkey": 100, "s_nationkey": 1},
+        {"s_suppkey": 200, "s_nationkey": 2},
+    ])
+    nation = ray.data.from_items([
+        {"n_nationkey": 1, "n_name": "ALPHA"},
+        {"n_nationkey": 2, "n_name": "BETA"},
+    ])
+    got = {r["n_name"]: r["revenue_cents"]
+           for r in local_supplier_volume(
+               customer, orders, lineitem, supplier, nation).take_all()}
+    assert got == {"ALPHA": 1000, "BETA": 1000}

@@ -627,3 +627,144 @@ def brand_volume(lineitem, part):
     return per_bucket.repartition(1).map_batches(
         total, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+def _bucket_attach(fact, dim, key_col: str, attach_col: str,
+                   carry_cols: tuple[str, ...]):
+    """Generic bucketed dimension attach (inner join): fact rows
+    (key, *carry int64) pick up ``attach_col`` from dim rows
+    (key, attach int64) inside hash(key) % 256 buckets — the repeated
+    join primitive of the deep-join pipelines.  Unmatched fact rows
+    drop (inner semantics); dim keys are unique by contract."""
+
+    def fact_emit(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        zeros = pa.array(np.zeros(len(k), dtype=np.int64))
+        cols = [pa.array(_ibucket(k)), pa.array(k), zeros, zeros]
+        names = ["bucket", "key", "is_dim", "attach"]
+        for c in carry_cols:
+            cols.append(batch.column(c).cast(pa.int64()))
+            names.append(c)
+        return pa.Table.from_arrays(cols, names=names)
+
+    def dim_emit(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ones = pa.array(np.ones(len(k), dtype=np.int64))
+        cols = [pa.array(_ibucket(k)), pa.array(k), ones,
+                batch.column(attach_col).cast(pa.int64())]
+        names = ["bucket", "key", "is_dim", "attach"]
+        zeros = pa.array(np.zeros(len(k), dtype=np.int64))
+        for c in carry_cols:
+            cols.append(zeros)
+            names.append(c)
+        return pa.Table.from_arrays(cols, names=names)
+
+    def join(group: pa.Table) -> pa.Table:
+        is_dim = group.column("is_dim").to_numpy(
+            zero_copy_only=False).astype(bool)
+        k = group.column("key").to_numpy(zero_copy_only=False)
+        att = group.column("attach").to_numpy(zero_copy_only=False)
+        dk, da = k[is_dim], att[is_dim]
+        order = np.argsort(dk)
+        dk, da = dk[order], da[order]
+        fk = k[~is_dim]
+        out_names = [attach_col] + list(carry_cols)
+        if len(dk) == 0 or len(fk) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()) for _ in out_names],
+                names=out_names)
+        pos = np.clip(np.searchsorted(dk, fk), 0, len(dk) - 1)
+        hit = dk[pos] == fk
+        cols = [pa.array(da[pos[hit]])]
+        for c in carry_cols:
+            cols.append(pa.array(group.column(c).to_numpy(
+                zero_copy_only=False)[~is_dim][hit]))
+        return pa.Table.from_arrays(cols, names=out_names)
+
+    u = fact.map_batches(fact_emit, batch_format="pyarrow",
+                         zero_copy_batch=True).union(
+        dim.map_batches(dim_emit, batch_format="pyarrow",
+                        zero_copy_batch=True))
+    return u.groupby("bucket").map_groups(join, batch_format="pyarrow")
+
+
+def local_supplier_volume(customer, orders, lineitem, supplier, nation):
+    """TPC-H Q5 shape: revenue per nation from lineitems whose supplier
+    and customer share that nation.  Output (n_name, revenue_cents).
+
+    Deep-join pipeline: three bucketed dimension attaches chained on
+    DIFFERENT keys — orderkey → custkey → suppkey — each a
+    constant-fan-out emit-union groupby (orders / customer / supplier
+    all scale with the corpus, so none is broadcast); only the nation
+    name table (25 rows at every TPC-H scale) broadcasts.  The lineitem
+    side enters pre-combined per (orderkey, suppkey)."""
+    import ray
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        okey = batch.column("l_orderkey").cast(pa.int64())
+        skey = batch.column("l_suppkey").cast(pa.int64())
+        rev = _rev_cents(
+            batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False),
+            batch.column("l_discount").to_numpy(zero_copy_only=False))
+        t = pa.Table.from_arrays([okey, skey, pa.array(rev)],
+                                 names=["l_orderkey", "suppkey", "rev"])
+        agg = t.group_by(["l_orderkey", "suppkey"]).aggregate(
+            [("rev", "sum")])
+        return agg.rename_columns(["l_orderkey", "suppkey", "rev"])
+
+    lines = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(line_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    with_cust = _bucket_attach(
+        lines, orders.select_columns(["o_orderkey", "o_custkey"])
+        .map_batches(lambda b: b.rename_columns(
+            ["l_orderkey", "custkey"]), batch_format="pyarrow",
+            zero_copy_batch=True),
+        "l_orderkey", "custkey", ("suppkey", "rev"))
+    with_cnat = _bucket_attach(
+        with_cust, customer.select_columns(["c_custkey", "c_nationkey"])
+        .map_batches(lambda b: b.rename_columns(["custkey", "c_nat"]),
+                     batch_format="pyarrow", zero_copy_batch=True),
+        "custkey", "c_nat", ("suppkey", "rev"))
+    with_snat = _bucket_attach(
+        with_cnat, supplier.select_columns(["s_suppkey", "s_nationkey"])
+        .map_batches(lambda b: b.rename_columns(["suppkey", "s_nat"]),
+                     batch_format="pyarrow", zero_copy_batch=True),
+        "suppkey", "s_nat", ("c_nat", "rev"))
+
+    names = {r["n_nationkey"]: r["n_name"] for r in
+             nation.select_columns(["n_nationkey", "n_name"]).take_all()}
+    ref = ray.put(names)
+
+    def local_partial(batch: pa.Table) -> pa.Table:
+        s_nat = batch.column("s_nat").to_numpy(zero_copy_only=False)
+        c_nat = batch.column("c_nat").to_numpy(zero_copy_only=False)
+        rev = batch.column("rev").to_numpy(zero_copy_only=False)
+        keep = s_nat == c_nat
+        t = pa.Table.from_arrays(
+            [pa.array(s_nat[keep]), pa.array(rev[keep])],
+            names=["nat", "rev"])
+        agg = t.group_by("nat").aggregate([("rev", "sum")])
+        return agg.rename_columns(["nat", "revenue_cents"])
+
+    summed = with_snat.map_batches(
+        local_partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("nat").sum("revenue_cents")
+
+    def attach_name(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        m = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        batch = batch.rename_columns(["nat", "revenue_cents"])
+        nats = batch.column("nat").to_numpy(zero_copy_only=False)
+        nm = [m.get(int(n)) for n in nats]
+        keep = pa.array([x is not None for x in nm])
+        return pa.Table.from_arrays(
+            [pa.array([x or "" for x in nm], pa.string()),
+             batch.column("revenue_cents")],
+            names=["n_name", "revenue_cents"]).filter(keep)
+
+    return summed.map_batches(attach_name, batch_format="pyarrow",
+                              zero_copy_batch=True)
