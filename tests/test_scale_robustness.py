@@ -184,3 +184,44 @@ def test_connected_components_changed_count_witness(ray_session):
               for r in dedup.connected_components(
                   ray.data.from_items(edges)).take_all()}
     assert labels == {1: 1, 2: 1, 3: 1, 50: 50, 60: 50}
+
+
+def test_relational_joins_invariant_under_repartition(ray_session):
+    """Block-split invariance for the bucketed join pipelines: Q3 /
+    Q5 / window ops must produce IDENTICAL rows regardless of how the
+    inputs are split — single-node answers transfer to a cluster by
+    construction."""
+    import ray.data
+
+    from webtext.functions.events import lag_deltas, rolling_sums
+    from webtext.pipelines.tpch import (local_supplier_volume,
+                                        shipping_priority)
+
+    sf = "/root/testdata/sf0.001"
+
+    def rd(t, parts=None):
+        ds = ray.data.read_parquet(f"{sf}/{t}.parquet")
+        return ds.repartition(parts) if parts else ds
+
+    def rows(ds):
+        return sorted(tuple(sorted(r.items())) for r in ds.take_all())
+
+    a = rows(shipping_priority(rd("customer"), rd("orders"),
+                               rd("lineitem")))
+    b = rows(shipping_priority(rd("customer", 7), rd("orders", 3),
+                               rd("lineitem", 11)))
+    assert a == b and len(a) > 0
+
+    a5 = rows(local_supplier_volume(rd("customer"), rd("orders"),
+                                    rd("lineitem"), rd("supplier"),
+                                    rd("nation")))
+    b5 = rows(local_supplier_volume(rd("customer", 5), rd("orders", 9),
+                                    rd("lineitem", 2), rd("supplier", 3),
+                                    rd("nation", 2)))
+    assert a5 == b5 and len(a5) > 0
+
+    ev = ray.data.read_parquet(f"{sf}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    assert rows(rolling_sums(ev)) == rows(rolling_sums(ev.repartition(9)))
+    assert rows(lag_deltas(ev)) == rows(lag_deltas(ev.repartition(4)))
