@@ -854,6 +854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": lambda sf: textstats.vocab_coverage(
             _docs_cols(sf, ["doc_id", "text"]), 50),
         "incremental_dedup": lambda sf: _incremental_dedup(sf),
+        "dup_cluster_stats": lambda sf: dedup.dup_cluster_stats(
+            _docs_cols(sf, ["doc_id", "text"])),
         "inverted_index": lambda sf: textstats.inverted_index(
             _docs_cols(sf, ["doc_id", "text"])),
         "bm25_topk": lambda sf: textstats.bm25_topk(
@@ -941,7 +943,7 @@ def oracle_sql() -> dict[str, str]:
             "search_engine_links", "dedup_apply_emb", "timeout_ids",
             "pagerank", "containment_pairs",
             "pack_sequences", "media_resize", "frame_sample",
-            "dedup_extracted")
+            "dedup_extracted", "dup_cluster_stats")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

@@ -129,7 +129,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "redact_pii", "repetition_stats", "decontaminate",
                  "decode_bytes",
                  "token_frequencies", "vocab_coverage",
-                 "incremental_dedup", "inverted_index", "bm25_topk",
+                 "incremental_dedup", "dup_cluster_stats",
+                 "inverted_index", "bm25_topk",
                  "length_histogram", "quality_score",
                  "lang_id", "doc_fingerprint", "topk_per_group",
                  "ordered_dedup", "union_sources", "sort_limit",

@@ -23,8 +23,12 @@ def test_queries_and_oracles_consistent():
     assert set(oracles) <= set(qs)
     # since round 2 every query is oracle-checked: SQL-expressible ops
     # against live DuckDB SQL, the rest against committed golden parquet
-    # (tools/gen_goldens.py)
-    assert set(qs) == set(oracles)
+    # (tools/gen_goldens.py).  The ONLY rows-only exceptions are the
+    # sketches whose internal state no SQL or single-process golden can
+    # replicate row-for-row (HLL registers); keep this list explicit so
+    # a new query cannot silently ship without an oracle.
+    rows_only = {"hll_users"}
+    assert set(qs) - set(oracles) == rows_only
 
 
 def test_golden_files_exist_for_driver_sf():

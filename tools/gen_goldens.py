@@ -438,6 +438,17 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
         {"doc_id": pa.array([d for d, _ in keep], pa.int64()),
          "text": pa.array([x for _, x in keep], pa.string())})
 
+    # dup-cluster size histogram from the SAME independent union-find
+    # (clusters of size >= 2 only — singletons never enter the edge set)
+    comp_size: Counter = Counter()
+    for x in uf.p:
+        comp_size[uf.find(x)] += 1
+    hist = Counter(comp_size.values())
+    g["dup_cluster_stats"] = pa.table(
+        {"cluster_size": pa.array(sorted(hist), pa.int64()),
+         "n_clusters": pa.array([hist[s] for s in sorted(hist)],
+                                pa.int64())})
+
     # sequence packing: hash-bucket (Knuth multiplicative, 64 buckets)
     # then first-fit-sequential in doc_id order, budget 256 tokens
     buckets: dict[int, list[tuple[int, int]]] = {}

@@ -790,3 +790,46 @@ def ngram_jaccard_pairs(ds, min_inter_x10_per_union: int = 3):
                              zero_copy_batch=True)
     return emitted.groupby("bucket").map_groups(
         join_group, batch_format="pyarrow")
+
+
+def dup_cluster_stats(ds, threshold: float = 0.5):
+    """(cluster_size, n_clusters): size histogram of the near-dup
+    clusters (size ≥ 2 — singletons have no edges and never enter CC)
+    — the dedup observability readout an operator checks before
+    committing a removal run.
+
+    Shape: minhash_lsh_pairs → connected_components → per-batch label
+    counts (combiner) → native groupby(label).sum → per-batch histogram
+    partial → one tiny groupby(cluster_size).sum.  Every shuffle after
+    CC ships counts, never documents."""
+    labels = connected_components(minhash_lsh_pairs(ds, threshold))
+
+    def label_partial(batch: pa.Table) -> pa.Table:
+        lab = _col_i64(batch, "label")
+        t = pa.Table.from_arrays(
+            [pa.array(lab),
+             pa.array(np.ones(len(lab), dtype=np.int64))],
+            names=["label", "n"])
+        agg = t.group_by("label").aggregate([("n", "sum")])
+        return agg.rename_columns(["label", "n"])
+
+    sizes = labels.map_batches(label_partial, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby("label").sum("n")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        col = "sum(n)" if "sum(n)" in batch.column_names else "n"
+        n = batch.column(col).to_numpy(zero_copy_only=False)
+        t = pa.Table.from_arrays(
+            [pa.array(n), pa.array(np.ones(len(n), dtype=np.int64))],
+            names=["cluster_size", "n_clusters"])
+        agg = t.group_by("cluster_size").aggregate([("n_clusters",
+                                                     "sum")])
+        return agg.rename_columns(["cluster_size", "n_clusters"])
+
+    return sizes.map_batches(hist_partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("cluster_size").sum("n_clusters") \
+        .map_batches(lambda b: b.rename_columns(
+            ["cluster_size", "n_clusters"]),
+            batch_format="pyarrow", zero_copy_batch=True)
