@@ -151,6 +151,16 @@ def _events_lag(sf_dir: str):
         columns=["event_id", "user_id", "ts"]))
 
 
+def _events_ntile(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import ntile_events
+
+    return ntile_events(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"]))
+
+
 def _events_growth(sf_dir: str):
     import ray.data
 
@@ -883,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": lambda sf: _events_running(sf),
         "rolling_sums": lambda sf: _events_rolling(sf),
         "lag_deltas": lambda sf: _events_lag(sf),
+        "ntile_events": lambda sf: _events_ntile(sf),
         "user_growth": lambda sf: _events_growth(sf),
         "distinct_users": lambda sf: _events_distinct_users(sf),
         "pivot_events": lambda sf: _events_pivot(sf),
@@ -1240,6 +1251,12 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS gap_us
               FROM events) t
             WHERE gap_us IS NOT NULL""",
+        "ntile_events": """
+            SELECT event_id, user_id,
+                   CAST(ntile(4) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)
+                   AS BIGINT) AS tile
+            FROM events""",
         "user_growth": """
             SELECT d, new_users,
                    CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT)

@@ -136,7 +136,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "ordered_dedup", "union_sources", "sort_limit",
                  "group_counts", "failure_filter", "windowed_events",
                  "hopping_events", "sessionize", "running_totals",
-                 "rolling_sums", "lag_deltas", "user_growth",
+                 "rolling_sums", "lag_deltas", "ntile_events",
+                 "user_growth",
                  "distinct_users", "pivot_events", "hll_users",
                  "cms_token_estimates",
                  "outlier_events", "label_centroids",

@@ -407,3 +407,19 @@ def test_cms_overestimates_under_forced_collisions(ray_session):
            for r in cms_token_estimates(ray.data.from_items(rows),
                                         k=3, w=1).to_pylist()}
     assert all(v == 4 for v in got.values())
+
+
+def test_ntile_sql_convention(ray_session):
+    import ray.data
+
+    from webtext.functions.events import ntile_events
+
+    # user 5: 6 events over 4 tiles -> sizes 2,2,1,1 (first r=2 big)
+    rows = [_ev(i, 5, i) for i in range(1, 7)]
+    rows += [_ev(10, 6, 0), _ev(11, 6, 1)]   # 2 events -> tiles 1,2
+    rows += [_ev(20, 7, 0)]                  # 1 event -> tile 1
+    got = {r["event_id"]: r["tile"]
+           for r in ntile_events(ray.data.from_items(rows),
+                                 n_tiles=4).take_all()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 4,
+                   10: 1, 11: 2, 20: 1}

@@ -622,3 +622,57 @@ def asof_join(left, right,
         .map_batches(right_emit, batch_format="pyarrow",
                      zero_copy_batch=True))
     return u.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def ntile_events(ds, n_tiles: int = 4, n_buckets: int = 256):
+    """(event_id, user_id, tile): SQL NTILE(n) per user ordered by
+    (ts, event_id) — equal-height tiles with the first (len % n) tiles
+    one row larger, exactly SQL's convention.
+
+    Same bucketed window shape: one shuffle by hash(user_id), one
+    lexsort per bucket, then a closed-form per-row tile computation
+    (no Python loop): with k = len // n, r = len % n, position p maps
+    to tile p // (k+1) for p < r*(k+1), else r + (p - r*(k+1)) // k."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(_ibucket(uid, n_buckets)))
+
+    def tile_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid = uid[order], eid[order]
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        seg_id = np.cumsum(first) - 1
+        seg_start = np.flatnonzero(first)
+        seg_len = np.diff(np.append(seg_start, len(uid)))
+        pos = np.arange(len(uid)) - seg_start[seg_id]   # 0-based in seg
+        ln = seg_len[seg_id]
+        k = ln // n_tiles
+        r = ln % n_tiles
+        big = r * (k + 1)                               # rows in big tiles
+        in_big = pos < big
+        tile = np.where(
+            in_big,
+            pos // np.maximum(k + 1, 1),
+            r + (pos - big) // np.maximum(k, 1)) + 1
+        # degenerate segments shorter than n_tiles: k=0, every row its
+        # own tile — pos // 1 above already yields 0..len-1 via the
+        # in_big branch (r = len, big = len)
+        return pa.Table.from_arrays(
+            [pa.array(eid), pa.array(uid),
+             pa.array(tile.astype(np.int64))],
+            names=["event_id", "user_id", "tile"])
+
+    return ds.select_columns(["event_id", "user_id", "ts"]) \
+             .map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .groupby("bucket").map_groups(tile_bucket,
+                                           batch_format="pyarrow")
