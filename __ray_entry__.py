@@ -221,6 +221,18 @@ def _tpch_left_join(sf_dir: str):
                               columns=["l_orderkey", "l_quantity"]))
 
 
+def _tpch_full_join(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import order_line_full_join
+
+    return order_line_full_join(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_quantity"]))
+
+
 def _tpch_q5(sf_dir: str):
     import ray.data
 
@@ -921,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_rollup": lambda sf: _tpch_rollup(sf),
         "local_supplier_volume": lambda sf: _tpch_q5(sf),
         "order_line_left": lambda sf: _tpch_left_join(sf),
+        "order_line_full": lambda sf: _tpch_full_join(sf),
         "profile_columns": lambda sf: _tpch_profile(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
             _docs_cols(sf, ["doc_id", "lang"])),
@@ -1368,6 +1381,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN lineitem l
               ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderkey, o.o_custkey""",
+        "order_line_full": """
+            SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS o_orderkey,
+                   COALESCE(o.o_custkey, -1)::BIGINT AS o_custkey,
+                   count(l.l_orderkey)::BIGINT AS n_lines,
+                   CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0)
+                     AS BIGINT) AS sum_qty
+            FROM orders o FULL JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2""",
         "profile_columns": """
             SELECT col AS "column", count(*)::BIGINT AS n_rows,
                    0::BIGINT AS n_null,

@@ -376,3 +376,22 @@ def test_local_supplier_volume_crafted(ray_session):
            for r in local_supplier_volume(
                customer, orders, lineitem, supplier, nation).take_all()}
     assert got == {"ALPHA": 1000, "BETA": 1000}
+
+
+def test_order_line_full_keeps_both_dangles(ray_session):
+    import ray.data
+
+    from webtext.pipelines.tpch import order_line_full_join
+
+    orders = ray.data.from_items([
+        {"o_orderkey": 1, "o_custkey": 7},
+        {"o_orderkey": 2, "o_custkey": 8},   # no lines -> zeros
+    ])
+    lineitem = ray.data.from_items([
+        {"l_orderkey": 1, "l_quantity": 2.0},
+        {"l_orderkey": 9, "l_quantity": 5.0},  # dangling -> custkey -1
+        {"l_orderkey": 9, "l_quantity": 1.0},
+    ]).repartition(3)
+    got = {r["o_orderkey"]: (r["o_custkey"], r["n_lines"], r["sum_qty"])
+           for r in order_line_full_join(orders, lineitem).take_all()}
+    assert got == {1: (7, 1, 2), 2: (8, 0, 0), 9: (-1, 2, 6)}

@@ -768,3 +768,65 @@ def local_supplier_volume(customer, orders, lineitem, supplier, nation):
 
     return summed.map_batches(attach_name, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def _full_join_bucket(group: pa.Table) -> pa.Table:
+    """Full-outer variant of _join_bucket: unmatched orders keep zeros
+    (left side), dangling lineitem aggregates survive with
+    o_custkey = -1 (right side) — the SQL NULL stands in as a sentinel
+    so the output stays int64/hashable."""
+    okey = group.column("okey").to_numpy(zero_copy_only=False)
+    cust = group.column("custkey").to_numpy(zero_copy_only=False)
+    qty = group.column("qty").to_numpy(zero_copy_only=False)
+    n = group.column("n").to_numpy(zero_copy_only=False)
+    is_order = cust != -1
+    o_keys, o_cust = okey[is_order], cust[is_order]
+    oorder = np.argsort(o_keys)
+    o_keys, o_cust = o_keys[oorder], o_cust[oorder]
+    l_keys, l_qty, l_n = okey[~is_order], qty[~is_order], n[~is_order]
+    sum_qty = np.zeros(len(o_keys), dtype=np.int64)
+    n_lines = np.zeros(len(o_keys), dtype=np.int64)
+    dangling = np.zeros(len(l_keys), dtype=bool)
+    if len(o_keys) and len(l_keys):
+        pos = np.clip(np.searchsorted(o_keys, l_keys), 0,
+                      len(o_keys) - 1)
+        hit = o_keys[pos] == l_keys
+        np.add.at(sum_qty, pos[hit], l_qty[hit])
+        np.add.at(n_lines, pos[hit], l_n[hit])
+        dangling = ~hit
+    elif len(l_keys):
+        dangling[:] = True
+    # dangling lineitem partials may repeat per source block: pre-sum
+    d_keys, d_qty, d_n = l_keys[dangling], l_qty[dangling], n[
+        ~is_order][dangling]
+    if len(d_keys):
+        t = pa.Table.from_arrays(
+            [pa.array(d_keys), pa.array(d_qty), pa.array(d_n)],
+            names=["k", "q", "n"])
+        agg = t.group_by("k").aggregate([("q", "sum"), ("n", "sum")])
+        d_keys = agg.column("k").to_numpy(zero_copy_only=False)
+        d_qty = agg.column("q_sum").to_numpy(zero_copy_only=False)
+        d_n = agg.column("n_sum").to_numpy(zero_copy_only=False)
+    return pa.Table.from_arrays(
+        [pa.array(np.concatenate([o_keys, d_keys])),
+         pa.array(np.concatenate([o_cust,
+                                  np.full(len(d_keys), -1,
+                                          dtype=np.int64)])),
+         pa.array(np.concatenate([n_lines, d_n])),
+         pa.array(np.concatenate([sum_qty, d_qty]))],
+        names=["o_orderkey", "o_custkey", "n_lines", "sum_qty"])
+
+
+def order_line_full_join(orders, lineitem):
+    """(o_orderkey, o_custkey, n_lines, sum_qty) — FULL OUTER join:
+    orders with no lines keep zeros, lineitem aggregates with no order
+    survive with o_custkey = -1 (NULL sentinel).  Same bucketed plan as
+    order_line_join."""
+    u = lineitem.select_columns(["l_orderkey", "l_quantity"]) \
+        .map_batches(_line_partial, batch_format="pyarrow",
+                     zero_copy_batch=True).union(
+        orders.select_columns(["o_orderkey", "o_custkey"])
+        .map_batches(_orders_emit, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    return u.groupby("bucket").map_groups(_full_join_bucket,
+                                          batch_format="pyarrow")
