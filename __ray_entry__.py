@@ -967,7 +967,7 @@ def oracle_sql() -> dict[str, str]:
             "search_engine_links", "dedup_apply_emb", "timeout_ids",
             "pagerank", "containment_pairs",
             "pack_sequences", "media_resize", "frame_sample",
-            "dedup_extracted", "dup_cluster_stats")
+            "dedup_extracted", "dup_cluster_stats", "hll_users")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

@@ -23,12 +23,11 @@ def test_queries_and_oracles_consistent():
     assert set(oracles) <= set(qs)
     # since round 2 every query is oracle-checked: SQL-expressible ops
     # against live DuckDB SQL, the rest against committed golden parquet
-    # (tools/gen_goldens.py).  The ONLY rows-only exceptions are the
-    # sketches whose internal state no SQL or single-process golden can
-    # replicate row-for-row (HLL registers); keep this list explicit so
-    # a new query cannot silently ship without an oracle.
-    rows_only = {"hll_users"}
-    assert set(qs) - set(oracles) == rows_only
+    # (tools/gen_goldens.py) — including the sketches, whose outputs are
+    # pure deterministic functions of the value set (differential HLL
+    # golden since round 3).  Keep this equality exact so a new query
+    # cannot silently ship without an oracle.
+    assert set(qs) == set(oracles)
 
 
 def test_golden_files_exist_for_driver_sf():

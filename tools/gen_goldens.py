@@ -369,6 +369,38 @@ def golden_pagerank(sf_dir: str) -> pa.Table:
                      "rank": pa.array(rank, pa.int64())})
 
 
+def golden_hll_users(sf_dir: str) -> pa.Table:
+    """Independent single-process HyperLogLog (p=12, splitmix64 element
+    hash) over events.user_id — the sketch is a pure deterministic
+    function of the value SET, so a differential golden IS possible:
+    same published estimator (Flajolet et al. 2007 alpha_m + the
+    small-range linear-counting correction), entirely different
+    execution (scalar-python register scatter over the distinct set here
+    vs per-block vectorized partial registers + groupby(register).max
+    shuffle in webtext/functions/sketches.py)."""
+    P = 12
+    m = 1 << P
+    uid = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["user_id"])["user_id"].to_pylist()
+    regs = np.zeros(m, dtype=np.int64)
+    MASK = (1 << 64) - 1
+    for v in sorted({int(x) for x in uid}):
+        z = (v + 0x9E3779B97F4A7C15) & MASK
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK
+        z = z ^ (z >> 31)
+        reg = z & (m - 1)
+        w = z >> P
+        rho = (64 - P) + 1 if w == 0 else (64 - P) - (w.bit_length() - 1)
+        if rho > regs[reg]:
+            regs[reg] = rho
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    est = m * np.log(m / zeros) if (raw <= 2.5 * m and zeros) else raw
+    return pa.table({"n_approx": pa.array([int(round(est))], pa.int64())})
+
+
 def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     tag = os.path.basename(sf_dir.rstrip("/"))
     n_fam = 16 if tag.endswith("0.1") else 8
@@ -737,6 +769,8 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
                                 ("pattern", pa.string())]))
 
     g["pagerank"] = golden_pagerank(sf_dir)
+
+    g["hll_users"] = golden_hll_users(sf_dir)
 
     return g
 

@@ -15,8 +15,10 @@ hll_distinct — HyperLogLog distinct count over any int64/string column:
   linear-counting correction (the only regime the raw estimator is
   biased in that matters at test scales).
 
-No SQL oracle can replicate the sketch, so the registered query is
-rows-only for the driver; correctness is pinned by pytest: ≤2% error vs
+No SQL can replicate the sketch, but the estimate is a pure
+deterministic function of the value SET, so the driver checks it
+against a committed differential golden (an independent single-process
+HLL in tools/gen_goldens.py); pytest additionally pins ≤2% error vs
 exact at sf0.01 (p=12 ⇒ ~1.6% theoretical) and bit-identical output
 under repartition.
 """
