@@ -638,7 +638,8 @@ def _decode_bytes_q(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from webtext.functions import ann, curation, dedup, graph, textstats
+    from webtext.functions import (ann, curation, dedup, graph, lm,
+                                   textstats)
     from webtext.functions.media import media_features
     from webtext.pipelines import relational as rel
 
@@ -871,6 +872,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             curation.split_by_mod(
                 _docs_cols(sf, ["doc_id", "text"]), invert=True),
             curation.split_by_mod(_docs_cols(sf, ["doc_id", "text"]))),
+        "bigram_lm_scores": lambda sf: lm.bigram_lm_scores(
+            _docs_cols(sf, ["doc_id", "text"])),
+        "dup_ngram_flags": lambda sf: lm.dup_ngram_flags(
+            _docs_cols(sf, ["doc_id", "text"])),
         "token_frequencies": lambda sf: textstats.token_frequencies(
             _docs_cols(sf, ["doc_id", "text"]), 50),
         "vocab_coverage": lambda sf: textstats.vocab_coverage(
@@ -1223,6 +1228,43 @@ def oracle_sql() -> dict[str, str]:
                 AND n_uniq * 10 >= n_tokens * 3)
             SELECT min(doc_id) AS doc_id, text FROM kept
             GROUP BY text""",
+        # quantized conditional probabilities are pure integer math
+        # ((c2 * 1e6) // c1) on both engines — bit-exact parity; the
+        # Ray side keys grams by 64-bit hashes (collisions
+        # oracle-negligible, see functions/lm.py docstring)
+        "bigram_lm_scores": """
+            WITH toks AS (SELECT doc_id, string_split(text,' ') AS w
+                          FROM documents),
+            big AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                    FROM toks, unnest(generate_series(1,
+                      greatest(len(w)-1,0))) AS t(i)),
+            c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2
+                   FROM big GROUP BY w1, w2),
+            c1 AS (SELECT w1, sum(c2)::BIGINT AS c1
+                   FROM c2 GROUP BY w1),
+            q AS (SELECT c2.w1, c2.w2,
+                         (c2.c2 * 1000000) // c1.c1 AS q
+                  FROM c2 JOIN c1 ON c1.w1 = c2.w1)
+            SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+                   sum(q.q)::BIGINT AS lm_score_micro
+            FROM big b JOIN q ON q.w1 = b.w1 AND q.w2 = b.w2
+            GROUP BY b.doc_id""",
+        "dup_ngram_flags": """
+            WITH toks AS (SELECT doc_id, string_split(text,' ') AS w
+                          FROM documents),
+            grams AS (SELECT doc_id,
+                        array_to_string(list_slice(w, i, i+7), ' ') AS g
+                      FROM toks, unnest(generate_series(1,
+                        greatest(len(w)-7,0))) AS t(i)),
+            gd AS (SELECT doc_id, g, count(*)::BIGINT AS cnt
+                   FROM grams GROUP BY doc_id, g),
+            nd AS (SELECT g, count(*)::BIGINT AS n_docs
+                   FROM gd GROUP BY g)
+            SELECT gd.doc_id, sum(cnt)::BIGINT AS n_windows,
+                   sum(CASE WHEN n_docs > 1 THEN cnt ELSE 0
+                       END)::BIGINT AS n_dup_windows
+            FROM gd JOIN nd ON nd.g = gd.g
+            GROUP BY gd.doc_id""",
         "token_count_bpe":
             "SELECT doc_id, len(regexp_extract_all(text, "
             "' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))::BIGINT "

@@ -128,6 +128,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "corpus_filter",
                  "redact_pii", "repetition_stats", "decontaminate",
                  "decode_bytes",
+                 "bigram_lm_scores", "dup_ngram_flags",
                  "token_frequencies", "vocab_coverage",
                  "incremental_dedup", "dup_cluster_stats",
                  "inverted_index", "bm25_topk",

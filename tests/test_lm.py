@@ -1,0 +1,109 @@
+"""LM-signal operators (functions/lm.py) vs brute-force references."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat on the hat"),
+    (2, "a dog ran in the park and the dog sat"),
+    (3, "the cat sat on the mat"),          # exact dup of doc 0
+    (4, "single"),                          # no bigram, no 3-window
+    (5, "one two three"),
+]
+
+
+def _ds(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+        "text": pa.array([t for _, t in DOCS], pa.string())}))
+
+
+def _brute_lm(scale=1_000_000):
+    c2: dict[tuple, int] = {}
+    c1: dict[str, int] = {}
+    occs = []
+    for did, text in DOCS:
+        w = text.split(" ")
+        for a, b in zip(w, w[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+            occs.append((did, a, b))
+    rows: dict[int, list] = {}
+    for did, a, b in occs:
+        q = (c2[(a, b)] * scale) // c1[a]
+        n, s = rows.get(did, (0, 0))
+        rows[did] = (n + 1, s + q)
+    return pd.DataFrame(
+        [(d, n, s) for d, (n, s) in sorted(rows.items())],
+        columns=["doc_id", "n_bigrams", "lm_score_micro"])
+
+
+def _brute_dup(n=3):
+    gd: dict[tuple, int] = {}
+    for did, text in DOCS:
+        w = text.split(" ")
+        for i in range(len(w) - n + 1):
+            g = " ".join(w[i:i + n])
+            gd[(did, g)] = gd.get((did, g), 0) + 1
+    ndocs: dict[str, int] = {}
+    for (_, g) in gd:
+        ndocs[g] = ndocs.get(g, 0) + 1
+    rows: dict[int, list] = {}
+    for (did, g), cnt in gd.items():
+        nw, nd = rows.get(did, (0, 0))
+        rows[did] = (nw + cnt, nd + (cnt if ndocs[g] > 1 else 0))
+    return pd.DataFrame(
+        [(d, nw, nd) for d, (nw, nd) in sorted(rows.items())],
+        columns=["doc_id", "n_windows", "n_dup_windows"])
+
+
+def _canon(df):
+    return df.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
+def test_bigram_lm_scores_matches_brute(ray_session):
+    from webtext.functions.lm import bigram_lm_scores
+
+    got = _canon(bigram_lm_scores(_ds(ray_session)).to_pandas())
+    want = _canon(_brute_lm())
+    pd.testing.assert_frame_equal(got, want)
+    # the single-token doc emits nothing
+    assert 4 not in set(got["doc_id"])
+
+
+def test_bigram_lm_dup_doc_scores_equal(ray_session):
+    from webtext.functions.lm import bigram_lm_scores
+
+    got = bigram_lm_scores(_ds(ray_session)).to_pandas() \
+        .set_index("doc_id")
+    assert got.loc[0, "lm_score_micro"] == got.loc[3, "lm_score_micro"]
+
+
+def test_dup_ngram_flags_matches_brute(ray_session):
+    from webtext.functions.lm import dup_ngram_flags
+
+    got = _canon(dup_ngram_flags(_ds(ray_session), n=3).to_pandas())
+    want = _canon(_brute_dup(3))
+    pd.testing.assert_frame_equal(got, want)
+    by = got.set_index("doc_id")
+    # exact-dup docs 0/3 have every window duplicated; doc 5's windows
+    # are unique to it
+    assert by.loc[0, "n_dup_windows"] == by.loc[0, "n_windows"]
+    assert by.loc[5, "n_dup_windows"] == 0
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_lm_repartition_invariance(ray_session, parts):
+    from webtext.functions.lm import bigram_lm_scores, dup_ngram_flags
+
+    ds = _ds(ray_session).repartition(parts)
+    assert _canon(bigram_lm_scores(ds).to_pandas()).equals(
+        _canon(_brute_lm()))
+    assert _canon(dup_ngram_flags(ds, n=3).to_pandas()).equals(
+        _canon(_brute_dup(3)))

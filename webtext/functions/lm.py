@@ -1,0 +1,211 @@
+"""Statistical language-model quality signals over a document corpus.
+
+Beyond the reference (its cleanup is per-document rule tables —
+ref: /root/reference/common_scripts/web_text_extractor_ver1.5.py:161-343):
+large-scale training-data pipelines score documents against a corpus
+LM (CCNet/KenLM-style perplexity filtering) and flag text that is
+duplicated ACROSS documents at the n-gram level (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better" — the
+substring-duplication signal that document-level dedup misses).
+
+Both operators follow the repo's scale rules:
+
+* the corpus statistics and the per-document scoring share ONE
+  all-to-all: every n-gram occurrence is bucketed by a key chosen so
+  the whole computation for that gram is local to its bucket
+  (``hash(first-token)`` for the LM — all bigrams sharing a history
+  co-locate, so both count tables AND the quantized conditional
+  probabilities are in-bucket computable; ``hash(gram)`` for the
+  duplication flags), followed by one NATIVE ``groupby(doc_id).sum``
+  over doc-sized partials that were pre-summed inside the bucket;
+* all scores are integers (probabilities quantized to ``SCALE``-ths by
+  floor division), so distributed sums are order-invariant and the
+  DuckDB oracle — same counts, same integer division — matches
+  bit-for-bit;
+* grams travel as 64-bit hashes (md5-64 token LUT + the multiply-xor
+  rolling mix shared with curation.decontaminate), never as strings:
+  the shuffle ships (hash, doc_id, count) triples regardless of gram
+  length.  Collisions merge two gram types with probability
+  ≈ (#types)²/2⁶⁴ — oracle-negligible at every tested scale, and at
+  100 TB a collision only perturbs one gram's statistics, it cannot
+  corrupt the pipeline (same trade documented in
+  curation._gram_hashes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .curation import _gram_hashes, _token_hash_lut, _MIX
+from .dedup import N_SHUFFLE_BUCKETS, _ibucket
+
+LM_SCALE = 1_000_000            # conditional probabilities in micro-units
+
+
+def _doc_gram_counts(batch: pa.Table, rows: np.ndarray,
+                     keys: np.ndarray,
+                     extra: np.ndarray | None = None):
+    """Collapse per-occurrence (row, gram) pairs to per-(doc, gram)
+    counts inside one batch — the combiner that bounds what the shuffle
+    ships to distinct pairs, not occurrences.  Returns
+    (doc_id, key, cnt[, extra]) arrays; ``extra`` (e.g. the gram's
+    history hash) is carried through the collapse."""
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False)[rows]
+    order = np.lexsort((keys, doc))
+    doc, keys = doc[order], keys[order]
+    new = np.empty(len(doc), dtype=bool)
+    if len(doc):
+        new[0] = True
+        new[1:] = (doc[1:] != doc[:-1]) | (keys[1:] != keys[:-1])
+    starts = np.nonzero(new)[0]
+    cnt = np.diff(np.append(starts, len(doc)))
+    out = [doc[starts], keys[starts], cnt.astype(np.int64)]
+    if extra is not None:
+        out.append(extra[order][starts])
+    return out
+
+
+def bigram_lm_scores(ds, scale: int = LM_SCALE,
+                     n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(doc_id, n_bigrams, lm_score_micro): score each document by the
+    corpus's own bigram model — lm_score_micro = Σ over the document's
+    bigram occurrences of ``(count(w1 w2) * scale) // count(w1 ·)``,
+    the integer-quantized conditional probability.  Low scores flag
+    incoherent/boilerplate text (the CCNet perplexity-filter shape with
+    a self-trained rational model instead of KenLM floats).
+
+    One bucketed all-to-all keyed by hash(w1) computes corpus counts
+    AND per-doc partial scores together (every occurrence of a bigram
+    and every sibling sharing its history land in the same bucket), one
+    native groupby(doc_id).sum merges partials.  Documents with no
+    bigram (single-token) emit nothing — mirrored by the oracle's inner
+    join."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=["bucket", "bh", "fh", "doc_id", "cnt"])
+        if lengths.sum() < 2:
+            return empty
+        th = _token_hash_lut(pc.list_flatten(toks))
+        rows = np.repeat(np.arange(len(lengths), dtype=np.int64),
+                         lengths)
+        m = len(th) - 1
+        valid = rows[:m] == rows[1:]
+        if not valid.any():
+            return empty
+        with np.errstate(over="ignore"):
+            bh = (th[:m] * _MIX ^ th[1:])[valid]
+        fh = th[:m][valid]
+        doc, bhc, cnt, fhc = _doc_gram_counts(
+            batch, rows[:m][valid], bh, extra=fh)
+        fh_i = fhc.view(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(fh_i, n_buckets)),
+             pa.array(bhc.view(np.int64)), pa.array(fh_i),
+             pa.array(doc), pa.array(cnt)],
+            names=["bucket", "bh", "fh", "doc_id", "cnt"])
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        bh = group.column("bh").to_numpy(zero_copy_only=False)
+        fh = group.column("fh").to_numpy(zero_copy_only=False)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        # corpus counts, complete within this bucket by construction
+        bh_u, bh_inv = np.unique(bh, return_inverse=True)
+        c2 = np.zeros(len(bh_u), dtype=np.int64)
+        np.add.at(c2, bh_inv, cnt)
+        first = np.zeros(len(bh_u), dtype=np.int64)
+        first[bh_inv] = fh            # history hash per bigram type
+        fh_u, fh_inv = np.unique(first, return_inverse=True)
+        c1 = np.zeros(len(fh_u), dtype=np.int64)
+        np.add.at(c1, fh_inv, c2)
+        q = (c2 * np.int64(scale)) // c1[fh_inv]
+        # per-doc partials, pre-summed before the global doc shuffle
+        doc_u, doc_inv = np.unique(doc, return_inverse=True)
+        score = np.zeros(len(doc_u), dtype=np.int64)
+        nbig = np.zeros(len(doc_u), dtype=np.int64)
+        np.add.at(score, doc_inv, cnt * q[bh_inv])
+        np.add.at(nbig, doc_inv, cnt)
+        return pa.Table.from_arrays(
+            [pa.array(doc_u), pa.array(nbig), pa.array(score)],
+            names=["doc_id", "n_bigrams", "lm_score_micro"])
+
+    summed = ds.map_batches(emit, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("bucket").map_groups(score_bucket,
+                                      batch_format="pyarrow") \
+        .groupby("doc_id").sum(["n_bigrams", "lm_score_micro"])
+    return summed.map_batches(
+        lambda b: b.rename_columns(["doc_id", "n_bigrams",
+                                    "lm_score_micro"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dup_ngram_flags(ds, n: int = 8,
+                    n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(doc_id, n_windows, n_dup_windows): for each document, how many
+    of its n-token windows also occur in at least one OTHER document —
+    the cross-document substring-duplication signal (Lee et al. 2022
+    use 50-token windows at production scale; 8 suits the synthetic
+    vocabulary).  A high dup fraction marks boilerplate/mirrored text
+    that document-level dedup keeps.
+
+    Windows travel as 64-bit rolling hashes bucketed by hash(gram):
+    every occurrence of a gram lands in one bucket, so the gram's
+    document frequency, the per-(doc, gram) occurrence counts, and the
+    per-doc partial sums are all in-bucket computable — one all-to-all
+    plus one native groupby(doc_id).sum.  Documents shorter than n
+    tokens emit nothing (mirrored by the oracle)."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        rows, gh = _gram_hashes(
+            pc.split_pattern(batch.column("text"), " "), n)
+        if len(gh) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["bucket", "gh", "doc_id", "cnt"])
+        doc, ghc, cnt = _doc_gram_counts(batch, rows, gh)
+        gh_i = ghc.view(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(gh_i, n_buckets)), pa.array(gh_i),
+             pa.array(doc), pa.array(cnt)],
+            names=["bucket", "gh", "doc_id", "cnt"])
+
+    def flag_bucket(group: pa.Table) -> pa.Table:
+        gh = group.column("gh").to_numpy(zero_copy_only=False)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        # rows are distinct (doc, gram) pairs, so the per-gram row
+        # count IS its document frequency
+        gh_u, gh_inv, df = np.unique(gh, return_inverse=True,
+                                     return_counts=True)
+        shared = (df > 1)[gh_inv]
+        doc_u, doc_inv = np.unique(doc, return_inverse=True)
+        nwin = np.zeros(len(doc_u), dtype=np.int64)
+        ndup = np.zeros(len(doc_u), dtype=np.int64)
+        np.add.at(nwin, doc_inv, cnt)
+        np.add.at(ndup, doc_inv, np.where(shared, cnt, 0))
+        return pa.Table.from_arrays(
+            [pa.array(doc_u), pa.array(nwin), pa.array(ndup)],
+            names=["doc_id", "n_windows", "n_dup_windows"])
+
+    summed = ds.map_batches(emit, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("bucket").map_groups(flag_bucket,
+                                      batch_format="pyarrow") \
+        .groupby("doc_id").sum(["n_windows", "n_dup_windows"])
+    return summed.map_batches(
+        lambda b: b.rename_columns(["doc_id", "n_windows",
+                                    "n_dup_windows"]),
+        batch_format="pyarrow", zero_copy_batch=True)
