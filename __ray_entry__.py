@@ -583,6 +583,50 @@ def _pii_fixture(sf_dir: str):
         augment, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _url_fixture(sf_dir: str):
+    """documents with a deterministic MESSY url per row (mixed-case
+    scheme/host, default ports, tracking params, fragments, trailing
+    slashes — branch chosen by doc_id mods), mirrored exactly by the
+    oracle's CASE/|| concatenation.  Ids are taken mod 25/50 so distinct
+    raw urls collapse to shared canonical forms and url_dedup is
+    non-trivial."""
+    import numpy as np
+    import pyarrow as pa
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        idn = ids.to_numpy(zero_copy_only=False)
+        host_k = (idn % 3).astype("U")
+        item = (idn % 25).astype("U")
+        idq = (idn % 50).astype("U")
+        b = idn % 4
+        parts = [
+            np.where(idn % 2 == 0, "HTTP", "HttpS"),
+            "://WWW.Site", host_k, ".EXAMPLE.com",
+            np.where(idn % 3 == 0,
+                     np.where(idn % 2 == 0, ":80", ":443"), ""),
+            "/Docs/Item", item,
+            np.where(idn % 5 == 0, "/", ""),
+            np.select(
+                [b == 0, b == 1, b == 2],
+                [np.char.add(np.char.add("?utm_source=feed&id=", idq),
+                             "&utm_campaign=Crawl"),
+                 np.char.add(np.char.add("?id=", idq), "&fbclid=XY"),
+                 np.full(len(idn), "?gclid=g1&utm_x=2")],
+                default=np.char.add("?id=", idq)),
+            np.where(b == 0, "#Section-2", ""),
+        ]
+        url = parts[0].astype("U")
+        for p in parts[1:]:
+            url = np.char.add(url, p)
+        return pa.Table.from_arrays(
+            [ids, pa.array(url.tolist(), pa.string())],
+            names=["doc_id", "url"])
+
+    return _docs_cols(sf_dir, ["doc_id"]).map_batches(
+        augment, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _raw_payload_fixture(sf_dir: str):
     """documents re-encoded to bytes + a content-type header chosen
     deterministically by doc_id % 4, exercising every rung of the E5
@@ -864,6 +908,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_bytes": lambda sf: _decode_bytes_q(sf),
         # corpus curation (PII / repetition / eval-set decontamination)
         "redact_pii": lambda sf: curation.redact_pii(_pii_fixture(sf)),
+        "canonicalize_urls": lambda sf: curation.canonicalize_urls(
+            _url_fixture(sf)),
+        "url_dedup": lambda sf: curation.url_dedup(_url_fixture(sf)),
         "normalize_text": lambda sf: curation.normalize_text(
             _docs_cols(sf, ["doc_id", "text"])),
         "repetition_stats": lambda sf: curation.repetition_stats(
@@ -950,6 +997,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_counts": lambda sf: rel.group_counts(_docs(sf)),
         "failure_filter": lambda sf: rel.failure_filter(_docs(sf)),
     }
+
+
+# shared CTE: the messy-url fixture (mirrors _url_fixture exactly) and
+# the canonicalization chain (mirrors curation.URL_CANON_STEPS exactly)
+_URL_CANON_SQL = r"""
+    WITH aug AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HttpS' END)
+        || '://WWW.Site' || (doc_id % 3) || '.EXAMPLE.com'
+        || (CASE WHEN doc_id % 3 = 0 THEN
+              (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+            ELSE '' END)
+        || '/Docs/Item' || (doc_id % 25)
+        || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        || (CASE doc_id % 4
+              WHEN 0 THEN '?utm_source=feed&id=' || (doc_id % 50)
+                          || '&utm_campaign=Crawl'
+              WHEN 1 THEN '?id=' || (doc_id % 50) || '&fbclid=XY'
+              WHEN 2 THEN '?gclid=g1&utm_x=2'
+              ELSE '?id=' || (doc_id % 50) END)
+        || (CASE WHEN doc_id % 4 = 0 THEN '#Section-2' ELSE '' END)
+          AS url
+      FROM documents),
+    s AS (SELECT doc_id,
+            lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]*', 0)) ||
+            regexp_replace(url, '^[A-Za-z]+://[^/?#]*', '') AS u0
+          FROM aug),
+    c AS (SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(u0,
+        '#.*$', '', 'g'),
+        '([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*', '\1', 'g'),
+        '\?&+', '?', 'g'),
+        '&&+', '&', 'g'),
+        '[?&]+$', '', 'g'),
+        '^(http://[^/:?#]+):80(/|\?|#|$)', '\1\2', 'g'),
+        '^(https://[^/:?#]+):443(/|\?|#|$)', '\1\2', 'g'),
+        '/+(\?)', '\1', 'g'),
+        '/+$', '', 'g') AS canon_url
+      FROM s)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1388,6 +1477,14 @@ def oracle_sql() -> dict[str, str]:
                 AND l.l_shipdate > TIMESTAMP '1998-06-01'
               GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority)
             ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+        # same RE2 chain as URL_CANON_STEPS (curation.py) over the same
+        # deterministic messy-url fixture — both engines are RE2, so
+        # the rewrite is bit-exact
+        "canonicalize_urls": _URL_CANON_SQL + """
+            SELECT doc_id, canon_url FROM c""",
+        "url_dedup": _URL_CANON_SQL + """
+            SELECT min(doc_id) AS doc_id, canon_url FROM c
+            GROUP BY canon_url""",
         "normalize_text": r"""
             SELECT doc_id,
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))

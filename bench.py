@@ -126,7 +126,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "pack_sequences", "chunk_documents",
                  "training_pipeline", "hash_embed_nn",
                  "corpus_filter",
-                 "redact_pii", "repetition_stats", "decontaminate",
+                 "redact_pii", "canonicalize_urls", "url_dedup",
+                 "repetition_stats", "decontaminate",
                  "decode_bytes",
                  "bigram_lm_scores", "dup_ngram_flags",
                  "token_frequencies", "vocab_coverage",

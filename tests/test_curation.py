@@ -184,3 +184,54 @@ def test_normalize_text_matches_duckdb(ray_session):
         f" 'g')) FROM read_parquet('{sf}/documents.parquet')"
         f" ORDER BY 1").fetchall()
     assert got == [tuple(w) for w in want]
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization
+# --------------------------------------------------------------------------
+
+def test_canonicalize_urls_handwritten_cases(ray_session):
+    import pyarrow as pa
+
+    from webtext.functions.curation import canonicalize_urls_batch
+
+    cases = [
+        # (raw, expected canonical) — expectations written BY HAND from
+        # the spec, not generated by the implementation
+        ("HTTP://WWW.Ex.COM:80/A/B/?utm_source=f&id=7&utm_campaign=c#x",
+         "http://www.ex.com/A/B?id=7"),
+        ("HttpS://Site.COM:443/a?id=1&fbclid=XY",
+         "https://site.com/a?id=1"),
+        ("http://x.com/p?gclid=g1&utm_x=2", "http://x.com/p"),
+        ("https://y.com/q/?id=3", "https://y.com/q?id=3"),
+        ("http://h.com:8080/keep?id=2", "http://h.com:8080/keep?id=2"),
+        ("https://h.com:80/not-default?a=1",
+         "https://h.com:80/not-default?a=1"),
+        ("http://root.com/", "http://root.com"),
+        ("http://CASE.com/Path/Is/Kept", "http://case.com/Path/Is/Kept"),
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(cases)), pa.int64()),
+                  "url": pa.array([r for r, _ in cases])})
+    got = canonicalize_urls_batch(t).column("canon_url").to_pylist()
+    assert got == [w for _, w in cases]
+
+
+def test_url_dedup_first_wins(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from webtext.functions.curation import url_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([5, 2, 9, 7], pa.int64()),
+        "url": pa.array([
+            "http://a.com/x?utm_source=1",   # canon: http://a.com/x
+            "HTTP://A.com/x",                # same canonical page
+            "http://a.com/x/",               # same again
+            "http://b.com/y",
+        ])})
+    out = url_dedup(ray.data.from_arrow(t).repartition(3)).to_pandas() \
+        .sort_values("canon_url").reset_index(drop=True)
+    assert out["canon_url"].tolist() == ["http://a.com/x",
+                                         "http://b.com/y"]
+    assert out["doc_id"].tolist() == [2, 7]      # min doc_id wins

@@ -296,3 +296,71 @@ def normalize_text(ds):
     """Corpus-wide normalization: pure per-batch map, no shuffle."""
     return ds.map_batches(normalize_text_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization
+# --------------------------------------------------------------------------
+
+# The reference's pipelines are URL-list driven (ref:
+# /root/reference/common_scripts/google_url_serch.py — mined URLs are
+# dict-deduped RAW, so http://Site/ and https://site?utm=… count as
+# different pages).  Canonicalization before dedup is the standard
+# crawl-corpus fix.  The canonical form is defined BY this RE2 rewrite
+# chain applied after lowercasing scheme://host[:port] — Arrow's
+# replace_substring_regex and DuckDB's regexp_replace(…,'g') are both
+# RE2, so the SQL oracle replays the identical chain bit-for-bit.
+URL_HEAD_RE = r"^[A-Za-z]+://[^/?#]*"
+URL_CANON_STEPS: tuple[tuple[str, str], ...] = (
+    (r"#.*$", ""),                                   # fragment
+    (r"([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*", r"\1"),
+    (r"\?&+", "?"),                                  # separator debris…
+    (r"&&+", "&"),
+    (r"[?&]+$", ""),
+    (r"^(http://[^/:?#]+):80(/|\?|#|$)", r"\1\2"),   # default ports
+    (r"^(https://[^/:?#]+):443(/|\?|#|$)", r"\1\2"),
+    (r"/+(\?)", r"\1"),                              # trailing slash
+    (r"/+$", ""),
+)
+
+
+def canonicalize_urls_batch(batch: pa.Table,
+                            col: str = "url") -> pa.Table:
+    """(doc_id, canon_url): lowercase the scheme://host[:port] head
+    (path/query case is significant and preserved), then apply
+    URL_CANON_STEPS.  Pure Arrow RE2 kernels — no Python row loop."""
+    urls = batch.column(col)
+    # head = full match of URL_HEAD_RE; rest = the remainder
+    m = pc.extract_regex(urls, r"(?P<head>" + URL_HEAD_RE + r")")
+    head = pc.utf8_lower(pc.struct_field(m, "head"))
+    rest = pc.replace_substring_regex(urls, pattern=URL_HEAD_RE,
+                                      replacement="",
+                                      max_replacements=1)
+    u = pc.binary_join_element_wise(head, rest, "")
+    for pat, rep in URL_CANON_STEPS:
+        u = pc.replace_substring_regex(u, pattern=pat, replacement=rep)
+    return pa.Table.from_arrays([batch.column("doc_id"), u],
+                                names=["doc_id", "canon_url"])
+
+
+def canonicalize_urls(ds, col: str = "url"):
+    """Corpus-wide URL canonicalization: per-batch map, no shuffle."""
+    def f(batch: pa.Table, *, _c=col) -> pa.Table:
+        return canonicalize_urls_batch(batch, _c)
+    return ds.map_batches(f, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def url_dedup(ds, col: str = "url"):
+    """First-occurrence page dedup by CANONICAL url: one native
+    groupby(canon_url).min(doc_id) hash aggregate — no per-URL Python
+    groups (the dedup_links lesson), shuffle ships (canon_url, doc_id)
+    only."""
+    canon = canonicalize_urls(ds, col)
+    out = canon.groupby("canon_url").min("doc_id")
+    return out.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("min(doc_id)").cast(pa.int64()),
+             b.column("canon_url")],
+            names=["doc_id", "canon_url"]),
+        batch_format="pyarrow", zero_copy_batch=True)
