@@ -252,6 +252,19 @@ def _tpch_q5(sf_dir: str):
                               columns=["n_nationkey", "n_name"]))
 
 
+def _tpch_q17(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import small_quantity_revenue
+
+    return small_quantity_revenue(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_quantity",
+                                       "l_extendedprice"]),
+        ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand"]))
+
+
 def _tpch_profile(sf_dir: str):
     import ray.data
 
@@ -985,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_rollup": lambda sf: _tpch_rollup(sf),
         "local_supplier_volume": lambda sf: _tpch_q5(sf),
         "order_line_left": lambda sf: _tpch_left_join(sf),
+        "small_quantity_revenue": lambda sf: _tpch_q17(sf),
         "order_line_full": lambda sf: _tpch_full_join(sf),
         "profile_columns": lambda sf: _tpch_profile(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
@@ -1520,6 +1534,20 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN lineitem l
               ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderkey, o.o_custkey""",
+        "small_quantity_revenue": """
+            SELECT count(*)::BIGINT AS n_small_lines,
+                   CAST(COALESCE(SUM(CAST(round(l.l_extendedprice * 100)
+                     AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+                       AND p.p_brand = 'Brand#1'
+            JOIN (SELECT l_partkey, count(*)::BIGINT AS n,
+                         SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                           AS sq
+                  FROM lineitem GROUP BY l_partkey) t
+              ON t.l_partkey = l.l_partkey
+            WHERE 5 * CAST(round(l.l_quantity * 100) AS BIGINT) * t.n
+                  < t.sq""",
         "order_line_full": """
             SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS o_orderkey,
                    COALESCE(o.o_custkey, -1)::BIGINT AS o_custkey,

@@ -150,7 +150,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "supplier_shipments", "brand_volume",
                  "shipping_priority", "normalize_text",
                  "pricing_rollup", "order_line_left", "order_line_full",
-                 "profile_columns",
+                 "profile_columns", "small_quantity_revenue",
                  "local_supplier_volume",
                  "customers_with_orders", "customers_without_f_orders",
                  "extract_spans",

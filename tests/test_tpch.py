@@ -395,3 +395,34 @@ def test_order_line_full_keeps_both_dangles(ray_session):
     got = {r["o_orderkey"]: (r["o_custkey"], r["n_lines"], r["sum_qty"])
            for r in order_line_full_join(orders, lineitem).take_all()}
     assert got == {1: (7, 1, 2), 2: (8, 0, 0), 9: (-1, 2, 6)}
+
+
+def test_small_quantity_revenue_crafted(ray_session):
+    import ray.data
+
+    from webtext.pipelines.tpch import small_quantity_revenue
+
+    # part 1 (Brand#1): quantities 1, 10, 10, 10 -> avg 7.75, 20% =
+    # 1.55 -> only qty 1 qualifies.  part 2 (other brand): ignored.
+    lineitem = ray.data.from_items([
+        {"l_partkey": 1, "l_quantity": 1.0, "l_extendedprice": 5.00},
+        {"l_partkey": 1, "l_quantity": 10.0, "l_extendedprice": 1.00},
+        {"l_partkey": 1, "l_quantity": 10.0, "l_extendedprice": 1.00},
+        {"l_partkey": 1, "l_quantity": 10.0, "l_extendedprice": 1.00},
+        {"l_partkey": 2, "l_quantity": 1.0, "l_extendedprice": 9.00},
+        {"l_partkey": 2, "l_quantity": 50.0, "l_extendedprice": 9.00},
+    ]).repartition(3)
+    part = ray.data.from_items([
+        {"p_partkey": 1, "p_brand": "Brand#1"},
+        {"p_partkey": 2, "p_brand": "Brand#9"},
+    ])
+    rows = small_quantity_revenue(lineitem, part).take_all()
+    assert rows == [{"n_small_lines": 1, "revenue_cents": 500}]
+
+    # threshold is strict: qty exactly at 20% of avg does NOT qualify
+    lineitem2 = ray.data.from_items([
+        {"l_partkey": 1, "l_quantity": 2.0, "l_extendedprice": 3.00},
+        {"l_partkey": 1, "l_quantity": 18.0, "l_extendedprice": 1.00},
+    ])  # avg 10, 20% = 2.0 -> 2.0 not < 2.0
+    rows2 = small_quantity_revenue(lineitem2, part).take_all()
+    assert rows2 == [{"n_small_lines": 0, "revenue_cents": 0}]

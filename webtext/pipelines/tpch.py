@@ -830,3 +830,104 @@ def order_line_full_join(orders, lineitem):
                      zero_copy_batch=True))
     return u.groupby("bucket").map_groups(_full_join_bucket,
                                           batch_format="pyarrow")
+
+
+def small_quantity_revenue(lineitem, part, brand: str = "Brand#1"):
+    """TPC-H Q17 shape: one-row (n_small_lines, revenue_cents) over
+    lineitems of the given brand's parts whose quantity is below 20% of
+    that part's average lineitem quantity — the correlated-aggregate
+    filter (price impact of small-lot orders).
+
+    The correlated avg must see ALL lineitems of a part, so lineitem
+    rows pre-combine per (partkey, qty-cents) — quantities are discrete,
+    so the combiner collapses the fact side hard — and the per-part
+    threshold, brand membership, row filter, and partial sums all
+    happen inside one hash(partkey) bucket: threshold as integers
+    (5 * qc * n < sum_qc  ⟺  qc < 0.2 * avg_qc), one constant-key sum
+    finalizes.  The brand's part list scales with the part table, so it
+    rides the same bucketed shuffle — never a broadcast."""
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        qc = _cents(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False))
+        price = _cents(batch.column("l_extendedprice")
+                       .to_numpy(zero_copy_only=False))
+        t = pa.Table.from_arrays(
+            [pa.array(pk), pa.array(qc),
+             pa.array(np.ones(len(pk), dtype=np.int64)),
+             pa.array(price)],
+            names=["partkey", "qc", "n_lines", "price"])
+        agg = t.group_by(["partkey", "qc"]).aggregate(
+            [("n_lines", "sum"), ("price", "sum")])
+        agg = agg.rename_columns(["partkey", "qc", "n_lines", "price"])
+        out = agg.append_column(
+            "bucket", pa.array(_ibucket(
+                agg.column("partkey").to_numpy(zero_copy_only=False))))
+        return out.append_column(
+            "is_dim", pa.array(np.zeros(agg.num_rows, dtype=np.int64)))
+
+    def part_emit(batch: pa.Table, *, _brand=brand) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(batch.column("p_brand"), _brand)
+        pk = batch.filter(keep).column("p_partkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        z = pa.array(np.zeros(len(pk), dtype=np.int64))
+        return pa.Table.from_arrays(
+            [pa.array(pk), z, z, z, pa.array(_ibucket(pk)),
+             pa.array(np.ones(len(pk), dtype=np.int64))],
+            names=["partkey", "qc", "n_lines", "price", "bucket",
+                   "is_dim"])
+
+    def filter_bucket(group: pa.Table) -> pa.Table:
+        is_dim = group.column("is_dim").to_numpy(
+            zero_copy_only=False).astype(bool)
+        pk = group.column("partkey").to_numpy(zero_copy_only=False)
+        qc = group.column("qc").to_numpy(zero_copy_only=False)
+        nl = group.column("n_lines").to_numpy(zero_copy_only=False)
+        price = group.column("price").to_numpy(zero_copy_only=False)
+        brand_keys = np.sort(pk[is_dim])
+        fpk, fqc, fnl, fprice = (a[~is_dim]
+                                 for a in (pk, qc, nl, price))
+        one = pa.Table.from_arrays(
+            [pa.array([0], pa.int64()), pa.array([0], pa.int64()),
+             pa.array([0], pa.int64())],
+            names=["k", "n_small_lines", "revenue_cents"])
+        if len(fpk) == 0:
+            return one
+        # per-part totals over ALL lineitems (avg sees everything)
+        pk_u, inv = np.unique(fpk, return_inverse=True)
+        n_part = np.zeros(len(pk_u), dtype=np.int64)
+        sq_part = np.zeros(len(pk_u), dtype=np.int64)
+        np.add.at(n_part, inv, fnl)
+        np.add.at(sq_part, inv, fqc * fnl)
+        in_brand = np.zeros(len(pk_u), dtype=bool)
+        if len(brand_keys):
+            pos = np.clip(np.searchsorted(brand_keys, pk_u), 0,
+                          len(brand_keys) - 1)
+            in_brand = brand_keys[pos] == pk_u
+        keep = in_brand[inv] & (5 * fqc * n_part[inv] < sq_part[inv])
+        return pa.Table.from_arrays(
+            [pa.array([0], pa.int64()),
+             pa.array([int(fnl[keep].sum())], pa.int64()),
+             pa.array([int(fprice[keep].sum())], pa.int64())],
+            names=["k", "n_small_lines", "revenue_cents"])
+
+    u = lineitem.select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice"]) \
+        .map_batches(line_partial, batch_format="pyarrow",
+                     zero_copy_batch=True).union(
+        part.select_columns(["p_partkey", "p_brand"])
+        .map_batches(part_emit, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    summed = u.groupby("bucket").map_groups(
+        filter_bucket, batch_format="pyarrow") \
+        .groupby("k").sum(["n_small_lines", "revenue_cents"])
+    return summed.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("sum(n_small_lines)").cast(pa.int64()),
+             b.column("sum(revenue_cents)").cast(pa.int64())],
+            names=["n_small_lines", "revenue_cents"]),
+        batch_format="pyarrow", zero_copy_batch=True)
