@@ -730,6 +730,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return frame_sample(_extracted(sf_dir))
 
+    def media_phash_pairs_q(sf_dir):
+        from webtext.functions.media import media_phash_pairs
+
+        return media_phash_pairs(_extracted(sf_dir))
+
     def knn(sf_dir):
         ds = _emb(sf_dir)
         q = ann.get_query_vector(ds, 0)
@@ -869,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_feats,
         "media_resize": media_resize_q,
         "frame_sample": frame_sample_q,
+        "media_phash_pairs": media_phash_pairs_q,
         "extract_links": links_q,
         "search_engine_links": search_links_q,
         "read_rejects": rejects_q,
@@ -1075,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
             "search_engine_links", "dedup_apply_emb", "timeout_ids",
             "pagerank", "containment_pairs",
             "pack_sequences", "media_resize", "frame_sample",
+            "media_phash_pairs",
             "dedup_extracted", "dup_cluster_stats", "hll_users")
     }
     # the indexed IVF path is bit-identical to the inline fit by

@@ -156,6 +156,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "extract_spans",
                  "extract_links",
                  "media_features", "media_resize", "frame_sample",
+                 "media_phash_pairs",
                  "search_engine_links"):
         t0 = time.perf_counter()
         _consume(qs[name](sf_dir))

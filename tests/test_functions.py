@@ -767,3 +767,55 @@ def test_label_centroids_fixed_point(ray_session):
     # float64, -1.0000000005e9 = -1000000000.5 -> -1000000001
     assert got[(1, 1)] == (-1000000001, 1)
     assert got[(1, 2)] == (2 * G, 1)
+
+
+def test_phash64_average_hash_spec():
+    import numpy as np
+
+    from webtext.functions.media import phash64
+
+    # handwritten tiny case: pixels 0..63, mean 31.5 -> bits 32..63 set
+    t = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    expect = 0
+    for i in range(32, 64):
+        expect |= 1 << i
+    expect -= 1 << 64          # signed int64 view
+    assert phash64(t) == expect
+
+
+def test_fake_thumb8_family_structure():
+    from webtext.functions.media import fake_thumb8, phash64
+
+    a = phash64(fake_thumb8("media://site.com/family-a/1/0"))
+    b = phash64(fake_thumb8("media://site.com/family-a/2/5"))
+    c = phash64(fake_thumb8("media://site.com/family-b/1/0"))
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(a, b) <= 12      # same template: a few perturbed bits
+    assert ham(a, c) > 12       # different template: far apart
+
+
+def test_media_phash_pairs_equals_brute_force(ray_session):
+    """Pigeonhole property: 8 bands of 8 bits find EVERY pair at
+    hamming <= 7, so the banded distributed result must equal the
+    all-pairs filter."""
+    import ray.data
+
+    from webtext.functions.media import (fake_thumb8, media_phash_pairs,
+                                         phash64)
+
+    docs = [{"doc_id": f"d{i}",
+             "spans": [{"kind": "media", "text": "",
+                        "media_ref": f"media://s.com/fam{i % 3}/{i}/0",
+                        "offset": 0}]} for i in range(12)]
+    ds = ray.data.from_items(docs).repartition(4)
+    got = {(r["left_ref"], r["right_ref"]): r["hamming"]
+           for r in media_phash_pairs(ds, max_hamming=6).take_all()}
+    refs = sorted(d["spans"][0]["media_ref"] for d in docs)
+    ph = {r: phash64(fake_thumb8(r)) for r in refs}
+    want = {}
+    for i, a in enumerate(refs):
+        for b in refs[i + 1:]:
+            d = bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                want[(a, b)] = d
+    assert got == want and len(want) > 0

@@ -643,6 +643,51 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
         ("doc_id", pa.string()), ("media_ref", pa.string()),
         ("frame_idx", pa.int32())]))
 
+    # perceptual-hash near-dup pairs: scalar re-derivation of the
+    # fake-thumbnail + average-hash spec (family crc -> splitmix pixels,
+    # 3 high-bit flips, bit i = pixel > mean), then BRUTE-FORCE all
+    # pairs at hamming <= 6 — the banded Ray path must equal this
+    # exactly (8x8-bit bands are pigeonhole-complete for d <= 7)
+    def _g_phash(ref: str) -> int:
+        MASK = (1 << 64) - 1
+        fh = zlib.crc32(ref.rsplit("/", 2)[0].encode("utf-8"))
+        pix = []
+        for i in range(64):
+            z = (fh + i + 0x9E3779B97F4A7C15) & MASK
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK
+            z = z ^ (z >> 31)
+            pix.append(int(z & 0xFF))
+        vh = zlib.crc32(ref.encode("utf-8"))
+        for k in range(3):
+            pix[(vh >> (6 * k)) & 63] ^= 0x80
+        mean = sum(pix) / 64.0
+        p = 0
+        for i, v in enumerate(pix):
+            if v > mean:
+                p |= 1 << i
+        return p - (1 << 64) if p >= (1 << 63) else p
+
+    phashes = {}
+    for _d, r in res42:
+        for s in r.spans:
+            if s["kind"] == "media":
+                phashes[s["media_ref"]] = _g_phash(s["media_ref"])
+    prow = {"left_ref": [], "right_ref": [], "hamming": []}
+    refs_sorted = sorted(phashes)
+    for i, a in enumerate(refs_sorted):
+        for b in refs_sorted[i + 1:]:
+            d = bin((phashes[a] ^ phashes[b]) & ((1 << 64) - 1)) \
+                .count("1")
+            if d <= 6:
+                prow["left_ref"].append(a)
+                prow["right_ref"].append(b)
+                prow["hamming"].append(d)
+    g["media_phash_pairs"] = pa.Table.from_pydict(
+        prow, schema=pa.schema([("left_ref", pa.string()),
+                                ("right_ref", pa.string()),
+                                ("hamming", pa.int64())]))
+
     # links: DOM mining via the (pytest-covered) batch miner applied
     # directly — dedup + per-domain top-k replicated in plain python
     from webtext.oracle.rules import domain_strip_www

@@ -224,3 +224,177 @@ def media_features(extracted_ds, *, batch_size: int = 64, concurrency=None):
     return extracted_ds.map_batches(
         MediaFeatureActor, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate pairs (multimodal dedup)
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("media_ref", pa.string()),
+    ("phash", pa.int64()),
+])
+
+
+def _sm64(x):
+    """Vectorized splitmix64 finalizer (same published constants as
+    sketches._hash64) — expands small integer seeds into well-mixed
+    64-bit words."""
+    import numpy as np
+
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def fake_thumb8(media_ref: str):
+    """Deterministic 8x8 grayscale stand-in thumbnail: the base pattern
+    comes from the ref's FAMILY (the ref minus its last two path
+    segments — doc index and span offset), modelling 'images from one
+    site template look alike'; three pixels chosen by the full ref's
+    crc32 get their high bit flipped as per-image variation.  Same-
+    family thumbnails therefore produce phashes within a few Hamming
+    bits of each other — the structure a perceptual-hash dedup has to
+    find."""
+    import numpy as np
+
+    family = media_ref.rsplit("/", 2)[0]
+    fh = zlib.crc32(family.encode("utf-8"))
+    base = (_sm64(np.arange(64, dtype=np.uint64) + np.uint64(fh))
+            & np.uint64(0xFF)).astype(np.uint8)
+    vh = zlib.crc32(media_ref.encode("utf-8"))
+    for k in range(3):
+        base[(vh >> (6 * k)) & 63] ^= 0x80
+    return base.reshape(8, 8)
+
+
+def phash64(thumb) -> int:
+    """Average-hash: bit i (row-major) set iff pixel i > mean.  Packed
+    into a signed int64 (raw bit pattern via uint64 view)."""
+    import numpy as np
+
+    flat = thumb.reshape(-1).astype(np.float64)
+    bits = (flat > flat.mean()).astype(np.uint64)
+    packed = np.uint64(0)
+    for i in range(64):
+        packed |= bits[i] << np.uint64(i)
+    return int(packed.view(np.int64))
+
+
+class PhashActor:
+    """map_batches over extraction OUTPUT rows: one (doc_id, media_ref,
+    phash) row per media span.  Decoder loads once per actor; FakeDecoder
+    thumbnails via fake_thumb8, PilDecoder via a real 8x8 L-mode resize
+    of inline refs, RealDecoder marks the deployment seam."""
+
+    def __init__(self, decoder_cls=FakeDecoder):
+        self.decoder = decoder_cls()
+
+    def _thumb(self, media_ref: str):
+        if isinstance(self.decoder, PilDecoder):
+            import base64
+            import io
+
+            import numpy as np
+
+            raw = base64.b64decode(media_ref[len("inline:"):])
+            with self.decoder._Image.open(io.BytesIO(raw)) as im:
+                return np.asarray(
+                    im.convert("L").resize((8, 8)), dtype=np.uint8)
+        if isinstance(self.decoder, FakeDecoder):
+            return fake_thumb8(media_ref)
+        raise NotImplementedError(
+            "thumbnail decode needs a codec-backed decoder")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in PHASH_SCHEMA.names}
+        for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("spans").to_pylist()):
+            for span in spans or []:
+                if span["kind"] != "media":
+                    continue
+                out["doc_id"].append(doc_id)
+                out["media_ref"].append(span["media_ref"])
+                out["phash"].append(phash64(self._thumb(
+                    span["media_ref"])))
+        return pa.Table.from_pydict(out, schema=PHASH_SCHEMA)
+
+
+def media_phash(extracted_ds, **kw):
+    """Perceptual-hash table over an extracted-documents dataset."""
+    return _media_stage(extracted_ds, PhashActor, **kw)
+
+
+def media_phash_pairs(extracted_ds, max_hamming: int = 6):
+    """(left_ref, right_ref, hamming): near-duplicate media pairs by
+    perceptual hash — the multimodal analogue of simhash_dup_pairs.
+
+    Candidates via 8 bands of 8 bits: by pigeonhole any pair with
+    Hamming distance ≤ 7 agrees on at least one band, so for
+    max_hamming ≤ 7 the banded result EQUALS the brute-force all-pairs
+    filter (the golden is brute force).  Band rows bucket by
+    hash(band_key, band_id) % 256 — constant fan-out; the phash rides
+    the band row so the verify is group-local (no side-table).  Near-dup
+    clusters cost O(cluster²) pairs, inherent to pair OUTPUT, not to
+    the shuffle."""
+    import numpy as np
+
+    from .dedup import _col_i64, _ibucket
+
+    ph = media_phash(extracted_ds)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        h = _col_i64(batch, "phash")
+        hu = h.view(np.uint64)
+        n = len(h)
+        refs = batch.column("media_ref").to_pylist()
+        key = np.concatenate([
+            ((hu >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
+            for b in range(8)]) if n else np.empty(0, np.int64)
+        band = np.repeat(np.arange(8, dtype=np.int64), n)
+        t = pa.Table.from_arrays(
+            [pa.array(refs * 8, pa.string()), pa.array(band),
+             pa.array(key), pa.array(np.tile(h, 8))],
+            names=["media_ref", "band_id", "band_key", "phash"])
+        b = _ibucket(_col_i64(t, "band_key") * np.int64(131)
+                     + _col_i64(t, "band_id"))
+        return t.append_column("bucket", pa.array(b))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        cells: dict[tuple[int, int], dict[str, int]] = {}
+        for ref, bid, bk, h in zip(
+                group.column("media_ref").to_pylist(),
+                group.column("band_id").to_pylist(),
+                group.column("band_key").to_pylist(),
+                group.column("phash").to_pylist()):
+            cells.setdefault((bid, bk), {})[ref] = h
+        left, right, dist = [], [], []
+        for cell in sorted(cells):
+            by_ref = cells[cell]
+            refs = sorted(by_ref)
+            for i in range(len(refs)):
+                for j in range(i + 1, len(refs)):
+                    a, b = refs[i], refs[j]
+                    d = bin((by_ref[a] ^ by_ref[b])
+                            & ((1 << 64) - 1)).count("1")
+                    if d <= max_hamming:
+                        left.append(a)
+                        right.append(b)
+                        dist.append(d)
+        return pa.Table.from_arrays(
+            [pa.array(left, pa.string()), pa.array(right, pa.string()),
+             pa.array(dist, pa.int64())],
+            names=["left_ref", "right_ref", "hamming"])
+
+    banded = ph.map_batches(band_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    pairs = banded.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    # a pair can match several bands — collapse via a native min (the
+    # hamming is identical on every copy)
+    uniq = pairs.groupby(["left_ref", "right_ref"]).min("hamming")
+    return uniq.map_batches(
+        lambda b: b.rename_columns(["left_ref", "right_ref", "hamming"]),
+        batch_format="pyarrow", zero_copy_batch=True)
