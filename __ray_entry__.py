@@ -942,6 +942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "dup_ngram_flags": lambda sf: lm.dup_ngram_flags(
             _docs_cols(sf, ["doc_id", "text"])),
+        "dup_doc_filter": lambda sf: lm.dup_doc_filter(
+            _docs_cols(sf, ["doc_id", "text"])),
         "token_frequencies": lambda sf: textstats.token_frequencies(
             _docs_cols(sf, ["doc_id", "text"]), 50),
         "vocab_coverage": lambda sf: textstats.vocab_coverage(
@@ -969,6 +971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_nearest_neighbor": lambda sf: ann.lsh_nearest_neighbor_ids(
             _emb(sf)),
         "label_centroids": lambda sf: ann.label_centroids(_emb(sf)),
+        "quantize_embeddings": lambda sf: ann.quantize_embeddings(
+            _emb(sf)),
         # event-stream windows (beyond the reference: time-windowed ops)
         "windowed_events": lambda sf: _events_windowed(sf),
         "hopping_events": lambda sf: _events_hopping(sf),
@@ -1257,6 +1261,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM embeddings, generate_series(1, 64) s(i)
             GROUP BY label, i""",
+        # abs / one multiply / one divide / +0.5 / floor in the same
+        # IEEE order as the numpy kernel — positive domain, bit-exact
+        "quantize_embeddings": """
+            WITH m AS (
+              SELECT vec_id, embedding,
+                     list_aggregate(list_transform(embedding,
+                       x -> abs(x)), 'max') AS mx
+              FROM embeddings)
+            SELECT vec_id,
+                   CAST(floor(CAST(mx AS DOUBLE) * 1000000000 + 0.5)
+                     AS BIGINT) AS scale_fp,
+                   CAST(SUM(CASE WHEN mx = 0 THEN 0 ELSE
+                     CAST(floor(abs(CAST(embedding[i] AS DOUBLE)) * 127
+                                / mx + 0.5) AS BIGINT) END) AS BIGINT)
+                     AS sum_absq
+            FROM m, generate_series(1, 64) s(i)
+            GROUP BY vec_id, mx""",
         "incremental_dedup": """
             SELECT min(doc_id) AS doc_id, fp FROM (
               SELECT doc_id, md5(text) AS fp FROM documents
@@ -1375,6 +1396,25 @@ def oracle_sql() -> dict[str, str]:
                        END)::BIGINT AS n_dup_windows
             FROM gd JOIN nd ON nd.g = gd.g
             GROUP BY gd.doc_id""",
+        "dup_doc_filter": """
+            WITH toks AS (SELECT doc_id, string_split(text,' ') AS w
+                          FROM documents),
+            grams AS (SELECT doc_id,
+                        array_to_string(list_slice(w, i, i+7), ' ') AS g
+                      FROM toks, unnest(generate_series(1,
+                        greatest(len(w)-7,0))) AS t(i)),
+            gd AS (SELECT doc_id, g, count(*)::BIGINT AS cnt
+                   FROM grams GROUP BY doc_id, g),
+            nd AS (SELECT g, count(*)::BIGINT AS n_docs
+                   FROM gd GROUP BY g),
+            f AS (SELECT gd.doc_id, sum(cnt)::BIGINT AS nw,
+                         sum(CASE WHEN n_docs > 1 THEN cnt ELSE 0
+                             END)::BIGINT AS nd
+                  FROM gd JOIN nd ON nd.g = gd.g GROUP BY gd.doc_id)
+            SELECT doc_id FROM f WHERE nd * 100 <= nw * 50
+            UNION ALL
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM f)""",
         "token_count_bpe":
             "SELECT doc_id, len(regexp_extract_all(text, "
             "' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))::BIGINT "

@@ -130,6 +130,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "repetition_stats", "decontaminate",
                  "decode_bytes",
                  "bigram_lm_scores", "dup_ngram_flags",
+                 "dup_doc_filter",
                  "token_frequencies", "vocab_coverage",
                  "incremental_dedup", "dup_cluster_stats",
                  "inverted_index", "bm25_topk",
@@ -143,6 +144,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "distinct_users", "pivot_events", "hll_users",
                  "cms_token_estimates",
                  "outlier_events", "label_centroids",
+                 "quantize_embeddings",
                  "asof_join", "range_join", "group_quantiles",
                  "graph_degrees", "pagerank",
                  "sample_stratified", "pricing_summary",

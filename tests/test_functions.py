@@ -819,3 +819,25 @@ def test_media_phash_pairs_equals_brute_force(ray_session):
             if d <= 6:
                 want[(a, b)] = d
     assert got == want and len(want) > 0
+
+
+def test_quantize_embeddings_spec(ray_session):
+    import numpy as np
+    import ray.data
+
+    from webtext.functions.ann import quantize_embeddings
+
+    rows = [
+        {"vec_id": 0, "embedding": [0.5, -1.0, 0.25, 0.0]},
+        {"vec_id": 1, "embedding": [0.0, 0.0, 0.0, 0.0]},  # zero vector
+        {"vec_id": 2, "embedding": [2.0, 2.0, -2.0, 1.0]},
+    ]
+    got = {r["vec_id"]: (r["scale_fp"], r["sum_absq"]) for r in
+           quantize_embeddings(
+               ray.data.from_items(rows).repartition(2)).take_all()}
+    # handwritten: vec 0 -> max 1.0, q = |[64,127,32,0]| (0.5*127=63.5
+    # rounds half-up to 64); vec 1 all zeros; vec 2 -> max 2.0,
+    # q = |[127,127,127,64]| (1*127/2=63.5 -> 64)
+    assert got[0] == (10**9, 64 + 127 + 32 + 0)
+    assert got[1] == (0, 0)
+    assert got[2] == (2 * 10**9, 127 * 3 + 64)

@@ -107,3 +107,21 @@ def test_lm_repartition_invariance(ray_session, parts):
         _canon(_brute_lm()))
     assert _canon(dup_ngram_flags(ds, n=3).to_pandas()).equals(
         _canon(_brute_dup(3)))
+
+
+def test_dup_doc_filter_semantics(ray_session):
+    from webtext.functions.lm import dup_doc_filter
+
+    # n=3 windows: docs 0 and 3 are exact dups (100% dup fraction ->
+    # dropped); docs 1/2/5 have <=50% dup windows -> kept; doc 4 is too
+    # short for any window -> kept by the no-evidence rule
+    kept = sorted(r["doc_id"] for r in
+                  dup_doc_filter(_ds(ray_session), n=3).take_all())
+    brute = _brute_dup(3).set_index("doc_id")
+    expect = sorted(
+        [d for d, _ in DOCS
+         if d not in brute.index
+         or brute.loc[d, "n_dup_windows"] * 100
+         <= brute.loc[d, "n_windows"] * 50])
+    assert kept == expect
+    assert 4 in kept and 0 not in kept and 3 not in kept

@@ -857,3 +857,38 @@ def label_centroids(ds, scale: int = CENTROID_SCALE):
     return summed.map_batches(
         lambda b: b.rename_columns(["label", "dim", "sum_fp", "n"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantize_embeddings(ds):
+    """(vec_id, scale_fp, sum_absq): per-vector int8 symmetric
+    quantization summary — the embedding-compression step of a vector
+    pipeline (store int8 codes + one scale per vector, 4x smaller than
+    float32).  scale_fp = floor(max|x| * 1e9 + 0.5) fixes the scale as
+    an integer; sum_absq = Σ|q_i| with q_i = floor(|x_i| * 127 / max|x|
+    + 0.5) summarizes the code magnitudes.
+
+    Pure per-batch map, no shuffle.  Every arithmetic step (abs, one
+    multiply, one divide, +0.5, floor — positive domain) is replayed by
+    the SQL oracle in the same IEEE order, so the integers match
+    bit-for-bit; all-zero vectors quantize to zeros on both sides."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").cast(pa.int64())
+        mat = np.abs(_matrix(batch))
+        if mat.size == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["vec_id", "scale_fp", "sum_absq"])
+        mx = mat.max(axis=1)
+        scale_fp = np.floor(mx * 1e9 + 0.5).astype(np.int64)
+        safe = np.where(mx > 0, mx, 1.0)
+        q = np.floor(mat * 127.0 / safe[:, None] + 0.5) \
+            .astype(np.int64)
+        q[mx == 0] = 0
+        return pa.Table.from_arrays(
+            [ids, pa.array(scale_fp), pa.array(q.sum(axis=1))],
+            names=["vec_id", "scale_fp", "sum_absq"])
+
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)

@@ -209,3 +209,39 @@ def dup_ngram_flags(ds, n: int = 8,
         lambda b: b.rename_columns(["doc_id", "n_windows",
                                     "n_dup_windows"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dup_doc_filter(ds, n: int = 8, max_frac_pct: int = 50,
+                   n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(doc_id,) of documents KEPT by the cross-document duplication
+    filter: a doc survives iff its duplicated-window fraction is at most
+    ``max_frac_pct`` percent (integer comparison
+    ``n_dup*100 <= n_windows*pct`` — no floats).  Documents too short to
+    have any n-token window carry no duplication evidence and are kept.
+
+    Composition: dup_ngram_flags (one gram-bucketed all-to-all + one
+    per-doc sum), a vectorized threshold filter, and one bucketed ANTI
+    join to recover the short documents — the flags table is doc-sized,
+    so the anti join ships doc ids only."""
+    from ..pipelines.relational import semi_join
+
+    flags = dup_ngram_flags(ds, n=n, n_buckets=n_buckets)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        nw = batch.column("n_windows").to_numpy(zero_copy_only=False)
+        nd = batch.column("n_dup_windows") \
+            .to_numpy(zero_copy_only=False)
+        mask = nd * 100 <= nw * np.int64(max_frac_pct)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id").filter(pa.array(mask))],
+            names=["doc_id"])
+
+    kept_with_windows = flags.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True)
+    short_docs = semi_join(
+        ds.select_columns(["doc_id"]),
+        flags.select_columns(["doc_id"]).map_batches(
+            lambda b: b.rename_columns(["flag_doc"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "doc_id", "flag_doc", anti=True, n_buckets=n_buckets)
+    return kept_with_windows.union(short_docs)
