@@ -537,6 +537,31 @@ def _committed_run(sf_dir: str, seed: int = 42) -> str:
     return out
 
 
+def _keyword_fixture(sf_dir: str) -> str:
+    """Deterministic keyword-file tree (S2/S3): 40 delivery files, the
+    first 10 moved to completed — the reader must surface exactly the
+    30 pending keywords.  Built once per code version under a flock."""
+    import fcntl
+
+    from webtext.sources.keywords import write_keyword_files
+
+    tag = _code_tag("webtext/sources/keywords.py")
+    base = f"/tmp/webtext_kw_{tag}"
+    done = f"{base}/_DONE"
+    if os.path.exists(done):
+        return base
+    os.makedirs(base, exist_ok=True)
+    with open(f"{base}/.lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if not os.path.exists(done):
+            kws = [f"topic {k} data" for k in range(40)]
+            write_keyword_files(kws, f"{base}/delivery")
+            write_keyword_files(kws[:10], f"{base}/completed")
+            with open(done, "w") as f:
+                f.write("ok")
+    return base
+
+
 def _ivf_index_path(sf_dir: str) -> str:
     tag = _code_tag("webtext/functions/ann.py")
     return f"/tmp/webtext_ivf_{_sf_tag(sf_dir)}_{tag}.parquet"
@@ -735,6 +760,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return media_phash_pairs(_extracted(sf_dir))
 
+    def read_keywords_q(sf_dir):
+        """S2 keyword-file intake: pending = delivery − completed."""
+        from webtext.sources.keywords import read_keyword_files
+
+        base = _keyword_fixture(sf_dir)
+        return read_keyword_files(f"{base}/delivery",
+                                  f"{base}/completed")
+
     def knn(sf_dir):
         ds = _emb(sf_dir)
         q = ann.get_query_vector(ds, 0)
@@ -877,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_pairs": media_phash_pairs_q,
         "extract_links": links_q,
         "search_engine_links": search_links_q,
+        "read_keywords": read_keywords_q,
         "read_rejects": rejects_q,
         "integrate_outputs": integrate_q,
         "scan_output_for_errors": scan_errors_q,
@@ -1359,6 +1393,15 @@ def oracle_sql() -> dict[str, str]:
                 AND n_uniq * 10 >= n_tokens * 3)
             SELECT min(doc_id) AS doc_id, text FROM kept
             GROUP BY text""",
+        # fixture keywords are 'topic <k> data' for k 0..39 with the
+        # first 10 completed; quote_plus only touches the spaces
+        "read_keywords": """
+            SELECT 'topic ' || k || ' data' AS keyword,
+                   'https://www.google.com/search?q=topic+' || k
+                     || '+data' AS google_url,
+                   'https://search.yahoo.co.jp/search?p=topic+' || k
+                     || '+data' AS yahoo_url
+            FROM (SELECT unnest(generate_series(10, 39)) AS k)""",
         # quantized conditional probabilities are pure integer math
         # ((c2 * 1e6) // c1) on both engines — bit-exact parity; the
         # Ray side keys grams by 64-bit hashes (collisions

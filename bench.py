@@ -159,7 +159,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "extract_links",
                  "media_features", "media_resize", "frame_sample",
                  "media_phash_pairs",
-                 "search_engine_links"):
+                 "search_engine_links", "read_keywords"):
         t0 = time.perf_counter()
         _consume(qs[name](sf_dir))
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -1,0 +1,63 @@
+"""Keyword-file source/sink (S2/S3): sniffing, pending-set contract,
+distributed read."""
+
+from __future__ import annotations
+
+from webtext.sources.keywords import (generate_search_urls,
+                                      pending_keyword_paths,
+                                      read_keyword_files,
+                                      sniff_search_urls,
+                                      write_keyword_files)
+
+
+def test_sniff_line_semantics():
+    # order-independent, blank/junk lines skipped, first match wins
+    text = ("\nnot a url\n"
+            "https://search.yahoo.co.jp/search?p=a\n"
+            "https://www.google.com/search?q=a\n"
+            "https://www.google.com/search?q=SECOND\n")
+    g, y = sniff_search_urls(text)
+    assert g == "https://www.google.com/search?q=a"
+    assert y == "https://search.yahoo.co.jp/search?p=a"
+    # a google.com/search line without the scheme prefix is ignored
+    assert sniff_search_urls("google.com/search?q=x") == (None, None)
+    # engine variants
+    g, y = sniff_search_urls(
+        "http://google.co.jp/search?q=j\n"
+        "http://search.yahoo.com/search?p=e\n")
+    assert g and y
+
+
+def test_roundtrip_and_pending_set(tmp_path):
+    delivery = str(tmp_path / "delivery")
+    completed = str(tmp_path / "completed")
+    kws = ["alpha one", 'we/ird:"kw', "beta two"]
+    write_keyword_files(kws, delivery)
+    write_keyword_files(["alpha one"], completed)
+    pending = pending_keyword_paths(delivery, completed)
+    assert len(pending) == 2
+    assert all("alpha" not in p for p in pending)
+    # sanitizer replaced the forbidden characters in the filename
+    assert any("we_ird__kw.txt" in p for p in pending)
+
+
+def test_read_keyword_files_dataset(ray_session, tmp_path):
+    delivery = str(tmp_path / "d")
+    write_keyword_files(["k one", "k two"], delivery)
+    # a file with no sniffable URL must be dropped, not crash
+    (tmp_path / "d" / "junk.txt").write_text("no urls here\n")
+    rows = {r["keyword"]: (r["google_url"], r["yahoo_url"])
+            for r in read_keyword_files(delivery).take_all()}
+    assert set(rows) == {"k one", "k two"}
+    assert rows["k one"] == generate_search_urls("k one")
+
+
+def test_read_keyword_files_empty(ray_session, tmp_path):
+    empty = str(tmp_path / "none")
+    import os
+
+    os.makedirs(empty)
+    ds = read_keyword_files(empty)
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {"keyword", "google_url",
+                                      "yahoo_url"}
