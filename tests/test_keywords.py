@@ -61,3 +61,23 @@ def test_read_keyword_files_empty(ray_session, tmp_path):
     assert ds.count() == 0
     assert set(ds.schema().names) == {"keyword", "google_url",
                                       "yahoo_url"}
+
+
+def test_run_query_cli_writes_parquet(ray_session, tmp_path):
+    """run_query job surface: any registered query runs from any cwd
+    and lands as parquet (uses the in-session Ray)."""
+    import pyarrow.parquet as pq
+
+    from webtext.jobs.run_query import main
+
+    out = str(tmp_path / "res")
+    rc = main(["group_counts", "--sf-dir", "/root/testdata/sf0.001",
+               "--output", out])
+    assert rc == 0
+    import os
+
+    n = sum(pq.ParquetFile(os.path.join(out, f)).metadata.num_rows
+            for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n == 5                  # five langs in the synthetic corpus
+
+    assert main(["no_such_query"]) == 2
