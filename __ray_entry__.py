@@ -760,6 +760,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return media_phash_pairs(_extracted(sf_dir))
 
+    def edit1_names_q(sf_dir):
+        """Record linkage: part-name pairs one edit apart."""
+        import ray.data
+
+        from webtext.functions.dedup import edit1_name_pairs
+
+        return edit1_name_pairs(ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_name"]))
+
     def read_keywords_q(sf_dir):
         """S2 keyword-file intake: pending = delivery − completed."""
         from webtext.sources.keywords import read_keyword_files
@@ -931,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "exact_dedup_hashed": lambda sf: dedup.exact_dedup_hashed(
             _docs_cols(sf, ["doc_id", "text"])),
+        "edit1_name_pairs": edit1_names_q,
         "dedup_apply_emb": lambda sf: ann.dedup_apply_embeddings(
             _emb(sf), 0.4),
         "cosine_dup_pairs": lambda sf: ann.cosine_dup_pairs(_emb(sf), 0.4),
@@ -1132,6 +1142,11 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_hashed":
             "SELECT min(doc_id) AS doc_id, md5(text) AS fp "
             "FROM documents GROUP BY fp",
+        "edit1_name_pairs": """
+            WITH names AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS left_name, b.p_name AS right_name
+            FROM names a JOIN names b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) = 1""",
         "ngram_jaccard_pairs": f"""
             SELECT * FROM (
               SELECT a.doc_id AS left_id, b.doc_id AS right_id,

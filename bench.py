@@ -118,7 +118,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
 
     for name in ("exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
                  "simhash", "simhash_dup_pairs", "dedup_apply",
-                 "exact_dedup_hashed", "dedup_apply_emb", "dedup_extracted",
+                 "exact_dedup_hashed", "edit1_name_pairs",
+                 "dedup_apply_emb", "dedup_extracted",
                  "knn_cosine", "knn_ivf", "knn_ivf_indexed", "cosine_nn",
                  "cosine_dup_pairs", "lsh_cosine_pairs", "token_count",
                  "token_count_bpe", "winnow_fingerprint",

@@ -841,3 +841,46 @@ def test_quantize_embeddings_spec(ray_session):
     assert got[0] == (10**9, 64 + 127 + 32 + 0)
     assert got[1] == (0, 0)
     assert got[2] == (2 * 10**9, 127 * 3 + 64)
+
+
+def test_edit1_name_pairs_vs_brute(ray_session):
+    import ray.data
+
+    from webtext.functions.dedup import _lev_le1, edit1_name_pairs
+
+    names = ["cat", "cart", "car", "bat", "bats", "dog", "dog",
+             "cat!", "xyz", ""]
+    ds = ray.data.from_items([{"p_name": n} for n in names]) \
+        .repartition(3)
+    got = {(r["left_name"], r["right_name"]) for r in
+           edit1_name_pairs(ds).take_all()}
+    uniq = sorted(set(names))
+    want = {(a, b) for i, a in enumerate(uniq) for b in uniq[i + 1:]
+            if _lev_le1(a, b)}
+    assert got == want
+    assert ("cat", "cat!") in got and ("cat", "cart") not in got
+
+
+def test_lev_le1_matches_textbook():
+    from webtext.functions.dedup import _lev_le1
+
+    def lev(a, b):
+        import numpy as np
+
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return int(d[len(b)])
+
+    import itertools
+
+    alphabet = "ab"
+    words = ["".join(p) for n in range(4)
+             for p in itertools.product(alphabet, repeat=n)]
+    for a in words:
+        for b in words:
+            if a != b:
+                assert _lev_le1(a, b) == (lev(a, b) == 1), (a, b)

@@ -833,3 +833,86 @@ def dup_cluster_stats(ds, threshold: float = 0.5):
         .map_batches(lambda b: b.rename_columns(
             ["cluster_size", "n_clusters"]),
             batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance-1 record linkage (deletion-neighborhood join)
+# ---------------------------------------------------------------------------
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact test for Levenshtein distance == 1 (unit costs — the same
+    metric as DuckDB's levenshtein()).  O(len) two-pointer scan; callers
+    guarantee a != b."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:                  # exactly one substitution?
+        diff = sum(1 for x, y in zip(a, b) if x != y)
+        return diff == 1
+    if la > lb:                   # normalize: a is the shorter
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]     # one deletion bridges the rest
+
+
+def edit1_name_pairs(ds, col: str = "p_name",
+                     n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(left_name, right_name): distinct value pairs at Levenshtein
+    distance EXACTLY 1 — typo/variant detection for record linkage
+    (near-miss product names, author variants, host aliases).
+
+    Candidate generation is the deletion neighborhood: each distinct
+    string emits itself plus every delete-one-char variant as
+    signatures.  Two strings at distance 1 ALWAYS share a signature
+    (substitution: both sides delete the differing position;
+    indel: the longer side's deletion equals the shorter string), so
+    the bucketed join is exact — no recall loss to verify away, the
+    in-bucket check only removes distance-0/2+ cohabitants.  The
+    shuffle ships (hash(signature), name) rows — O(length) signatures
+    per DISTINCT value (per-batch dedupe first), never per row."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        names = pc.unique(batch.column(col)).to_pylist()
+        sigs, out_names = [], []
+        for name in names:
+            if name is None:
+                continue
+            variants = [name] + [name[:i] + name[i + 1:]
+                                 for i in range(len(name))]
+            for v in variants:
+                sigs.append(v)
+                out_names.append(name)
+        t = pa.Table.from_arrays(
+            [pa.array(out_names, pa.string())], names=["name"])
+        return t.append_column(
+            "bucket", pa.array(_sbucket(sigs, n_buckets))) \
+            .append_column("sig", pa.array(sigs, pa.string()))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        by_sig: dict[str, set] = {}
+        for sig, name in zip(group.column("sig").to_pylist(),
+                             group.column("name").to_pylist()):
+            by_sig.setdefault(sig, set()).add(name)
+        left, right = [], []
+        for sig in sorted(by_sig):
+            names = sorted(by_sig[sig])
+            for i in range(len(names)):
+                for j in range(i + 1, len(names)):
+                    if _lev_le1(names[i], names[j]):
+                        left.append(names[i])
+                        right.append(names[j])
+        return pa.Table.from_arrays(
+            [pa.array(left, pa.string()), pa.array(right, pa.string())],
+            names=["left_name", "right_name"])
+
+    pairs = ds.select_columns([col]).map_batches(
+        emit, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("bucket").map_groups(bucket_pairs,
+                                      batch_format="pyarrow")
+    # the same pair can surface via several shared signatures
+    uniq = pairs.groupby(["left_name", "right_name"]).count()
+    return uniq.drop_columns(["count()"])

@@ -13,7 +13,11 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pyarrow as pa
+
+from .dedup import _col_i64, _ibucket  # module scope: worker closures
+                                       # must never lazy-import webtext
 
 MEDIA_FEATURES_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
@@ -339,10 +343,6 @@ def media_phash_pairs(extracted_ds, max_hamming: int = 6):
     the band row so the verify is group-local (no side-table).  Near-dup
     clusters cost O(cluster²) pairs, inherent to pair OUTPUT, not to
     the shuffle."""
-    import numpy as np
-
-    from .dedup import _col_i64, _ibucket
-
     ph = media_phash(extracted_ds)
 
     def band_rows(batch: pa.Table) -> pa.Table:
