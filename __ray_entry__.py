@@ -252,6 +252,17 @@ def _tpch_q5(sf_dir: str):
                               columns=["n_nationkey", "n_name"]))
 
 
+def _tpch_cube(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import pricing_cube
+
+    return pricing_cube(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"]))
+
+
 def _tpch_q17(sf_dir: str):
     import ray.data
 
@@ -1050,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_volume": lambda sf: _tpch_brands(sf),
         "shipping_priority": lambda sf: _tpch_shipping(sf),
         "pricing_rollup": lambda sf: _tpch_rollup(sf),
+        "pricing_cube": lambda sf: _tpch_cube(sf),
         "local_supplier_volume": lambda sf: _tpch_q5(sf),
         "order_line_left": lambda sf: _tpch_left_join(sf),
         "small_quantity_revenue": lambda sf: _tpch_q17(sf),
@@ -1619,6 +1631,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_rows
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "pricing_cube": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS
+                     BIGINT)) AS BIGINT) AS sum_base_cents,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)""",
         "local_supplier_volume": """
             SELECT n.n_name,
                    CAST(SUM(CAST(round(

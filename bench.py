@@ -152,7 +152,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "order_line_join", "region_customers",
                  "supplier_shipments", "brand_volume",
                  "shipping_priority", "normalize_text",
-                 "pricing_rollup", "order_line_left", "order_line_full",
+                 "pricing_rollup", "pricing_cube",
+                 "order_line_left", "order_line_full",
                  "profile_columns", "small_quantity_revenue",
                  "local_supplier_volume",
                  "customers_with_orders", "customers_without_f_orders",

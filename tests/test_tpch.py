@@ -426,3 +426,29 @@ def test_small_quantity_revenue_crafted(ray_session):
     ])  # avg 10, 20% = 2.0 -> 2.0 not < 2.0
     rows2 = small_quantity_revenue(lineitem2, part).take_all()
     assert rows2 == [{"n_small_lines": 0, "revenue_cents": 0}]
+
+
+def test_pricing_cube_grouping_sets(ray_session):
+    import ray.data
+
+    from webtext.pipelines.tpch import pricing_cube
+
+    lineitem = ray.data.from_items([
+        {"l_returnflag": "A", "l_linestatus": "F",
+         "l_quantity": 1.0, "l_extendedprice": 1.00},
+        {"l_returnflag": "A", "l_linestatus": "O",
+         "l_quantity": 2.0, "l_extendedprice": 2.00},
+        {"l_returnflag": "R", "l_linestatus": "F",
+         "l_quantity": 4.0, "l_extendedprice": 4.00},
+    ]).repartition(2)
+    got = {(r["l_returnflag"], r["l_linestatus"]):
+           (r["sum_qty"], r["n_rows"])
+           for r in pricing_cube(lineitem).take_all()}
+    # 2^2 grouping sets: base cells, flag margins, STATUS margins
+    # (the set rollup lacks), grand total
+    assert got[("A", "F")] == (1, 1)
+    assert got[("A", "ALL")] == (3, 2)
+    assert got[("ALL", "F")] == (5, 2)     # cube-only margin
+    assert got[("ALL", "O")] == (2, 1)
+    assert got[("ALL", "ALL")] == (7, 3)
+    assert len(got) == 3 + 2 + 2 + 1

@@ -931,3 +931,43 @@ def small_quantity_revenue(lineitem, part, brand: str = "Brand#1"):
              b.column("sum(revenue_cents)").cast(pa.int64())],
             names=["n_small_lines", "revenue_cents"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pricing_cube(lineitem):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): the ROLLUP combiner
+    plus the fourth (ALL, status) level — all 2^2 grouping sets
+    replicated inside the per-batch partial, so the full cube still
+    costs exactly one shuffle of tiny partial rows."""
+
+    def cube_partial(batch: pa.Table) -> pa.Table:
+        agg = _pricing_partial(batch)
+        flag = agg.column("l_returnflag")
+        status = agg.column("l_linestatus")
+        alls = pa.array([ROLLUP_ALL] * agg.num_rows, pa.string())
+        levels = []
+        for f, s in ((flag, status), (flag, alls),
+                     (alls, status), (alls, alls)):
+            levels.append(pa.Table.from_arrays(
+                [f, s, agg.column("sum_qty"),
+                 agg.column("sum_base_cents"), agg.column("n_rows")],
+                names=["l_returnflag", "l_linestatus", "sum_qty",
+                       "sum_base_cents", "n_rows"]))
+        t = pa.concat_tables(levels)
+        out = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_base_cents", "sum"),
+             ("n_rows", "sum")])
+        return out.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty",
+             "sum_base_cents", "n_rows"])
+
+    partial = lineitem.select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity",
+         "l_extendedprice"]).map_batches(
+        cube_partial, batch_format="pyarrow", zero_copy_batch=True)
+    summed = partial.groupby(["l_returnflag", "l_linestatus"]).sum(
+        ["sum_qty", "sum_base_cents", "n_rows"])
+    return summed.map_batches(
+        lambda b: b.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty",
+             "sum_base_cents", "n_rows"]),
+        batch_format="pyarrow", zero_copy_batch=True)
