@@ -161,6 +161,16 @@ def _events_ntile(sf_dir: str):
         columns=["event_id", "user_id", "ts"]))
 
 
+def _events_dense_rank(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import dense_rank_events
+
+    return dense_rank_events(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"]))
+
+
 def _events_growth(sf_dir: str):
     import ray.data
 
@@ -1036,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_sums": lambda sf: _events_rolling(sf),
         "lag_deltas": lambda sf: _events_lag(sf),
         "ntile_events": lambda sf: _events_ntile(sf),
+        "dense_rank_events": lambda sf: _events_dense_rank(sf),
         "user_growth": lambda sf: _events_growth(sf),
         "distinct_users": lambda sf: _events_distinct_users(sf),
         "pivot_events": lambda sf: _events_pivot(sf),
@@ -1531,6 +1542,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id)
                    AS BIGINT) AS tile
+            FROM events""",
+        "dense_rank_events": """
+            SELECT event_id, user_id,
+                   CAST(dense_rank() OVER (
+                     PARTITION BY user_id
+                     ORDER BY CAST(round(value*100) AS BIGINT))
+                     AS BIGINT) AS dense_rank
             FROM events""",
         "user_growth": """
             SELECT d, new_users,

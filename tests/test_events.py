@@ -423,3 +423,20 @@ def test_ntile_sql_convention(ray_session):
                                  n_tiles=4).take_all()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 4,
                    10: 1, 11: 2, 20: 1}
+
+
+def test_dense_rank_tie_semantics(ray_session):
+    import ray.data
+
+    from webtext.functions.events import dense_rank_events
+
+    events = ray.data.from_items([
+        {"event_id": 1, "user_id": 7, "value": 1.00},
+        {"event_id": 2, "user_id": 7, "value": 1.00},  # tie -> rank 1
+        {"event_id": 3, "user_id": 7, "value": 5.00},  # rank 2, no gap
+        {"event_id": 4, "user_id": 7, "value": 0.50},  # lowest -> 1...
+        {"event_id": 5, "user_id": 9, "value": 99.0},  # other user
+    ]).repartition(2)
+    got = {r["event_id"]: r["dense_rank"]
+           for r in dense_rank_events(events).take_all()}
+    assert got == {4: 1, 1: 2, 2: 2, 3: 3, 5: 1}

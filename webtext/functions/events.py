@@ -676,3 +676,53 @@ def ntile_events(ds, n_tiles: int = 4, n_buckets: int = 256):
                           zero_copy_batch=True) \
              .groupby("bucket").map_groups(tile_bucket,
                                            batch_format="pyarrow")
+
+
+def dense_rank_events(ds, n_buckets: int = 256):
+    """(event_id, user_id, dense_rank): DENSE_RANK() of each event's
+    value within its user, ordered by (value, event_id) ascending —
+    ties (equal values) share a rank and no rank is skipped.
+
+    Same bucketed shape as the other window ops: one shuffle by
+    hash(user_id) % n_buckets, then a single lexsort + cumulative
+    value-change count per bucket, vectorized across every user."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(_ibucket(uid, n_buckets)))
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # integer cents so tie-groups match SQL float equality exactly
+        cents = np.floor(group.column("value")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        order = np.lexsort((eid, cents, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        new_value = np.concatenate(
+            [[True], (cents[1:] != cents[:-1]) | new_user[1:]])
+        # dense rank = distinct-value count since the segment start:
+        # global cumsum of value-change flags minus the segment's base
+        # (its pre-start cumsum), forward-filled by max-accumulate
+        # (base values are nondecreasing in position)
+        csum = np.cumsum(new_value.astype(np.int64))
+        starts = np.nonzero(new_user)[0]
+        base = np.zeros(len(csum), dtype=np.int64)
+        base[starts] = csum[starts] - 1   # a segment start is always
+        base = np.maximum.accumulate(base)  # a value change
+        rank = csum - base
+        return pa.Table.from_arrays(
+            [pa.array(eid), pa.array(uid), pa.array(rank)],
+            names=["event_id", "user_id", "dense_rank"])
+
+    return ds.select_columns(["event_id", "user_id", "value"]) \
+             .map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .groupby("bucket").map_groups(rank_bucket,
+                                           batch_format="pyarrow")
