@@ -1084,6 +1084,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": lambda sf: rel.topk_per_group(_docs(sf)),
         "ordered_dedup": lambda sf: rel.ordered_dedup(_docs(sf)),
         "union_sources": union_q,
+        "token_intersect": lambda sf: rel.string_intersect(
+            rel.tokens_of(curation.split_by_mod(
+                _docs_cols(sf, ["doc_id", "text"]), mod=2, lt=1)),
+            rel.tokens_of(curation.split_by_mod(
+                _docs_cols(sf, ["doc_id", "text"]), mod=2, lt=1,
+                invert=True))),
         "sort_limit": lambda sf: rel.sort_limit(_docs(sf)),
         "group_counts": lambda sf: rel.group_counts(_docs(sf)),
         "failure_filter": lambda sf: rel.failure_filter(_docs(sf)),
@@ -1783,6 +1789,12 @@ def oracle_sql() -> dict[str, str]:
         "ordered_dedup":
             "SELECT source, min(doc_id) AS doc_id FROM documents "
             "GROUP BY source",
+        "token_intersect": """
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id % 2 = 0
+            INTERSECT
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id % 2 = 1""",
         "union_sources":
             "SELECT doc_id, source FROM documents WHERE source = 'src0' "
             "UNION ALL "

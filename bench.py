@@ -137,7 +137,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "inverted_index", "bm25_topk",
                  "length_histogram", "quality_score",
                  "lang_id", "doc_fingerprint", "topk_per_group",
-                 "ordered_dedup", "union_sources", "sort_limit",
+                 "ordered_dedup", "union_sources",
+                 "token_intersect", "sort_limit",
                  "group_counts", "failure_filter", "windowed_events",
                  "hopping_events", "sessionize", "running_totals",
                  "rolling_sums", "lag_deltas", "ntile_events",

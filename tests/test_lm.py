@@ -125,3 +125,17 @@ def test_dup_doc_filter_semantics(ray_session):
          <= brute.loc[d, "n_windows"] * 50])
     assert kept == expect
     assert 4 in kept and 0 not in kept and 3 not in kept
+
+
+def test_string_intersect_set_semantics(ray_session):
+    import ray.data
+
+    from webtext.pipelines.relational import string_intersect, tokens_of
+
+    a = ray.data.from_items([{"text": "x y z z"}, {"text": "w"}])
+    b = ray.data.from_items([{"text": "z q"}, {"text": "y q"}]) \
+        .repartition(2)
+    got = sorted(r["token"] for r in
+                 string_intersect(tokens_of(a), tokens_of(b))
+                 .take_all())
+    assert got == ["y", "z"]      # w and q are one-sided; dups collapse

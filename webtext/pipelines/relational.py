@@ -10,8 +10,10 @@ the DuckDB oracles in ``__ray_entry__`` exactly.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ray.data.aggregate import Max, Min
 
 from ..functions.dedup import _ibucket, _sbucket  # module scope: worker
 # code is shipped by value and cannot lazy-import webtext
@@ -251,3 +253,53 @@ def outlier_filter(ds, group_col: str = "event_type",
 
     return ds.select_columns(out_cols).map_batches(
         flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def string_intersect(a_ds, b_ds, col: str = "token"):
+    """INTERSECT over a string column: the distinct values present in
+    BOTH datasets — completes the set-op family (union_sources =
+    UNION ALL, incremental_dedup = EXCEPT).
+
+    Each side emits its batch-DISTINCT (value, side-bit) pairs — the
+    combiner bounds the shuffle to distinct values per block — and one
+    native groupby(value).min/max over the side bit finds values seen
+    from both sides (min==0 and max==1).  No Python groups, no
+    broadcast; either side may be corpus-sized."""
+
+    def emit(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            vals = pc.unique(batch.column(col))
+            return pa.Table.from_arrays(
+                [vals.cast(pa.string()),
+                 pa.array(np.full(len(vals), side, dtype=np.int64))],
+                names=[col, "side"])
+        return f
+
+    u = a_ds.select_columns([col]).map_batches(
+        emit(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        b_ds.select_columns([col]).map_batches(
+            emit(1), batch_format="pyarrow", zero_copy_batch=True))
+    agg = u.groupby(col).aggregate(Min("side"), Max("side"))
+
+    def both(batch: pa.Table) -> pa.Table:
+        lo = batch.column("min(side)").to_numpy(zero_copy_only=False)
+        hi = batch.column("max(side)").to_numpy(zero_copy_only=False)
+        keep = (lo == 0) & (hi == 1)
+        return pa.Table.from_arrays(
+            [batch.column(col).filter(pa.array(keep))], names=[col])
+
+    return agg.map_batches(both, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def tokens_of(ds):
+    """(token,) rows: batch-distinct whitespace tokens of the text
+    column — the tokenizing feeder for string_intersect."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        return pa.Table.from_arrays([pc.unique(flat)], names=["token"])
+
+    return ds.select_columns(["text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
