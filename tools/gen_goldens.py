@@ -108,22 +108,20 @@ def simhash64(text: str) -> int:
 
 
 def golden_simhash_pairs(ids, hashes, max_hamming=8):
-    buckets: dict[tuple[int, int], list[int]] = {}
+    """BRUTE-FORCE all-pairs Hamming filter — an honest independent
+    oracle since the distributed side's 9-band candidate generation is
+    pigeonhole-complete for distance <= 8 (dedup.SIMHASH_BANDS), so
+    banded must equal brute force exactly."""
     by_id = dict(zip(ids, hashes))
-    for did, h in zip(ids, hashes):
-        u = h + (1 << 63)
-        for b in range(4):
-            buckets.setdefault((b, (u >> (16 * b)) & 0xFFFF), []).append(did)
-    pairs = set()
-    for members in buckets.values():
-        ms = sorted(set(members))
-        for i in range(len(ms)):
-            for j in range(i + 1, len(ms)):
-                a, b = ms[i], ms[j]
-                d = bin((by_id[a] ^ by_id[b]) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming:
-                    pairs.add((a, b))
-    return sorted(pairs)
+    ms = sorted(by_id)
+    pairs = []
+    for i in range(len(ms)):
+        for j in range(i + 1, len(ms)):
+            a, b = ms[i], ms[j]
+            d = bin((by_id[a] ^ by_id[b]) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                pairs.append((a, b))
+    return pairs
 
 
 def winnow_fps(text: str, k: int = 5, w: int = 4) -> list[int]:

@@ -370,12 +370,23 @@ def simhash(ds):
                           zero_copy_batch=True)
 
 
-def simhash_dup_pairs(ds, max_hamming: int = 8):
-    """Candidate pairs whose simhashes agree on ≥1 of 4 16-bit bands,
-    confirmed by Hamming distance ≤ max_hamming.
+# 9 bands over the 64 simhash bits: eight 7-bit bands + one 8-bit tail.
+# Pigeonhole: a pair at Hamming distance <= 8 cannot differ in all 9
+# bands, so banded candidate generation is COMPLETE for the default
+# max_hamming=8 and the banded result provably equals the brute-force
+# all-pairs filter (the golden is brute force — round 3 upgrade from
+# the 4x16-bit layout, whose recall was data-dependent).
+SIMHASH_BANDS: tuple[tuple[int, int], ...] = tuple(
+    [(7 * b, 0x7F) for b in range(8)] + [(56, 0xFF)])
 
-    The simhash value rides the band rows, so the Hamming check is
-    group-local — no driver-side {id: simhash} side-table (the round-1
+
+def simhash_dup_pairs(ds, max_hamming: int = 8):
+    """Pairs at simhash Hamming distance ≤ max_hamming: candidates from
+    the 9-band split (complete for ≤ 8 by pigeonhole — see
+    SIMHASH_BANDS), confirmed group-locally.
+
+    The simhash value rides the band rows, so the Hamming check needs
+    no driver-side {id: simhash} side-table (the round-1
     scale-killer)."""
     sh = simhash(ds)
 
@@ -384,10 +395,10 @@ def simhash_dup_pairs(ds, max_hamming: int = 8):
         for did, h in zip(batch.column("doc_id").to_pylist(),
                           batch.column("simhash").to_pylist()):
             u = h + (1 << 63)
-            for b in range(4):
+            for b, (shift, mask) in enumerate(SIMHASH_BANDS):
                 ids.append(did)
                 bands.append(b)
-                keys.append((u >> (16 * b)) & 0xFFFF)
+                keys.append((u >> shift) & mask)
                 hashes.append(h)
         t = pa.Table.from_arrays(
             [pa.array(ids, pa.int64()), pa.array(bands, pa.int32()),
