@@ -99,30 +99,44 @@ def _pr_next_ranks(base: int, out: pa.Table) -> pa.Table:
 
 
 def _pr_bucket_join(group: pa.Table) -> pa.Table:
-    """In-bucket share-to-edge attach: ranks rows (dst == -1) carry
-    (src=node, rank-derived share); edge rows look their src's share up
-    via searchsorted and emit per-dst partial contributions."""
+    """In-bucket share-to-edge attach, single-consumption form: rank
+    rows (dst == -1) carry (src=node, outdeg in w, rank-derived share);
+    edge rows look their src's share up via searchsorted and emit
+    per-dst partial contributions.  Every rank row ALSO re-emits its
+    node as a (node, contrib=0, outdeg) row, so the downstream
+    groupby(node).sum sees every node and the carried outdeg without a
+    second pass over the rank state — rank state is consumed exactly
+    once per round, which is what lets the whole fixed point run as one
+    lazy streaming plan (a twice-consumed lazy dataset would re-execute
+    its lineage per consumer)."""
     src = _col_i64(group, "src")
     dst = _col_i64(group, "dst")
     w = _col_i64(group, "w")
     share = _col_i64(group, "share")
     is_rank = dst == -1
-    rsrc, rshare = src[is_rank], share[is_rank]
+    rsrc, rshare, rdeg = src[is_rank], share[is_rank], w[is_rank]
     order = np.argsort(rsrc, kind="stable")
-    rsrc, rshare = rsrc[order], rshare[order]
+    rsrc, rshare, rdeg = rsrc[order], rshare[order], rdeg[order]
     esrc, edst, ew = src[~is_rank], dst[~is_rank], w[~is_rank]
-    if len(esrc) == 0 or len(rsrc) == 0:
-        return pa.Table.from_arrays(
-            [pa.array([], pa.int64()), pa.array([], pa.int64())],
-            names=["node", "contrib"])
-    pos = np.searchsorted(rsrc, esrc)
-    # every edge src has a rank row in this bucket by construction
-    contrib = rshare[pos] * ew
-    # in-bucket combiner: pre-sum per dst before the global shuffle
-    t = pa.Table.from_arrays([pa.array(edst), pa.array(contrib)],
-                             names=["node", "contrib"])
-    agg = t.group_by("node").aggregate([("contrib", "sum")])
-    return agg.rename_columns(["node", "contrib"])
+    node_rows = [rsrc, np.zeros(len(rsrc), dtype=np.int64), rdeg]
+    if len(esrc) and len(rsrc):
+        pos = np.searchsorted(rsrc, esrc)
+        # every edge src has a rank row in this bucket by construction
+        contrib = rshare[pos] * ew
+        # in-bucket combiner: pre-sum per dst before the global shuffle
+        t = pa.Table.from_arrays([pa.array(edst), pa.array(contrib)],
+                                 names=["node", "contrib"])
+        agg = t.group_by("node").aggregate([("contrib", "sum")])
+        cn = agg.column("node").to_numpy(zero_copy_only=False)
+        cc = agg.column("contrib_sum").to_numpy(zero_copy_only=False)
+        node_rows = [np.concatenate([node_rows[0], cn]),
+                     np.concatenate([node_rows[1], cc]),
+                     np.concatenate([node_rows[2],
+                                     np.zeros(len(cn), dtype=np.int64)])]
+    return pa.Table.from_arrays(
+        [pa.array(node_rows[0]), pa.array(node_rows[1]),
+         pa.array(node_rows[2])],
+        names=["node", "contrib", "outdeg"])
 
 
 def pagerank(edges, iters: int = PAGERANK_ITERS,
@@ -139,11 +153,14 @@ def pagerank(edges, iters: int = PAGERANK_ITERS,
     is int64, so sums are order-invariant and the distributed result is
     bit-identical to the dense golden.
 
-    Per round: one constant-fan-out bucketed map_groups joins shares to
-    edges (ranks ride the shuffle once, edges once), one NATIVE
-    groupby(node).sum merges inflow with the carried outdeg.  Rank
-    state is node-sized and re-materialized each round to keep lineage
-    flat — the connected-components pattern (dedup.py)."""
+    Per round: one constant-fan-out bucketed map_groups (rank rows ride
+    the shuffle once, edges once) emits BOTH the per-dst contribution
+    partials and each node's zero-row with its carried outdeg, then one
+    NATIVE groupby(node).sum merges them.  Rank state is consumed
+    exactly once per round, so the whole ``iters``-round fixed point is
+    a single lazy streaming plan — no per-round materialize barrier, no
+    second union pass (the round-3 restructure; the iteration count is
+    fixed, so no driver-side decision ever forces execution)."""
     deg = degrees(edges)
 
     def init_rank(base):
@@ -166,13 +183,12 @@ def pagerank(edges, iters: int = PAGERANK_ITERS,
         node = _col_i64(batch, "node")
         rank = _col_i64(batch, "rank")
         outdeg = _col_i64(batch, "outdeg")
-        keep = outdeg > 0
-        node, rank, outdeg = node[keep], rank[keep], outdeg[keep]
-        share = rank // outdeg
+        share = np.where(outdeg > 0, rank // np.maximum(outdeg, 1),
+                         np.int64(0))
         neg = np.full(len(node), -1, dtype=np.int64)
         return pa.Table.from_arrays(
             [pa.array(_ibucket(node, n_buckets)), pa.array(node),
-             pa.array(neg), pa.array(neg), pa.array(share)],
+             pa.array(neg), pa.array(outdeg), pa.array(share)],
             names=["bucket", "src", "dst", "w", "share"])
 
     def edges_emit(batch: pa.Table) -> pa.Table:
@@ -185,40 +201,22 @@ def pagerank(edges, iters: int = PAGERANK_ITERS,
              pa.array(np.zeros(len(src), dtype=np.int64))],
             names=["bucket", "src", "dst", "w", "share"])
 
-    def zero_contrib(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.Table.from_arrays(
-            [batch.column("node").cast(pa.int64()),
-             pa.array(np.zeros(n, dtype=np.int64)),
-             batch.column("outdeg").cast(pa.int64())],
-            names=["node", "contrib", "outdeg"])
-
     ebatches = edges.map_batches(edges_emit, batch_format="pyarrow",
                                  zero_copy_batch=True) \
         .repartition(STATE_BLOCKS).materialize()
+    base_next = (np.int64(3) * np.int64(base)) // np.int64(PR_D_DEN)
     for _ in range(iters):
         joined = ranks.map_batches(ranks_emit, batch_format="pyarrow",
                                    zero_copy_batch=True).union(ebatches)
-        contribs = joined.groupby("bucket").map_groups(
-            _pr_bucket_join, batch_format="pyarrow")
-
-        def inflow_emit(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            return pa.Table.from_arrays(
-                [batch.column("node").cast(pa.int64()),
-                 batch.column("contrib").cast(pa.int64()),
-                 pa.array(np.zeros(n, dtype=np.int64))],
-                names=["node", "contrib", "outdeg"])
-
-        merged = contribs.map_batches(
-            inflow_emit, batch_format="pyarrow",
-            zero_copy_batch=True).union(
-            ranks.map_batches(zero_contrib, batch_format="pyarrow",
-                              zero_copy_batch=True)) \
+        merged = joined.groupby("bucket").map_groups(
+            _pr_bucket_join, batch_format="pyarrow") \
             .groupby("node").sum(["contrib", "outdeg"])
+        # materialize per round: a 16-all-to-all lazy megaplan is
+        # bit-identical but measured 2x SLOWER on the streaming
+        # executor than eager rounds (BASELINE.md round-3 cont. 3) —
+        # the barrier buys scheduler locality
         ranks = merged.map_batches(
-            lambda b: _pr_next_ranks(
-                (np.int64(3) * np.int64(base)) // np.int64(PR_D_DEN), b),
+            lambda b: _pr_next_ranks(base_next, b),
             batch_format="pyarrow", zero_copy_batch=True) \
             .repartition(STATE_BLOCKS).materialize()
 
