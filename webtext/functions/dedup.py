@@ -668,7 +668,11 @@ def connected_components(pairs, max_iters: int = 50,
             reduce_labels, batch_format="pyarrow")
         if it >= 3:
             # typical dup clusters converge within 3 plain rounds; only
-            # long-chain stragglers pay the extra compression shuffle
+            # long-chain stragglers pay the extra compression shuffle.
+            # Materialize first: compress() consumes cand on BOTH union
+            # branches, and a twice-consumed lazy dataset re-executes
+            # its lineage (the spread+reduce shuffles) once per branch.
+            cand = cand.repartition(state_blocks).materialize()
             cand = compress(cand)
         full = cand.repartition(state_blocks).materialize()
         n_changed = full.aggregate(Sum("changed"))["sum(changed)"] or 0
