@@ -379,7 +379,11 @@ def _hash_embed_nn(sf_dir: str):
     emb = emb.map_batches(
         lambda b: b.rename_columns(["vec_id", "embedding"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    return ann.nearest_neighbor_ids(emb, method="exact",
+    # materialize the DERIVED embeddings once: nearest_neighbor_ids
+    # consumes its input more than once (gate count + broadcast gather
+    # + scoring pass), and each consumption of a lazy dataset re-runs
+    # the embedding transform
+    return ann.nearest_neighbor_ids(emb.materialize(), method="exact",
                                     sim_quantum=1e-12)
 
 

@@ -173,6 +173,9 @@ def pagerank(edges, iters: int = PAGERANK_ITERS,
                 names=["node", "rank", "outdeg"])
         return f
 
+    # deg is a derived dataset consumed twice (count + rank init) —
+    # materialize so degrees() executes once
+    deg = deg.materialize()
     n_nodes = deg.count()
     base = scale // n_nodes
     ranks = deg.map_batches(init_rank(base), batch_format="pyarrow",
