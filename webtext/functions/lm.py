@@ -225,7 +225,9 @@ def dup_doc_filter(ds, n: int = 8, max_frac_pct: int = 50,
     so the anti join ships doc ids only."""
     from ..pipelines.relational import semi_join
 
-    flags = dup_ngram_flags(ds, n=n, n_buckets=n_buckets)
+    # flags is doc-sized and consumed twice (threshold filter + anti
+    # join) — materialize so the gram shuffle executes once
+    flags = dup_ngram_flags(ds, n=n, n_buckets=n_buckets).materialize()
 
     def keep(batch: pa.Table) -> pa.Table:
         nw = batch.column("n_windows").to_numpy(zero_copy_only=False)
