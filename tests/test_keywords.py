@@ -81,3 +81,25 @@ def test_run_query_cli_writes_parquet(ray_session, tmp_path):
     assert n == 5                  # five langs in the synthetic corpus
 
     assert main(["no_such_query"]) == 2
+
+
+def test_run_query_cli_partitioned_output(ray_session, tmp_path):
+    """--partition-by writes hive layout (one directory per key) and
+    the partitioned result reads back equal to the flat one."""
+    import os
+
+    import ray.data
+
+    from webtext.jobs.run_query import main
+
+    out = str(tmp_path / "by_lang")
+    rc = main(["group_counts", "--sf-dir", "/root/testdata/sf0.001",
+               "--output", out, "--partition-by", "lang"])
+    assert rc == 0
+    parts = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert len(parts) == 5
+    back = ray.data.read_parquet(out).to_pandas()
+    assert sorted(back["n"].astype(int).tolist()) == sorted(
+        r["n"] for r in
+        __import__("__ray_entry__").queries()["group_counts"](
+            "/root/testdata/sf0.001").to_pandas().to_dict("records"))

@@ -34,6 +34,10 @@ def main(argv=None) -> int:
     parser.add_argument("--output", default=None,
                         help="write the result here as parquet "
                              "(default: print row count only)")
+    parser.add_argument("--partition-by", default=None,
+                        help="comma-separated columns: write the result "
+                             "hive-partitioned (one directory per key, "
+                             "so a re-run can target/skip partitions)")
     parser.add_argument("--list", action="store_true",
                         help="print available query names and exit")
     parser.add_argument("--num-cpus", type=int, default=None,
@@ -84,13 +88,20 @@ def main(argv=None) -> int:
                            os.path.join(args.output, "part-0.parquet"))
             n = result.num_rows
         else:                     # ray.data.Dataset → one file per block
-            result.write_parquet(args.output)
+            if args.partition_by:
+                result.write_parquet(
+                    args.output,
+                    partition_cols=args.partition_by.split(","))
+            else:
+                result.write_parquet(args.output)
             # count from the written files' footers — re-running the
             # (lazy) pipeline just to count would execute it twice
-            n = sum(pq.ParquetFile(os.path.join(args.output, f))
-                    .metadata.num_rows
-                    for f in os.listdir(args.output)
-                    if f.endswith(".parquet"))
+            n = 0
+            for root, _dirs, files in os.walk(args.output):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n += pq.ParquetFile(
+                            os.path.join(root, f)).metadata.num_rows
     else:
         if isinstance(result, pa.Table):
             n = result.num_rows
