@@ -607,6 +607,7 @@ def prewarm(sf_dir: str) -> None:
         ann.ivf_build_index(_emb(sf_dir), path, nlist=16)
     _committed_run(sf_dir, seed=42)
     _committed_run(sf_dir, seed=43)
+    _keyword_fixture(sf_dir)
     # the in-session materialized extraction feeds five queries; build
     # it here so the first consumer's timing is steady-state
     _extracted(sf_dir)

@@ -391,18 +391,19 @@ def simhash_dup_pairs(ds, max_hamming: int = 8):
     sh = simhash(ds)
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids, bands, keys, hashes = [], [], [], []
-        for did, h in zip(batch.column("doc_id").to_pylist(),
-                          batch.column("simhash").to_pylist()):
-            u = h + (1 << 63)
-            for b, (shift, mask) in enumerate(SIMHASH_BANDS):
-                ids.append(did)
-                bands.append(b)
-                keys.append((u >> shift) & mask)
-                hashes.append(h)
+        h = _col_i64(batch, "simhash")
+        n = len(h)
+        # biased (unsigned) view: signed int64 + 2^63 with wrap
+        u = h.view(np.uint64) + np.uint64(1 << 63)
+        nb = len(SIMHASH_BANDS)
+        keys = (np.concatenate(
+            [((u >> np.uint64(s)) & np.uint64(m)).astype(np.int64)
+             for s, m in SIMHASH_BANDS]) if n
+            else np.empty(0, np.int64))
         t = pa.Table.from_arrays(
-            [pa.array(ids, pa.int64()), pa.array(bands, pa.int32()),
-             pa.array(keys, pa.int64()), pa.array(hashes, pa.int64())],
+            [pa.array(np.tile(_col_i64(batch, "doc_id"), nb)),
+             pa.array(np.repeat(np.arange(nb, dtype=np.int32), n)),
+             pa.array(keys), pa.array(np.tile(h, nb))],
             names=["doc_id", "band_id", "band_key", "simhash"])
         b = _ibucket(_col_i64(t, "band_key") * np.int64(31)
                      + _col_i64(t, "band_id"))
