@@ -119,6 +119,64 @@ def _col_i64(batch: pa.Table, name: str) -> np.ndarray:
         .to_numpy(zero_copy_only=False)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) \
+        + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101))
+            >> np.uint64(56)).astype(np.int64)
+
+
+def _cell_member_pairs(cell_keys, members: np.ndarray,
+                       payload: np.ndarray | None = None):
+    """All unordered member pairs within each cell, fully vectorized —
+    the shared kernel behind every banded pair emitter (minhash /
+    simhash / phash), replacing per-row Python dict loops.
+
+    ``cell_keys``: tuple of parallel int64 arrays jointly identifying a
+    cell (kept separate — no combined-key collisions).  Input rows may
+    repeat; (cell, member) rows are deduped first, then each cell of
+    size k yields its k(k-1)/2 pairs via repeat/cumsum index algebra.
+    Members sort ascending in-cell, so left < right.  Returns
+    (left, right) or (left, right, left_payload, right_payload)."""
+    n = len(members)
+    empty = (np.empty(0, np.int64),) * (2 if payload is None else 4)
+    if n == 0:
+        return empty
+    order = np.lexsort((members,) + tuple(reversed(cell_keys)))
+    keys = [k[order] for k in cell_keys]
+    m = members[order]
+    p = payload[order] if payload is not None else None
+    same_cell_prev = np.ones(n, dtype=bool)
+    for k in keys:
+        same_cell_prev[1:] &= k[1:] == k[:-1]
+    same_cell_prev[0] = False
+    dup = same_cell_prev & np.concatenate([[False], m[1:] == m[:-1]])
+    keep = ~dup
+    m = m[keep]
+    if p is not None:
+        p = p[keep]
+    new_cell = ~(same_cell_prev[keep])
+    starts = np.nonzero(new_cell)[0]
+    sizes = np.diff(np.append(starts, len(m)))
+    pos = np.arange(len(m)) - np.repeat(starts, sizes)
+    counts = np.repeat(sizes, sizes) - pos - 1
+    total = int(counts.sum())
+    if total == 0:
+        return empty
+    left_idx = np.repeat(np.arange(len(m)), counts)
+    ofs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(total) - np.repeat(ofs, counts)
+    right_idx = left_idx + 1 + within
+    out = (m[left_idx], m[right_idx])
+    if payload is not None:
+        out = out + (p[left_idx], p[right_idx])
+    return out
+
+
 def _pair_text_join(pairs, docs):
     """(left_id, right_id) ⋈ (doc_id, text) without driver
     materialization: the bucketed join-by-groupby pattern.  Every doc
@@ -236,20 +294,11 @@ def minhash_lsh_candidates(ds, dedupe: bool = True):
         return batch.append_column("bucket", pa.array(b))
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        cells: dict[tuple[int, int], set[int]] = {}
-        for did, bid, bh in zip(group.column("doc_id").to_pylist(),
-                                group.column("band_id").to_pylist(),
-                                group.column("band_hash").to_pylist()):
-            cells.setdefault((bid, bh), set()).add(did)
-        left, right = [], []
-        for cell in sorted(cells):
-            ids = sorted(cells[cell])
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    left.append(ids[i])
-                    right.append(ids[j])
+        left, right = _cell_member_pairs(
+            (_col_i64(group, "band_id"), _col_i64(group, "band_hash")),
+            _col_i64(group, "doc_id"))
         return pa.Table.from_arrays(
-            [pa.array(left, pa.int64()), pa.array(right, pa.int64())],
+            [pa.array(left), pa.array(right)],
             names=["left_id", "right_id"])
 
     keyed = bands.map_batches(add_bucket, batch_format="pyarrow",
@@ -410,26 +459,12 @@ def simhash_dup_pairs(ds, max_hamming: int = 8):
         return t.append_column("bucket", pa.array(b))
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        cells: dict[tuple[int, int], dict[int, int]] = {}
-        for did, bid, bk, h in zip(group.column("doc_id").to_pylist(),
-                                   group.column("band_id").to_pylist(),
-                                   group.column("band_key").to_pylist(),
-                                   group.column("simhash").to_pylist()):
-            cells.setdefault((bid, bk), {})[did] = h
-        left, right = [], []
-        for cell in sorted(cells):
-            by_id = cells[cell]
-            ids = sorted(by_id)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a, b = ids[i], ids[j]
-                    d = bin((by_id[a] ^ by_id[b])
-                            & ((1 << 64) - 1)).count("1")
-                    if d <= max_hamming:
-                        left.append(a)
-                        right.append(b)
+        left, right, hl, hr = _cell_member_pairs(
+            (_col_i64(group, "band_id"), _col_i64(group, "band_key")),
+            _col_i64(group, "doc_id"), _col_i64(group, "simhash"))
+        keep = _popcount64(np.bitwise_xor(hl, hr)) <= max_hamming
         return pa.Table.from_arrays(
-            [pa.array(left, pa.int64()), pa.array(right, pa.int64())],
+            [pa.array(left[keep]), pa.array(right[keep])],
             names=["left_id", "right_id"])
 
     banded = sh.map_batches(band_rows, batch_format="pyarrow",

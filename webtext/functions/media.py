@@ -16,8 +16,9 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from .dedup import _col_i64, _ibucket  # module scope: worker closures
-                                       # must never lazy-import webtext
+from .dedup import (_cell_member_pairs, _col_i64, _ibucket,
+                    _popcount64)      # module scope: worker closures
+                                      # must never lazy-import webtext
 
 MEDIA_FEATURES_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
@@ -363,29 +364,18 @@ def media_phash_pairs(extracted_ds, max_hamming: int = 6):
         return t.append_column("bucket", pa.array(b))
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        cells: dict[tuple[int, int], dict[str, int]] = {}
-        for ref, bid, bk, h in zip(
-                group.column("media_ref").to_pylist(),
-                group.column("band_id").to_pylist(),
-                group.column("band_key").to_pylist(),
-                group.column("phash").to_pylist()):
-            cells.setdefault((bid, bk), {})[ref] = h
-        left, right, dist = [], [], []
-        for cell in sorted(cells):
-            by_ref = cells[cell]
-            refs = sorted(by_ref)
-            for i in range(len(refs)):
-                for j in range(i + 1, len(refs)):
-                    a, b = refs[i], refs[j]
-                    d = bin((by_ref[a] ^ by_ref[b])
-                            & ((1 << 64) - 1)).count("1")
-                    if d <= max_hamming:
-                        left.append(a)
-                        right.append(b)
-                        dist.append(d)
+        refs = np.asarray(group.column("media_ref").to_pylist(),
+                          dtype=object)
+        uniq, codes = np.unique(refs.astype("U"), return_inverse=True)
+        left, right, hl, hr = _cell_member_pairs(
+            (_col_i64(group, "band_id"), _col_i64(group, "band_key")),
+            codes.astype(np.int64), _col_i64(group, "phash"))
+        d = _popcount64(np.bitwise_xor(hl, hr))
+        keep = d <= max_hamming
         return pa.Table.from_arrays(
-            [pa.array(left, pa.string()), pa.array(right, pa.string()),
-             pa.array(dist, pa.int64())],
+            [pa.array(uniq[left[keep]].tolist(), pa.string()),
+             pa.array(uniq[right[keep]].tolist(), pa.string()),
+             pa.array(d[keep])],
             names=["left_ref", "right_ref", "hamming"])
 
     banded = ph.map_batches(band_rows, batch_format="pyarrow",
