@@ -278,3 +278,41 @@ def test_redact_pii_noop_on_clean_text(texts):
     out = redact_pii_batch(t).to_pydict()
     assert out["clean_text"] == texts
     assert not any(out["n_email"] + out["n_ip"] + out["n_phone"])
+
+
+def test_cell_member_pairs_matches_brute_force():
+    """The shared vectorized pair kernel (minhash/simhash/phash
+    emitters) equals per-cell brute force on random inputs, including
+    duplicate rows, payload carry, and empty/edge cases."""
+    import itertools
+    import random
+
+    import numpy as np
+
+    from webtext.functions.dedup import _cell_member_pairs, _popcount64
+
+    random.seed(7)
+    for _ in range(300):
+        n = random.randint(0, 14)
+        c1 = np.array([random.randint(0, 2) for _ in range(n)],
+                      dtype=np.int64)
+        c2 = np.array([random.randint(0, 2) for _ in range(n)],
+                      dtype=np.int64)
+        mem = np.array([random.randint(0, 5) for _ in range(n)],
+                       dtype=np.int64)
+        pay = mem * 13 + 5
+        lo, ro, pl, pr = _cell_member_pairs((c1, c2), mem, pay)
+        got = set(zip(lo.tolist(), ro.tolist(), pl.tolist(),
+                      pr.tolist()))
+        cells = {}
+        for a, b, m in zip(c1, c2, mem):
+            cells.setdefault((int(a), int(b)), set()).add(int(m))
+        want = set()
+        for ms in cells.values():
+            for x, y in itertools.combinations(sorted(ms), 2):
+                want.add((x, y, x * 13 + 5, y * 13 + 5))
+        assert got == want
+
+    assert _popcount64(np.array([0, 1, 3, (1 << 64) - 1],
+                                dtype=np.uint64)).tolist() == [0, 1, 2,
+                                                               64]
