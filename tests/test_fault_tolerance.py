@@ -67,3 +67,42 @@ def test_actor_death_mid_batch_recovers_exactly(ray_session, tmp_path):
     assert os.path.exists(flag), "the crash injection never fired"
     assert n_crashed == n_clean          # no lost, no duplicated rows
     assert crashed == clean              # identical spans + status
+
+
+def test_task_death_in_shuffle_stage_recovers(ray_session, tmp_path):
+    """Worker death inside an all-to-all consumer: one groupby
+    map_groups task hard-exits mid-group; Ray's task retry must
+    reproduce the exact aggregate."""
+    import ray.data
+
+    flag = str(tmp_path / "shuffle_died")
+
+    def agg(group, *, _flag=flag):
+        import os as _os
+
+        import pyarrow as _pa
+
+        try:
+            fd = _os.open(_flag, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            _os.close(fd)
+            _os._exit(1)
+        except FileExistsError:
+            pass
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        return _pa.Table.from_pydict(
+            {"bucket": [int(group.column("bucket")[0].as_py())],
+             "total": [int(ids.sum())]})
+
+    ds = ray.data.range(1000).map_batches(
+        lambda b: b.append_column(
+            "bucket", __import__("pyarrow").array(
+                (b.column("id").to_numpy(zero_copy_only=False) % 7)
+                .astype("int64"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    rows = ds.groupby("bucket").map_groups(
+        agg, batch_format="pyarrow").take_all()
+    got = {r["bucket"]: r["total"] for r in rows}
+    want = {b: sum(i for i in range(1000) if i % 7 == b)
+            for b in range(7)}
+    assert os.path.exists(flag), "the crash injection never fired"
+    assert got == want
