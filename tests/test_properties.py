@@ -316,3 +316,36 @@ def test_cell_member_pairs_matches_brute_force():
     assert _popcount64(np.array([0, 1, 3, (1 << 64) - 1],
                                 dtype=np.uint64)).tolist() == [0, 1, 2,
                                                                64]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+    host=st.from_regex(r"[A-Za-z0-9.\-]{1,12}", fullmatch=True),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.from_regex(r"(/[A-Za-z0-9._\-]{0,8}){0,3}/?",
+                       fullmatch=True),
+    query=st.sampled_from(
+        ["", "?id=1", "?utm_source=x", "?utm_a=1&id=2&utm_b=3",
+         "?id=1&gclid=g&z=2", "?fbclid=f"]),
+    frag=st.sampled_from(["", "#x", "#Sec-2"]),
+)
+def test_url_canonicalize_idempotent(scheme, host, port, path, query,
+                                     frag):
+    """Canonical forms are fixed points: canon(canon(u)) == canon(u)
+    for every generated url — the defining property of a
+    canonicalizer (a second pass must find nothing to rewrite)."""
+    import pyarrow as pa
+
+    from webtext.functions.curation import canonicalize_urls_batch
+
+    url = f"{scheme}://{host}{port}{path}{query}{frag}"
+
+    def canon(u: str) -> str:
+        t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "url": pa.array([u])})
+        return canonicalize_urls_batch(t).column(
+            "canon_url").to_pylist()[0]
+
+    once = canon(url)
+    assert canon(once) == once
