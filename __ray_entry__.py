@@ -1016,6 +1016,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "token_frequencies": lambda sf: textstats.token_frequencies(
             _docs_cols(sf, ["doc_id", "text"]), 50),
+        "topk_tokens_per_lang": lambda sf: textstats
+        .topk_tokens_per_group(_docs_cols(sf, ["lang", "text"])),
         "vocab_coverage": lambda sf: textstats.vocab_coverage(
             _docs_cols(sf, ["doc_id", "text"]), 50),
         "incremental_dedup": lambda sf: _incremental_dedup(sf),
@@ -1376,6 +1378,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(string_split(text, ' ')) AS token "
             "FROM documents) t GROUP BY token "
             "ORDER BY est_n DESC, token LIMIT 50",
+        "topk_tokens_per_lang": """
+            SELECT lang AS "group", token, n FROM (
+              SELECT lang, token, count(*)::BIGINT AS n,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY count(*) DESC, token) AS rn
+              FROM (SELECT lang, unnest(string_split(text, ' '))
+                      AS token FROM documents) t
+              GROUP BY lang, token) s
+            WHERE rn <= 10""",
         "token_frequencies":
             "SELECT token, count(*)::BIGINT AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS token "

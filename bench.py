@@ -132,7 +132,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "decode_bytes",
                  "bigram_lm_scores", "dup_ngram_flags",
                  "dup_doc_filter",
-                 "token_frequencies", "vocab_coverage",
+                 "token_frequencies", "topk_tokens_per_lang",
+                 "vocab_coverage",
                  "incremental_dedup", "dup_cluster_stats",
                  "inverted_index", "bm25_topk",
                  "length_histogram", "quality_score",

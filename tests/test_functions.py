@@ -884,3 +884,22 @@ def test_lev_le1_matches_textbook():
         for b in words:
             if a != b:
                 assert _lev_le1(a, b) == (lev(a, b) == 1), (a, b)
+
+
+def test_topk_tokens_per_group_crafted(ray_session):
+    import ray.data
+
+    from webtext.functions.textstats import topk_tokens_per_group
+
+    docs = [
+        {"lang": "en", "text": "a a a b b c"},
+        {"lang": "en", "text": "b d"},
+        {"lang": "fr", "text": "x x y"},
+    ]
+    got = {(r["group"], r["token"]): r["n"] for r in
+           topk_tokens_per_group(
+               ray.data.from_items(docs).repartition(3), k=2)
+           .take_all()}
+    # en: a=3, b=3 tie -> token asc keeps a,b (c,d cut); fr: x=2, y=1
+    assert got == {("en", "a"): 3, ("en", "b"): 3,
+                   ("fr", "x"): 2, ("fr", "y"): 1}

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1025,3 +1026,72 @@ def vocab_coverage(ds, vocab_size: int = 50):
 
     return ds.map_batches(encode, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def topk_tokens_per_group(ds, group_col: str = "lang", k: int = 10,
+                          n_buckets: int = 64):
+    """(group, token, n): the k most frequent tokens WITHIN each group
+    (per-language vocabulary heads — the grouped heavy-hitters shape).
+
+    Combiner: each batch pre-aggregates (group, token) counts with one
+    Arrow group_by (C kernel), so the shuffle ships partial counts.
+    One native groupby(group, token).sum makes counts exact, then a
+    bucketed partial top-k per group (hash(group) co-locates a group's
+    rows; groups are few but may be heavy — the top_links_per_domain
+    lesson) finishes with a deterministic tie order (n desc, token
+    asc)."""
+    from .dedup import _sbucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        groups = batch.column(group_col).to_numpy(zero_copy_only=False)
+        t = pa.Table.from_arrays(
+            [pa.array(np.repeat(groups, lengths)),
+             pc.list_flatten(toks)],
+            names=["group", "token"])
+        agg = t.group_by(["group", "token"]).aggregate(
+            [("token", "count")])
+        return agg.rename_columns(["group", "token", "n"])
+
+    def topk_table(t: pa.Table) -> pa.Table:
+        g = t.column("group").to_numpy(zero_copy_only=False)
+        tok = np.asarray(t.column("token").to_pylist(), dtype=object)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        # sort (group asc, n desc, token asc); np.lexsort is stable,
+        # last key primary
+        order = np.lexsort((tok.astype("U"), -n, g.astype("U")))
+        g, tok, n = g[order], tok[order], n[order]
+        new = np.concatenate([[True], g[1:] != g[:-1]])
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, len(g)))
+        pos = np.arange(len(g)) - np.repeat(starts, sizes)
+        keep = pos < k
+        return pa.Table.from_arrays(
+            [pa.array(g[keep].tolist(), pa.string()),
+             pa.array(tok[keep].tolist(), pa.string()),
+             pa.array(n[keep])],
+            names=["group", "token", "n"])
+
+    summed = ds.select_columns([group_col, "text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["group", "token"]).sum("n") \
+        .map_batches(lambda b: b.rename_columns(["group", "token", "n"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+
+    def pruned(batch: pa.Table) -> pa.Table:
+        """Per-block partial top-k — bounds the bucketed shuffle to k
+        rows per (block, group)."""
+        top = topk_table(batch)
+        return top.append_column("bucket", pa.array(_sbucket(
+            top.column("group").to_pylist(), n_buckets)))
+
+    keyed = summed.map_batches(pruned, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return keyed.groupby("bucket").map_groups(
+        lambda grp: topk_table(grp.drop_columns(["bucket"])),
+        batch_format="pyarrow")
