@@ -161,6 +161,16 @@ def _events_ntile(sf_dir: str):
         columns=["event_id", "user_id", "ts"]))
 
 
+def _events_zscore(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import zscore_events
+
+    return zscore_events(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"]))
+
+
 def _events_dense_rank(sf_dir: str):
     import ray.data
 
@@ -1054,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_deltas": lambda sf: _events_lag(sf),
         "ntile_events": lambda sf: _events_ntile(sf),
         "dense_rank_events": lambda sf: _events_dense_rank(sf),
+        "zscore_events": lambda sf: _events_zscore(sf),
         "user_growth": lambda sf: _events_growth(sf),
         "distinct_users": lambda sf: _events_distinct_users(sf),
         "pivot_events": lambda sf: _events_pivot(sf),
@@ -1565,6 +1576,26 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id)
                    AS BIGINT) AS tile
             FROM events""",
+        # z derived from EXACT integer sums in the same IEEE order as
+        # the numpy kernel (int64 difference cast to double, one sqrt,
+        # one divide) — bit-exact micro-quantized parity
+        "zscore_events": """
+            WITH s AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     SUM(CAST(round(value*100) AS BIGINT)) AS s1,
+                     SUM(CAST(round(value*100) AS BIGINT)
+                         * CAST(round(value*100) AS BIGINT)) AS s2
+              FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   (CASE WHEN s.n <= 1 OR s.s2*s.n - s.s1*s.s1 <= 0
+                    THEN 0 ELSE CAST(floor(
+                      (CAST(round(e.value*100) AS BIGINT)*s.n - s.s1)
+                      * 1000000.0
+                      / (s.n * sqrt(CAST(s.s2*s.n - s.s1*s.s1
+                                         AS DOUBLE)
+                                    / (s.n * (s.n - 1.0))))
+                      + 0.5) AS BIGINT) END)::BIGINT AS z_micro
+            FROM events e JOIN s ON s.event_type = e.event_type""",
         "dense_rank_events": """
             SELECT event_id, user_id,
                    CAST(dense_rank() OVER (

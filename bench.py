@@ -143,7 +143,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "group_counts", "failure_filter", "windowed_events",
                  "hopping_events", "sessionize", "running_totals",
                  "rolling_sums", "lag_deltas", "ntile_events",
-                 "dense_rank_events",
+                 "dense_rank_events", "zscore_events",
                  "user_growth",
                  "distinct_users", "pivot_events", "hll_users",
                  "cms_token_estimates",

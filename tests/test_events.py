@@ -440,3 +440,26 @@ def test_dense_rank_tie_semantics(ray_session):
     got = {r["event_id"]: r["dense_rank"]
            for r in dense_rank_events(events).take_all()}
     assert got == {4: 1, 1: 2, 2: 2, 3: 3, 5: 1}
+
+
+def test_zscore_events_crafted(ray_session):
+    import math
+
+    import ray.data
+
+    from webtext.functions.events import zscore_events
+
+    events = ray.data.from_items([
+        {"event_id": 1, "event_type": "a", "value": 1.0},
+        {"event_id": 2, "event_type": "a", "value": 2.0},
+        {"event_id": 3, "event_type": "a", "value": 3.0},
+        {"event_id": 4, "event_type": "b", "value": 5.0},   # n=1 -> 0
+        {"event_id": 5, "event_type": "c", "value": 7.0},   # zero var
+        {"event_id": 6, "event_type": "c", "value": 7.0},
+    ]).repartition(3)
+    got = {r["event_id"]: r["z_micro"]
+           for r in zscore_events(events).take_all()}
+    # type a: mean 2, sample std 1 -> z = -1, 0, +1 (in micro units)
+    assert got[1] == -1_000_000 and got[2] == 0 and got[3] == 1_000_000
+    assert got[4] == 0 and got[5] == 0 and got[6] == 0
+    assert math.isclose(got[1], -got[3])

@@ -726,3 +726,67 @@ def dense_rank_events(ds, n_buckets: int = 256):
                           zero_copy_batch=True) \
              .groupby("bucket").map_groups(rank_bucket,
                                            batch_format="pyarrow")
+
+
+def zscore_events(ds, n_buckets: int = 256):
+    """(event_id, event_type, z_micro): each event's value standardized
+    within its event_type — z = (v - mean) / sample_std, in micro-units
+    — the feature-normalization step of an ML preprocessing pipeline.
+
+    Two passes, both combiner-shaped: per-batch integer partials
+    (n, Σcents, Σcents²) reduce to one tiny per-type stats table that
+    broadcasts via ray.put; the corpus then streams through a pure
+    vectorized map.  The z expression is derived from EXACT integer
+    sums in a fixed IEEE order — (c·n − S1) · 1e6 / (n · sqrt((S2·n −
+    S1²) / (n·(n−1)))) then floor(+0.5) — so the SQL oracle replaying
+    the same expression matches bit-for-bit.  Types with n ≤ 1 or zero
+    variance emit z_micro = 0 on both sides."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        c = np.floor(batch.column("value")
+                     .to_numpy(zero_copy_only=False) * 100.0
+                     + 0.5).astype(np.int64)
+        t = pa.Table.from_arrays(
+            [et, pa.array(np.ones(len(c), dtype=np.int64)),
+             pa.array(c), pa.array(c * c)],
+            names=["event_type", "n", "s1", "s2"])
+        agg = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum")])
+        return agg.rename_columns(["event_type", "n", "s1", "s2"])
+
+    stats_rows = ds.select_columns(["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("event_type").sum(["n", "s1", "s2"]).take_all()
+    stats = {r["event_type"]: (int(r["sum(n)"]), int(r["sum(s1)"]),
+                               int(r["sum(s2)"]))
+             for r in stats_rows}
+    ref = ray.put(stats)
+
+    def z(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        table = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        et = batch.column("event_type").to_pylist()
+        c = np.floor(batch.column("value")
+                     .to_numpy(zero_copy_only=False) * 100.0
+                     + 0.5).astype(np.int64)
+        out = np.zeros(len(c), dtype=np.int64)
+        ns = np.array([table[t][0] for t in et], dtype=np.int64)
+        s1 = np.array([table[t][1] for t in et], dtype=np.int64)
+        s2 = np.array([table[t][2] for t in et], dtype=np.int64)
+        ok = ns > 1
+        var_num = (s2 * ns - s1 * s1).astype(np.float64)
+        denom_ok = ok & (var_num > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sd = np.sqrt(var_num / (ns * (ns - 1.0)))
+            zval = (c * ns - s1) * 1000000.0 / (ns * sd)
+        out[denom_ok] = np.floor(
+            zval[denom_ok] + 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch.column("event_id").cast(pa.int64()),
+             batch.column("event_type"), pa.array(out)],
+            names=["event_id", "event_type", "z_micro"])
+
+    return ds.select_columns(["event_id", "event_type", "value"]) \
+        .map_batches(z, batch_format="pyarrow", zero_copy_batch=True)
