@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dedup import _ibucket, exact_dedup  # module scope: worker code
+from .dedup import _ibucket, _sbucket, exact_dedup  # module scope: worker
 # is shipped by value and cannot lazy-import webtext
 
 # tiny per-language stopword tables for the n-gram/stopword lang-id
@@ -1040,8 +1040,6 @@ def topk_tokens_per_group(ds, group_col: str = "lang", k: int = 10,
     rows; groups are few but may be heavy — the top_links_per_domain
     lesson) finishes with a deterministic tie order (n desc, token
     asc)."""
-    from .dedup import _sbucket
-
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern(batch.column("text"), " ")
         if isinstance(toks, pa.ChunkedArray):
