@@ -60,6 +60,18 @@ def _incremental_dedup(sf_dir: str):
         split_by_mod(docs, mod=100, lt=50))
 
 
+def _incremental_near_dedup(sf_dir: str):
+    """Daily-crawl near-dup shape: same historical/new split as
+    incremental_dedup, MinHash-LSH + Jaccard instead of exact md5."""
+    from webtext.functions.curation import split_by_mod
+    from webtext.pipelines.dedup_pipeline import incremental_near_dedup
+
+    docs = _docs_cols(sf_dir, ["doc_id", "text"])
+    return incremental_near_dedup(
+        split_by_mod(docs, mod=100, lt=50, invert=True),
+        split_by_mod(docs, mod=100, lt=50))
+
+
 def _events_windowed(sf_dir: str):
     import ray.data
 
@@ -1031,6 +1043,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": lambda sf: textstats.vocab_coverage(
             _docs_cols(sf, ["doc_id", "text"]), 50),
         "incremental_dedup": lambda sf: _incremental_dedup(sf),
+        "incremental_near_dedup": lambda sf: _incremental_near_dedup(
+            sf),
         "dup_cluster_stats": lambda sf: dedup.dup_cluster_stats(
             _docs_cols(sf, ["doc_id", "text"])),
         "inverted_index": lambda sf: textstats.inverted_index(
@@ -1177,7 +1191,8 @@ def oracle_sql() -> dict[str, str]:
             "pagerank", "containment_pairs",
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs",
-            "dedup_extracted", "dup_cluster_stats", "hll_users")
+            "dedup_extracted", "dup_cluster_stats", "hll_users",
+            "incremental_near_dedup")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

@@ -134,7 +134,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "dup_doc_filter",
                  "token_frequencies", "topk_tokens_per_lang",
                  "vocab_coverage",
-                 "incremental_dedup", "dup_cluster_stats",
+                 "incremental_dedup", "incremental_near_dedup",
+                 "dup_cluster_stats",
                  "inverted_index", "bm25_topk",
                  "length_histogram", "quality_score",
                  "lang_id", "doc_fingerprint", "topk_per_group",

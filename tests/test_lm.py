@@ -139,3 +139,25 @@ def test_string_intersect_set_semantics(ray_session):
                  string_intersect(tokens_of(a), tokens_of(b))
                  .take_all())
     assert got == ["y", "z"]      # w and q are one-sided; dups collapse
+
+
+def test_incremental_near_dedup_crafted(ray_session):
+    import ray.data
+
+    from webtext.pipelines.dedup_pipeline import incremental_near_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    hist = ray.data.from_items([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": "completely unrelated historical page"},
+    ])
+    new = ray.data.from_items([
+        {"doc_id": 10, "text": base + " extra"},   # near-dup of 1
+        {"doc_id": 11, "text": "fresh novel content about query "
+                               "engines and shuffle planning"},
+        {"doc_id": 12, "text": base + " extra"},   # new-vs-new dup of
+    ]).repartition(2)                              # 10 — KEPT by spec
+    surv = sorted(r["doc_id"] for r in
+                  incremental_near_dedup(new, hist, 0.5).take_all())
+    assert surv == [11]  # 10 and 12 both near-dup the historical base

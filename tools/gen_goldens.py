@@ -416,6 +416,15 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
         {"left_id": pa.array([p[0] for p in mh], pa.int64()),
          "right_id": pa.array([p[1] for p in mh], pa.int64())})
 
+    # incremental NEAR-dup: new docs (doc_id%100>=50) flagged by any
+    # cross-half confirmed pair drop; survivors derive from the same
+    # independent banding+Jaccard reimplementation as minhash pairs
+    flagged = {b if b % 100 >= 50 else a
+               for a, b in mh if (a % 100 < 50) != (b % 100 < 50)}
+    surv = sorted(i for i in ids if i % 100 >= 50 and i not in flagged)
+    g["incremental_near_dedup"] = pa.table(
+        {"doc_id": pa.array(surv, pa.int64())})
+
     hashes = [simhash64(x) for x in texts]
     g["simhash"] = pa.table(
         {"doc_id": pa.array(ids, pa.int64()),

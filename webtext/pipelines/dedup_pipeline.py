@@ -131,3 +131,70 @@ def incremental_dedup(new_ds, seen_ds):
                       else "doc_id"), b.column("fp")],
             names=["doc_id", "fp"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def incremental_near_dedup(new_ds, hist_ds, threshold: float = 0.5):
+    """Daily-crawl NEAR-dup filtering: drop new documents whose content
+    is a confirmed MinHash-LSH near-duplicate (word Jaccard ≥
+    threshold) of ANY historical document.  Returns the surviving new
+    (doc_id) rows.  Complements incremental_dedup (exact fingerprints):
+    the historical index here is the banded signature space, so a
+    reworded mirror of an already-ingested page is caught too.
+    New-vs-new duplicates are deliberately kept (they are the plain
+    dedup_apply's job) — only the cross-run comparison happens.
+
+    Scale shape: both sides band as usual (the shuffle ships (band,
+    hash, id) triples); sides ride ENCODED member ids (2·doc_id+side)
+    so cross-side candidate selection is a vectorized parity test after
+    the shared pair kernel; texts join once via the bucketed
+    _pair_text_join for the Jaccard verify; survivors come from one
+    bucketed anti join.  Nothing materializes on the driver."""
+    from ..functions.dedup import (_col_i64, _jaccard_verify_pairs,
+                                   minhash_lsh_candidates)
+    from .relational import semi_join
+
+    def encode(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = _col_i64(batch, "doc_id")
+            return pa.Table.from_arrays(
+                [pa.array(ids * 2 + side), batch.column("text")],
+                names=["doc_id", "text"])
+        return f
+
+    enc = hist_ds.map_batches(encode(0), batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        new_ds.map_batches(encode(1), batch_format="pyarrow",
+                           zero_copy_batch=True))
+    cand = minhash_lsh_candidates(enc, dedupe=False)
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        """Keep hist↔new candidates; decode to (left=hist, right=new)
+        raw ids."""
+        le = _col_i64(batch, "left_id")
+        r = _col_i64(batch, "right_id")
+        mixed = (le % 2) != (r % 2)
+        le, r = le[mixed], r[mixed]
+        hist = np.where(le % 2 == 0, le, r) // 2
+        new = np.where(le % 2 == 1, le, r) // 2
+        return pa.Table.from_arrays(
+            [pa.array(hist), pa.array(new)],
+            names=["left_id", "right_id"])
+
+    pairs = cand.map_batches(cross_only, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    docs = hist_ds.select_columns(["doc_id", "text"]).union(
+        new_ds.select_columns(["doc_id", "text"]))
+    confirmed = _jaccard_verify_pairs(pairs, docs, threshold)
+    flagged = confirmed.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("right_id").cast(pa.int64())], names=["flag_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    survivors = semi_join(new_ds.select_columns(["doc_id"]), flagged,
+                          "doc_id", "flag_id", anti=True)
+    # schema guard: semi_join pads its right-side stub rows to the
+    # LEFT's inferred schema, and schema inference on a UDF-derived
+    # lazy left occasionally reports the pre-projection columns — a
+    # final explicit projection pins the output to (doc_id) always
+    return survivors.map_batches(
+        lambda b: b.select(["doc_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
