@@ -808,6 +808,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return media_phash_pairs(_extracted(sf_dir))
 
+    def media_dedup_apply_q(sf_dir):
+        from webtext.functions.media import media_dedup_apply
+
+        return media_dedup_apply(_extracted(sf_dir))
+
     def edit1_names_q(sf_dir):
         """Record linkage: part-name pairs one edit apart."""
         import ray.data
@@ -965,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": media_resize_q,
         "frame_sample": frame_sample_q,
         "media_phash_pairs": media_phash_pairs_q,
+        "media_dedup_apply": media_dedup_apply_q,
         "extract_links": links_q,
         "search_engine_links": search_links_q,
         "read_keywords": read_keywords_q,
@@ -1190,7 +1196,7 @@ def oracle_sql() -> dict[str, str]:
             "search_engine_links", "dedup_apply_emb", "timeout_ids",
             "pagerank", "containment_pairs",
             "pack_sequences", "media_resize", "frame_sample",
-            "media_phash_pairs",
+            "media_phash_pairs", "media_dedup_apply",
             "dedup_extracted", "dup_cluster_stats", "hll_users",
             "incremental_near_dedup")
     }

@@ -164,7 +164,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "extract_spans",
                  "extract_links",
                  "media_features", "media_resize", "frame_sample",
-                 "media_phash_pairs",
+                 "media_phash_pairs", "media_dedup_apply",
                  "search_engine_links", "read_keywords"):
         t0 = time.perf_counter()
         _consume(qs[name](sf_dir))

@@ -903,3 +903,46 @@ def test_topk_tokens_per_group_crafted(ray_session):
     # en: a=3, b=3 tie -> token asc keeps a,b (c,d cut); fr: x=2, y=1
     assert got == {("en", "a"): 3, ("en", "b"): 3,
                    ("fr", "x"): 2, ("fr", "y"): 1}
+
+
+def test_media_dedup_apply_keeps_one_per_cluster(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from webtext.functions.media import (fake_thumb8, media_dedup_apply,
+                                         phash64)
+
+    docs = [{"doc_id": f"d{i}",
+             "spans": [{"kind": "media", "text": "",
+                        "media_ref": f"media://s.com/fam{i % 2}/{i}/0",
+                        "offset": 0}]} for i in range(8)]
+    surv = sorted(r["media_ref"] for r in media_dedup_apply(
+        ray.data.from_items(docs).repartition(3)).take_all())
+
+    # independent reference: brute-force pairs at hamming <= 6 ->
+    # union-find by surrogate -> min-surrogate representative per
+    # component (a family may split into several components)
+    refs = [d["spans"][0]["media_ref"] for d in docs]
+    ph = {r: phash64(fake_thumb8(r)) for r in refs}
+
+    def sid(r):
+        return int.from_bytes(hashlib.md5(r.encode()).digest()[:8],
+                              "big") & 0x7FFFFFFFFFFFFFFF
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(refs):
+        for b in refs[i + 1:]:
+            if bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1") <= 6:
+                ra, rb = find(sid(a)), find(sid(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = sorted(r for r in refs if find(sid(r)) == sid(r))
+    assert surv == want and 0 < len(surv) < len(refs)

@@ -695,6 +695,32 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
                                 ("right_ref", pa.string()),
                                 ("hamming", pa.int64())]))
 
+    # media dedup APPLY: independent union-find over the brute-force
+    # pair set, keyed by the same md5-64 surrogate ids the distributed
+    # CC uses; survivor = min-surrogate member of each cluster
+    import hashlib as _hl
+
+    def _sid(ref):
+        return int.from_bytes(_hl.md5(ref.encode()).digest()[:8],
+                              "big") & 0x7FFFFFFFFFFFFFFF
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    sid_of = {r: _sid(r) for r in phashes}
+    for a, b in zip(prow["left_ref"], prow["right_ref"]):
+        ra, rb = find(sid_of[a]), find(sid_of[b])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    surv = sorted(r for r, s in sid_of.items() if find(s) == s)
+    g["media_dedup_apply"] = pa.table(
+        {"media_ref": pa.array(surv, pa.string())})
+
     # links: DOM mining via the (pytest-covered) batch miner applied
     # directly — dedup + per-domain top-k replicated in plain python
     from webtext.oracle.rules import domain_strip_www

@@ -15,6 +15,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .dedup import (_cell_member_pairs, _col_i64, _ibucket,
                     _popcount64)      # module scope: worker closures
@@ -388,3 +389,84 @@ def media_phash_pairs(extracted_ds, max_hamming: int = 6):
     return uniq.map_batches(
         lambda b: b.rename_columns(["left_ref", "right_ref", "hamming"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def media_dedup_apply(extracted_ds, max_hamming: int = 6):
+    """Surviving (media_ref,) rows after perceptual-hash near-dup
+    REMOVAL — the multimodal analogue of dedup_apply: phash band pairs
+    → distributed connected components → keep each cluster's
+    lexicographically-smallest ref → drop the rest.
+
+    Refs bridge to the int64 CC machinery via 63-bit md5 surrogate ids
+    (the dedup_pipeline pattern); the ref↔surrogate resolution and the
+    final anti join are the same bucketed emit-union groupbys — nothing
+    materializes on the driver.  Cluster representative = ref with the
+    MIN SURROGATE id (deterministic; surrogates are content-addressed,
+    so the choice is partition-invariant but not alphabetical)."""
+    import hashlib
+
+    from .dedup import connected_components
+
+    ph = media_phash(extracted_ds)
+
+    def sid_of(refs):
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(r.encode("utf-8"))
+                            .digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
+             for r in refs), dtype=np.int64, count=len(refs))
+
+    pairs = media_phash_pairs(extracted_ds, max_hamming=max_hamming)
+
+    def pair_sids(batch: pa.Table) -> pa.Table:
+        le = sid_of(batch.column("left_ref").to_pylist())
+        r = sid_of(batch.column("right_ref").to_pylist())
+        return pa.Table.from_arrays(
+            [pa.array(np.minimum(le, r)), pa.array(np.maximum(le, r))],
+            names=["left_id", "right_id"])
+
+    labels = connected_components(pairs.map_batches(
+        pair_sids, batch_format="pyarrow", zero_copy_batch=True))
+
+    # dropped = nodes whose label != own id; anti-join refs by surrogate
+    def drop_emit(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch.column("node"), batch.column("label"))
+        ids = batch.filter(mask).column("node").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ids)), pa.array(ids),
+             pa.array([""] * len(ids), pa.string()),
+             pa.array(np.ones(len(ids), dtype=np.int8))],
+            names=["key", "sid", "media_ref", "is_drop"])
+
+    def ref_emit(batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        ids = sid_of(refs)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ids)), pa.array(ids),
+             pa.array(refs, pa.string()),
+             pa.array(np.zeros(len(ids), dtype=np.int8))],
+            names=["key", "sid", "media_ref", "is_drop"])
+
+    def keep(group: pa.Table) -> pa.Table:
+        drop = group.column("is_drop").to_numpy(
+            zero_copy_only=False).astype(bool)
+        sid = group.column("sid").to_numpy(zero_copy_only=False)
+        dropped = np.unique(sid[drop])
+        refs = group.filter(pa.array(~drop))
+        rs = refs.column("sid").to_numpy(zero_copy_only=False)
+        if len(dropped):
+            pos = np.clip(np.searchsorted(dropped, rs), 0,
+                          len(dropped) - 1)
+            ok = dropped[pos] != rs
+        else:
+            ok = np.ones(len(rs), dtype=bool)
+        out = refs.filter(pa.array(ok))
+        # refs are unique per extraction output; emit distinct anyway
+        return pa.Table.from_arrays(
+            [pc.unique(out.column("media_ref"))], names=["media_ref"])
+
+    u = labels.map_batches(drop_emit, batch_format="pyarrow",
+                           zero_copy_batch=True).union(
+        ph.select_columns(["media_ref"]).map_batches(
+            ref_emit, batch_format="pyarrow", zero_copy_batch=True))
+    return u.groupby("key").map_groups(keep, batch_format="pyarrow")
