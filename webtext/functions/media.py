@@ -18,8 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .dedup import (_cell_member_pairs, _col_i64, _ibucket,
-                    _popcount64)      # module scope: worker closures
-                                      # must never lazy-import webtext
+                    _popcount64, connected_components)
+# module scope: worker closures must never lazy-import webtext
 
 MEDIA_FEATURES_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
@@ -404,8 +404,6 @@ def media_dedup_apply(extracted_ds, max_hamming: int = 6):
     MIN SURROGATE id (deterministic; surrogates are content-addressed,
     so the choice is partition-invariant but not alphabetical)."""
     import hashlib
-
-    from .dedup import connected_components
 
     ph = media_phash(extracted_ds)
 
