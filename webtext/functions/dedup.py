@@ -275,18 +275,27 @@ def _jaccard_verify_pairs(pairs, docs, threshold: float):
     return keyed.groupby("key").map_groups(verify, batch_format="pyarrow")
 
 
-def minhash_lsh_candidates(ds, dedupe: bool = True):
-    """Candidate pairs from MinHash+LSH banding.  The banding groupby
-    ships (band, hash, id) triples, never documents, and is bucketed by
-    hash(band, band_hash) so map_groups runs once per bucket (constant
-    fan-out) with an in-bucket dict grouping the true (band_id,
-    band_hash) cells.
+def band_table(ds):
+    """The LSH band table for a (doc_id, text) dataset: one (doc_id,
+    band_id, band_hash) row per doc per band.  Exposed separately so a
+    caller can PERSIST the band table once per corpus (parquet) and
+    union stored bands with a new crawl's bands instead of re-MinHashing
+    the historical side every run — see
+    pipelines.dedup_pipeline.build_near_dedup_index."""
+    return ds.map_batches(_band_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def band_candidates(bands, dedupe: bool = True):
+    """Candidate pairs from an LSH band table (doc_id, band_id,
+    band_hash).  The banding groupby ships (band, hash, id) triples,
+    never documents, and is bucketed by hash(band, band_hash) so
+    map_groups runs once per bucket (constant fan-out) with an
+    in-bucket dict grouping the true (band_id, band_hash) cells.
 
     ``dedupe=False`` skips the cross-band uniq aggregate (one whole
     all-to-all): callers whose downstream stage already collapses
     duplicate pairs (the verify join's per-pair dict) take that path."""
-    bands = ds.map_batches(_band_rows, batch_format="pyarrow",
-                           zero_copy_batch=True)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = _ibucket(_col_i64(batch, "band_hash") * np.int64(31)
@@ -310,6 +319,12 @@ def minhash_lsh_candidates(ds, dedupe: bool = True):
     # dedupe candidate pairs found in multiple bands (native aggregate)
     candidates = candidates.groupby(["left_id", "right_id"]).count()
     return candidates.drop_columns(["count()"])
+
+
+def minhash_lsh_candidates(ds, dedupe: bool = True):
+    """Candidate pairs from MinHash+LSH banding over a (doc_id, text)
+    dataset — band inline, then ``band_candidates``."""
+    return band_candidates(band_table(ds), dedupe)
 
 
 def minhash_lsh_pairs(ds, threshold: float = 0.5):

@@ -16,6 +16,7 @@ URLs)."""
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -133,7 +134,50 @@ def incremental_dedup(new_ds, seen_ds):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
-def incremental_near_dedup(new_ds, hist_ds, threshold: float = 0.5):
+def _encode_side(side: int):
+    """(doc_id, text) → parity-encoded (2·doc_id+side, text), so that
+    after banding both sides into one candidate space, cross-side
+    selection is a vectorized parity test."""
+    from ..functions.dedup import _col_i64
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = _col_i64(batch, "doc_id")
+        return pa.Table.from_arrays(
+            [pa.array(ids * 2 + side), batch.column("text")],
+            names=["doc_id", "text"])
+    return f
+
+
+def build_near_dedup_index(hist_ds, path: str) -> None:
+    """Persist the HISTORICAL side's LSH band table (parity-encoded
+    even ids) as partitioned parquet — the build-once/query-many index
+    lifecycle (same pattern as functions.ann.ivf_build_index): a daily
+    incremental_near_dedup run reads the stored bands instead of
+    re-MinHashing the whole historical corpus.  Band values are
+    deterministic functions of the text, so a query through the loaded
+    index is row-identical to an inline banding pass.
+
+    Atomic publish: write to a private tmp dir, rename into place;
+    a concurrent builder that loses the rename discards its copy."""
+    import shutil
+
+    from ..functions.dedup import band_table
+
+    if os.path.exists(path):
+        return
+    tmp = f"{path}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    band_table(hist_ds.map_batches(
+        _encode_side(0), batch_format="pyarrow", zero_copy_batch=True)) \
+        .write_parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:  # another builder won the race — keep theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def incremental_near_dedup(new_ds, hist_ds, threshold: float = 0.5,
+                           hist_band_path: str | None = None):
     """Daily-crawl NEAR-dup filtering: drop new documents whose content
     is a confirmed MinHash-LSH near-duplicate (word Jaccard ≥
     threshold) of ANY historical document.  Returns the surviving new
@@ -143,6 +187,11 @@ def incremental_near_dedup(new_ds, hist_ds, threshold: float = 0.5):
     New-vs-new duplicates are deliberately kept (they are the plain
     dedup_apply's job) — only the cross-run comparison happens.
 
+    ``hist_band_path`` (from build_near_dedup_index) skips the
+    historical MinHash+banding pass entirely — at scale that pass
+    re-reads and re-shingles the WHOLE corpus every run; with the
+    persisted index only the new crawl bands per run.
+
     Scale shape: both sides band as usual (the shuffle ships (band,
     hash, id) triples); sides ride ENCODED member ids (2·doc_id+side)
     so cross-side candidate selection is a vectorized parity test after
@@ -150,22 +199,19 @@ def incremental_near_dedup(new_ds, hist_ds, threshold: float = 0.5):
     _pair_text_join for the Jaccard verify; survivors come from one
     bucketed anti join.  Nothing materializes on the driver."""
     from ..functions.dedup import (_col_i64, _jaccard_verify_pairs,
-                                   minhash_lsh_candidates)
+                                   band_candidates, band_table)
     from .relational import semi_join
 
-    def encode(side: int):
-        def f(batch: pa.Table) -> pa.Table:
-            ids = _col_i64(batch, "doc_id")
-            return pa.Table.from_arrays(
-                [pa.array(ids * 2 + side), batch.column("text")],
-                names=["doc_id", "text"])
-        return f
-
-    enc = hist_ds.map_batches(encode(0), batch_format="pyarrow",
-                              zero_copy_batch=True).union(
-        new_ds.map_batches(encode(1), batch_format="pyarrow",
-                           zero_copy_batch=True))
-    cand = minhash_lsh_candidates(enc, dedupe=False)
+    if hist_band_path is not None and os.path.exists(hist_band_path):
+        import ray.data
+        hist_bands = ray.data.read_parquet(hist_band_path)
+    else:
+        hist_bands = band_table(hist_ds.map_batches(
+            _encode_side(0), batch_format="pyarrow",
+            zero_copy_batch=True))
+    new_bands = band_table(new_ds.map_batches(
+        _encode_side(1), batch_format="pyarrow", zero_copy_batch=True))
+    cand = band_candidates(hist_bands.union(new_bands), dedupe=False)
 
     def cross_only(batch: pa.Table) -> pa.Table:
         """Keep hist↔new candidates; decode to (left=hist, right=new)
