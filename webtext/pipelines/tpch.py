@@ -218,39 +218,78 @@ def _supp_partial(batch: pa.Table) -> pa.Table:
 def supplier_shipments(lineitem, supplier):
     """(s_suppkey, s_name, n_lines, sum_qty) — per-supplier shipped
     volume: lineitem pre-aggregated per batch (combiner), summed with
-    one small groupby, supplier names attached from a BROADCAST (the
-    supplier dimension is tiny relative to lineitem at every scale)."""
-    import ray
+    one small groupby, supplier names attached via the bucketed
+    emit-union join (the _bucket_attach shape with a string payload).
 
-    s_rows = supplier.select_columns(["s_suppkey", "s_name"]).take_all()
-    names = {r["s_suppkey"]: r["s_name"] for r in s_rows}
-    ref = ray.put(names)
+    Unlike nation/region (constant 25/5 rows at every TPC-H scale,
+    broadcast-safe), supplier is sf-PROPORTIONAL (10k·sf rows): at
+    100-TB lineitem a take_all+ray.put of the name table is GBs into
+    every actor, so the dimension rides the shuffle instead — both
+    sides key by hash(s_suppkey) % 256, one map_groups per bucket does
+    a vectorized searchsorted attach (inner semantics: suppliers with
+    no lines and keys with no supplier row both drop, matching the
+    oracle's join)."""
 
     partial = lineitem.select_columns(["l_suppkey", "l_quantity"]) \
         .map_batches(_supp_partial, batch_format="pyarrow",
                      zero_copy_batch=True)
     summed = partial.groupby("s_suppkey").sum(["sum_qty", "n_lines"])
 
-    class AttachName:
-        def __init__(self, r):
-            self.names = ray.get(r)
+    def fact_emit(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["s_suppkey", "sum_qty", "n_lines"])
+        k = batch.column("s_suppkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(k)), pa.array(k),
+             pa.array(np.zeros(len(k), dtype=np.int8)),
+             pa.array([""] * len(k), pa.string()),
+             batch.column("sum_qty").cast(pa.int64()),
+             batch.column("n_lines").cast(pa.int64())],
+            names=["bucket", "key", "is_dim", "s_name",
+                   "sum_qty", "n_lines"])
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            batch = batch.rename_columns(
-                ["s_suppkey", "sum_qty", "n_lines"])
-            keys = batch.column("s_suppkey").to_numpy(
-                zero_copy_only=False)
-            sname = [self.names.get(int(k)) for k in keys]
-            keep = pa.array([s is not None for s in sname])
-            out = batch.append_column(
-                "s_name", pa.array([s or "" for s in sname],
-                                   pa.string()))
-            return out.filter(keep).select(
-                ["s_suppkey", "s_name", "n_lines", "sum_qty"])
+    def dim_emit(batch: pa.Table) -> pa.Table:
+        k = batch.column("s_suppkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        zeros = pa.array(np.zeros(len(k), dtype=np.int64))
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(k)), pa.array(k),
+             pa.array(np.ones(len(k), dtype=np.int8)),
+             batch.column("s_name").cast(pa.string()),
+             zeros, zeros],
+            names=["bucket", "key", "is_dim", "s_name",
+                   "sum_qty", "n_lines"])
 
-    return summed.map_batches(
-        AttachName, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 2), fn_constructor_args=(ref,))
+    def join(group: pa.Table) -> pa.Table:
+        is_dim = group.column("is_dim").to_numpy(
+            zero_copy_only=False).astype(bool)
+        k = group.column("key").to_numpy(zero_copy_only=False)
+        names = np.asarray(group.column("s_name").to_pylist(),
+                           dtype=object)
+        dk, dn = k[is_dim], names[is_dim]
+        order = np.argsort(dk)
+        dk, dn = dk[order], dn[order]
+        fk = k[~is_dim]
+        out_names = ["s_suppkey", "s_name", "n_lines", "sum_qty"]
+        if len(dk) == 0 or len(fk) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.string()),
+                 pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=out_names)
+        pos = np.clip(np.searchsorted(dk, fk), 0, len(dk) - 1)
+        hit = dk[pos] == fk
+        fact = group.filter(pa.array(~is_dim)).filter(pa.array(hit))
+        return pa.Table.from_arrays(
+            [pa.array(fk[hit]), pa.array(dn[pos[hit]].tolist(),
+                                         pa.string()),
+             fact.column("n_lines"), fact.column("sum_qty")],
+            names=out_names)
+
+    u = summed.map_batches(fact_emit, batch_format="pyarrow",
+                           zero_copy_batch=True).union(
+        supplier.select_columns(["s_suppkey", "s_name"]).map_batches(
+            dim_emit, batch_format="pyarrow", zero_copy_batch=True))
+    return u.groupby("bucket").map_groups(join, batch_format="pyarrow")
 
 
 def _brand_line_partial(batch: pa.Table) -> pa.Table:
