@@ -82,6 +82,14 @@ def test_run_query_cli_writes_parquet(ray_session, tmp_path):
 
     assert main(["no_such_query"]) == 2
 
+    # re-running into the same (now non-empty) directory must refuse —
+    # the walked row count would silently mix in the stale files
+    import pytest
+
+    with pytest.raises(SystemExit, match="already contains parquet"):
+        main(["group_counts", "--sf-dir", "/root/testdata/sf0.001",
+              "--output", out])
+
 
 def test_run_query_cli_partitioned_output(ray_session, tmp_path):
     """--partition-by writes hive layout (one directory per key) and

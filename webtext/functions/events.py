@@ -760,26 +760,45 @@ def zscore_events(ds, n_buckets: int = 256):
         .map_batches(partial, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .groupby("event_type").sum(["n", "s1", "s2"]).take_all()
-    stats = {r["event_type"]: (int(r["sum(n)"]), int(r["sum(s1)"]),
-                               int(r["sum(s2)"]))
-             for r in stats_rows}
+    # per-type sd computed ONCE, driver-side, in Python arbitrary-
+    # precision ints: S2·n − S1² wraps silently in int64 once a type's
+    # cents sum passes ~3e9 (the oracle's SUM() promotes to HUGEINT, so
+    # the int64 path would diverge undetected); exact-int → float64
+    # conversion then the same IEEE divide/sqrt order keeps the result
+    # bit-identical to the per-batch computation wherever int64 did
+    # not wrap.  Residual int64 bound, documented: the streaming
+    # numerator c·n − S1 wraps only past ~9e12 events per type at
+    # max-cent values — far beyond the variance bound fixed here.
+    stats = {}
+    for r in stats_rows:
+        n, s1, s2 = (int(r["sum(n)"]), int(r["sum(s1)"]),
+                     int(r["sum(s2)"]))
+        var_num = s2 * n - s1 * s1  # exact
+        sd = (float(np.sqrt(float(var_num) / (n * (n - 1.0))))
+              if n > 1 and var_num > 0 else 0.0)
+        stats[r["event_type"]] = (n, s1, sd)
     ref = ray.put(stats)
 
     def z(batch: pa.Table, *, _ref=ref) -> pa.Table:
         table = _ref if isinstance(_ref, dict) else ray.get(_ref)
-        et = batch.column("event_type").to_pylist()
+        # dictionary-encode event_type: the stats lookup runs once per
+        # DISTINCT type in the batch, then gathers by code — no
+        # per-row Python dict hits on a corpus-sized pass
+        enc = pc.dictionary_encode(
+            batch.column("event_type")).combine_chunks()
+        uniq = enc.dictionary.to_pylist()
+        ns_l = np.array([table[t][0] for t in uniq], dtype=np.int64)
+        s1_l = np.array([table[t][1] for t in uniq], dtype=np.int64)
+        sd_l = np.array([table[t][2] for t in uniq], dtype=np.float64)
+        codes = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ns, s1, sd = ns_l[codes], s1_l[codes], sd_l[codes]
         c = np.floor(batch.column("value")
                      .to_numpy(zero_copy_only=False) * 100.0
                      + 0.5).astype(np.int64)
         out = np.zeros(len(c), dtype=np.int64)
-        ns = np.array([table[t][0] for t in et], dtype=np.int64)
-        s1 = np.array([table[t][1] for t in et], dtype=np.int64)
-        s2 = np.array([table[t][2] for t in et], dtype=np.int64)
-        ok = ns > 1
-        var_num = (s2 * ns - s1 * s1).astype(np.float64)
-        denom_ok = ok & (var_num > 0)
+        denom_ok = (ns > 1) & (sd > 0)
         with np.errstate(divide="ignore", invalid="ignore"):
-            sd = np.sqrt(var_num / (ns * (ns - 1.0)))
             zval = (c * ns - s1) * 1000000.0 / (ns * sd)
         out[denom_ok] = np.floor(
             zval[denom_ok] + 0.5).astype(np.int64)

@@ -395,7 +395,8 @@ def media_dedup_apply(extracted_ds, max_hamming: int = 6):
     """Surviving (media_ref,) rows after perceptual-hash near-dup
     REMOVAL — the multimodal analogue of dedup_apply: phash band pairs
     → distributed connected components → keep each cluster's
-    lexicographically-smallest ref → drop the rest.
+    min-surrogate-id member (content-addressed, deterministic — NOT
+    alphabetical) → drop the rest.
 
     Refs bridge to the int64 CC machinery via 63-bit md5 surrogate ids
     (the dedup_pipeline pattern); the ref↔surrogate resolution and the

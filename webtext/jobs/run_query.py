@@ -80,6 +80,15 @@ def main(argv=None) -> int:
     import pyarrow.parquet as pq
 
     if args.output:
+        # refuse a non-empty target: the row count below walks every
+        # *.parquet under --output, so stale files from a previous run
+        # would silently mix into both the on-disk result and the count
+        if os.path.isdir(args.output) and any(
+                f.endswith(".parquet")
+                for _r, _d, fs in os.walk(args.output) for f in fs):
+            raise SystemExit(
+                f"--output {args.output} already contains parquet "
+                "files; point at a fresh directory")
         if isinstance(result, pd.DataFrame):
             result = pa.Table.from_pandas(result, preserve_index=False)
         if isinstance(result, pa.Table):

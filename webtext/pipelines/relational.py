@@ -246,10 +246,21 @@ def outlier_filter(ds, group_col: str = "event_type",
 
     def flt(batch: pa.Table, *, _ref=ref) -> pa.Table:
         t = _ref if isinstance(_ref, dict) else ray.get(_ref)
-        keys = batch.column(group_col).to_pylist()
+        # dictionary-encode the group column and gather thresholds by
+        # code through a dense LUT — the dict lookup runs once per
+        # DISTINCT group in the batch, never once per row; a trailing
+        # +inf slot catches null groups (fill_null(-1) indexes it), so
+        # unknown/null groups drop exactly like the per-row t.get(...)
+        enc = pc.dictionary_encode(
+            batch.column(group_col)).combine_chunks()
+        lut = np.append(
+            np.array([t.get(k, np.inf)
+                      for k in enc.dictionary.to_pylist()],
+                     dtype=np.float64), np.inf)
+        codes = enc.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         vals = batch.column(value_col).to_numpy(zero_copy_only=False)
-        cut = np.array([t.get(k, np.inf) for k in keys])
-        return batch.filter(pa.array(vals > cut)).select(out_cols)
+        return batch.filter(pa.array(vals > lut[codes])).select(out_cols)
 
     return ds.select_columns(out_cols).map_batches(
         flt, batch_format="pyarrow", zero_copy_batch=True)
