@@ -815,6 +815,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def media_feats(sf_dir):
         return media_features(_extracted(sf_dir))
 
+    def media_feats_real(sf_dir):
+        """REAL byte decode through the codec seam: inline-PNG fixture
+        rows decoded by PngInlineDecoder (pure-stdlib chunk walk + CRC;
+        PilDecoder takes over transparently when the wheel exists —
+        identical output on these fixtures, pinned by a PIL-gated
+        test).  Golden decoded independently in tools/gen_goldens.py
+        via fixed-offset struct.unpack of the IHDR."""
+        import ray.data
+
+        from webtext.functions.media import (PilDecoder, PngInlineDecoder,
+                                             inline_png_rows,
+                                             media_features)
+
+        try:
+            PilDecoder()
+            dec = PilDecoder
+        except ImportError:
+            dec = PngInlineDecoder
+        n = 48 if _sf_tag(sf_dir).endswith("0.1") else 24
+        return media_features(
+            ray.data.from_items(inline_png_rows(n)), batch_size=8,
+            decoder_cls=dec)
+
     def media_resize_q(sf_dir):
         from webtext.functions.media import media_resize
 
@@ -989,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": extract_spans,
         "extract_status": extract_status,
         "media_features": media_feats,
+        "media_features_real": media_feats_real,
         "media_resize": media_resize_q,
         "frame_sample": frame_sample_q,
         "media_phash_pairs": media_phash_pairs_q,
@@ -1209,6 +1233,7 @@ def oracle_sql() -> dict[str, str]:
                f"'{_REPO}/goldens/sf0.01/{name}.parquet')")
         for name in (
             "extract_spans", "extract_status", "media_features",
+            "media_features_real",
             "extract_links", "minhash_lsh_pairs", "simhash",
             "simhash_dup_pairs", "dedup_apply", "knn_ivf",
             "winnow_fingerprint", "lsh_cosine_pairs",

@@ -327,6 +327,89 @@ def test_pil_decoder_opaque_ref_is_seam():
         PilDecoder().decode("media://bucket/key")
 
 
+def test_png_inline_decoder_real_bytes():
+    """The no-wheel REAL decode path: encode_png emits a structurally
+    valid PNG (signature, CRCs, inflatable IDAT with exact scanline
+    byte count) and PngInlineDecoder reads back the true dims."""
+    import base64
+    import struct
+    import zlib
+
+    from webtext.functions.media import PngInlineDecoder, encode_png
+
+    raw = encode_png(9, 4, seed=7)
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    # independent structural walk: inflate IDAT, check scanline bytes
+    (ln,) = struct.unpack(">I", raw[8:12])
+    idat_at = 8 + 12 + ln
+    (iln,) = struct.unpack(">I", raw[idat_at:idat_at + 4])
+    assert raw[idat_at + 4:idat_at + 8] == b"IDAT"
+    pixels = zlib.decompress(raw[idat_at + 8:idat_at + 8 + iln])
+    assert len(pixels) == 4 * (1 + 9)       # height × (filter + width)
+    ref = "inline:" + base64.b64encode(raw).decode()
+    feats = PngInlineDecoder().decode(ref)
+    assert (feats["width"], feats["height"],
+            feats["n_frames"]) == (9, 4, 1)
+    # determinism + seed sensitivity
+    assert encode_png(9, 4, seed=7) == raw
+    assert encode_png(9, 4, seed=8) != raw
+
+
+def test_png_inline_decoder_rejects_corruption():
+    import base64
+
+    from webtext.functions.media import PngInlineDecoder, encode_png
+
+    raw = bytearray(encode_png(3, 3))
+    raw[20] ^= 0xFF                          # flip a byte inside IHDR
+    ref = "inline:" + base64.b64encode(bytes(raw)).decode()
+    with pytest.raises(ValueError, match="CRC"):
+        PngInlineDecoder().decode(ref)
+    with pytest.raises(ValueError, match="signature"):
+        PngInlineDecoder().decode(
+            "inline:" + base64.b64encode(b"GIF89a notapng").decode())
+    with pytest.raises(NotImplementedError):
+        PngInlineDecoder().decode("media://bucket/key")
+
+
+def test_png_inline_decoder_actl_frames():
+    """APNG frame count comes from the acTL chunk when present."""
+    import base64
+    import struct
+    import zlib as _z
+
+    from webtext.functions.media import PngInlineDecoder, encode_png
+
+    raw = encode_png(2, 2)
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", _z.crc32(tag + payload)))
+
+    # splice an acTL (num_frames=5) right after IHDR
+    ihdr_end = 8 + 12 + 13
+    apng = (raw[:ihdr_end] + chunk(b"acTL", struct.pack(">II", 5, 0))
+            + raw[ihdr_end:])
+    feats = PngInlineDecoder().decode(
+        "inline:" + base64.b64encode(apng).decode())
+    assert feats["n_frames"] == 5
+
+
+def test_pil_agrees_with_png_inline_decoder():
+    """When the PIL wheel exists, both real decoders must read the
+    same dims from the same fixture bytes (skipped when absent)."""
+    pytest.importorskip("PIL")
+    from webtext.functions.media import (PilDecoder, PngInlineDecoder,
+                                         inline_png_rows)
+
+    pil, png = PilDecoder(), PngInlineDecoder()
+    for row in inline_png_rows(8):
+        for s in row["spans"]:
+            if s["kind"] == "media":
+                assert pil.decode(s["media_ref"]) == \
+                    png.decode(s["media_ref"])
+
+
 def test_media_features_plumbing(ray_session):
     from webtext.pipelines import run_pipeline_in_memory
     from webtext.synth import generate_docs

@@ -34,6 +34,43 @@ def test_pdf_empty_yields_kept_stub_without_url():
     assert r.text == "PDFからテキストを抽出できませんでした:"
 
 
+def test_pdf_binary_route_real_two_page_fixture():
+    """The inline-binary route decodes a REAL 2-page PDF (encode_pdf:
+    valid xref, uncompressed Tj streams).  Without the pypdf wheel the
+    pure-stdlib mini parser covers the fixture shape; with it, pypdf
+    takes over (parity pinned separately below)."""
+    import base64
+
+    from webtext.oracle.pdf import encode_pdf, extract_pdf_text
+
+    raw = encode_pdf(["page one text", "page two (with) \\specials"])
+    assert raw.startswith(b"%PDF-1.4") and raw.endswith(b"%%EOF\n")
+    payload = "inline:" + base64.b64encode(raw).decode()
+    assert extract_pdf_text(payload, URL) == \
+        "page one text\npage two (with) \\specials"
+    # all-empty binary PDF → the same kept-stub failure message as the
+    # page-model route
+    empty = "inline:" + base64.b64encode(encode_pdf([""])).decode()
+    assert extract_pdf_text(empty, URL) == \
+        f"PDFからテキストを抽出できませんでした: {URL}"
+    # dispatcher end-to-end: binary payload rides kind='pdf' unchanged
+    r = extract_span("pdf", payload, "", URL)
+    assert r.status == "ok"
+    assert "page one text" in r.text
+
+
+def test_pdf_binary_route_pypdf_parity():
+    """When the pypdf wheel exists, its page walk must read the same
+    texts from the fixture as the mini parser (skipped when absent)."""
+    pytest.importorskip("pypdf")
+    from webtext.oracle.pdf import _mini_pdf_pages, encode_pdf
+    from webtext.oracle.pdf import _iter_pages_binary
+
+    raw = encode_pdf(["alpha bravo", "charlie delta"])
+    got = [t.strip() for t in _iter_pages_binary(raw)]
+    assert got == list(_mini_pdf_pages(raw))
+
+
 def test_markdown_generic_gets_cleanup():
     body = ("Title: x\nMarkdown Content:\n"
             "real content words here beyond the fifty char gate easily "

@@ -618,6 +618,39 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
         ("kind", pa.string()), ("width", pa.int32()),
         ("height", pa.int32()), ("n_frames", pa.int32())]))
 
+    # REAL-decode path: the inline-PNG fixture rows are shared INPUT
+    # (webtext.functions.media.inline_png_rows, noted exception), but
+    # the decode here is independent of the engine's chunk-walking
+    # PngInlineDecoder — fixed-offset struct.unpack of the IHDR after
+    # asserting the chunk layout, n_frames pinned to 1 (plain PNGs)
+    import base64
+    import struct
+
+    from webtext.functions.media import inline_png_rows
+
+    n_png = 48 if sf_dir.rstrip("/").endswith("0.1") else 24
+    mfr = {k: [] for k in ("doc_id", "media_ref", "kind", "width",
+                           "height", "n_frames")}
+    for row in inline_png_rows(n_png):
+        for s in row["spans"]:
+            if s["kind"] != "media":
+                continue
+            raw = base64.b64decode(s["media_ref"][len("inline:"):])
+            assert raw[:8] == b"\x89PNG\r\n\x1a\n" \
+                and raw[12:16] == b"IHDR"
+            w, h = struct.unpack(">II", raw[16:24])
+            mfr["doc_id"].append(row["doc_id"])
+            mfr["media_ref"].append(s["media_ref"])
+            mfr["kind"].append("media")
+            mfr["width"].append(int(w))
+            mfr["height"].append(int(h))
+            mfr["n_frames"].append(1)
+    g["media_features_real"] = pa.Table.from_pydict(
+        mfr, schema=pa.schema([
+            ("doc_id", pa.string()), ("media_ref", pa.string()),
+            ("kind", pa.string()), ("width", pa.int32()),
+            ("height", pa.int32()), ("n_frames", pa.int32())]))
+
     # resize planning (fit-within-224 box) + uniform frame sampling
     rz = {k: [] for k in ("doc_id", "media_ref", "orig_w", "orig_h",
                           "out_w", "out_h")}

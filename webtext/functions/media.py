@@ -72,12 +72,81 @@ def auto_decoder_cls():
     """Opportunistic codec probe: PilDecoder when PIL imports, else the
     deterministic FakeDecoder.  Pass the result as ``decoder_cls`` to
     any media actor; the default stays FakeDecoder so pinned goldens
-    are environment-independent."""
+    are environment-independent.  (For corpora whose refs are known to
+    be inline PNGs, ``PngInlineDecoder`` decodes real bytes with no
+    wheel at all — the media_features_real query path.)"""
     try:
         PilDecoder()
         return PilDecoder
     except ImportError:
         return FakeDecoder
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A REAL, minimal, valid 8-bit grayscale PNG — pure stdlib (struct
+    + zlib), deterministic pixels from ``seed``.  Fixture generator for
+    the real-decode path: PIL opens these when present, and
+    PngInlineDecoder decodes them everywhere."""
+    import struct
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(((seed + y * width + x) * 97 + 13) & 0xFF
+                        for x in range(width))
+        for y in range(height))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+class PngInlineDecoder:
+    """REAL byte decoder with no codec wheel: walks the PNG chunk
+    stream of an ``inline:<base64>`` ref — signature check, per-chunk
+    CRC verification, width/height from IHDR, n_frames from the APNG
+    acTL chunk when present (1 otherwise).  This is the
+    environment-independent proof that the decoder seam carries real
+    bytes end-to-end; PilDecoder supersedes it for general formats
+    when the wheel exists (same ``decode`` contract)."""
+
+    def decode(self, media_ref: str) -> dict:
+        if not media_ref.startswith("inline:"):
+            raise NotImplementedError(
+                "PngInlineDecoder decodes inline:<base64> refs only")
+        import base64
+        import struct
+
+        raw = base64.b64decode(media_ref[len("inline:"):])
+        if raw[:8] != _PNG_SIG:
+            raise ValueError("not a PNG: bad signature")
+        width = height = None
+        n_frames = 1
+        pos = 8
+        while pos + 8 <= len(raw):
+            (length,), tag = struct.unpack(">I", raw[pos:pos + 4]), \
+                raw[pos + 4:pos + 8]
+            payload = raw[pos + 8:pos + 8 + length]
+            (crc,) = struct.unpack(
+                ">I", raw[pos + 8 + length:pos + 12 + length])
+            if zlib.crc32(tag + payload) != crc:
+                raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+            if tag == b"IHDR":
+                width, height = struct.unpack(">II", payload[:8])
+            elif tag == b"acTL":
+                (n_frames,) = struct.unpack(">I", payload[:4])
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if width is None:
+            raise ValueError("PNG without IHDR")
+        return {"width": int(width), "height": int(height),
+                "n_frames": int(n_frames)}
 
 
 class FakeDecoder:
@@ -218,7 +287,8 @@ def frame_sample(extracted_ds, max_frames: int = 4, **kw):
                         max_frames=max_frames, **kw)
 
 
-def media_features(extracted_ds, *, batch_size: int = 64, concurrency=None):
+def media_features(extracted_ds, *, batch_size: int = 64,
+                   concurrency=None, decoder_cls=FakeDecoder):
     """Feature table from an extracted-documents dataset.  Media payloads
     can be large — keep batch_size modest so batch × concurrency fits the
     worker heap (here refs are strings; with real binaries use 8-16)."""
@@ -229,7 +299,30 @@ def media_features(extracted_ds, *, batch_size: int = 64, concurrency=None):
         concurrency = (1, max(2, ncpu // 2))
     return extracted_ds.map_batches(
         MediaFeatureActor, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+        fn_constructor_kwargs={"decoder_cls": decoder_cls})
+
+
+def inline_png_rows(n: int) -> list[dict]:
+    """Deterministic interleaved (doc_id, spans) rows whose media refs
+    carry REAL PNG bytes inline (encode_png) — the shared INPUT for the
+    real-decode query and its independently-decoded golden."""
+    import base64
+
+    rows = []
+    for i in range(n):
+        spans = [{"kind": "text", "text": f"caption {i}",
+                  "media_ref": "", "offset": 0}]
+        for j in range(1 + i % 3):
+            png = encode_png(1 + (i * 3 + j) % 9, 1 + (i * 5 + j) % 7,
+                             seed=i * 31 + j)
+            spans.append({
+                "kind": "media", "text": "",
+                "media_ref":
+                    "inline:" + base64.b64encode(png).decode("ascii"),
+                "offset": j + 1})
+        rows.append({"doc_id": f"png-{i:04d}", "spans": spans})
+    return rows
 
 
 # ---------------------------------------------------------------------------
