@@ -616,6 +616,63 @@ def _keyword_fixture(sf_dir: str) -> str:
     return base
 
 
+def _jsonl_fixture(sf_dir: str) -> str:
+    """Seed-42 interleaved corpus serialized as JSONL fragments once
+    per code version (flock) — input for the format-agnostic read
+    query (sources/io.py read_documents_jsonl)."""
+    import fcntl
+    import json
+
+    tag = _code_tag("webtext/synth.py")
+    base = f"/tmp/webtext_jsonl_{_sf_tag(sf_dir)}_{tag}"
+    done = f"{base}/_DONE"
+    if os.path.exists(done):
+        return base
+    os.makedirs(base, exist_ok=True)
+    with open(f"{base}/.lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if not os.path.exists(done):
+            docs = _synth_docs(sf_dir)
+            half = (len(docs) + 1) // 2
+            for i, chunk in enumerate((docs[:half], docs[half:])):
+                with open(f"{base}/frag-{i}.jsonl", "w") as f:
+                    for d in chunk:
+                        f.write(json.dumps(
+                            {"doc_id": d["doc_id"],
+                             "spans": d["spans"]},
+                            ensure_ascii=False) + "\n")
+            with open(done, "w") as f:
+                f.write("ok")
+    return base
+
+
+def _csv_fixture(sf_dir: str) -> str:
+    """documents (doc_id, lang) as CSV fragments once per corpus —
+    input for the flat-CSV read seam (sources/io.py read_flat_csv)."""
+    import fcntl
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    tag = _code_tag("webtext/sources/io.py")
+    base = f"/tmp/webtext_csv_{_sf_tag(sf_dir)}_{tag}"
+    done = f"{base}/_DONE"
+    if os.path.exists(done):
+        return base
+    os.makedirs(base, exist_ok=True)
+    with open(f"{base}/.lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if not os.path.exists(done):
+            t = pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang"])
+            half = (t.num_rows + 1) // 2
+            pacsv.write_csv(t.slice(0, half), f"{base}/frag-0.csv")
+            pacsv.write_csv(t.slice(half), f"{base}/frag-1.csv")
+            with open(done, "w") as f:
+                f.write("ok")
+    return base
+
+
 def _ivf_index_path(sf_dir: str) -> str:
     tag = _code_tag("webtext/functions/ann.py")
     return f"/tmp/webtext_ivf_{_sf_tag(sf_dir)}_{tag}.parquet"
@@ -814,6 +871,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def media_feats(sf_dir):
         return media_features(_extracted(sf_dir))
+
+    def extract_spans_jsonl(sf_dir):
+        """Format-agnostic read seam under the driver harness: the
+        SAME seed-42 corpus serialized as JSONL fragments, read back
+        via read_documents_jsonl, extracted and flattened — must be
+        row-identical to extract_spans (shares its golden)."""
+        from webtext.pipelines.extract_pipeline import extract_dataset
+        from webtext.pipelines.relational import flatten_spans
+        from webtext.sources.io import read_documents_jsonl
+
+        docs = read_documents_jsonl(_jsonl_fixture(sf_dir))
+        return flatten_spans(extract_dataset(docs, batch_size=32))
+
+    def group_counts_csv(sf_dir):
+        """Flat-CSV read seam: documents (doc_id, lang) round-tripped
+        through CSV fragments, grouped — shares group_counts' SQL
+        oracle."""
+        from webtext.sources.io import read_flat_csv
+
+        base = _csv_fixture(sf_dir)
+        paths = sorted(
+            os.path.join(base, f) for f in os.listdir(base)
+            if f.endswith(".csv"))
+        return rel.group_counts(read_flat_csv(paths, columns=["lang"]))
 
     def media_feats_real(sf_dir):
         """REAL byte decode through the codec seam: inline-PNG fixture
@@ -1176,6 +1257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 invert=True))),
         "sort_limit": lambda sf: rel.sort_limit(_docs(sf)),
         "group_counts": lambda sf: rel.group_counts(_docs(sf)),
+        "group_counts_csv": group_counts_csv,
+        "extract_spans_jsonl": extract_spans_jsonl,
         "failure_filter": lambda sf: rel.failure_filter(_docs(sf)),
     }
 
@@ -1250,6 +1333,9 @@ def oracle_sql() -> dict[str, str]:
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table
     gold["knn_ivf_indexed"] = gold["knn_ivf"]
+    # the JSONL round-trip must reproduce the parquet-path extraction
+    # exactly — same golden table
+    gold["extract_spans_jsonl"] = gold["extract_spans"]
     return gold | {
         "exact_dedup":
             "SELECT min(doc_id) AS doc_id, text FROM documents "
@@ -1918,6 +2004,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 100",
         "group_counts":
+            "SELECT lang, count(*)::BIGINT AS n FROM documents "
+            "GROUP BY lang",
+        "group_counts_csv":
             "SELECT lang, count(*)::BIGINT AS n FROM documents "
             "GROUP BY lang",
         "failure_filter":
