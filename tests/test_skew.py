@@ -78,3 +78,34 @@ def test_rebalance_preserves_rows(ray_session):
     assert len(rows) == 100
     assert {r["doc_id"] for r in rows} == {d["doc_id"]
                                            for d in _docs_table()}
+
+
+def test_rebalance_scope_hot_preserves_rows(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items(_docs_table())
+    out = rebalance_by_domain(ds, ["hot.example.com"], buckets=4,
+                              scope="hot")
+    rows = out.take_all()
+    assert len(rows) == 100
+    assert {r["doc_id"] for r in rows} == {d["doc_id"]
+                                           for d in _docs_table()}
+    with pytest.raises(ValueError):
+        rebalance_by_domain(ds, [], scope="bogus")
+
+
+def test_rebalance_for_extraction_roundtrip(ray_session):
+    import ray.data
+
+    from webtext.stages.skew import rebalance_for_extraction
+
+    ds = ray.data.from_items(_docs_table())
+    out, hot = rebalance_for_extraction(ds, hot_fraction=0.3, buckets=4)
+    assert hot == ["hot.example.com"]
+    rows = out.take_all()
+    assert len(rows) == 100
+    assert all("domain" not in r and "skew_key" not in r for r in rows)
+    # no hot domain above threshold → passthrough, helper cols dropped
+    cold = ray.data.from_items(_docs_table(n_hot=1, n_cold=99))
+    out2, hot2 = rebalance_for_extraction(cold, hot_fraction=0.5)
+    assert hot2 == [] and out2.count() == 100

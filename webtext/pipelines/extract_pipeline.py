@@ -121,12 +121,13 @@ def run_extraction(
         ds = ds.map_batches(_tag_shard, batch_format="pyarrow",
                             zero_copy_batch=True)
         if rebalance:
-            from ..stages.skew import detect_hot_domains, rebalance_by_domain
-            docs_only = ds.drop_columns(["shard"])
-            hot = detect_hot_domains(docs_only, hot_fraction=hot_fraction)
-            if hot:
-                ds = rebalance_by_domain(ds, hot, buckets=salt_buckets)
-                ds = ds.drop_columns(["domain", "skew_key"])
+            from ..stages.skew import rebalance_for_extraction
+            # one materialized pass detects hot domains AND feeds the
+            # scope="hot" split: extraction wants ACTOR BALANCE, not
+            # cold-domain co-location — only the skewed rows pay the
+            # exchange; the cold majority streams into the actor pool
+            ds, _hot = rebalance_for_extraction(
+                ds, hot_fraction=hot_fraction, buckets=salt_buckets)
 
         extracted = _extract_keeping_shard(ds, batch_size=batch_size,
                                            concurrency=concurrency)
