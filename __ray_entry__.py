@@ -1157,6 +1157,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": lambda sf: curation.url_dedup(_url_fixture(sf)),
         "normalize_text": lambda sf: curation.normalize_text(
             _docs_cols(sf, ["doc_id", "text"])),
+        # CCNet-style corpus-wide line dedup over the deterministic
+        # 4-word-window line view (the synthetic documents are
+        # single-line; the window view gives the operator and its live
+        # SQL oracle real cross-doc duplicate lines to drop)
+        "line_dedup": lambda sf: curation.line_dedup_exploded(
+            _docs_cols(sf, ["doc_id", "text"]).map_batches(
+                curation.word_window_lines_batch,
+                batch_format="pyarrow", zero_copy_batch=True)),
         "repetition_stats": lambda sf: curation.repetition_stats(
             _docs_cols(sf, ["doc_id", "text"])),
         "decontaminate": lambda sf: curation.decontaminate(
@@ -1846,6 +1854,46 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                      AS norm
             FROM documents""",
+        # winner = min (did, idx, doc_id) per distinct line where
+        # did = md5_number_upper & 63-bit mask, the same little-endian
+        # md5-prefix the Ray side computes — no engine-order assumption
+        "line_dedup": """
+            WITH words AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) - 1
+                       AS i
+              FROM documents),
+            lines AS (
+              SELECT doc_id, i // 4 AS idx,
+                     string_agg(w, ' ' ORDER BY i) AS line
+              FROM words GROUP BY doc_id, i // 4),
+            lines2 AS (
+              SELECT doc_id, idx, line,
+                     CAST(md5_number_upper(doc_id)
+                          & 9223372036854775807 AS BIGINT) AS did
+              FROM lines),
+            winners AS (
+              SELECT doc_id, idx FROM (
+                SELECT doc_id, idx, line,
+                       row_number() OVER (
+                         PARTITION BY line
+                         ORDER BY did, idx, doc_id) AS rn
+                FROM lines2) t
+              WHERE rn = 1 OR line = ''),
+            kept AS (
+              SELECT l.doc_id,
+                     string_agg(l.line, chr(10) ORDER BY l.idx) AS text,
+                     count(*) AS n_kept
+              FROM lines2 l
+              JOIN winners w ON l.doc_id = w.doc_id AND l.idx = w.idx
+              GROUP BY l.doc_id),
+            totals AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+              FROM lines2 GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(k.text, '') AS text, t.n_lines,
+                   CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+            FROM totals t LEFT JOIN kept k USING (doc_id)""",
         "pricing_rollup": """
             SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
                    COALESCE(l_linestatus, 'ALL') AS l_linestatus,

@@ -143,6 +143,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "training_pipeline", "hash_embed_nn",
                  "corpus_filter",
                  "redact_pii", "canonicalize_urls", "url_dedup",
+                 "line_dedup",
                  "repetition_stats", "decontaminate",
                  "decode_bytes",
                  "bigram_lm_scores", "dup_ngram_flags",

@@ -235,3 +235,65 @@ def test_url_dedup_first_wins(ray_session):
     assert out["canon_url"].tolist() == ["http://a.com/x",
                                          "http://b.com/y"]
     assert out["doc_id"].tolist() == [2, 7]      # min doc_id wins
+
+
+# --------------------------------------------------------------------------
+# Cross-document line dedup (CCNet-style)
+# --------------------------------------------------------------------------
+
+def _line_dedup_rows(ray_docs):
+    import ray.data
+
+    out = curation.line_dedup(ray.data.from_items(ray_docs))
+    return {r["doc_id"]: r for r in out.take_all()}
+
+
+def test_line_dedup_first_occurrence_wins(ray_session):
+    import hashlib
+
+    docs = [{"doc_id": "a", "text": "shared\nonly-a"},
+            {"doc_id": "b", "text": "shared\nonly-b"}]
+    rows = _line_dedup_rows(docs)
+    # winner of "shared" = the doc with the smaller 63-bit LE md5 prefix
+    def did(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                              "little") & 0x7FFFFFFFFFFFFFFF
+    keeper, loser = ("a", "b") if did("a") < did("b") else ("b", "a")
+    assert rows[keeper]["text"] == f"shared\nonly-{keeper}"
+    assert rows[loser]["text"] == f"only-{loser}"
+    assert rows[loser]["n_lines"] == 2 and rows[loser]["n_kept"] == 1
+
+
+def test_line_dedup_within_doc_and_empty_lines(ray_session):
+    docs = [{"doc_id": "a", "text": "x\n\nx\n\ny"}]
+    rows = _line_dedup_rows(docs)
+    # second "x" drops; BOTH empty lines survive (blank separators are
+    # never deduplicated)
+    assert rows["a"]["text"] == "x\n\n\ny"
+    assert rows["a"]["n_lines"] == 5 and rows["a"]["n_kept"] == 4
+
+
+def test_line_dedup_all_lines_lost_doc_survives(ray_session):
+    import hashlib
+
+    def did(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                              "little") & 0x7FFFFFFFFFFFFFFF
+    a, b = sorted(["a", "b"], key=did)
+    docs = [{"doc_id": a, "text": "dup"}, {"doc_id": b, "text": "dup"}]
+    rows = _line_dedup_rows(docs)
+    assert rows[b]["text"] == "" and rows[b]["n_kept"] == 0
+    assert rows[a]["text"] == "dup" and rows[a]["n_kept"] == 1
+
+
+def test_line_dedup_block_split_invariant(ray_session):
+    import ray.data
+
+    docs = [{"doc_id": f"d{i}", "text": f"common-line\nuniq-{i % 7}\ntail-{i}"}
+            for i in range(40)]
+    base = curation.line_dedup(ray.data.from_items(docs))
+    split = curation.line_dedup(
+        ray.data.from_items(docs).repartition(13))
+    key = lambda rows: sorted((r["doc_id"], r["text"], r["n_kept"])
+                              for r in rows)
+    assert key(base.take_all()) == key(split.take_all())

@@ -29,6 +29,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .dedup import _ibucket, _sbucket  # module scope: worker-path rule
+from .textstats import chunk_documents_batch  # module scope: worker
+
 # --------------------------------------------------------------------------
 # PII redaction
 # --------------------------------------------------------------------------
@@ -364,3 +367,186 @@ def url_dedup(ds, col: str = "url"):
              b.column("canon_url")],
             names=["doc_id", "canon_url"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# Cross-document line dedup (CCNet-style)
+# --------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2020) deduplicates the corpus at PARAGRAPH/LINE
+# granularity before any document-level step: every line that already
+# appeared anywhere else in the corpus is dropped, keeping exactly one
+# deterministic first occurrence.  The reference only dedups paragraphs
+# WITHIN a document (web_text_extractor_ver1.5.py:161-343 cleanup
+# family); this is the corpus-wide generalization.
+#
+# Scale shape — two bucketed all-to-alls, neither ships the corpus twice:
+#   stage A (winner selection) ships (line_hash, did, doc_id, idx)
+#   tuples — never line text — bucketed by hash(line_hash) % 256; the
+#   in-bucket pass is one np.lexsort + first-flag diff (no Python per
+#   line).  stage B (reassembly) ships each line's text exactly once
+#   plus the winner (doc_id, idx) pairs, both bucketed by
+#   hash(doc_id) % 256 so a document's lines and its winner marks
+#   co-locate; the in-bucket pass is a vectorized pandas merge + one
+#   C-level join per surviving document.
+#
+# Determinism: the kept occurrence is the minimum (did, idx, doc_id)
+# where did = little-endian first-8-bytes of md5(doc_id) masked to 63
+# bits — DuckDB's `md5_number_upper(doc_id) & 9223372036854775807`, so
+# the live SQL oracle reproduces the exact same winner without any
+# engine-ordering assumptions.  Line identity travels as a 64-bit
+# siphash (pandas.util.hash_array, process-stable); two distinct lines
+# colliding would merge their dedup classes — probability ≤ n²/2⁶⁵,
+# the same documented bound as every other 64-bit-key shuffle here.
+# Empty lines never enter stage A and are always kept: deduplicating
+# blank separators across documents would be semantic noise.
+
+def _did63(doc_ids) -> np.ndarray:
+    """63-bit little-endian md5 prefix of each doc_id string — bit-equal
+    to DuckDB `md5_number_upper(x) & 9223372036854775807`."""
+    return np.array(
+        [int.from_bytes(hashlib.md5(d.encode("utf-8")).digest()[:8],
+                        "little") & 0x7FFFFFFFFFFFFFFF
+         for d in doc_ids], dtype=np.int64)
+
+
+def _line_hash(lines) -> np.ndarray:
+    import pandas as pd
+
+    arr = np.asarray(lines, dtype=object)
+    return pd.util.hash_array(arr).view(np.int64)
+
+
+def line_dedup_exploded(lines_ds, n_buckets: int = 256):
+    """Corpus-wide first-occurrence line dedup over an exploded
+    (doc_id: string, idx: int64, line: string) dataset; returns
+    (doc_id, text, n_lines, n_kept) with ``text`` the surviving lines
+    re-joined by newline in original order (docs whose every line lost
+    come back with text='' and n_kept=0).
+
+    ``lines_ds`` is consumed twice (hash-triples pass + text pass); pass
+    a source-backed lineage (read → cheap explode map) so the second
+    consumption is a re-read, not a recompute of anything expensive.
+    """
+    def a_triples(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch.column("line"), "")
+        t = batch.filter(mask)
+        doc_ids = t.column("doc_id").to_pylist()
+        lh = _line_hash(t.column("line").to_pylist())
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(lh, n_buckets)), pa.array(lh),
+             pa.array(_did63(doc_ids)),
+             t.column("doc_id"), t.column("idx")],
+            names=["b", "lh", "did", "doc_id", "idx"])
+
+    def a_winners(part: pa.Table) -> pa.Table:
+        lh = part.column("lh").to_numpy()
+        did = part.column("did").to_numpy()
+        idx = part.column("idx").to_numpy()
+        doc = np.asarray(part.column("doc_id").to_pylist(), dtype=object)
+        order = np.lexsort((doc, idx, did, lh))
+        lh_s = lh[order]
+        first = np.empty(len(lh_s), dtype=bool)
+        if len(first):
+            first[0] = True
+            first[1:] = lh_s[1:] != lh_s[:-1]
+        keep = order[first]
+        return pa.Table.from_arrays(
+            [pa.array(doc[keep].tolist(), pa.string()),
+             pa.array(idx[keep])],
+            names=["doc_id", "idx"])
+
+    winners = lines_ds.map_batches(
+        a_triples, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("b").map_groups(a_winners, batch_format="pyarrow")
+
+    def b_key_lines(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        return pa.Table.from_arrays(
+            [pa.array(_sbucket(doc_ids, n_buckets)),
+             batch.column("doc_id"), batch.column("idx"),
+             batch.column("line"),
+             pa.array(np.ones(len(doc_ids), dtype=np.int8))],
+            names=["b", "doc_id", "idx", "line", "role"])
+
+    def b_key_winners(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        return pa.Table.from_arrays(
+            [pa.array(_sbucket(doc_ids, n_buckets)),
+             batch.column("doc_id"), batch.column("idx"),
+             pa.array([""] * len(doc_ids), pa.string()),
+             pa.array(np.zeros(len(doc_ids), dtype=np.int8))],
+            names=["b", "doc_id", "idx", "line", "role"])
+
+    def assemble(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part.select(["doc_id", "idx", "line", "role"]).to_pandas()
+        ldf = df[df["role"] == 1][["doc_id", "idx", "line"]]
+        wdf = df[df["role"] == 0][["doc_id", "idx"]].assign(_w=np.int8(1))
+        m = ldf.merge(wdf, on=["doc_id", "idx"], how="left", sort=False)
+        m["_k"] = m["_w"].notna().to_numpy() | (m["line"] == "").to_numpy()
+        m = m.sort_values(["doc_id", "idx"], kind="stable")
+        n_lines = m.groupby("doc_id", sort=True).size()
+        km = m[m["_k"].to_numpy()]
+        agg = km.groupby("doc_id", sort=True)["line"].agg("\n".join)
+        n_kept = km.groupby("doc_id", sort=True).size()
+        docs = n_lines.index.to_numpy()
+        text = agg.reindex(docs, fill_value="").to_numpy()
+        nk = n_kept.reindex(docs, fill_value=0).to_numpy()
+        return pa.Table.from_arrays(
+            [pa.array(docs.tolist(), pa.string()),
+             pa.array(text.tolist(), pa.string()),
+             pa.array(n_lines.to_numpy().astype(np.int64)),
+             pa.array(nk.astype(np.int64))],
+            names=["doc_id", "text", "n_lines", "n_kept"])
+
+    u = lines_ds.map_batches(b_key_lines, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .union(winners.map_batches(b_key_winners, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+    out = u.groupby("b").map_groups(assemble, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "text", "n_lines", "n_kept"])
+
+
+def explode_newlines_batch(batch: pa.Table,
+                           col: str = "text") -> pa.Table:
+    """(doc_id, idx, line): vectorized newline explode — doc_id cast to
+    string (the dedup key convention), idx is the 0-based in-doc line
+    number."""
+    c = batch.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    parts = pc.split_pattern(c, "\n")
+    flat = pc.list_flatten(parts)
+    off = np.asarray(parts.offsets)
+    n = np.diff(off)
+    parent = np.repeat(np.arange(len(n), dtype=np.int64), n)
+    idx = np.arange(int(n.sum()), dtype=np.int64) - off[:-1][parent]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id").cast(pa.string()).take(pa.array(parent)),
+         pa.array(idx), flat],
+        names=["doc_id", "idx", "line"])
+
+
+def line_dedup(ds, col: str = "text", n_buckets: int = 256):
+    """Corpus-wide CCNet-style line dedup over (doc_id, text) documents
+    with newline-separated lines; see line_dedup_exploded."""
+    def f(batch: pa.Table, *, _c=col) -> pa.Table:
+        return explode_newlines_batch(batch, _c)
+    lines = ds.map_batches(f, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return line_dedup_exploded(lines, n_buckets=n_buckets)
+
+
+def word_window_lines_batch(batch: pa.Table, width: int = 4) -> pa.Table:
+    """(doc_id: string, idx, line): deterministic fixed-width word-window
+    view of (doc_id, text) — lines are non-overlapping ``width``-token
+    windows (zero-copy byte-gather via chunk_documents_batch).  Gives a
+    line structure to single-line corpora so line-level ops (and their
+    SQL oracles) have something to deduplicate."""
+    c = chunk_documents_batch(batch, chunk_tokens=width, overlap=0)
+    return pa.Table.from_arrays(
+        [c.column("doc_id").cast(pa.string()),
+         c.column("chunk_id").cast(pa.int64()),
+         c.column("chunk_text")],
+        names=["doc_id", "idx", "line"])
