@@ -1122,6 +1122,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_hashed": lambda sf: dedup.exact_dedup_hashed(
             _docs_cols(sf, ["doc_id", "text"])),
         "edit1_name_pairs": edit1_names_q,
+        # SemDeDup (k-means-cell candidate geometry, least-central
+        # keep-rule) — complements the LSH-bucketed embedding dedup
+        "semdedup_pairs": lambda sf: ann.semdedup_pairs(_emb(sf)),
+        "semdedup_apply": lambda sf: ann.semdedup_apply(_emb(sf)),
         "dedup_apply_emb": lambda sf: ann.dedup_apply_embeddings(
             _emb(sf), 0.4),
         "cosine_dup_pairs": lambda sf: ann.cosine_dup_pairs(_emb(sf), 0.4),
@@ -1329,7 +1333,8 @@ def oracle_sql() -> dict[str, str]:
             "simhash_dup_pairs", "dedup_apply", "knn_ivf",
             "winnow_fingerprint", "lsh_cosine_pairs",
             "training_pipeline", "hash_embed_nn",
-            "lsh_nearest_neighbor", "read_rejects",
+            "lsh_nearest_neighbor", "semdedup_pairs", "semdedup_apply",
+            "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
             "search_engine_links", "dedup_apply_emb", "timeout_ids",
             "pagerank", "containment_pairs",

@@ -135,6 +135,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "simhash", "simhash_dup_pairs", "dedup_apply",
                  "exact_dedup_hashed", "edit1_name_pairs",
                  "dedup_apply_emb", "dedup_extracted",
+                 "semdedup_pairs", "semdedup_apply",
                  "knn_cosine", "knn_ivf", "knn_ivf_indexed", "cosine_nn",
                  "cosine_dup_pairs", "lsh_cosine_pairs", "token_count",
                  "token_count_bpe", "winnow_fingerprint",

@@ -1029,3 +1029,49 @@ def test_media_dedup_apply_keeps_one_per_cluster(ray_session):
                     parent[max(ra, rb)] = min(ra, rb)
     want = sorted(r for r in refs if find(sid(r)) == sid(r))
     assert surv == want and 0 < len(surv) < len(refs)
+
+
+# -- SemDeDup ----------------------------------------------------------------
+
+def test_semdedup_pairs_subset_of_exact(ray_session, emb_ds):
+    sem = {(r["left_id"], r["right_id"])
+           for r in ann.semdedup_pairs(emb_ds, threshold=0.4).take_all()}
+    exact = {(r["left_id"], r["right_id"])
+             for r in ann.cosine_dup_pairs(emb_ds, 0.4).take_all()}
+    assert sem and sem <= exact   # within-cluster pairs never invent sims
+
+
+def test_semdedup_apply_keeps_least_central(ray_session):
+    """Crafted 2-D cluster: three near-identical core vectors + the
+    centroid-similarity ordering must keep the OUTLIER of the dup
+    group (SemDeDup's rule), not the min id."""
+    import ray.data
+
+    rows = [
+        # dup group: all pairwise cos >= 0.95; vec 2 is least aligned
+        # with the centroid of its cluster
+        {"vec_id": 0, "embedding": [1.0, 0.00], "label": 0},
+        {"vec_id": 1, "embedding": [1.0, 0.02], "label": 0},
+        {"vec_id": 2, "embedding": [1.0, 0.30], "label": 0},
+        # far-away singleton so k-means (nlist=2) has a second cell
+        {"vec_id": 3, "embedding": [-1.0, -1.0], "label": 1},
+    ]
+    ds = ray.data.from_items(rows)
+    surv = sorted(r["vec_id"] for r in
+                  ann.semdedup_apply(ds, nlist=2, threshold=0.9).take_all())
+    # centroid of cell {0,1,2} ~ [1, 0.107]; vec 2 has the LOWEST
+    # cosine to it -> survives; 0 and 1 drop; singleton 3 survives
+    assert surv == [2, 3]
+
+
+def test_semdedup_block_split_invariant(ray_session, emb_ds):
+    base = sorted((r["left_id"], r["right_id"])
+                  for r in ann.semdedup_pairs(emb_ds).take_all())
+    split = sorted((r["left_id"], r["right_id"])
+                   for r in ann.semdedup_pairs(
+                       emb_ds.repartition(17)).take_all())
+    assert base == split
+    a = sorted(r["vec_id"] for r in ann.semdedup_apply(emb_ds).take_all())
+    b = sorted(r["vec_id"] for r in ann.semdedup_apply(
+        emb_ds.repartition(17)).take_all())
+    assert a == b

@@ -335,6 +335,65 @@ FLAT_SCHEMA = pa.schema([
     ("status", pa.string())])
 
 
+def golden_semdedup(sf_dir, nlist=16, threshold=0.4, iters=5):
+    """Independent single-process SemDeDup: same deterministic k-means
+    as golden_knn_ivf (fixed-point int64 sums ⇒ blocking-independent),
+    dense within-cluster all-pairs cosine, textbook union-find, keep
+    the min (cent_sim_fp, vec_id) member per component (the paper's
+    least-central keep-rule, fixed-point so ties are integer-exact)."""
+    ids, labels, mat = emb_matrix(sf_dir)
+    seed_ids = sorted(set(int(i) for i in
+                          np.linspace(0, ids.max(), nlist).astype(int)))
+    cents = np.stack([mat[ids == s][0] for s in seed_ids])
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        q = np.rint(mat * KMEANS_SCALE).astype(np.int64)
+        tot = np.zeros((len(cents), mat.shape[1]), dtype=np.int64)
+        np.add.at(tot, assign, q)
+        cnt = np.bincount(assign, minlength=len(cents)).astype(np.int64)
+        new = cents.copy()
+        nz = cnt > 0
+        new[nz] = (tot[nz] / KMEANS_SCALE) / cnt[nz, None]
+        cents = new
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    vn = np.linalg.norm(mat, axis=1, keepdims=True)
+    vn[vn == 0] = 1.0
+    normv = mat / vn
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    centn = cents / cn
+    simfp = np.rint((normv * centn[assign]).sum(axis=1) * 10**12) \
+        .astype(np.int64)
+    pairs = []
+    for c in range(len(cents)):
+        m = assign == c
+        cid, cm = ids[m], normv[m]
+        if len(cid) < 2:
+            continue
+        s = cm @ cm.T
+        iu, ju = np.triu_indices(len(cid), k=1)
+        hit = s[iu, ju] >= threshold
+        pairs.extend((int(min(a, b)), int(max(a, b)))
+                     for a, b in zip(cid[iu[hit]], cid[ju[hit]]))
+    pairs = sorted(set(pairs))
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    simof = dict(zip(ids.tolist(), simfp.tolist()))
+    comp: dict[int, list[int]] = {}
+    for x in list(uf.p):
+        comp.setdefault(uf.find(x), []).append(x)
+    dropped = set()
+    for members in comp.values():
+        surv = min(members, key=lambda n: (simof[n], n))
+        dropped.update(m for m in members if m != surv)
+    keep = [(int(v), int(l)) for v, l in zip(ids, labels)
+            if int(v) not in dropped]
+    return pairs, keep
+
+
 def golden_pagerank(sf_dir: str) -> pa.Table:
     """Dense single-process fixed-point PageRank over the lineitem
     part->supplier digraph — the differential oracle for the
@@ -571,6 +630,14 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["lsh_nearest_neighbor"] = pa.table(
         {"vec_id": pa.array([p[0] for p in ln], pa.int64()),
          "nn_id": pa.array([p[1] for p in ln], pa.int64())})
+
+    sp, sk = golden_semdedup(sf_dir)
+    g["semdedup_pairs"] = pa.table(
+        {"left_id": pa.array([p[0] for p in sp], pa.int64()),
+         "right_id": pa.array([p[1] for p in sp], pa.int64())})
+    g["semdedup_apply"] = pa.table(
+        {"vec_id": pa.array([p[0] for p in sk], pa.int64()),
+         "label": pa.array([p[1] for p in sk], pa.int64())})
 
     he = golden_hash_embed_nn(sf_dir)
     g["hash_embed_nn"] = pa.table(

@@ -892,3 +892,196 @@ def quantize_embeddings(ds):
 
     return ds.select_columns(["vec_id", "embedding"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup via k-means cells (Abbas et al. 2023)
+# --------------------------------------------------------------------------
+# Candidate generation by k-means CLUSTER instead of LSH bucket: pairs
+# are searched only within a centroid cell, and each duplicate group
+# keeps the member LEAST similar to its cluster centroid (the paper's
+# keep-rule — it preserves the cluster's outlier, pruning the redundant
+# core).  Complements lsh_cosine_dup_pairs / dedup_apply_embeddings:
+# same verify/CC/anti-join machinery, different (published) candidate
+# geometry and survivor rule.  Cross-cluster duplicates are missed by
+# construction — that is the method's documented recall tradeoff.
+#
+# 100 TB shape: the k-means fit ships fixed-point int64 partial sums
+# (order-invariant, kmeans_fit_distributed); the pair search is one
+# groupby over ``nlist`` cells with an in-cell matmul — size nlist so
+# cells stay ~10³-10⁴ vectors (the paper uses ~10⁵ clusters at
+# billion-doc scale), exactly the IVF cell-sizing rule.
+
+CENT_SIM_SCALE = 10**12
+
+
+def _semdedup_assign_fn(cents: np.ndarray):
+    """Per-batch assign: (cluster, vec_id, emb[normalized],
+    cent_sim_fp).  cent_sim_fp = rint(cos(vec, its centroid) · 1e12) —
+    a per-row pure function of (vector, centroids), so it is identical
+    under any blocking."""
+    import ray
+
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _matrix(batch)
+        a = _assign_clusters(mat, c)
+        vn = np.linalg.norm(mat, axis=1, keepdims=True)
+        vn[vn == 0] = 1.0
+        normv = mat / vn
+        cn = np.linalg.norm(c, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        centn = c / cn
+        sim = (normv * centn[a]).sum(axis=1)
+        return pa.Table.from_arrays(
+            [pa.array(a.astype(np.int64)),
+             batch.column("vec_id").cast(pa.int64()),
+             pa.array(normv.tolist(), pa.list_(pa.float64())),
+             pa.array(np.rint(sim * CENT_SIM_SCALE).astype(np.int64))],
+            names=["cluster", "vec_id", "emb", "cent_sim_fp"])
+
+    return assign
+
+
+def _cell_pairs_fn(threshold: float):
+    def pairs_in_cell(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) < 2:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["left_id", "right_id"])
+        mat = _matrix(group, "emb")
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= threshold
+        a, b = ids[iu[hit]], ids[ju[hit]]
+        return pa.Table.from_arrays(
+            [pa.array(np.minimum(a, b).astype(np.int64)),
+             pa.array(np.maximum(a, b).astype(np.int64))],
+            names=["left_id", "right_id"])
+
+    return pairs_in_cell
+
+
+def semdedup_pairs(ds, nlist: int = 16, threshold: float = 0.4,
+                   iters: int = 5, centroids: np.ndarray | None = None):
+    """Within-cluster cosine-duplicate pairs (left_id < right_id).
+    A deterministic subset of ``cosine_dup_pairs`` at the same
+    threshold (pinned by tests); ``centroids`` accepts a persisted IVF
+    index (ivf_load_index) for the build-once/query-many lifecycle."""
+    cents = (kmeans_fit_distributed(ds, nlist, iters)
+             if centroids is None else centroids)
+    assigned = ds.map_batches(_semdedup_assign_fn(cents),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return assigned.groupby("cluster").map_groups(
+        _cell_pairs_fn(threshold), batch_format="pyarrow")
+
+
+def semdedup_apply(ds, nlist: int = 16, threshold: float = 0.4,
+                   iters: int = 5, checkpoint_dir: str | None = None):
+    """SemDeDup REMOVAL: within-cluster pairs → connected components →
+    keep the member with the LOWEST centroid similarity per duplicate
+    group (tie → min vec_id).  Returns surviving (vec_id, label) rows
+    (label = the embedding table's class column, as in
+    dedup_apply_embeddings).
+
+    Survivor selection is two bucketed exchanges over dup-group members
+    only: CC labels join their cent_sim_fp in hash(node) buckets, then
+    per-label argmin in hash(label) buckets — never the corpus."""
+    cents = kmeans_fit_distributed(ds, nlist, iters)
+    assign = _semdedup_assign_fn(cents)
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    pairs = assigned.groupby("cluster").map_groups(
+        _cell_pairs_fn(threshold), batch_format="pyarrow")
+    labels = connected_components(pairs, checkpoint_dir=checkpoint_dir)
+
+    # exchange 1: member rows meet their cent_sim in hash(node) buckets
+    def lab_emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("node").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ids)), pa.array(ids.astype(np.int64)),
+             batch.column("label").cast(pa.int64()),
+             pa.array(np.zeros(len(ids), dtype=np.int64)),
+             pa.array(np.ones(len(ids), dtype=np.int8))],
+            names=["key", "node", "cc", "sim", "is_member"])
+
+    def sim_emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ids)), pa.array(ids.astype(np.int64)),
+             pa.array(np.zeros(len(ids), dtype=np.int64)),
+             batch.column("cent_sim_fp").cast(pa.int64()),
+             pa.array(np.zeros(len(ids), dtype=np.int8))],
+            names=["key", "node", "cc", "sim", "is_member"])
+
+    def join_sim(group: pa.Table) -> pa.Table:
+        mem = group.column("is_member").to_numpy(zero_copy_only=False)
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        cc = group.column("cc").to_numpy(zero_copy_only=False)
+        sim = group.column("sim").to_numpy(zero_copy_only=False)
+        lut_ids, lut_sim = node[mem == 0], sim[mem == 0]
+        order = np.argsort(lut_ids, kind="stable")
+        pos = np.searchsorted(lut_ids[order], node[mem == 1])
+        msim = lut_sim[order][pos]
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(cc[mem == 1])),
+             pa.array(node[mem == 1].astype(np.int64)),
+             pa.array(cc[mem == 1].astype(np.int64)),
+             pa.array(msim.astype(np.int64))],
+            names=["key", "node", "cc", "sim"])
+
+    members = assigned.select_columns(
+        ["vec_id", "cent_sim_fp"]).map_batches(
+        sim_emit, batch_format="pyarrow", zero_copy_batch=True).union(
+        labels.map_batches(lab_emit, batch_format="pyarrow",
+                           zero_copy_batch=True)) \
+        .groupby("key").map_groups(join_sim, batch_format="pyarrow")
+
+    # exchange 2: per CC group, survivor = argmin (sim, node)
+    def drops_of_group(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        cc = group.column("cc").to_numpy(zero_copy_only=False)
+        sim = group.column("sim").to_numpy(zero_copy_only=False)
+        order = np.lexsort((node, sim, cc))
+        cs = cc[order]
+        first = np.empty(len(cs), dtype=bool)
+        if len(first):
+            first[0] = True
+            first[1:] = cs[1:] != cs[:-1]
+        dropped = node[order][~first]
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(dropped)),
+             pa.array(dropped.astype(np.int64)),
+             pa.array(np.zeros(len(dropped), dtype=np.int64)),
+             pa.array(np.ones(len(dropped), dtype=np.int8))],
+            names=["key", "vec_id", "label", "is_drop"])
+
+    drops = members.groupby("key").map_groups(
+        drops_of_group, batch_format="pyarrow")
+
+    def vec_emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ids)), pa.array(ids),
+             batch.column("label").cast(pa.int64()),
+             pa.array(np.zeros(len(ids), dtype=np.int8))],
+            names=["key", "vec_id", "label", "is_drop"])
+
+    def keep(group: pa.Table) -> pa.Table:
+        is_drop = group.column("is_drop").to_numpy(zero_copy_only=False)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = (is_drop == 0) & ~np.isin(ids, ids[is_drop == 1])
+        kept = group.filter(pa.array(mask))
+        return pa.Table.from_arrays(
+            [kept.column("vec_id"), kept.column("label")],
+            names=["vec_id", "label"])
+
+    u = ds.select_columns(["vec_id", "label"]).map_batches(
+        vec_emit, batch_format="pyarrow", zero_copy_batch=True).union(
+        drops.select_columns(["key", "vec_id", "label", "is_drop"]))
+    return u.groupby("key").map_groups(keep, batch_format="pyarrow")
