@@ -1122,6 +1122,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_hashed": lambda sf: dedup.exact_dedup_hashed(
             _docs_cols(sf, ["doc_id", "text"])),
         "edit1_name_pairs": edit1_names_q,
+        # BPE tokenizer lifecycle: train on the deterministic 12.5%
+        # md5-prefix sample (the 100-TB practice — tokenizers fit on a
+        # sample), encode the FULL corpus with the learned merges
+        "bpe_merges": lambda sf: textstats.bpe_train(
+            textstats.sample_by_hash(
+                _docs_cols(sf, ["doc_id", "text"]), 512, "s0"),
+            n_merges=12),
+        "bpe_token_count": lambda sf: textstats.bpe_encode_counts(
+            _docs_cols(sf, ["doc_id", "text"]),
+            [(int(r["left"]), int(r["right"]))
+             for r in textstats.bpe_train(
+                 textstats.sample_by_hash(
+                     _docs_cols(sf, ["doc_id", "text"]), 512, "s0"),
+                 n_merges=12).to_pylist()]),
         # SemDeDup (k-means-cell candidate geometry, least-central
         # keep-rule) — complements the LSH-bucketed embedding dedup
         "semdedup_pairs": lambda sf: ann.semdedup_pairs(_emb(sf)),
@@ -1334,6 +1348,7 @@ def oracle_sql() -> dict[str, str]:
             "winnow_fingerprint", "lsh_cosine_pairs",
             "training_pipeline", "hash_embed_nn",
             "lsh_nearest_neighbor", "semdedup_pairs", "semdedup_apply",
+            "bpe_merges", "bpe_token_count",
             "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
             "search_engine_links", "dedup_apply_emb", "timeout_ids",

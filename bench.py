@@ -138,7 +138,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "semdedup_pairs", "semdedup_apply",
                  "knn_cosine", "knn_ivf", "knn_ivf_indexed", "cosine_nn",
                  "cosine_dup_pairs", "lsh_cosine_pairs", "token_count",
-                 "token_count_bpe", "winnow_fingerprint",
+                 "token_count_bpe", "bpe_merges", "bpe_token_count",
+                 "winnow_fingerprint",
                  "containment_pairs", "sample_by_hash",
                  "pack_sequences", "chunk_documents",
                  "training_pipeline", "hash_embed_nn",

@@ -1075,3 +1075,59 @@ def test_semdedup_block_split_invariant(ray_session, emb_ds):
     b = sorted(r["vec_id"] for r in ann.semdedup_apply(
         emb_ds.repartition(17)).take_all())
     assert a == b
+
+
+# -- BPE trainer --------------------------------------------------------------
+
+def test_bpe_streams_greedy_leftmost():
+    from webtext.functions.textstats import BPE_MERGE_BASE, _bpe_streams
+
+    X = BPE_MERGE_BASE
+    a = ord("a")
+    # runs merge at even offsets only (greedy leftmost-nonoverlapping)
+    assert _bpe_streams(["aaaa"], [(a, a)])[0].tolist() == [X, X]
+    assert _bpe_streams(["aaa"], [(a, a)])[0].tolist() == [X, a]
+    assert _bpe_streams(["aaaaa"], [(a, a)])[0].tolist() == [X, X, a]
+    # later merges see earlier merge ids
+    two = _bpe_streams(["aaaa"], [(a, a), (X, X)])[0].tolist()
+    assert two == [X + 1]
+
+
+def test_bpe_train_deterministic_and_split_invariant(ray_session):
+    import ray.data
+
+    from webtext.functions import textstats
+
+    docs = [{"doc_id": i, "text": "ababab cdcd"} for i in range(30)]
+    m1 = textstats.bpe_train(ray.data.from_items(docs), n_merges=4)
+    m2 = textstats.bpe_train(
+        ray.data.from_items(docs).repartition(7), n_merges=4)
+    assert m1.to_pylist() == m2.to_pylist()
+    # first merge must be the most frequent pair: 'ab' (90 occurrences
+    # of a followed by b beats every other adjacency)
+    first = m1.to_pylist()[0]
+    assert (first["left"], first["right"]) == (ord("a"), ord("b"))
+
+
+def test_bpe_train_early_stop(ray_session):
+    import ray.data
+
+    from webtext.functions import textstats
+
+    docs = [{"doc_id": 0, "text": "xy"}]   # every pair occurs once
+    m = textstats.bpe_train(ray.data.from_items(docs), n_merges=5,
+                            min_count=2)
+    assert m.num_rows == 0
+
+
+def test_bpe_encode_counts_matches_replay(ray_session):
+    import ray.data
+
+    from webtext.functions import textstats
+
+    docs = [{"doc_id": 0, "text": "banana"}, {"doc_id": 1, "text": ""}]
+    merges = [(ord("a"), ord("n"))]
+    out = {r["doc_id"]: r["n_tokens"] for r in
+           textstats.bpe_encode_counts(
+               ray.data.from_items(docs), merges).take_all()}
+    assert out == {0: 4, 1: 0}   # b an an a ; empty text -> 0 tokens

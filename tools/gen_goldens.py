@@ -335,6 +335,67 @@ FLAT_SCHEMA = pa.schema([
     ("status", pa.string())])
 
 
+BPE_MERGE_BASE = 0x110000
+
+
+def _golden_bpe_apply(codes, merges):
+    """Textbook greedy leftmost-nonoverlapping merge replay (plain
+    while-loop — independent of the engine's vectorized run-parity)."""
+    s = codes
+    for rank, (a, b) in enumerate(merges):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(BPE_MERGE_BASE + rank)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
+
+
+def golden_bpe(sf_dir, n_merges=12, min_count=2,
+               keep_of_4096=512, salt="s0"):
+    """Independent single-process BPE: train on the deterministic
+    md5-prefix sample (same predicate as textstats.sample_by_hash),
+    winner = max count then min (a, b); encode the FULL corpus with the
+    learned merges."""
+    import collections
+    import hashlib as _h
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    thresh = format(keep_of_4096, "03x")
+    in_sample = [
+        _h.md5((str(d) + salt).encode()).hexdigest()[:3] < thresh
+        for d in ids]
+    sample = [[ord(c) for c in tx]
+              for tx, k in zip(texts, in_sample) if k]
+    merges: list[tuple[int, int]] = []
+    rows = []
+    for _ in range(n_merges):
+        cnt: collections.Counter = collections.Counter()
+        for codes in sample:
+            s = _golden_bpe_apply(codes, merges)
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += 1
+        if not cnt:
+            break
+        top = max(cnt.values())
+        if top < min_count:
+            break
+        a, b = min(k for k, v in cnt.items() if v == top)
+        rows.append({"rank": len(merges), "left": a, "right": b,
+                     "n": int(top)})
+        merges.append((a, b))
+    enc = [(int(d), len(_golden_bpe_apply([ord(c) for c in tx], merges)))
+           for d, tx in zip(ids, texts)]
+    return rows, enc
+
+
 def golden_semdedup(sf_dir, nlist=16, threshold=0.4, iters=5):
     """Independent single-process SemDeDup: same deterministic k-means
     as golden_knn_ivf (fixed-point int64 sums ⇒ blocking-independent),
@@ -630,6 +691,16 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["lsh_nearest_neighbor"] = pa.table(
         {"vec_id": pa.array([p[0] for p in ln], pa.int64()),
          "nn_id": pa.array([p[1] for p in ln], pa.int64())})
+
+    bm, be = golden_bpe(sf_dir)
+    g["bpe_merges"] = pa.table(
+        {"rank": pa.array([r["rank"] for r in bm], pa.int64()),
+         "left": pa.array([r["left"] for r in bm], pa.int64()),
+         "right": pa.array([r["right"] for r in bm], pa.int64()),
+         "n": pa.array([r["n"] for r in bm], pa.int64())})
+    g["bpe_token_count"] = pa.table(
+        {"doc_id": pa.array([p[0] for p in be], pa.int64()),
+         "n_tokens": pa.array([p[1] for p in be], pa.int64())})
 
     sp, sk = golden_semdedup(sf_dir)
     g["semdedup_pairs"] = pa.table(

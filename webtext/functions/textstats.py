@@ -1093,3 +1093,128 @@ def topk_tokens_per_group(ds, group_col: str = "lang", k: int = 10,
     return keyed.groupby("bucket").map_groups(
         lambda grp: topk_table(grp.drop_columns(["bucket"])),
         batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE tokenizer training (Sennrich et al. 2016)
+# --------------------------------------------------------------------------
+# The tokenizer-fitting step of a training-data pipeline: learn the
+# top-R byte-pair (here: codepoint-pair) merges over the corpus.  Each
+# round is ONE combiner-reduced pair-count pass — per batch the current
+# token streams are rebuilt from raw text by replaying the merges
+# learned so far (stateless maps: no corpus-sized state ever persists
+# between rounds; the merge list is tiny and ships by closure), adjacent
+# pairs are counted with np.unique over packed int64 keys, and only the
+# (a, b, n) partials enter the shuffle.  The winning merge is the max
+# count with (a, b) as the deterministic tie-break, so the learned merge
+# sequence is bit-identical under any blocking or cluster size.
+#
+# Replaying r merges costs r vectorized passes per batch → O(R²) total
+# passes for R rounds; the standard practice at 100 TB is to fit on a
+# deterministic sample (compose with sample_by_hash) and that is what
+# the registered query does at full sf anyway — R stays small (≤ 32)
+# for a char-level demo vocabulary.
+
+BPE_MERGE_BASE = 0x110000       # merged ids start above all codepoints
+
+
+def _bpe_streams(texts, merges: list[tuple[int, int]]):
+    """One int64 stream per text (codepoints, then merges replayed in
+    rank order with greedy leftmost-nonoverlapping semantics)."""
+    out = []
+    for t in texts:
+        s = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) \
+            .astype(np.int64)
+        for rank, (a, b) in enumerate(merges):
+            if len(s) < 2:
+                break
+            m = (s[:-1] == a) & (s[1:] == b)
+            if not m.any():
+                continue
+            # greedy left-to-right: within each run of consecutive
+            # matches only even offsets merge ("aaa" + (a,a) -> "Xa")
+            starts = m & ~np.concatenate(([False], m[:-1]))
+            run_id = np.cumsum(starts)
+            first_idx = np.zeros(len(m), dtype=np.int64)
+            idxs = np.arange(len(m))
+            np.maximum.accumulate(np.where(starts, idxs, 0), out=first_idx)
+            take = m & (((idxs - first_idx) % 2) == 0)
+            pos = np.where(take)[0]
+            s[pos] = BPE_MERGE_BASE + rank
+            s = np.delete(s, pos + 1)
+        out.append(s)
+    return out
+
+
+def _bpe_pair_partials(merges: list[tuple[int, int]]):
+    def count_pairs(batch: pa.Table) -> pa.Table:
+        streams = _bpe_streams(batch.column("text").to_pylist(), merges)
+        if streams:
+            flat = np.concatenate(
+                [np.concatenate((s, [np.int64(-1)])) for s in streams])
+        else:
+            flat = np.array([-1], dtype=np.int64)
+        a, b = flat[:-1], flat[1:]
+        ok = (a >= 0) & (b >= 0)
+        packed = (a[ok] << np.int64(21)) | b[ok]
+        keys, counts = np.unique(packed, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(keys >> np.int64(21)),
+             pa.array(keys & np.int64((1 << 21) - 1)),
+             pa.array(counts.astype(np.int64))],
+            names=["a", "b", "n"])
+
+    return count_pairs
+
+
+def bpe_train(ds, n_merges: int = 16, min_count: int = 2):
+    """Learn ``n_merges`` merges over the corpus; returns a pa.Table
+    (rank, left, right, n) — left/right are codepoints or earlier
+    merge ids (BPE_MERGE_BASE + rank).  Stops early when the best pair
+    falls under ``min_count``.  Driver holds only the merge list and
+    each round's (a, b, n) aggregate head — never token streams."""
+    from ray.data.aggregate import Max
+
+    merges: list[tuple[int, int]] = []
+    rows = []
+    for _ in range(n_merges):
+        # the (a, b, n) aggregate is sparse and tiny (observed distinct
+        # pairs); materialize it so the Max probe and the argmax filter
+        # don't each re-run the corpus pair-count pass
+        counts = ds.map_batches(_bpe_pair_partials(list(merges)),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .groupby(["a", "b"]).sum("n").materialize()
+        top_n = counts.aggregate(Max("sum(n)"))["max(sum(n))"]
+        if top_n is None or top_n < min_count:
+            break
+
+        def argmax_rows(t: pa.Table, *, _n=int(top_n)) -> pa.Table:
+            return t.filter(pc.equal(t.column("sum(n)"), _n))
+
+        best = counts.map_batches(argmax_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+        best.sort(key=lambda r: (r["a"], r["b"]))
+        a, b = int(best[0]["a"]), int(best[0]["b"])
+        rows.append({"rank": len(merges), "left": a, "right": b,
+                     "n": int(top_n)})
+        merges.append((a, b))
+    return pa.Table.from_pylist(rows) if rows else pa.Table.from_pydict(
+        {"rank": pa.array([], pa.int64()), "left": pa.array([], pa.int64()),
+         "right": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+
+
+def bpe_encode_counts(ds, merges: list[tuple[int, int]]):
+    """(doc_id, n_tokens) after applying the learned merges — the
+    train-once / encode-corpus half of the lifecycle (pure map, the
+    tiny merge list ships by closure)."""
+    def f(batch: pa.Table) -> pa.Table:
+        streams = _bpe_streams(batch.column("text").to_pylist(),
+                               list(merges))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"),
+             pa.array(np.array([len(s) for s in streams],
+                               dtype=np.int64))],
+            names=["doc_id", "n_tokens"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
