@@ -416,6 +416,15 @@ def _hash_embed_nn(sf_dir: str):
                                     sim_quantum=1e-12)
 
 
+def _global_quantiles(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.relational import global_quantiles
+
+    return global_quantiles(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]))
+
+
 def _events_quantiles(sf_dir: str):
     import ray.data
 
@@ -1271,6 +1280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degrees": lambda sf: graph.degrees(_graph_edges(sf)),
         "pagerank": lambda sf: graph.pagerank(_graph_edges(sf)),
         "group_quantiles": lambda sf: _events_quantiles(sf),
+        # corpus-wide exact quantiles with ZERO all-to-all (iterative
+        # histogram refinement; sorting a column for 4 ranks is the
+        # wrong plan at 100 TB)
+        "global_quantiles": lambda sf: _global_quantiles(sf),
         "outlier_events": lambda sf: _events_outliers(sf),
         # TPC-H-shaped relational: combiner aggregate, large-large
         # bucketed join, broadcast dimension enrichment
@@ -2029,6 +2042,13 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.5) AS q50,
                    quantile_disc(value, 0.95) AS q95
             FROM events GROUP BY event_type""",
+        "global_quantiles": """
+            SELECT CAST(250 AS BIGINT) AS q_permille,
+                   quantile_disc(value, 0.25) AS value FROM events
+            UNION ALL SELECT 500, quantile_disc(value, 0.5) FROM events
+            UNION ALL SELECT 900, quantile_disc(value, 0.9) FROM events
+            UNION ALL SELECT 990, quantile_disc(value, 0.99)
+              FROM events""",
         "outlier_events": """
             SELECT e.event_id, e.event_type, e.value
             FROM events e

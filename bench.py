@@ -169,6 +169,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "outlier_events", "label_centroids",
                  "quantize_embeddings",
                  "asof_join", "range_join", "group_quantiles",
+                 "global_quantiles",
                  "graph_degrees", "pagerank",
                  "sample_stratified", "pricing_summary",
                  "order_line_join", "region_customers",

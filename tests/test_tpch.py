@@ -452,3 +452,39 @@ def test_pricing_cube_grouping_sets(ray_session):
     assert got[("ALL", "O")] == (2, 1)
     assert got[("ALL", "ALL")] == (7, 3)
     assert len(got) == 3 + 2 + 2 + 1
+
+
+# -- global quantiles (histogram refinement) ---------------------------------
+
+def test_global_quantiles_matches_sorted_rank(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webtext.pipelines.relational import global_quantiles
+
+    rng = np.random.RandomState(7)
+    vals = np.round(rng.lognormal(3, 1, size=20000), 2)
+    ds = ray.data.from_arrow(pa.table({"value": vals})).repartition(9)
+    out = {r["q_permille"]: r["value"]
+           for r in global_quantiles(ds, "value",
+                                     (0.01, 0.5, 0.99)).to_pylist()}
+    s = np.sort(vals)
+    for q in (0.01, 0.5, 0.99):
+        want = float(s[max(0, int(np.ceil(q * len(s))) - 1)])
+        assert out[int(round(q * 1000))] == want
+
+
+def test_global_quantiles_duplicate_heavy_and_collapsed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webtext.pipelines.relational import global_quantiles
+
+    # one float repeated past the collect cap: the stuck-bin path must
+    # still terminate (per-batch uniques, not raw rows)
+    vals = np.concatenate([np.full(120000, 7.25), [1.0, 99.0]])
+    ds = ray.data.from_arrow(pa.table({"value": vals})).repartition(5)
+    out = global_quantiles(ds, "value", (0.5,)).to_pylist()
+    assert out == [{"q_permille": 500, "value": 7.25}]

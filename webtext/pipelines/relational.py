@@ -314,3 +314,163 @@ def tokens_of(ds):
 
     return ds.select_columns(["text"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# Global exact quantiles without a sort (histogram refinement)
+# --------------------------------------------------------------------------
+
+GQ_BINS = 4096
+GQ_COLLECT = 65536
+
+
+def global_quantiles(ds, value_col: str = "value",
+                     qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+                     max_rounds: int = 8):
+    """Exact corpus-wide ``quantile_disc`` values with ZERO all-to-all:
+    iterative histogram refinement.
+
+    Sorting a corpus-scale column to read four ranks is the wrong plan
+    at 100 TB (a full sort exchange for O(1) outputs).  Instead each
+    round is one column-pruned combiner pass: every block bincounts its
+    values against the shared 4096-bin grid of each target's candidate
+    range, the driver merges the tiny per-range count arrays (bincount
+    sums are order/blocking-invariant), and each target's range narrows
+    ~4096× per round.  When a target's candidate range holds ≤ 65536
+    values, one final filtered pass collects just those values and the
+    exact rank is read off driver-side.  Rank convention is DuckDB's
+    ``quantile_disc`` (⌈q·n⌉−1, an existing element — float-exact vs
+    the oracle, no interpolation).
+
+    Returns a pa.Table (q_permille, value) — one row per requested q.
+    The input lineage is consumed once per round (2-3 rounds
+    typically); pass a source-backed dataset so each pass is a
+    column-pruned re-read, not a recompute.
+    """
+    import ray
+
+    col_ds = ds.select_columns([value_col])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+        if len(v) == 0:
+            return pa.Table.from_pydict(
+                {"n": pa.array([0], pa.int64()),
+                 "lo": pa.array([np.inf]), "hi": pa.array([-np.inf])})
+        return pa.Table.from_pydict(
+            {"n": pa.array([len(v)], pa.int64()),
+             "lo": pa.array([float(v.min())]),
+             "hi": pa.array([float(v.max())])})
+
+    parts = col_ds.map_batches(stats, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    n = int(sum(r["n"] for r in parts))
+    if n == 0:
+        return pa.Table.from_pydict(
+            {"q_permille": pa.array([], pa.int64()),
+             "value": pa.array([], pa.float64())})
+    glo = min(r["lo"] for r in parts)
+    ghi = max(r["hi"] for r in parts)
+
+    # per-target state: candidate range [lo, hi] (inclusive), the
+    # global rank to select, and how many values lie strictly below lo
+    targets = [{"q": q, "rank": max(0, int(np.ceil(q * n)) - 1),
+                "lo": glo, "hi": ghi, "below": 0, "in_range": n,
+                "value": None} for q in qs]
+
+    for _ in range(max_rounds):
+        active = [t for t in targets
+                  if t["value"] is None and t["in_range"] > GQ_COLLECT
+                  and t["lo"] < t["hi"]]
+        for t in targets:
+            if t["value"] is None and t["lo"] >= t["hi"]:
+                t["value"] = t["lo"]      # range collapsed: all equal
+        if not active:
+            break
+        ranges = [(t["lo"], t["hi"]) for t in active]
+        rref = ray.put(ranges)
+
+        def hist(batch: pa.Table) -> pa.Table:
+            rs = ray.get(rref)
+            v = batch.column(value_col).to_numpy(zero_copy_only=False)
+            rows = []
+            for i, (lo, hi) in enumerate(rs):
+                edges = np.linspace(lo, hi, GQ_BINS + 1)
+                m = v[(v >= lo) & (v <= hi)]
+                idx = np.clip(np.searchsorted(edges, m, side="right") - 1,
+                              0, GQ_BINS - 1)
+                rows.append(np.bincount(idx, minlength=GQ_BINS)
+                            .astype(np.int64))
+            return pa.Table.from_pydict(
+                {"range_id": pa.array(range(len(rs)), pa.int64()),
+                 "counts": pa.array([r.tolist() for r in rows],
+                                    pa.list_(pa.int64()))})
+
+        parts = col_ds.map_batches(hist, batch_format="pyarrow",
+                                   zero_copy_batch=True).take_all()
+        merged = np.zeros((len(active), GQ_BINS), dtype=np.int64)
+        for r in parts:
+            merged[r["range_id"]] += np.asarray(r["counts"],
+                                                dtype=np.int64)
+        stuck = True
+        for t, counts in zip(active, merged):
+            edges = np.linspace(t["lo"], t["hi"], GQ_BINS + 1)
+            cum = np.cumsum(counts)
+            local_rank = t["rank"] - t["below"]
+            b = int(np.searchsorted(cum, local_rank + 1))
+            new_in = int(counts[b])
+            if new_in < t["in_range"]:
+                stuck = False
+            t["below"] += int(cum[b - 1]) if b > 0 else 0
+            t["in_range"] = new_in
+            t["lo"] = float(edges[b])
+            # last bin is closed on the right; others half-open, but an
+            # inclusive hi only widens the final exact collect
+            t["hi"] = float(edges[b + 1])
+        if stuck:
+            break                          # float-dense bin: collect it
+
+    pending = [t for t in targets if t["value"] is None]
+    if pending:
+        ranges = [(t["lo"], t["hi"]) for t in pending]
+        rref = ray.put(ranges)
+
+        def collect(batch: pa.Table) -> pa.Table:
+            # (range_id, value, count) per-batch uniques: even a value
+            # repeated millions of times ships as one row per block
+            rs = ray.get(rref)
+            v = batch.column(value_col).to_numpy(zero_copy_only=False)
+            ids, vals, cnts = [], [], []
+            for i, (lo, hi) in enumerate(rs):
+                u, c = np.unique(v[(v >= lo) & (v <= hi)],
+                                 return_counts=True)
+                ids.append(np.full(len(u), i, dtype=np.int64))
+                vals.append(u.astype(np.float64))
+                cnts.append(c.astype(np.int64))
+            return pa.Table.from_pydict(
+                {"range_id": pa.array(
+                    np.concatenate(ids) if ids
+                    else np.array([], dtype=np.int64)),
+                 "v": pa.array(np.concatenate(vals) if vals
+                               else np.array([], dtype=np.float64)),
+                 "c": pa.array(np.concatenate(cnts) if cnts
+                               else np.array([], dtype=np.int64))})
+
+        rows = col_ds.map_batches(collect, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+        by_range: dict[int, dict[float, int]] = {}
+        for r in rows:
+            d = by_range.setdefault(int(r["range_id"]), {})
+            d[r["v"]] = d.get(r["v"], 0) + int(r["c"])
+        for i, t in enumerate(pending):
+            d = by_range.get(i, {})
+            vals = np.array(sorted(d), dtype=np.float64)
+            cum = np.cumsum([d[x] for x in vals])
+            j = int(np.searchsorted(cum, t["rank"] - t["below"] + 1))
+            t["value"] = float(vals[j])
+
+    return pa.Table.from_pydict(
+        {"q_permille": pa.array([int(round(t["q"] * 1000))
+                                 for t in targets], pa.int64()),
+         "value": pa.array([t["value"] for t in targets], pa.float64())})
