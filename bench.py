@@ -64,6 +64,7 @@ def run_headline(num_cpus: int) -> dict:
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     corpus = ensure_bench_corpus(BENCH_DOCS)
+    _quiesce(num_cpus)   # corpus build is a heavy job; see _quiesce
 
     out_dir = f"/tmp/webtext_bench/out-{num_cpus}-{os.getpid()}"
     t0 = time.perf_counter()
@@ -103,6 +104,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     from webtext.pipelines.bench_corpus import ensure_bench_corpus
 
     corpus = ensure_bench_corpus(BENCH_DOCS)
+    _quiesce(num_cpus)   # corpus build is a heavy job; see _quiesce
     queries: dict[str, float] = {}
 
     out_dir = f"/tmp/webtext_bench/out-full-{os.getpid()}"
