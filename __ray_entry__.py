@@ -1231,6 +1231,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 batch_format="pyarrow", zero_copy_batch=True)),
         "repetition_stats": lambda sf: curation.repetition_stats(
             _docs_cols(sf, ["doc_id", "text"])),
+        # DSIR importance scores: target = the same deterministic
+        # doc_id%100<3 slice decontaminate uses as its benchmark side
+        "dsir_scores": lambda sf: curation.dsir_scores(
+            _docs_cols(sf, ["doc_id", "text"]),
+            curation.split_by_mod(
+                _docs_cols(sf, ["doc_id", "text"]), mod=100, lt=3)),
         "decontaminate": lambda sf: curation.decontaminate(
             curation.split_by_mod(
                 _docs_cols(sf, ["doc_id", "text"]), invert=True),
@@ -1398,7 +1404,7 @@ def oracle_sql() -> dict[str, str]:
             "winnow_fingerprint", "lsh_cosine_pairs",
             "training_pipeline", "hash_embed_nn",
             "lsh_nearest_neighbor", "semdedup_pairs", "semdedup_apply",
-            "bpe_merges", "bpe_token_count",
+            "bpe_merges", "bpe_token_count", "dsir_scores",
             "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
             "search_engine_links", "dedup_apply_emb", "timeout_ids",

@@ -148,7 +148,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "corpus_filter",
                  "redact_pii", "canonicalize_urls", "url_dedup",
                  "line_dedup",
-                 "repetition_stats", "decontaminate",
+                 "repetition_stats", "decontaminate", "dsir_scores",
                  "decode_bytes",
                  "bigram_lm_scores", "dup_ngram_flags",
                  "dup_doc_filter",

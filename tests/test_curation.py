@@ -297,3 +297,41 @@ def test_line_dedup_block_split_invariant(ray_session):
     key = lambda rows: sorted((r["doc_id"], r["text"], r["n_kept"])
                               for r in rows)
     assert key(base.take_all()) == key(split.take_all())
+
+
+# --------------------------------------------------------------------------
+# DSIR importance scores
+# --------------------------------------------------------------------------
+
+def test_dsir_target_scores_higher(ray_session):
+    import numpy as np
+    import ray.data
+
+    # target docs use a distinct vocabulary; their own score must beat
+    # background docs' by construction of the likelihood ratio
+    docs = ([{"doc_id": i, "text": "alpha beta gamma alpha beta"}
+             for i in range(10)] +
+            [{"doc_id": 100 + i, "text": "delta epsilon zeta eta theta"}
+             for i in range(40)])
+    ds = ray.data.from_items(docs)
+    target = ds.filter(expr="doc_id < 10")
+    s = {r["doc_id"]: r["dsir_score_fp"]
+         for r in curation.dsir_scores(ds, target).take_all()}
+    t = np.mean([s[i] for i in range(10)])
+    o = np.mean([s[100 + i] for i in range(40)])
+    assert t > o
+
+
+def test_dsir_block_split_invariant(ray_session):
+    import ray.data
+
+    docs = [{"doc_id": i, "text": f"tok{i % 5} tok{i % 7} common word"}
+            for i in range(80)]
+    ds = ray.data.from_items(docs)
+    tgt = ray.data.from_items(docs[:8])
+    a = sorted((r["doc_id"], r["dsir_score_fp"])
+               for r in curation.dsir_scores(ds, tgt).take_all())
+    b = sorted((r["doc_id"], r["dsir_score_fp"])
+               for r in curation.dsir_scores(
+                   ds.repartition(11), tgt).take_all())
+    assert a == b

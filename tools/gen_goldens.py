@@ -335,6 +335,49 @@ FLAT_SCHEMA = pa.schema([
     ("status", pa.string())])
 
 
+DSIR_BUCKETS = 10_000
+DSIR_SCALE = 10**9
+_DSIR_MIX = 0x9E3779B97F4A7C15
+_U64 = (1 << 64) - 1
+
+
+def _golden_dsir_buckets(text: str) -> list:
+    """Unigram+bigram hashed buckets via pure-Python uint64 arithmetic
+    (independent of the engine's numpy vectorization)."""
+    toks = text.split(" ")
+    th = [int.from_bytes(
+        __import__("hashlib").md5(t.encode("utf-8")).digest()[:8],
+        "big") for t in toks]
+    buckets = [h % DSIR_BUCKETS for h in th]
+    for i in range(len(th) - 1):
+        g = ((th[i] * _DSIR_MIX) & _U64) ^ th[i + 1]
+        buckets.append(g % DSIR_BUCKETS)
+    return buckets
+
+
+def golden_dsir(sf_dir, mod=100, lt=3):
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    tgt = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    raw = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    per_doc = []
+    for d, tx in zip(ids, texts):
+        b = _golden_dsir_buckets(tx)
+        per_doc.append(b)
+        np.add.at(raw, b, 1)
+        if int(d) % mod < lt:
+            np.add.at(tgt, b, 1)
+    lp = np.log((tgt + 1).astype(np.float64)) \
+        - np.log(float(int(tgt.sum()) + DSIR_BUCKETS))
+    lq = np.log((raw + 1).astype(np.float64)) \
+        - np.log(float(int(raw.sum()) + DSIR_BUCKETS))
+    lut = np.rint((lp - lq) * DSIR_SCALE).astype(np.int64)
+    return [(int(d), int(sum(int(lut[x]) for x in b)))
+            for d, b in zip(ids, per_doc)]
+
+
 BPE_MERGE_BASE = 0x110000
 
 
@@ -691,6 +734,11 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["lsh_nearest_neighbor"] = pa.table(
         {"vec_id": pa.array([p[0] for p in ln], pa.int64()),
          "nn_id": pa.array([p[1] for p in ln], pa.int64())})
+
+    dr = golden_dsir(sf_dir)
+    g["dsir_scores"] = pa.table(
+        {"doc_id": pa.array([p[0] for p in dr], pa.int64()),
+         "dsir_score_fp": pa.array([p[1] for p in dr], pa.int64())})
 
     bm, be = golden_bpe(sf_dir)
     g["bpe_merges"] = pa.table(

@@ -550,3 +550,109 @@ def word_window_lines_batch(batch: pa.Table, width: int = 4) -> pa.Table:
          c.column("chunk_id").cast(pa.int64()),
          c.column("chunk_text")],
         names=["doc_id", "idx", "line"])
+
+
+# --------------------------------------------------------------------------
+# DSIR importance scores (Xie et al. 2023)
+# --------------------------------------------------------------------------
+# Data Selection via Importance Resampling: score every corpus document
+# by the log-likelihood ratio of a TARGET hashed-ngram unigram model
+# over the RAW-corpus model — the standard recipe for selecting
+# pretraining data that "looks like" a target domain.
+#
+# Scale shape: (1) ONE combiner pass emits sparse (bucket, n_target,
+# n_raw) partials per block — the feature space is B hashed buckets, so
+# the aggregate is constant-size; a native groupby sums it and only B
+# rows reach the driver.  (2) The per-bucket log-ratio LUT (B int64
+# fixed-point entries — float64 log of integer-count rationals,
+# quantized to nanos) is ray.put-broadcast once.  (3) The scoring pass
+# is a pure per-batch map: score_fp = Σ over gram OCCURRENCES of
+# lut[bucket] — an int64 sum, order/blocking-invariant, so the golden
+# (an independent single-process replay of the same integer-count →
+# log → quantize function) is bit-exact.
+
+DSIR_BUCKETS = 10_000
+DSIR_SCALE = 10**9
+
+
+def _dsir_buckets(chunk, grams: tuple[int, ...]) -> tuple[np.ndarray,
+                                                          np.ndarray]:
+    """(row, bucket) for every unigram/bigram occurrence of a
+    list<string> token chunk."""
+    rows_all, buck_all = [], []
+    for n in grams:
+        rows, h = _gram_hashes(chunk, n)
+        rows_all.append(rows)
+        buck_all.append((h % np.uint64(DSIR_BUCKETS)).astype(np.int64))
+    return (np.concatenate(rows_all) if rows_all
+            else np.empty(0, np.int64),
+            np.concatenate(buck_all) if buck_all
+            else np.empty(0, np.int64))
+
+
+def dsir_log_ratio_lut(target_ds, raw_ds,
+                       grams: tuple[int, ...] = (1, 2)) -> np.ndarray:
+    """int64 fixed-point log-ratio LUT over the hashed feature space:
+    lut[b] = rint(1e9 · (ln p_b − ln q_b)) with Laplace-smoothed
+    p_b = (t_b + 1)/(T + B), q_b = (r_b + 1)/(R + B).  Each side is one
+    sparse combiner pass + native groupby; the merged table is ≤ B
+    rows."""
+    def counts_of(ds):
+        def partial(batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(batch.column("text"), " ")
+            per = []
+            for chunk in (toks.chunks if isinstance(toks, pa.ChunkedArray)
+                          else [toks]):
+                _, b = _dsir_buckets(chunk, grams)
+                per.append(b)
+            b = (np.concatenate(per) if per
+                 else np.empty(0, np.int64))
+            u, c = np.unique(b, return_counts=True)
+            return pa.Table.from_pydict(
+                {"b": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+        rows = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+            .groupby("b").sum("n").take_all()
+        dense = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+        for r in rows:
+            dense[int(r["b"])] = int(r["sum(n)"])
+        return dense
+
+    t = counts_of(target_ds)
+    r = counts_of(raw_ds)
+    lp = np.log((t + 1).astype(np.float64)) \
+        - np.log(float(int(t.sum()) + DSIR_BUCKETS))
+    lq = np.log((r + 1).astype(np.float64)) \
+        - np.log(float(int(r.sum()) + DSIR_BUCKETS))
+    return np.rint((lp - lq) * DSIR_SCALE).astype(np.int64)
+
+
+def dsir_scores(ds, target_ds, grams: tuple[int, ...] = (1, 2)):
+    """(doc_id, dsir_score_fp): per-document importance weight — the
+    int64 sum of the broadcast log-ratio LUT over the doc's gram
+    occurrences.  Selecting the top-k scores (or Gumbel-resampling on
+    score/temperature) is the paper's resampling step; the score column
+    is the engine-side heavy lifting."""
+    import ray
+
+    lut = dsir_log_ratio_lut(target_ds, ds, grams)
+    lref = ray.put(lut)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(lref)
+        toks = pc.split_pattern(batch.column("text"), " ")
+        out = np.zeros(batch.num_rows, dtype=np.int64)
+        off = 0
+        for chunk in (toks.chunks if isinstance(toks, pa.ChunkedArray)
+                      else [toks]):
+            rows, b = _dsir_buckets(chunk, grams)
+            if len(rows):
+                np.add.at(out, rows + off, table[b])
+            off += len(chunk)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(out)],
+            names=["doc_id", "dsir_score_fp"])
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
