@@ -1237,6 +1237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"]),
             curation.split_by_mod(
                 _docs_cols(sf, ["doc_id", "text"]), mod=100, lt=3)),
+        "temperature_sample": lambda sf: curation.temperature_sample(
+            _docs_cols(sf, ["doc_id", "lang"])),
         "decontaminate": lambda sf: curation.decontaminate(
             curation.split_by_mod(
                 _docs_cols(sf, ["doc_id", "text"]), invert=True),
@@ -1930,6 +1932,24 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                      AS norm
             FROM documents""",
+        # sqrt is IEEE correctly-rounded, so floor(4096·sqrt(nmin/n))
+        # is bit-identical across engines; md5 hex-prefix compare is
+        # the sample_by_hash convention
+        "temperature_sample": """
+            WITH counts AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            mn AS (SELECT min(n) AS n_min FROM counts),
+            th AS (
+              SELECT lang,
+                     CAST(floor(4096 * sqrt(
+                       CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)))
+                       AS BIGINT) AS t
+              FROM counts, mn)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN th USING (lang)
+            WHERE th.t >= 4096
+               OR substr(md5(CAST(d.doc_id AS VARCHAR) || 'ts'), 1, 3)
+                  < printf('%03x', th.t)""",
         # winner = min (did, idx, doc_id) per distinct line where
         # did = md5_number_upper & 63-bit mask, the same little-endian
         # md5-prefix the Ray side computes — no engine-order assumption

@@ -335,3 +335,24 @@ def test_dsir_block_split_invariant(ray_session):
                for r in curation.dsir_scores(
                    ds.repartition(11), tgt).take_all())
     assert a == b
+
+
+def test_temperature_sample_flattens_head(ray_session):
+    import ray.data
+
+    docs = ([{"doc_id": i, "text": "x", "lang": "big"}
+             for i in range(400)] +
+            [{"doc_id": 1000 + i, "text": "x", "lang": "small"}
+             for i in range(100)])
+    ds = ray.data.from_items(docs)
+    kept = curation.temperature_sample(ds).take_all()
+    import collections
+
+    c = collections.Counter(r["lang"] for r in kept)
+    assert c["small"] == 100                  # n_min language keeps all
+    # big keeps ~ 400·sqrt(100/400) = 200, content-addressed so only
+    # statistically near — but DETERMINISTIC: same set every run
+    assert 140 <= c["big"] <= 260
+    again = curation.temperature_sample(ds.repartition(7)).take_all()
+    assert sorted(r["doc_id"] for r in kept) == \
+        sorted(r["doc_id"] for r in again)

@@ -656,3 +656,49 @@ def dsir_scores(ds, target_ds, grams: tuple[int, ...] = (1, 2)):
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# Temperature-based language rebalancing (XLM-R / mT5 data mixing)
+# --------------------------------------------------------------------------
+
+def temperature_sample(ds, lang_col: str = "lang", salt: str = "ts"):
+    """Deterministic α=0.5 temperature downsampling across languages:
+    keep each language-ℓ document with probability
+    ``sqrt(n_min / n_ℓ)`` — the multilingual-pretraining mixing rule
+    that flattens the head languages toward ∝ n^α (the smallest
+    language keeps everything).  Returns the kept (doc_id, lang) rows.
+
+    Per-language keep thresholds derive from ONE native
+    groupby(lang).count() (languages are constant-cardinality); the
+    keep decision is the md5-prefix hex compare of ``sample_by_hash``
+    with a per-language integer threshold
+    ``floor(4096 · sqrt(n_min / n_ℓ))`` — sqrt is IEEE
+    correctly-rounded and the /, ·4096, floor steps are replayed by the
+    SQL oracle in the same order, so membership is bit-exact across
+    engines.  Content-addressed → reproducible under any blocking or
+    cluster size.  α is fixed at 0.5 because sqrt is the one power
+    with a cross-engine exactness guarantee."""
+    counts = ds.groupby(lang_col).count().take_all()
+    n_of = {r[lang_col]: int(r["count()"]) for r in counts}
+    if not n_of:
+        return ds.select_columns(["doc_id", lang_col])
+    n_min = min(n_of.values())
+    thresh = {
+        lang: int(np.floor(4096.0 * np.sqrt(
+            np.float64(n_min) / np.float64(n))))
+        for lang, n in n_of.items()}
+    hexed = {lang: format(t, "03x") for lang, t in thresh.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column(lang_col).to_pylist()
+        mask = [
+            thresh[lg] >= 4096
+            or hashlib.md5((str(d) + salt).encode()).hexdigest()[:3]
+            < hexed[lg]
+            for d, lg in zip(ids, langs)]
+        return batch.filter(pa.array(mask)).select(["doc_id", lang_col])
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
