@@ -232,14 +232,21 @@ def _hardware_ceiling() -> dict:
     eff = {}
     base = None
     for procs in (1, 2, 8, 32):
-        with mp.Pool(procs) as p:
-            t0 = _t.perf_counter()
-            p.map(_burn, [2_000_000] * procs)
-            dt = _t.perf_counter() - t0
+        # best-of-3 per level: a single co-tenant spike during any one
+        # sample otherwise poisons the whole ratio (measured 2-proc
+        # "speedups" from 1.28 to 2.9 on consecutive single-sample runs)
+        dt = min(_hc_sample(mp, _t, procs) for _ in range(3))
         if procs == 1:
             base = dt
         eff[procs] = round(procs * base / dt, 2)
     return eff
+
+
+def _hc_sample(mp, _t, procs: int) -> float:
+    with mp.Pool(procs) as p:
+        t0 = _t.perf_counter()
+        p.map(_burn, [2_000_000] * procs)
+        return _t.perf_counter() - t0
 
 
 def run_scaling() -> dict:
