@@ -1247,6 +1247,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "dup_ngram_flags": lambda sf: lm.dup_ngram_flags(
             _docs_cols(sf, ["doc_id", "text"])),
+        # ExactSubstr removal (Lee et al. 2022): remove every token
+        # covered by a corpus-duplicated 8-token window
+        "dedup_substrings": lambda sf: lm.dedup_substrings(
+            _docs_cols(sf, ["doc_id", "text"])),
         "dup_doc_filter": lambda sf: lm.dup_doc_filter(
             _docs_cols(sf, ["doc_id", "text"])),
         "token_frequencies": lambda sf: textstats.token_frequencies(
@@ -1407,6 +1411,7 @@ def oracle_sql() -> dict[str, str]:
             "training_pipeline", "hash_embed_nn",
             "lsh_nearest_neighbor", "semdedup_pairs", "semdedup_apply",
             "bpe_merges", "bpe_token_count", "dsir_scores",
+            "dedup_substrings",
             "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
             "search_engine_links", "dedup_apply_emb", "timeout_ids",

@@ -159,7 +159,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "temperature_sample",
                  "decode_bytes",
                  "bigram_lm_scores", "dup_ngram_flags",
-                 "dup_doc_filter",
+                 "dup_doc_filter", "dedup_substrings",
                  "token_frequencies", "topk_tokens_per_lang",
                  "vocab_coverage",
                  "incremental_dedup", "incremental_near_dedup",

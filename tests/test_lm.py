@@ -195,3 +195,45 @@ def test_incremental_near_dedup_persisted_index(ray_session, tmp_path):
         incremental_near_dedup(new, hist, 0.5,
                                hist_band_path=path).take_all())
     assert indexed == inline == [101]
+
+
+# -- ExactSubstr removal ------------------------------------------------------
+
+def test_dedup_substrings_removes_shared_run(ray_session):
+    import ray.data
+
+    from webtext.functions.lm import dedup_substrings
+
+    docs = [
+        {"doc_id": 1, "text": "a b c d e f g h unique1 tail1"},
+        {"doc_id": 2, "text": "prefix2 a b c d e f g h tail2"},
+        {"doc_id": 3, "text": "totally different words here now ok"},
+        {"doc_id": 4, "text": "short doc"},
+        {"doc_id": 5, "text": "x y z w x y z w"},
+    ]
+    out = {r["doc_id"]: r for r in dedup_substrings(
+        ray.data.from_items(docs), k=4).take_all()}
+    assert out["1"]["text"] == "unique1 tail1"
+    assert out["2"]["text"] == "prefix2 tail2"
+    assert out["3"]["n_removed"] == 0
+    assert out["4"]["text"] == "short doc"      # < k tokens untouched
+    # within-doc repeat: both copies of the duplicated window removed
+    assert out["5"]["text"] == "" and out["5"]["n_removed"] == 8
+
+
+def test_dedup_substrings_split_invariant(ray_session):
+    import ray.data
+
+    from webtext.functions.lm import dedup_substrings
+
+    docs = [{"doc_id": i,
+             "text": " ".join(f"t{(i * 7 + j) % 23}" for j in range(30))}
+            for i in range(60)]
+    a = sorted((r["doc_id"], r["text"], r["n_removed"])
+               for r in dedup_substrings(
+                   ray.data.from_items(docs), k=5).take_all())
+    b = sorted((r["doc_id"], r["text"], r["n_removed"])
+               for r in dedup_substrings(
+                   ray.data.from_items(docs).repartition(11),
+                   k=5).take_all())
+    assert a == b

@@ -335,6 +335,46 @@ FLAT_SCHEMA = pa.schema([
     ("status", pa.string())])
 
 
+def golden_dedup_substrings(sf_dir, k=8):
+    """Independent ExactSubstr removal: pure-Python dict occurrence
+    count over rolling-hash k-grams, then per-doc covered-range mask."""
+    import collections
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = [str(d) for d in t.column("doc_id").to_pylist()]
+    texts = t.column("text").to_pylist()
+
+    def gram_hashes(tokens):
+        th = [int.from_bytes(
+            __import__("hashlib").md5(x.encode("utf-8")).digest()[:8],
+            "big") for x in tokens]
+        out = []
+        for i in range(len(th) - (k - 1)):
+            h = th[i]
+            for j in range(1, k):
+                h = ((h * _DSIR_MIX) & _U64) ^ th[i + j]
+            out.append(h)
+        return out
+
+    grams = [gram_hashes(tx.split(" ")) for tx in texts]
+    occ = collections.Counter()
+    for g in grams:
+        occ.update(g)
+    rows = []
+    for d, tx, g in zip(ids, texts, grams):
+        toks = tx.split(" ")
+        covered = [False] * len(toks)
+        for p, h in enumerate(g):
+            if occ[h] >= 2:
+                for j in range(p, min(p + k, len(toks))):
+                    covered[j] = True
+        kept = [x for x, c in zip(toks, covered) if not c]
+        rows.append((d, " ".join(kept), len(toks),
+                     sum(1 for c in covered if c)))
+    return rows
+
+
 DSIR_BUCKETS = 10_000
 DSIR_SCALE = 10**9
 _DSIR_MIX = 0x9E3779B97F4A7C15
@@ -734,6 +774,13 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["lsh_nearest_neighbor"] = pa.table(
         {"vec_id": pa.array([p[0] for p in ln], pa.int64()),
          "nn_id": pa.array([p[1] for p in ln], pa.int64())})
+
+    dsub = golden_dedup_substrings(sf_dir)
+    g["dedup_substrings"] = pa.table(
+        {"doc_id": pa.array([r[0] for r in dsub], pa.string()),
+         "text": pa.array([r[1] for r in dsub], pa.string()),
+         "n_tokens": pa.array([r[2] for r in dsub], pa.int64()),
+         "n_removed": pa.array([r[3] for r in dsub], pa.int64())})
 
     dr = golden_dsir(sf_dir)
     g["dsir_scores"] = pa.table(

@@ -39,7 +39,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .curation import _gram_hashes, _token_hash_lut, _MIX
-from .dedup import N_SHUFFLE_BUCKETS, _ibucket
+from .dedup import N_SHUFFLE_BUCKETS, _ibucket, _sbucket
 
 LM_SCALE = 1_000_000            # conditional probabilities in micro-units
 
@@ -251,3 +251,127 @@ def dup_doc_filter(ds, n: int = 8, max_frac_pct: int = 50,
     # (projection guard — see incremental_near_dedup: schema inference
     # on a lazy left can make semi_join pad extra null columns)
     return kept_with_windows.union(short_docs)
+
+
+# --------------------------------------------------------------------------
+# Exact duplicated-substring REMOVAL (Lee et al. 2022, ExactSubstr)
+# --------------------------------------------------------------------------
+
+def dedup_substrings(ds, k: int = 8,
+                     n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(doc_id, text, n_tokens, n_removed): remove every token covered
+    by a k-token window that occurs ≥ 2 times in the corpus (counting
+    ALL occurrences, within-document repeats included) — exactly "every
+    token inside any duplicated k-token substring", the remove-all-
+    copies variant of Lee et al.'s ExactSubstr dedup.  A duplicated
+    run of length ≥ k is removed in full because each of its k-grams
+    is duplicated; no suffix array is needed at k-gram resolution.
+
+    Two bucketed exchanges, the line_dedup shape:
+      A) every k-gram occurrence ships as (hash, doc_id, pos) bucketed
+         by hash(gram); in-bucket, grams with occurrence count ≥ 2 emit
+         their (doc_id, pos) rows — only DUPLICATED positions leave.
+      B) dup positions meet their documents in hash(doc_id) buckets;
+         per affected doc a diff-array marks the covered token ranges
+         and the survivors re-join — untouched docs (the vast majority)
+         pass through with one mask test.
+
+    doc_id is returned as string (the dedup key convention).
+    """
+    def occ_emit(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        rows, gh = _gram_hashes(toks, k)
+        ids = batch.column("doc_id").cast(pa.string())
+        if len(gh) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["bucket", "gh", "doc_id", "pos"])
+        # in-doc gram position: sequential index within each row run
+        # (rows from _gram_hashes are nondecreasing)
+        starts = np.empty(len(rows), dtype=bool)
+        starts[0] = True
+        starts[1:] = rows[1:] != rows[:-1]
+        idxs = np.arange(len(rows), dtype=np.int64)
+        first = np.zeros(len(rows), dtype=np.int64)
+        np.maximum.accumulate(np.where(starts, idxs, 0), out=first)
+        pos = idxs - first
+        gh_i = gh.view(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(gh_i, n_buckets)), pa.array(gh_i),
+             ids.take(pa.array(rows)), pa.array(pos)],
+            names=["bucket", "gh", "doc_id", "pos"])
+
+    def dup_positions(group: pa.Table) -> pa.Table:
+        gh = group.column("gh").to_numpy(zero_copy_only=False)
+        _, inv, occ = np.unique(gh, return_inverse=True,
+                                return_counts=True)
+        dup = (occ > 1)[inv]
+        kept = group.filter(pa.array(dup))
+        return pa.Table.from_arrays(
+            [kept.column("doc_id"), kept.column("pos")],
+            names=["doc_id", "pos"])
+
+    dups = ds.map_batches(occ_emit, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("bucket").map_groups(dup_positions,
+                                      batch_format="pyarrow")
+
+    def doc_emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.string())
+        return pa.Table.from_arrays(
+            [pa.array(_sbucket(ids.to_pylist(), n_buckets)), ids,
+             batch.column("text"),
+             pa.array(np.full(len(ids), -1, dtype=np.int64))],
+            names=["b", "doc_id", "text", "pos"])
+
+    def dup_emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        return pa.Table.from_arrays(
+            [pa.array(_sbucket(ids.to_pylist(), n_buckets)), ids,
+             pa.array([""] * len(ids), pa.string()),
+             batch.column("pos")],
+            names=["b", "doc_id", "text", "pos"])
+
+    def rebuild(part: pa.Table) -> pa.Table:
+        is_doc = pc.equal(part.column("pos"), -1)
+        docs = part.filter(is_doc)
+        marks = part.filter(pc.invert(is_doc))
+        by_doc: dict[str, list] = {}
+        for d, p in zip(marks.column("doc_id").to_pylist(),
+                        marks.column("pos").to_pylist()):
+            by_doc.setdefault(d, []).append(p)
+        out_id, out_tx, out_n, out_rm = [], [], [], []
+        for d, tx in zip(docs.column("doc_id").to_pylist(),
+                         docs.column("text").to_pylist()):
+            toks = tx.split(" ")
+            out_id.append(d)
+            ps = by_doc.get(d)
+            if not ps:
+                out_tx.append(tx)
+                out_n.append(len(toks))
+                out_rm.append(0)
+                continue
+            diff = np.zeros(len(toks) + 1, dtype=np.int64)
+            p = np.asarray(ps, dtype=np.int64)
+            np.add.at(diff, p, 1)
+            np.add.at(diff, np.minimum(p + k, len(toks)), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            kept = [t for t, c in zip(toks, covered) if not c]
+            out_tx.append(" ".join(kept))
+            out_n.append(len(toks))
+            out_rm.append(int(covered.sum()))
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.string()),
+             pa.array(out_tx, pa.string()),
+             pa.array(out_n, pa.int64()),
+             pa.array(out_rm, pa.int64())],
+            names=["doc_id", "text", "n_tokens", "n_removed"])
+
+    u = ds.map_batches(doc_emit, batch_format="pyarrow",
+                       zero_copy_batch=True) \
+        .union(dups.map_batches(dup_emit, batch_format="pyarrow",
+                                zero_copy_batch=True))
+    out = u.groupby("b").map_groups(rebuild, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "text", "n_tokens",
+                               "n_removed"])
