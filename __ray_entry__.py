@@ -1253,6 +1253,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "dup_doc_filter": lambda sf: lm.dup_doc_filter(
             _docs_cols(sf, ["doc_id", "text"])),
+        "gopher_quality": lambda sf: textstats.gopher_quality(
+            _docs_cols(sf, ["doc_id", "text"])),
+        "lang_mismatch": lambda sf: textstats.lang_mismatch(
+            _docs_cols(sf, ["doc_id", "text", "lang"])),
+        "tokenizer_fertility": lambda sf: textstats.tokenizer_fertility(
+            _docs_cols(sf, ["text", "lang"])),
+        "source_stats": lambda sf: textstats.source_stats(
+            _docs_cols(sf, ["text", "lang", "source"])),
         "token_frequencies": lambda sf: textstats.token_frequencies(
             _docs_cols(sf, ["doc_id", "text"]), 50),
         "topk_tokens_per_lang": lambda sf: textstats
@@ -1507,6 +1515,67 @@ def oracle_sql() -> dict[str, str]:
             ) c""",
         "doc_fingerprint":
             "SELECT doc_id, md5(text) AS fp FROM documents",
+        # Gopher-family rules: same integer comparisons as
+        # textstats.gopher_quality_batch, bit for bit
+        "gopher_quality": f"""
+            SELECT doc_id, n_tokens,
+              (CASE WHEN n_tokens < 20 OR n_tokens > 90
+                    THEN 1 ELSE 0 END
+               + CASE WHEN 10*tot < 42*n_tokens OR tot > 10*n_tokens
+                      THEN 2 ELSE 0 END
+               + CASE WHEN 50*n_stop < n_tokens THEN 4 ELSE 0 END
+               + CASE WHEN 10*n_uniq < 4*n_tokens THEN 8 ELSE 0 END
+              )::BIGINT AS fail_mask,
+              (CASE WHEN n_tokens >= 20 AND n_tokens <= 90
+                     AND 10*tot >= 42*n_tokens AND tot <= 10*n_tokens
+                     AND 50*n_stop >= n_tokens
+                     AND 10*n_uniq >= 4*n_tokens
+                    THEN 1 ELSE 0 END)::BIGINT AS keep
+            FROM (
+              SELECT doc_id,
+                len(string_split(text,' '))::BIGINT AS n_tokens,
+                (length(text) - len(string_split(text,' '))
+                 + 1)::BIGINT AS tot,
+                len(list_filter(string_split(text,' '),
+                    x -> x IN {_EN}))::BIGINT AS n_stop,
+                len(list_distinct(string_split(text,' ')))::BIGINT
+                  AS n_uniq
+              FROM documents) q""",
+        "lang_mismatch": f"""
+            SELECT doc_id, lang, pred_lang FROM (
+              SELECT doc_id, lang, CASE
+                WHEN en > 0 AND en >= es AND en >= de AND en >= fr
+                  THEN 'en'
+                WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+                WHEN de > 0 AND de >= fr THEN 'de'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'und' END AS pred_lang
+              FROM (
+                SELECT doc_id, lang,
+                  len(list_filter(w, x -> x IN {_EN})) AS en,
+                  len(list_filter(w, x -> x IN {_ES})) AS es,
+                  len(list_filter(w, x -> x IN {_DE})) AS de,
+                  len(list_filter(w, x -> x IN {_FR})) AS fr
+                FROM (SELECT doc_id, lang, string_split(text,' ') AS w
+                      FROM documents) s) c) p
+            WHERE pred_lang <> lang""",
+        "tokenizer_fertility": """
+            SELECT lang, count(*)::BIGINT AS n_docs,
+              sum(len(string_split(text,' ')))::BIGINT AS ws_tokens,
+              sum(len(regexp_extract_all(text,
+                  ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')))::BIGINT
+                AS bpe_tokens,
+              (sum(len(regexp_extract_all(text,
+                   ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))) * 1000000
+               // sum(len(string_split(text,' '))))::BIGINT
+                AS fertility_micro
+            FROM documents GROUP BY lang""",
+        "source_stats": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+              sum(len(string_split(text,' ')))::BIGINT AS sum_tokens,
+              sum(length(text))::BIGINT AS sum_chars,
+              count(DISTINCT lang)::BIGINT AS n_langs
+            FROM documents GROUP BY source""",
         "sample_by_hash":
             "SELECT doc_id, text FROM documents WHERE "
             "substr(md5(CAST(doc_id AS VARCHAR) || 's0'), 1, 3) < '200'",

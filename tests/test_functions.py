@@ -268,6 +268,73 @@ def test_lang_id_stopword_heuristic(ray_session):
     assert out == {1: "en", 2: "es", 3: "und"}
 
 
+def test_gopher_quality_rule_bits(ray_session):
+    """Each Gopher rule bit fires on a doc constructed to fail exactly
+    that rule (plus the bits its construction necessarily implies)."""
+    import ray.data
+
+    good = "the " + " ".join(f"word{i:04d}" for i in range(40))
+    rows = [
+        {"doc_id": 1, "text": good},                      # passes all
+        {"doc_id": 2, "text": "the tiny doc"},            # bit 1 (short)
+        # 30 tokens of 2 chars → mean word length 2 < 4.2 → bit 2
+        {"doc_id": 3, "text": "ab " * 29 + "ab"},
+        # 40 distinct long-enough tokens, no stopword → bit 4
+        {"doc_id": 4, "text": " ".join(f"xord{i:04d}" for i in range(40))},
+        # 40 tokens, 1 distinct, has stopword? no → mask includes 8
+        {"doc_id": 5, "text": "the the the " + "the " * 36 + "the"},
+    ]
+    out = {r["doc_id"]: r for r in textstats.gopher_quality(
+        ray.data.from_items(rows)).take_all()}
+    assert out[1]["fail_mask"] == 0 and out[1]["keep"] == 1
+    assert out[2]["fail_mask"] & 1
+    assert out[3]["fail_mask"] & 2
+    assert out[4]["fail_mask"] == 4          # long distinct words, no stop
+    assert out[5]["fail_mask"] & 8 and out[5]["keep"] == 0
+
+
+def test_lang_mismatch_flags_disagreements(ray_session):
+    import ray.data
+
+    rows = [{"doc_id": 1, "lang": "en",
+             "text": "the cat sat on the mat in a hat"},
+            {"doc_id": 2, "lang": "fr",
+             "text": "the dog ran to the park in a coat"}]
+    out = textstats.lang_mismatch(ray.data.from_items(rows)).take_all()
+    assert [(r["doc_id"], r["lang"], r["pred_lang"]) for r in out] \
+        == [(2, "fr", "en")]
+
+
+def test_tokenizer_fertility_integer_ratio(ray_session):
+    import ray.data
+
+    rows = [{"text": "ab1 cd", "lang": "en"},   # ws=2, bpe: 'ab','1',' cd' =4? count
+            {"text": "xy", "lang": "en"}]
+    out = textstats.tokenizer_fertility(
+        ray.data.from_items(rows)).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 2 and r["ws_tokens"] == 3
+    assert r["fertility_micro"] == r["bpe_tokens"] * 1_000_000 // 3
+
+
+def test_source_stats_block_split_invariant(ray_session):
+    import ray.data
+
+    rows = [{"text": "a b", "lang": "en", "source": "s1"},
+            {"text": "c d e", "lang": "de", "source": "s1"},
+            {"text": "f", "lang": "en", "source": "s2"}] * 4
+    a = sorted(tuple(sorted(r.items())) for r in textstats.source_stats(
+        ray.data.from_items(rows)).take_all())
+    b = sorted(tuple(sorted(r.items())) for r in textstats.source_stats(
+        ray.data.from_items(rows).repartition(5)).take_all())
+    assert a == b
+    d = {dict(t)["source"]: dict(t) for t in a}
+    assert d["s1"]["n_docs"] == 8 and d["s1"]["n_langs"] == 2
+    assert d["s2"]["n_docs"] == 4 and d["s2"]["n_langs"] == 1
+    assert d["s1"]["sum_tokens"] == (2 + 3) * 4
+
+
 def test_fingerprint_is_md5(ray_session):
     import hashlib
 

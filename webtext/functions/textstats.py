@@ -624,6 +624,180 @@ def corpus_quality_filter(ds, min_tokens: int = 10):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+# --------------------------------------------------------------------------
+# Gopher-family composite quality rules / language agreement / fertility
+# --------------------------------------------------------------------------
+
+# Gopher (Rae et al. 2021, §A1.1) rule family with thresholds adapted to
+# the synthetic corpus's token distribution (10-99 tokens/doc, mean word
+# length ~4.5) so every rule has both outcomes at test scale.  All four
+# rules are pure integer comparisons — no division — so the DuckDB
+# oracle is bit-exact and the filter is order/blocking-invariant.
+GOPHER_MIN_TOKENS = 20        # word count lower bound
+GOPHER_MAX_TOKENS = 90        # word count upper bound
+GOPHER_MWL_MIN_DECI = 42      # mean word length >= 4.2 chars (deci-chars)
+GOPHER_MWL_MAX = 10           # mean word length <= 10 chars
+GOPHER_STOP_PER = 50          # >= 1 English stopword per 50 tokens (2%)
+GOPHER_UNIQ_NUM = 4           # distinct-token ratio >= 4/10 (40%)
+GOPHER_UNIQ_DEN = 10
+
+
+def gopher_quality_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, fail_mask, keep) — Gopher-style composite
+    document-quality rules as a fail bitmask: bit 1 = token count
+    outside [20, 90], bit 2 = mean word length outside [4.2, 10]
+    (total token chars = n_chars - n_tokens + 1, exact for the
+    single-space tokenizer), bit 4 = English-stopword rate < 2%,
+    bit 8 = distinct-token ratio < 40%.  keep = 1 iff mask == 0.
+    Reference analogue: the reference's failure-message/quality gates
+    (web_text_extractor_ver1.5.py) are per-doc predicates of the same
+    shape; this is the corpus-curation generalization."""
+    q = quality_score_batch(batch)
+    n_chars = q.column("n_chars_q").to_numpy(zero_copy_only=False)
+    n_tok = q.column("n_tokens").to_numpy(zero_copy_only=False)
+    n_stop = q.column("n_stop").to_numpy(zero_copy_only=False)
+    n_uniq = q.column("n_uniq").to_numpy(zero_copy_only=False)
+    tot = n_chars - n_tok + 1           # sum of token lengths
+    mask = np.where((n_tok < GOPHER_MIN_TOKENS)
+                    | (n_tok > GOPHER_MAX_TOKENS), 1, 0)
+    mask += np.where((10 * tot < GOPHER_MWL_MIN_DECI * n_tok)
+                     | (tot > GOPHER_MWL_MAX * n_tok), 2, 0)
+    mask += np.where(GOPHER_STOP_PER * n_stop < n_tok, 4, 0)
+    mask += np.where(GOPHER_UNIQ_DEN * n_uniq < GOPHER_UNIQ_NUM * n_tok,
+                     8, 0)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(n_tok, pa.int64()),
+         pa.array(mask.astype(np.int64), pa.int64()),
+         pa.array((mask == 0).astype(np.int64), pa.int64())],
+        names=["doc_id", "n_tokens", "fail_mask", "keep"])
+
+
+def gopher_quality(ds):
+    """Per-doc Gopher-rule fail bitmask — pure map, no shuffle; at
+    100 TB this runs as one column-pruned streaming pass."""
+    return ds.map_batches(gopher_quality_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def lang_mismatch_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, lang, pred_lang) for docs whose declared ``lang`` label
+    disagrees with the stopword lang-id prediction — the label-noise
+    audit every multilingual corpus needs before per-lang sampling."""
+    pred = lang_id_batch(batch).column("pred_lang")
+    keep = pc.invert(pc.equal(pred, batch.column("lang")))
+    out = pa.Table.from_arrays(
+        [batch.column("doc_id"), batch.column("lang"), pred],
+        names=["doc_id", "lang", "pred_lang"])
+    return out.filter(keep)
+
+
+def lang_mismatch(ds):
+    return ds.map_batches(lang_mismatch_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def tokenizer_fertility(ds):
+    """(lang, n_docs, ws_tokens, bpe_tokens, fertility_micro): per-lang
+    tokenizer-fertility audit — how many BPE-style pretokens the regex
+    tokenizer spends per whitespace token, ``bpe*1e6 // ws`` in integer
+    micros.  Combiner pattern: each batch factorizes lang locally and
+    ships one partial row per (batch, lang); the all-to-all carries
+    O(n_langs) rows per block, the native groupby-sum reduces, and the
+    ratio is computed on the already-tiny result."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ws = pc.list_value_length(_tokens(batch)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        bpe = batch.column("text").to_pandas().str.count(_BPE_RE) \
+            .fillna(0).astype("int64").to_numpy()
+        codes, uniques = pd.factorize(
+            batch.column("lang").to_pandas(), sort=False)
+        k = len(uniques)
+        n_docs = np.bincount(codes, minlength=k).astype(np.int64)
+        ws_sum = np.zeros(k, dtype=np.int64)
+        bpe_sum = np.zeros(k, dtype=np.int64)
+        np.add.at(ws_sum, codes, ws)
+        np.add.at(bpe_sum, codes, bpe)
+        return pa.Table.from_arrays(
+            [pa.array(uniques.tolist(), pa.string()),
+             pa.array(n_docs), pa.array(ws_sum), pa.array(bpe_sum)],
+            names=["lang", "n_docs", "ws_tokens", "bpe_tokens"])
+
+    summed = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("lang").sum(["n_docs", "ws_tokens", "bpe_tokens"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(
+            ["lang", "n_docs", "ws_tokens", "bpe_tokens"])
+        ws = batch.column("ws_tokens").to_numpy(zero_copy_only=False)
+        bpe = batch.column("bpe_tokens").to_numpy(zero_copy_only=False)
+        fert = np.where(ws > 0, (bpe * 1_000_000) // np.maximum(ws, 1),
+                        0).astype(np.int64)
+        return batch.append_column("fertility_micro",
+                                   pa.array(fert, pa.int64()))
+
+    return summed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def source_stats(ds):
+    """(source, n_docs, sum_tokens, sum_chars, n_langs): per-source
+    (domain-level) corpus profile — the aggregate a crawl operator reads
+    before deciding what to recrawl or down-sample.  Two native hash
+    aggregates over combiner partials: batch → one row per
+    (source, lang); groupby(source, lang) completes the distinct-lang
+    dedup; groupby(source) folds in the lang count.  Both exchanges
+    carry O(sources × langs) rows, never documents."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ws = pc.list_value_length(_tokens(batch)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(batch.column("text")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keys = (batch.column("source").to_pandas() + "\x1f"
+                + batch.column("lang").to_pandas())
+        codes, uniques = pd.factorize(keys, sort=False)
+        k = len(uniques)
+        n_docs = np.bincount(codes, minlength=k).astype(np.int64)
+        t_sum = np.zeros(k, dtype=np.int64)
+        c_sum = np.zeros(k, dtype=np.int64)
+        np.add.at(t_sum, codes, ws)
+        np.add.at(c_sum, codes, chars)
+        src = [u.split("\x1f", 1)[0] for u in uniques]
+        lng = [u.split("\x1f", 1)[1] for u in uniques]
+        return pa.Table.from_arrays(
+            [pa.array(src, pa.string()), pa.array(lng, pa.string()),
+             pa.array(n_docs), pa.array(t_sum), pa.array(c_sum)],
+            names=["source", "lang", "n_docs", "sum_tokens", "sum_chars"])
+
+    lvl1 = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["source", "lang"]) \
+        .sum(["n_docs", "sum_tokens", "sum_chars"])
+
+    def mark(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(
+            ["source", "lang", "n_docs", "sum_tokens", "sum_chars"])
+        return pa.Table.from_arrays(
+            [batch.column("source"), batch.column("n_docs"),
+             batch.column("sum_tokens"), batch.column("sum_chars"),
+             pa.array(np.ones(batch.num_rows, dtype=np.int64))],
+            names=["source", "n_docs", "sum_tokens", "sum_chars",
+                   "n_langs"])
+
+    lvl2 = lvl1.map_batches(mark, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("source") \
+        .sum(["n_docs", "sum_tokens", "sum_chars", "n_langs"])
+    return lvl2.map_batches(
+        lambda b: b.rename_columns(
+            ["source", "n_docs", "sum_tokens", "sum_chars", "n_langs"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 # -- dataset-level wrappers -------------------------------------------------
 
 def token_count(ds):
