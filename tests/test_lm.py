@@ -237,3 +237,34 @@ def test_dedup_substrings_split_invariant(ray_session):
                    ray.data.from_items(docs).repartition(11),
                    k=5).take_all())
     assert a == b
+
+
+def test_perplexity_buckets_tertiles_and_split_invariance(ray_session):
+    import ray.data
+
+    from webtext.functions.lm import bigram_lm_scores, perplexity_buckets
+
+    # 90 docs over a shared vocabulary: fluent docs repeat a common
+    # bigram chain, noisy docs use rarer transitions
+    docs = [{"doc_id": i,
+             "text": " ".join(f"w{(i * 3 + j) % (5 + i % 17)}"
+                              for j in range(20))}
+            for i in range(90)]
+    ds = ray.data.from_items(docs)
+    out = perplexity_buckets(ds).take_all()
+    assert len(out) == 90
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["lm_avg_micro"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # threshold semantics: every tail score <= every head score
+    assert max(by_bucket["tail"]) <= min(by_bucket["head"])
+    # bucketing is threshold-based, so block layout cannot change it
+    b = perplexity_buckets(ds.repartition(13)).take_all()
+    assert sorted((r["doc_id"], r["bucket"]) for r in out) \
+        == sorted((r["doc_id"], r["bucket"]) for r in b)
+    # scores agree with bigram_lm_scores' integer average
+    scores = {r["doc_id"]: r["lm_score_micro"] // r["n_bigrams"]
+              for r in bigram_lm_scores(ds).take_all()}
+    for r in out:
+        assert r["lm_avg_micro"] == scores[r["doc_id"]]

@@ -488,3 +488,20 @@ def test_global_quantiles_duplicate_heavy_and_collapsed(ray_session):
     ds = ray.data.from_arrow(pa.table({"value": vals})).repartition(5)
     out = global_quantiles(ds, "value", (0.5,)).to_pylist()
     assert out == [{"q_permille": 500, "value": 7.25}]
+
+
+def test_global_quantiles_rank_mode(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webtext.pipelines.relational import global_quantiles
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 10**6, size=30000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"value": vals})).repartition(7)
+    ranks = (0, 9999, 29999, 10**9)     # last clamps to n-1
+    got = global_quantiles(ds, "value", ranks=ranks)
+    s = np.sort(vals)
+    want = [float(s[min(max(r, 0), len(s) - 1)]) for r in ranks]
+    assert got == want

@@ -375,3 +375,58 @@ def dedup_substrings(ds, k: int = 8,
     out = u.groupby("b").map_groups(rebuild, batch_format="pyarrow")
     return out.select_columns(["doc_id", "text", "n_tokens",
                                "n_removed"])
+
+
+def perplexity_buckets(ds):
+    """(doc_id, lm_avg_micro, bucket): CCNet-style head/middle/tail
+    quality buckets (Wenzek et al. 2020) from the self-trained bigram
+    LM — per-doc average conditional probability in integer micros
+    (``lm_score_micro // n_bigrams``), bucketed by the corpus's exact
+    tertile thresholds.  High average probability = fluent = 'head'.
+
+    Thresholds are the elements at 0-based ranks ceil(n/3)-1 and
+    ceil(2n/3)-1 of the ascending score column, selected by the
+    sort-free histogram-refinement rank reader
+    (relational.global_quantiles ranks=...) — no corpus sort, no
+    all-to-all beyond the one the LM scoring already does.  Bucketing
+    by threshold (not by row rank) makes tie assignment deterministic
+    and independent of block order, so the DuckDB oracle (row_number
+    over the same ascending order to read the two thresholds, then the
+    same CASE chain) is bit-exact.
+
+    The scored table is materialized once: the rank reader does 2-3
+    passes and the final bucket map one more — re-running the LM
+    all-to-all per pass would be the wrong plan; at 100 TB the scored
+    (doc_id, 2×int64) table is ~3% of corpus bytes and spills fine.
+    """
+    from ..pipelines.relational import global_quantiles
+
+    def avg(batch: pa.Table) -> pa.Table:
+        s = batch.column("lm_score_micro").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_bigrams").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"),
+             pa.array(s // np.maximum(nb, 1), pa.int64())],
+            names=["doc_id", "lm_avg_micro"])
+
+    scored = bigram_lm_scores(ds).map_batches(
+        avg, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n = scored.count()
+    if n == 0:
+        return scored.map_batches(
+            lambda b: b.append_column("bucket", pa.array([], pa.string())),
+            batch_format="pyarrow")
+    r1 = (n + 2) // 3 - 1           # ceil(n/3) - 1
+    r2 = (2 * n + 2) // 3 - 1       # ceil(2n/3) - 1
+    t1, t2 = global_quantiles(scored, "lm_avg_micro", ranks=(r1, r2))
+    t1, t2 = int(t1), int(t2)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("lm_avg_micro").to_numpy(zero_copy_only=False)
+        lab = np.where(a <= t1, "tail",
+                       np.where(a <= t2, "middle", "head"))
+        return batch.append_column("bucket",
+                                   pa.array(lab.tolist(), pa.string()))
+
+    return scored.map_batches(bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -326,7 +326,8 @@ GQ_COLLECT = 65536
 
 def global_quantiles(ds, value_col: str = "value",
                      qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
-                     max_rounds: int = 8):
+                     max_rounds: int = 8,
+                     ranks: tuple[int, ...] | None = None):
     """Exact corpus-wide ``quantile_disc`` values with ZERO all-to-all:
     iterative histogram refinement.
 
@@ -346,6 +347,12 @@ def global_quantiles(ds, value_col: str = "value",
     The input lineage is consumed once per round (2-3 rounds
     typically); pass a source-backed dataset so each pass is a
     column-pruned re-read, not a recompute.
+
+    With ``ranks`` set (0-based global ranks in the ascending order),
+    quantile fractions are bypassed and the function returns the list
+    of exact ranked values instead of a table — the primitive
+    perplexity-bucket thresholds and other "element at rank r" reads
+    build on, with the same zero-all-to-all refinement.
     """
     import ray
 
@@ -367,6 +374,8 @@ def global_quantiles(ds, value_col: str = "value",
                                zero_copy_batch=True).take_all()
     n = int(sum(r["n"] for r in parts))
     if n == 0:
+        if ranks is not None:
+            return [None] * len(ranks)
         return pa.Table.from_pydict(
             {"q_permille": pa.array([], pa.int64()),
              "value": pa.array([], pa.float64())})
@@ -375,9 +384,14 @@ def global_quantiles(ds, value_col: str = "value",
 
     # per-target state: candidate range [lo, hi] (inclusive), the
     # global rank to select, and how many values lie strictly below lo
-    targets = [{"q": q, "rank": max(0, int(np.ceil(q * n)) - 1),
-                "lo": glo, "hi": ghi, "below": 0, "in_range": n,
-                "value": None} for q in qs]
+    if ranks is not None:
+        targets = [{"q": 0.0, "rank": min(max(int(r), 0), n - 1),
+                    "lo": glo, "hi": ghi, "below": 0, "in_range": n,
+                    "value": None} for r in ranks]
+    else:
+        targets = [{"q": q, "rank": max(0, int(np.ceil(q * n)) - 1),
+                    "lo": glo, "hi": ghi, "below": 0, "in_range": n,
+                    "value": None} for q in qs]
 
     for _ in range(max_rounds):
         active = [t for t in targets
@@ -470,6 +484,8 @@ def global_quantiles(ds, value_col: str = "value",
             j = int(np.searchsorted(cum, t["rank"] - t["below"] + 1))
             t["value"] = float(vals[j])
 
+    if ranks is not None:
+        return [t["value"] for t in targets]
     return pa.Table.from_pydict(
         {"q_permille": pa.array([int(round(t["q"] * 1000))
                                  for t in targets], pa.int64()),
