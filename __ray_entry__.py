@@ -1219,6 +1219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize_urls": lambda sf: curation.canonicalize_urls(
             _url_fixture(sf)),
         "url_dedup": lambda sf: curation.url_dedup(_url_fixture(sf)),
+        "url_blocklist_filter": lambda sf: curation.url_blocklist_filter(
+            _url_fixture(sf)),
         "normalize_text": lambda sf: curation.normalize_text(
             _docs_cols(sf, ["doc_id", "text"])),
         # CCNet-style corpus-wide line dedup over the deterministic
@@ -2036,6 +2038,16 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _URL_CANON_SQL + """
             SELECT min(doc_id) AS doc_id, canon_url FROM c
             GROUP BY canon_url""",
+        "url_blocklist_filter": _URL_CANON_SQL + """
+            SELECT doc_id, canon_url,
+              regexp_extract(canon_url,
+                             '^[a-z]+://([^/:?#]+)', 1) AS host
+            FROM c
+            WHERE NOT (
+              regexp_extract(canon_url, '^[a-z]+://([^/:?#]+)', 1)
+                = 'site1.example.com'
+              OR regexp_extract(canon_url, '^[a-z]+://([^/:?#]+)', 1)
+                LIKE '%.site1.example.com')""",
         "normalize_text": r"""
             SELECT doc_id,
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))

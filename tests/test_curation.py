@@ -356,3 +356,21 @@ def test_temperature_sample_flattens_head(ray_session):
     again = curation.temperature_sample(ds.repartition(7)).take_all()
     assert sorted(r["doc_id"] for r in kept) == \
         sorted(r["doc_id"] for r in again)
+
+
+def test_url_blocklist_filter_suffix_semantics(ray_session):
+    import ray.data
+
+    from webtext.functions.curation import url_blocklist_filter
+
+    rows = [
+        {"doc_id": 1, "url": "http://site1.example.com/a"},       # exact
+        {"doc_id": 2, "url": "HTTP://WWW.Site1.EXAMPLE.com/b"},   # subdom
+        {"doc_id": 3, "url": "http://evilsite1.example.com/c"},   # NOT a
+        # subdomain (no dot boundary) — must be kept
+        {"doc_id": 4, "url": "http://site2.example.com/d"},       # kept
+    ]
+    out = url_blocklist_filter(ray.data.from_items(rows))
+    got = sorted((r["doc_id"], r["host"]) for r in out.take_all())
+    assert got == [(3, "evilsite1.example.com"),
+                   (4, "site2.example.com")]

@@ -369,6 +369,43 @@ def url_dedup(ds, col: str = "url"):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+# default blocklist for the synthetic url fixture: exact host or any
+# subdomain of these domains is dropped (the crawler-denylist shape —
+# constant-size, compiled into the UDF closure; at 100 TB a big list
+# ships once via ray.put exactly like decontaminate's benchmark grams)
+URL_BLOCKLIST: tuple[str, ...] = ("site1.example.com",)
+
+_HOST_RE = r"^[a-z]+://(?P<host>[^/:?#]+)"
+
+
+def url_blocklist_filter(ds, blocked: tuple[str, ...] = URL_BLOCKLIST,
+                         col: str = "url"):
+    """(doc_id, canon_url, host) for rows whose canonical host is
+    neither a blocked domain nor a subdomain of one — the crawler
+    denylist pass every web corpus runs before extraction (reference
+    analogue: the Google/Yahoo EXCLUDE url predicates,
+    web_text_extractor_ver1.5.py search-result mining).  Suffix
+    semantics: ``host == d`` or ``host.endswith('.' + d)``.  Pure
+    Arrow RE2 + ends_with kernels after the shared canonicalization
+    chain — no shuffle, no Python row loop."""
+    canon = canonicalize_urls(ds, col)
+
+    def f(batch: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(batch.column("canon_url"), _HOST_RE),
+            "host")
+        bad = pa.array(np.zeros(batch.num_rows, dtype=bool))
+        for d in blocked:
+            bad = pc.or_kleene(
+                bad, pc.or_kleene(pc.equal(host, d),
+                                  pc.ends_with(host, pattern="." + d)))
+        out = batch.append_column("host", host)
+        return out.filter(pc.invert(bad))
+
+    return canon.map_batches(f, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 # --------------------------------------------------------------------------
 # Cross-document line dedup (CCNet-style)
 # --------------------------------------------------------------------------
