@@ -1252,6 +1252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet head/middle/tail quality buckets off the bigram LM
         "perplexity_buckets": lambda sf: lm.perplexity_buckets(
             _docs_cols(sf, ["doc_id", "text"])),
+        # top-k Dice-coefficient collocations (overflow-safe PMI stand-in)
+        "dice_collocations": lambda sf: lm.dice_collocations(
+            _docs_cols(sf, ["doc_id", "text"])),
         # ExactSubstr removal (Lee et al. 2022): remove every token
         # covered by a corpus-duplicated 8-token window
         "dedup_substrings": lambda sf: lm.dedup_substrings(
@@ -1813,6 +1816,23 @@ def oracle_sql() -> dict[str, str]:
                    sum(q.q)::BIGINT AS lm_score_micro
             FROM big b JOIN q ON q.w1 = b.w1 AND q.w2 = b.w2
             GROUP BY b.doc_id""",
+        "dice_collocations": """
+            WITH toks AS (SELECT doc_id, string_split(text,' ') AS w
+                          FROM documents),
+            big AS (SELECT w[i] AS w1, w[i+1] AS w2
+                    FROM toks, unnest(generate_series(1,
+                      greatest(len(w)-1,0))) AS t(i)),
+            c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2
+                   FROM big GROUP BY w1, w2),
+            m AS (SELECT w1, w2, c2,
+                    sum(c2) OVER (PARTITION BY w1) AS u1,
+                    sum(c2) OVER (PARTITION BY w2) AS u2
+                  FROM c2)
+            SELECT w1, w2, c2,
+                   (2 * c2 * 1000000 // (u1 + u2))::BIGINT
+                     AS dice_micro
+            FROM m WHERE c2 >= 2
+            ORDER BY dice_micro DESC, w1, w2 LIMIT 50""",
         # same bigram model as bigram_lm_scores; thresholds read by
         # row_number over the same ascending order the Ray side ranks
         "perplexity_buckets": """

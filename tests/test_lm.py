@@ -268,3 +268,37 @@ def test_perplexity_buckets_tertiles_and_split_invariance(ray_session):
               for r in bigram_lm_scores(ds).take_all()}
     for r in out:
         assert r["lm_avg_micro"] == scores[r["doc_id"]]
+
+
+def test_dice_collocations_matches_brute(ray_session):
+    import collections
+
+    import ray.data
+
+    from webtext.functions.lm import dice_collocations
+
+    docs = [{"doc_id": i,
+             "text": " ".join(f"v{(i + j * j) % 13}" for j in range(25))}
+            for i in range(40)]
+    # brute force with arbitrary-precision ints
+    c2 = collections.Counter()
+    for d in docs:
+        t = d["text"].split(" ")
+        for a, b in zip(t, t[1:]):
+            c2[(a, b)] += 1
+    u1 = collections.Counter()
+    u2 = collections.Counter()
+    for (a, b), c in c2.items():
+        u1[a] += c
+        u2[b] += c
+    want = sorted(
+        ((a, b, c, 2 * c * 1_000_000 // (u1[a] + u2[b]))
+         for (a, b), c in c2.items() if c >= 2),
+        key=lambda r: (-r[3], r[0], r[1]))[:50]
+    ds = ray.data.from_items(docs)
+    got = [(r["w1"], r["w2"], r["c2"], r["dice_micro"])
+           for r in dice_collocations(ds).take_all()]
+    assert got == want
+    got2 = [(r["w1"], r["w2"], r["c2"], r["dice_micro"])
+            for r in dice_collocations(ds.repartition(9)).take_all()]
+    assert got2 == want

@@ -430,3 +430,101 @@ def perplexity_buckets(ds):
 
     return scored.map_batches(bucket, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def dice_collocations(ds, k: int = 50, min_count: int = 2,
+                      n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(w1, w2, c2, dice_micro): top-k corpus collocations by the Dice
+    coefficient over the bigram contingency table —
+    ``dice = 2·c2 / (u1 + u2)`` with u1/u2 the bigram-table row/column
+    marginals (Σ_w c2(w1,w), Σ_w c2(w,w2)), quantized to integer micros
+    by floor division.  Dice deliberately replaces PMI's ``u1·u2``
+    denominator: the sum never overflows int64 until c2 ≥ ~4.6e12
+    occurrences (2e6·c2), whereas a count product wraps at corpus
+    scale while DuckDB silently promotes to HUGEINT (the
+    zscore-ADVICE overflow trap, avoided by construction).
+
+    Shape: per-batch pandas value_counts partials → one native
+    groupby(w1,w2).sum → TWO bucketed all-to-alls over the type-sized
+    bigram table (hash(w1) colocates a row marginal, hash(w2) a column
+    marginal; both computed vectorized in-bucket, no per-pair Python) →
+    min_count filter → tiny deterministic sort (dice desc, w1, w2)
+    + limit.  No corpus-scale shuffle beyond the bigram-type table
+    itself; documents never leave their blocks."""
+    import pandas as pd
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.int64())], names=["w1", "w2", "c"])
+        if lengths.sum() < 2:
+            return empty
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(lengths), dtype=np.int64),
+                         lengths)
+        m = len(flat) - 1
+        valid = rows[:m] == rows[1:]
+        if not valid.any():
+            return empty
+        df = pd.DataFrame({"w1": flat[:m][valid],
+                           "w2": flat[1:][valid]})
+        vc = df.groupby(["w1", "w2"], sort=False).size()
+        idx = vc.index
+        return pa.Table.from_arrays(
+            [pa.array(idx.get_level_values(0), pa.string()),
+             pa.array(idx.get_level_values(1), pa.string()),
+             pa.array(vc.to_numpy().astype(np.int64), pa.int64())],
+            names=["w1", "w2", "c"])
+
+    c2 = ds.map_batches(big_partial, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby(["w1", "w2"]).sum("c").map_batches(
+            lambda b: b.rename_columns(["w1", "w2", "c2"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def key1(batch: pa.Table) -> pa.Table:
+        w1 = batch.column("w1").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "b", pa.array(_sbucket(w1, n_buckets), pa.int64()))
+
+    def add_u1(group: pa.Table) -> pa.Table:
+        w1 = group.column("w1").to_numpy(zero_copy_only=False)
+        c = group.column("c2").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(w1, sort=False)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, codes, c)
+        w2 = group.column("w2").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [group.column("w1"), group.column("w2"),
+             group.column("c2"), pa.array(tot[codes], pa.int64()),
+             pa.array(_sbucket(w2, n_buckets), pa.int64())],
+            names=["w1", "w2", "c2", "u1", "b2"])
+
+    def add_u2_dice(group: pa.Table) -> pa.Table:
+        w2 = group.column("w2").to_numpy(zero_copy_only=False)
+        c = group.column("c2").to_numpy(zero_copy_only=False)
+        u1 = group.column("u1").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(w2, sort=False)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, codes, c)
+        u2 = tot[codes]
+        dice = (2 * c * 1_000_000) // (u1 + u2)
+        keep = c >= min_count
+        return pa.Table.from_arrays(
+            [group.column("w1").filter(pa.array(keep)),
+             group.column("w2").filter(pa.array(keep)),
+             pa.array(c[keep], pa.int64()),
+             pa.array(dice[keep], pa.int64())],
+            names=["w1", "w2", "c2", "dice_micro"])
+
+    attached = c2.map_batches(key1, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("b").map_groups(add_u1, batch_format="pyarrow") \
+        .groupby("b2").map_groups(add_u2_dice, batch_format="pyarrow")
+    return attached.sort(["dice_micro", "w1", "w2"],
+                         descending=[True, False, False]).limit(k)
