@@ -144,6 +144,17 @@ def _events_hll(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id"]), "user_id")
 
 
+def _events_hll_by_type(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.sketches import hll_distinct_by_group
+
+    return hll_distinct_by_group(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_type", "user_id"]),
+        "event_type", "user_id")
+
+
 def _cms_estimates(sf_dir: str):
     from webtext.functions.sketches import cms_token_estimates
 
@@ -1317,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": lambda sf: _events_pivot(sf),
         # sketch: no SQL can replicate HLL registers → rows-only check
         "hll_users": lambda sf: _events_hll(sf),
+        "hll_users_by_type": lambda sf: _events_hll_by_type(sf),
         "cms_token_estimates": lambda sf: _cms_estimates(sf),
         "asof_join": lambda sf: _events_asof(sf),
         "range_join": lambda sf: _events_range_join(sf),
@@ -1435,7 +1447,7 @@ def oracle_sql() -> dict[str, str]:
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs", "media_dedup_apply",
             "dedup_extracted", "dup_cluster_stats", "hll_users",
-            "incremental_near_dedup")
+            "hll_users_by_type", "incremental_near_dedup")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

@@ -338,6 +338,34 @@ def test_hll_distinct_string_column(ray_session):
     assert abs(est - 137) <= 3, est
 
 
+def test_hll_by_group_matches_per_group_single_sketch(ray_session):
+    """Disjoint per-group user sets: each group's estimate must be
+    bit-identical to hll_distinct run on that group's subset alone —
+    catches any register leakage across groups."""
+    import ray.data
+
+    from webtext.functions.sketches import (hll_distinct,
+                                            hll_distinct_by_group)
+
+    rows = ([{"g": "a", "uid": i} for i in range(0, 900)]
+            + [{"g": "b", "uid": i} for i in range(10_000, 10_300)]
+            + [{"g": "c", "uid": 42}] * 50)
+    ds = ray.data.from_items(rows)
+    got = {r["g"]: r["n_approx"]
+           for r in hll_distinct_by_group(ds, "g", "uid").take_all()}
+    for g in ("a", "b", "c"):
+        solo = hll_distinct(
+            ds.filter(lambda r, _g=g: r["g"] == _g), "uid") \
+            .take_all()[0]["n_approx"]
+        assert got[g] == solo, (g, got[g], solo)
+    assert abs(got["a"] - 900) / 900 < 0.05
+    assert got["c"] == 1
+    # partition-invariant like the global sketch
+    got2 = {r["g"]: r["n_approx"] for r in hll_distinct_by_group(
+        ds.repartition(7), "g", "uid").take_all()}
+    assert got2 == got
+
+
 def test_lag_deltas_drops_first_event_per_user(ray_session):
     import ray.data
 

@@ -602,6 +602,46 @@ def golden_hll_users(sf_dir: str) -> pa.Table:
     return pa.table({"n_approx": pa.array([int(round(est))], pa.int64())})
 
 
+def golden_hll_users_by_type(sf_dir: str) -> pa.Table:
+    """Per-event_type variant of golden_hll_users: one independent
+    scalar-python HLL per group over that group's distinct user set —
+    differential vs sketches.hll_distinct_by_group's vectorized
+    partial-register + groupby(g, register).max execution."""
+    P = 12
+    m = 1 << P
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "user_id"])
+    by_type: dict[str, set] = {}
+    for et, uid in zip(t["event_type"].to_pylist(),
+                       t["user_id"].to_pylist()):
+        by_type.setdefault(et, set()).add(int(uid))
+    MASK = (1 << 64) - 1
+    gs, ests = [], []
+    for et in sorted(by_type):
+        regs = np.zeros(m, dtype=np.int64)
+        for v in sorted(by_type[et]):
+            z = (v + 0x9E3779B97F4A7C15) & MASK
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK
+            z = z ^ (z >> 31)
+            reg = z & (m - 1)
+            w = z >> P
+            rho = (64 - P) + 1 if w == 0 \
+                else (64 - P) - (w.bit_length() - 1)
+            if rho > regs[reg]:
+                regs[reg] = rho
+        alpha = 0.7213 / (1 + 1.079 / m)
+        raw = alpha * m * m / np.sum(
+            np.power(2.0, -regs.astype(np.float64)))
+        zeros = int(np.sum(regs == 0))
+        est = m * np.log(m / zeros) if (raw <= 2.5 * m and zeros) \
+            else raw
+        gs.append(et)
+        ests.append(int(round(est)))
+    return pa.table({"g": pa.array(gs, pa.string()),
+                     "n_approx": pa.array(ests, pa.int64())})
+
+
 def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     tag = os.path.basename(sf_dir.rstrip("/"))
     n_fam = 16 if tag.endswith("0.1") else 8
@@ -1115,6 +1155,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["pagerank"] = golden_pagerank(sf_dir)
 
     g["hll_users"] = golden_hll_users(sf_dir)
+    g["hll_users_by_type"] = golden_hll_users_by_type(sf_dir)
 
     return g
 

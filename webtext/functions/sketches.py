@@ -116,6 +116,64 @@ def hll_distinct(ds, col: str, p: int = HLL_P):
                      batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _partial_registers_by_group(batch: pa.Table, group_col: str,
+                                col: str, p: int) -> pa.Table:
+    """Per-(group, register) partial rho maxima for one block: dense
+    (k_groups × 2^p) scatter, then only the touched cells ship."""
+    import pandas as pd
+
+    h = _hash64(batch.column(col).combine_chunks()
+                if isinstance(batch.column(col), pa.ChunkedArray)
+                else batch.column(col))
+    m = np.uint64(1) << np.uint64(p)
+    reg = (h & (m - np.uint64(1))).astype(np.int64)
+    w = h >> np.uint64(p)
+    nbits = 64 - p
+    rho = np.full(len(w), nbits + 1, dtype=np.int64)
+    nz = w != 0
+    rho[nz] = nbits - (np.frexp(w[nz].astype(np.float64))[1]
+                       .astype(np.int64) - 1)
+    codes, uniques = pd.factorize(
+        batch.column(group_col).to_pandas(), sort=False)
+    k = len(uniques)
+    maxima = np.zeros((k, 1 << p), dtype=np.int64)
+    np.maximum.at(maxima, (codes, reg), rho)
+    gi, ri = np.nonzero(maxima)
+    return pa.Table.from_arrays(
+        [pa.array([uniques[i] for i in gi], pa.string()),
+         pa.array(ri.astype(np.int64)), pa.array(maxima[gi, ri])],
+        names=["g", "register", "rho"])
+
+
+def hll_distinct_by_group(ds, group_col: str, col: str, p: int = HLL_P):
+    """(g, n_approx): per-group HyperLogLog distinct estimate (e.g.
+    distinct users per event_type).  Same register algebra as
+    hll_distinct, keyed by group: the shuffle carries at most
+    ``k_groups × 2^p`` tiny (g, register, rho) rows per block, a native
+    groupby(g, register).max merges, and the finalize runs per group.
+    The finalize uses groupby(g).map_groups — legitimate here because
+    the group key is a LOW-cardinality dimension (event types, not
+    documents) and each group's payload is exactly 2^p rows; for a
+    high-cardinality group column the register table itself would be
+    the bottleneck long before the map_groups."""
+    merged = ds.select_columns([group_col, col]) \
+        .map_batches(
+            lambda b: _partial_registers_by_group(b, group_col, col, p),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["g", "register"]).max("rho")
+
+    def finalize(group: pa.Table) -> pa.Table:
+        group = group.rename_columns(["g", "register", "rho"])
+        est = _estimate(group.select(["register", "rho"]), p)
+        return pa.Table.from_arrays(
+            [pa.array([group.column("g")[0].as_py()], pa.string()),
+             est.column("n_approx")],
+            names=["g", "n_approx"])
+
+    return merged.groupby("g").map_groups(finalize,
+                                          batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch
 # ---------------------------------------------------------------------------
