@@ -1361,6 +1361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_columns": lambda sf: _tpch_profile(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
             _docs_cols(sf, ["doc_id", "lang"])),
+        "source_quota_sample": lambda sf: rel.source_quota_sample(
+            _docs_cols(sf, ["doc_id", "source"])),
         # relational skeleton (U5/U9/A1/A2/A3/E12 shapes)
         "topk_per_group": lambda sf: rel.topk_per_group(_docs(sf)),
         "ordered_dedup": lambda sf: rel.ordered_dedup(_docs(sf)),
@@ -2258,6 +2260,11 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY lang
                 ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
               FROM documents) t WHERE rn <= 3""",
+        "source_quota_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents) t WHERE rn <= 10""",
         "asof_join": """
             SELECT event_id, user_id, o_orderkey FROM (
               SELECT e.event_id, e.user_id, o.o_orderkey,

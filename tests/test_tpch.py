@@ -505,3 +505,23 @@ def test_global_quantiles_rank_mode(ray_session):
     s = np.sort(vals)
     want = [float(s[min(max(r, 0), len(s) - 1)]) for r in ranks]
     assert got == want
+
+
+def test_source_quota_sample_caps_and_split_invariance(ray_session):
+    import ray.data
+
+    from webtext.pipelines.relational import source_quota_sample
+
+    rows = ([{"doc_id": i, "source": "hot"} for i in range(100)]
+            + [{"doc_id": 1000 + i, "source": f"cold{i}"}
+               for i in range(5)])
+    ds = ray.data.from_items(rows)
+    out = source_quota_sample(ds, k=10).take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert sorted(by_src["hot"]) == list(range(10))   # k smallest ids
+    assert all(len(v) == 1 for s, v in by_src.items() if s != "hot")
+    b = source_quota_sample(ds.repartition(13), k=10).take_all()
+    assert sorted((r["doc_id"], r["source"]) for r in out) \
+        == sorted((r["doc_id"], r["source"]) for r in b)

@@ -490,3 +490,56 @@ def global_quantiles(ds, value_col: str = "value",
         {"q_permille": pa.array([int(round(t["q"] * 1000))
                                  for t in targets], pa.int64()),
          "value": pa.array([t["value"] for t in targets], pa.float64())})
+
+
+# --------------------------------------------------------------------------
+# Per-source quota sampling (crawl-cap curation)
+# --------------------------------------------------------------------------
+
+def _quota_table(t: pa.Table, group_col: str, k: int) -> pa.Table:
+    """Keep the k smallest doc_ids per group within one table —
+    sort + run-length positions, no Python groups."""
+    if t.num_rows == 0:
+        return t
+    idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending"),
+                                        ("doc_id", "ascending")])
+    t = t.take(idx)
+    codes = t.column(group_col).combine_chunks() \
+        .dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    n = len(codes)
+    starts = np.ones(n, dtype=bool)
+    starts[1:] = codes[1:] != codes[:-1]
+    run_id = np.cumsum(starts) - 1
+    pos = np.arange(n) - np.flatnonzero(starts)[run_id]
+    return t.filter(pa.array(pos < k))
+
+
+def source_quota_sample(ds, group_col: str = "source", k: int = 10,
+                        n_buckets: int = 64):
+    """(doc_id, source): cap every source/domain at its k
+    lowest-doc_id documents — the per-domain crawl quota that keeps a
+    hot site from dominating the corpus (the same skew concern the
+    extraction pipeline's salted rebalance addresses, applied at the
+    curation layer).  Deterministic (doc_id order, no RNG) so the
+    row_number-based SQL oracle is exact.
+
+    Same shape as links.top_links_per_domain: per-block partial quota
+    bounds shipped rows to k per (block, source); the shuffle groups by
+    hash(source) % n_buckets so a heavy-tailed domain distribution
+    cannot form one giant Python group; the in-bucket final pass is one
+    vectorized sort + run-length filter."""
+    cols = ds.select_columns(["doc_id", group_col])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        pruned = _quota_table(batch, group_col, k)
+        src2 = pruned.column(group_col).to_numpy(zero_copy_only=False)
+        return pruned.append_column(
+            "bucket", pa.array(_sbucket(src2, n_buckets)))
+
+    def final(group: pa.Table) -> pa.Table:
+        return _quota_table(group, group_col, k) \
+            .drop_columns(["bucket"])
+
+    return cols.map_batches(keyed, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("bucket").map_groups(final, batch_format="pyarrow")
