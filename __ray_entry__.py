@@ -1266,6 +1266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-k Dice-coefficient collocations (overflow-safe PMI stand-in)
         "dice_collocations": lambda sf: lm.dice_collocations(
             _docs_cols(sf, ["doc_id", "text"])),
+        # CCNet ship-policy: all of head, half of middle, 10% of tail
+        "quality_stratified_sample": lambda sf:
+            lm.quality_stratified_sample(
+                _docs_cols(sf, ["doc_id", "text"])),
         # ExactSubstr removal (Lee et al. 2022): remove every token
         # covered by a corpus-duplicated 8-token window
         "dedup_substrings": lambda sf: lm.dedup_substrings(
@@ -1879,6 +1883,43 @@ def oracle_sql() -> dict[str, str]:
                      THEN 'middle'
                    ELSE 'head' END AS bucket
             FROM s""",
+        "quality_stratified_sample": """
+            WITH toks AS (SELECT doc_id, string_split(text,' ') AS w
+                          FROM documents),
+            big AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                    FROM toks, unnest(generate_series(1,
+                      greatest(len(w)-1,0))) AS t(i)),
+            c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2
+                   FROM big GROUP BY w1, w2),
+            c1 AS (SELECT w1, sum(c2)::BIGINT AS c1
+                   FROM c2 GROUP BY w1),
+            q AS (SELECT c2.w1, c2.w2,
+                         (c2.c2 * 1000000) // c1.c1 AS q
+                  FROM c2 JOIN c1 ON c1.w1 = c2.w1),
+            s AS (SELECT b.doc_id,
+                         (sum(q.q) // count(*))::BIGINT AS lm_avg_micro
+                  FROM big b JOIN q ON q.w1 = b.w1 AND q.w2 = b.w2
+                  GROUP BY b.doc_id),
+            r AS (SELECT lm_avg_micro AS a, row_number() OVER (
+                    ORDER BY lm_avg_micro) AS rn FROM s),
+            n AS (SELECT count(*)::BIGINT AS c FROM s),
+            t1 AS (SELECT a FROM r
+                   WHERE rn = (SELECT (c+2)//3 FROM n)),
+            t2 AS (SELECT a FROM r
+                   WHERE rn = (SELECT (2*c+2)//3 FROM n)),
+            lab AS (SELECT doc_id, lm_avg_micro,
+              CASE WHEN lm_avg_micro <= (SELECT a FROM t1) THEN 'tail'
+                   WHEN lm_avg_micro <= (SELECT a FROM t2)
+                     THEN 'middle'
+                   ELSE 'head' END AS bucket
+              FROM s)
+            SELECT doc_id, lm_avg_micro, bucket FROM lab
+            WHERE CASE bucket
+              WHEN 'head' THEN TRUE
+              WHEN 'middle' THEN substr(md5(doc_id::VARCHAR || 's0'),
+                                        1, 3) < '800'
+              ELSE substr(md5(doc_id::VARCHAR || 's0'), 1, 3) < '19a'
+              END""",
         "dup_ngram_flags": """
             WITH toks AS (SELECT doc_id, string_split(text,' ') AS w
                           FROM documents),

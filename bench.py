@@ -166,6 +166,12 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "dup_cluster_stats",
                  "inverted_index", "bm25_topk",
                  "length_histogram", "quality_score",
+                 "gopher_quality", "lang_mismatch",
+                 "tokenizer_fertility", "source_stats",
+                 "perplexity_buckets", "dice_collocations",
+                 "quality_stratified_sample",
+                 "hll_users_by_type", "source_quota_sample",
+                 "url_blocklist_filter",
                  "lang_id", "doc_fingerprint", "topk_per_group",
                  "ordered_dedup", "union_sources",
                  "token_intersect", "sort_limit",

@@ -302,3 +302,32 @@ def test_dice_collocations_matches_brute(ray_session):
     got2 = [(r["w1"], r["w2"], r["c2"], r["dice_micro"])
             for r in dice_collocations(ds.repartition(9)).take_all()]
     assert got2 == want
+
+
+def test_quality_stratified_sample_rates(ray_session):
+    import ray.data
+
+    from webtext.functions.lm import (perplexity_buckets,
+                                      quality_stratified_sample)
+
+    docs = [{"doc_id": i,
+             "text": " ".join(f"w{(i * 3 + j) % (5 + i % 17)}"
+                              for j in range(20))}
+            for i in range(90)]
+    ds = ray.data.from_items(docs)
+    buckets = {r["doc_id"]: r["bucket"]
+               for r in perplexity_buckets(ds).take_all()}
+    out = quality_stratified_sample(ds).take_all()
+    kept = {r["doc_id"] for r in out}
+    # every head doc survives; every kept doc carries its bucket label
+    for r in out:
+        assert r["bucket"] == buckets[r["doc_id"]]
+    heads = {d for d, b in buckets.items() if b == "head"}
+    assert heads <= kept
+    # tail is sampled at ~10%: strictly fewer tail docs kept than exist
+    tails = {d for d, b in buckets.items() if b == "tail"}
+    kept_tails = kept & tails
+    assert len(kept_tails) < len(tails)
+    # keep_tail=0 drops the whole tail deterministically
+    none_tail = quality_stratified_sample(ds, keep_tail=0).take_all()
+    assert not [r for r in none_tail if r["bucket"] == "tail"]

@@ -528,3 +528,40 @@ def dice_collocations(ds, k: int = 50, min_count: int = 2,
         .groupby("b2").map_groups(add_u2_dice, batch_format="pyarrow")
     return attached.sort(["dice_micro", "w1", "w2"],
                          descending=[True, False, False]).limit(k)
+
+
+def quality_stratified_sample(ds, keep_head: int = 4096,
+                              keep_middle: int = 2048,
+                              keep_tail: int = 410, salt: str = "s0"):
+    """(doc_id, lm_avg_micro, bucket): CCNet's quality-stratified
+    subsample — keep ALL of 'head', ~keep_middle/4096 of 'middle',
+    ~keep_tail/4096 of 'tail', selected by the same deterministic
+    content-addressed md5 predicate as textstats.sample_by_hash so the
+    subsample is reproducible across engines, block layouts and
+    cluster sizes.  Wenzek et al. 2020 ship head+middle and drop tail;
+    the per-bucket rates make that policy (and any reweighting of it)
+    one parameter change.
+
+    Pure composition: perplexity_buckets (one LM all-to-all + rank
+    reads) followed by a stateless filter map.  The per-row md5 loop
+    mirrors sample_by_hash_batch — hash-sampling cost is dwarfed by the
+    LM scoring pass it rides behind."""
+    import hashlib
+
+    rates = {"head": keep_head, "middle": keep_middle,
+             "tail": keep_tail}
+    thresh = {b: format(min(r, 4095), "03x") if r < 4096 else None
+              for b, r in rates.items()}
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        bks = batch.column("bucket").to_pylist()
+        keep = []
+        for d, b in zip(ids, bks):
+            t = thresh[b]
+            keep.append(True if t is None else hashlib.md5(
+                (str(d) + salt).encode()).hexdigest()[:3] < t)
+        return batch.filter(pa.array(keep))
+
+    return perplexity_buckets(ds).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
