@@ -97,6 +97,16 @@ def _events_hopping(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "ts"]))
 
 
+def _events_funnel(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import funnel_stages
+
+    return funnel_stages(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"]))
+
+
 def _events_sessionize(sf_dir: str):
     import ray.data
 
@@ -1333,6 +1343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch: no SQL can replicate HLL registers → rows-only check
         "hll_users": lambda sf: _events_hll(sf),
         "hll_users_by_type": lambda sf: _events_hll_by_type(sf),
+        "funnel_stages": lambda sf: _events_funnel(sf),
         "cms_token_estimates": lambda sf: _cms_estimates(sf),
         "asof_join": lambda sf: _events_asof(sf),
         "range_join": lambda sf: _events_range_join(sf),
@@ -1970,6 +1981,27 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS n "
             "FROM events CROSS JOIN generate_series(0,3) s(j) "
             "GROUP BY event_type, w",
+        "funnel_stages": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            v AS (SELECT user_id, min(ts) AS t FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN v ON v.user_id = e.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN c ON c.user_id = e.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t
+                  GROUP BY e.user_id)
+            SELECT u.user_id,
+              (CASE WHEN p.user_id IS NOT NULL THEN 3
+                    WHEN c.user_id IS NOT NULL THEN 2
+                    WHEN v.user_id IS NOT NULL THEN 1
+                    ELSE 0 END)::BIGINT AS stage
+            FROM u
+            LEFT JOIN v ON v.user_id = u.user_id
+            LEFT JOIN c ON c.user_id = u.user_id
+            LEFT JOIN p ON p.user_id = u.user_id""",
         "sessionize": """
             SELECT user_id,
                    (1 + coalesce(sum(CASE WHEN gap_us > 30*60*1000000

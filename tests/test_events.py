@@ -491,3 +491,38 @@ def test_zscore_events_crafted(ray_session):
     assert got[1] == -1_000_000 and got[2] == 0 and got[3] == 1_000_000
     assert got[4] == 0 and got[5] == 0 and got[6] == 0
     assert math.isclose(got[1], -got[3])
+
+
+def test_funnel_stages_strict_order_and_stalls(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import funnel_stages
+
+    T = lambda m: dt.datetime(2026, 1, 1, 0, m)
+    rows = [
+        # u1 full funnel in order
+        {"user_id": 1, "ts": T(0), "event_type": "view"},
+        {"user_id": 1, "ts": T(1), "event_type": "click"},
+        {"user_id": 1, "ts": T(2), "event_type": "purchase"},
+        # u2 clicks BEFORE viewing: click must not count
+        {"user_id": 2, "ts": T(0), "event_type": "click"},
+        {"user_id": 2, "ts": T(1), "event_type": "view"},
+        # u3 click at the SAME ts as view: strict > rejects it
+        {"user_id": 3, "ts": T(0), "event_type": "view"},
+        {"user_id": 3, "ts": T(0), "event_type": "click"},
+        # u4 never views
+        {"user_id": 4, "ts": T(0), "event_type": "error"},
+        # u5 view→click, purchase precedes the click
+        {"user_id": 5, "ts": T(0), "event_type": "purchase"},
+        {"user_id": 5, "ts": T(1), "event_type": "view"},
+        {"user_id": 5, "ts": T(2), "event_type": "click"},
+    ]
+    ds = ray.data.from_items(rows)
+    got = {r["user_id"]: r["stage"]
+           for r in funnel_stages(ds).take_all()}
+    assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}
+    got2 = {r["user_id"]: r["stage"]
+            for r in funnel_stages(ds.repartition(5)).take_all()}
+    assert got2 == got

@@ -809,3 +809,56 @@ def zscore_events(ds, n_buckets: int = 256):
 
     return ds.select_columns(["event_id", "event_type", "value"]) \
         .map_batches(z, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_stages(ds, stages: tuple[str, ...] = FUNNEL_STAGES,
+                  n_buckets: int = 256):
+    """(user_id, stage): strict-order funnel — stage = how many steps of
+    ``stages`` the user completed, where step i+1 must occur strictly
+    AFTER the earliest completion time of step i (the classic
+    view→click→purchase conversion funnel).  Users present in events
+    but never reaching step 1 report stage 0.
+
+    All events of a user co-locate via the usual hash(user_id) bucket
+    shuffle; within a bucket NO sort is needed — each stage is one
+    masked ``np.minimum.at`` scatter (earliest qualifying timestamp per
+    user), chained with a strict > comparison against the previous
+    stage's per-user time.  O(stages · bucket_rows), no per-user
+    Python."""
+    INF = np.iinfo(np.int64).max
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(_ibucket(uid, n_buckets)))
+
+    def funnel_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        users, codes = np.unique(uid, return_inverse=True)
+        prev = np.full(len(users), -1, dtype=np.int64)  # ts of stage i
+        stage = np.zeros(len(users), dtype=np.int64)
+        for s in stages:
+            cur = np.full(len(users), INF, dtype=np.int64)
+            sel = (et == s) & (ts > prev[codes])
+            np.minimum.at(cur, codes[sel], ts[sel])
+            reached = cur < INF
+            stage[reached] += 1
+            # users that stalled keep prev = INF so later stages fail
+            prev = np.where(reached, cur, INF)
+        return pa.Table.from_arrays(
+            [pa.array(users.astype(np.int64)), pa.array(stage)],
+            names=["user_id", "stage"])
+
+    return ds.select_columns(["user_id", "ts", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(funnel_bucket,
+                                      batch_format="pyarrow")
