@@ -107,6 +107,15 @@ def _events_funnel(sf_dir: str):
         columns=["user_id", "ts", "event_type"]))
 
 
+def _events_retention(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import retention_cohorts
+
+    return retention_cohorts(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+
+
 def _events_sessionize(sf_dir: str):
     import ray.data
 
@@ -1344,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": lambda sf: _events_hll(sf),
         "hll_users_by_type": lambda sf: _events_hll_by_type(sf),
         "funnel_stages": lambda sf: _events_funnel(sf),
+        "retention_cohorts": lambda sf: _events_retention(sf),
         "cms_token_estimates": lambda sf: _cms_estimates(sf),
         "asof_join": lambda sf: _events_asof(sf),
         "range_join": lambda sf: _events_range_join(sf),
@@ -1981,6 +1991,17 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS n "
             "FROM events CROSS JOIN generate_series(0,3) s(j) "
             "GROUP BY event_type, w",
+        "retention_cohorts": """
+            WITH f AS (SELECT user_id,
+                              min(date_trunc('day', ts)) AS d0
+                       FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id,
+                         date_trunc('day', ts) AS d FROM events)
+            SELECT strftime(f.d0, '%Y-%m-%d') AS cohort,
+                   date_diff('day', f.d0, a.d)::BIGINT AS day_offset,
+                   count(*)::BIGINT AS n_users
+            FROM a JOIN f ON f.user_id = a.user_id
+            GROUP BY 1, 2""",
         "funnel_stages": """
             WITH u AS (SELECT DISTINCT user_id FROM events),
             v AS (SELECT user_id, min(ts) AS t FROM events

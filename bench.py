@@ -171,7 +171,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "perplexity_buckets", "dice_collocations",
                  "quality_stratified_sample",
                  "hll_users_by_type", "source_quota_sample",
-                 "funnel_stages",
+                 "funnel_stages", "retention_cohorts",
                  "url_blocklist_filter",
                  "lang_id", "doc_fingerprint", "topk_per_group",
                  "ordered_dedup", "union_sources",

@@ -526,3 +526,32 @@ def test_funnel_stages_strict_order_and_stalls(ray_session):
     got2 = {r["user_id"]: r["stage"]
             for r in funnel_stages(ds.repartition(5)).take_all()}
     assert got2 == got
+
+
+def test_retention_cohorts_triangle(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import retention_cohorts
+
+    D = lambda d, h=0: dt.datetime(2026, 3, 1 + d, h)
+    rows = [
+        # u1 joins day 0, returns day 2 (twice in one day → one row)
+        {"user_id": 1, "ts": D(0)}, {"user_id": 1, "ts": D(2)},
+        {"user_id": 1, "ts": D(2, 5)},
+        # u2 joins day 0 only
+        {"user_id": 2, "ts": D(0, 8)},
+        # u3 joins day 1, returns days 2 and 3
+        {"user_id": 3, "ts": D(1)}, {"user_id": 3, "ts": D(2)},
+        {"user_id": 3, "ts": D(3)},
+    ]
+    ds = ray.data.from_items(rows)
+    got = {(r["cohort"], r["day_offset"]): r["n_users"]
+           for r in retention_cohorts(ds).take_all()}
+    assert got == {("2026-03-01", 0): 2, ("2026-03-01", 2): 1,
+                   ("2026-03-02", 0): 1, ("2026-03-02", 1): 1,
+                   ("2026-03-02", 2): 1}
+    got2 = {(r["cohort"], r["day_offset"]): r["n_users"]
+            for r in retention_cohorts(ds.repartition(4)).take_all()}
+    assert got2 == got

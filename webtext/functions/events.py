@@ -862,3 +862,68 @@ def funnel_stages(ds, stages: tuple[str, ...] = FUNNEL_STAGES,
                      zero_copy_batch=True) \
         .groupby("bucket").map_groups(funnel_bucket,
                                       batch_format="pyarrow")
+
+
+_DAY_US = 86_400_000_000
+
+
+def retention_cohorts(ds, n_buckets: int = 256):
+    """(cohort, day_offset, n_users): classic retention triangle —
+    users grouped by first-seen calendar day (the cohort), counted as
+    active again on each later day offset.  day_offset 0 row = cohort
+    size.
+
+    ONE bucketed all-to-all: all events of a user co-locate by
+    hash(user_id), so the user's first day AND the distinct set of
+    (user, day) pairs are both in-bucket computable (minimum.at + one
+    np.unique over packed (user_code, day) keys — no sort, no per-user
+    Python); the shuffle out of the bucket ships one row per distinct
+    (user, day), and a native groupby(cohort, offset).count finishes
+    (rows are distinct per user by construction, so count == distinct
+    users)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(_ibucket(uid, n_buckets)))
+
+    def cohort_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // _DAY_US                     # epoch-day index
+        users, codes = np.unique(uid, return_inverse=True)
+        d0 = np.full(len(users), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(d0, codes, day)
+        # distinct (user, day): pack into one key (day fits far below
+        # 2**40, user codes below 2**23 per bucket at any real scale)
+        packed = np.unique(codes.astype(np.int64) * (1 << 40) + day)
+        pu = (packed >> 40).astype(np.int64)
+        pd_ = (packed & ((1 << 40) - 1)).astype(np.int64)
+        cohort_day = d0[pu]
+        offset = pd_ - cohort_day
+        dates = (np.datetime64("1970-01-01") +
+                 cohort_day.astype("timedelta64[D]")).astype(str)
+        return pa.Table.from_arrays(
+            [pa.array(dates.tolist(), pa.string()),
+             pa.array(offset, pa.int64())],
+            names=["cohort", "day_offset"])
+
+    rows = ds.select_columns(["user_id", "ts"]) \
+        .map_batches(add_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(cohort_bucket,
+                                      batch_format="pyarrow")
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_users", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    summed = rows.map_batches(ones, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby(["cohort", "day_offset"]).sum("n_users")
+    return summed.map_batches(
+        lambda b: b.rename_columns(["cohort", "day_offset", "n_users"]),
+        batch_format="pyarrow", zero_copy_batch=True)
