@@ -933,6 +933,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return flatten_spans(_extracted(sf_dir))
 
+    def span_kind_stats(sf_dir):
+        """Per-(kind, status) span census over the flattened
+        interleaved output — the audit a corpus operator reads after an
+        extraction round (how much text vs media survived, per doc
+        status).  Combiner partials in-batch, one tiny native
+        groupby-sum; oracle = SQL aggregate over the independent
+        extract_spans golden."""
+        import numpy as np
+        import pyarrow as pa
+
+        from webtext.pipelines.relational import flatten_spans
+
+        def partial(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = pa.Table.from_arrays(
+                [batch.column("kind"), batch.column("status"),
+                 pc.utf8_length(batch.column("text")).cast(pa.int64())],
+                names=["kind", "status", "text_chars"])
+            t = t.append_column(
+                "n", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+            agg = t.group_by(["kind", "status"]).aggregate(
+                [("n", "sum"), ("text_chars", "sum")])
+            return agg.rename_columns(
+                ["kind", "status", "n", "text_chars"])
+
+        summed = flatten_spans(_extracted(sf_dir)) \
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby(["kind", "status"]).sum(["n", "text_chars"])
+        return summed.map_batches(
+            lambda b: b.rename_columns(
+                ["kind", "status", "n", "text_chars"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
     def extract_status(sf_dir):
         """Per-status doc counts via a Ray groupby (tiny result)."""
         import pyarrow as pa
@@ -1166,6 +1201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span-equality gate is tests/test_pipeline.py vs the oracle)
         "extract_spans": extract_spans,
         "extract_status": extract_status,
+        "span_kind_stats": span_kind_stats,
         "media_features": media_feats,
         "media_features_real": media_feats_real,
         "media_resize": media_resize_q,
@@ -1482,6 +1518,15 @@ def oracle_sql() -> dict[str, str]:
     # the JSONL round-trip must reproduce the parquet-path extraction
     # exactly — same golden table
     gold["extract_spans_jsonl"] = gold["extract_spans"]
+    # span_kind_stats aggregates the engine's interleaved output; the
+    # oracle aggregates the SAME independent extract_spans golden in
+    # SQL, so the census is checked without being circular on the
+    # engine's own aggregate.
+    gold["span_kind_stats"] = (
+        "SELECT kind, status, COUNT(*)::BIGINT AS n, "
+        "SUM(length(text))::BIGINT AS text_chars "
+        f"FROM read_parquet('{_REPO}/goldens/sf0.01/extract_spans.parquet') "
+        "GROUP BY kind, status")
     return gold | {
         "exact_dedup":
             "SELECT min(doc_id) AS doc_id, text FROM documents "

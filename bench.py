@@ -202,7 +202,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "media_features", "media_resize", "frame_sample",
                  "media_phash_pairs", "media_dedup_apply",
                  "search_engine_links", "read_keywords",
-                 "extract_status", "extract_spans_jsonl",
+                 "extract_status", "span_kind_stats",
+                 "extract_spans_jsonl",
                  "group_counts_csv", "media_features_real",
                  "lsh_nearest_neighbor", "integrate_outputs",
                  "read_rejects", "scan_output_for_errors",
