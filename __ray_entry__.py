@@ -116,6 +116,22 @@ def _events_retention(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
 
 
+def _events_transitions(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import event_transitions
+
+    return event_transitions(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"]))
+
+
+def _heavy_hitters(sf_dir: str):
+    from webtext.functions.sketches import heavy_hitters
+
+    return heavy_hitters(_docs_cols(sf_dir, ["text"]), threshold=20)
+
+
 def _events_sessionize(sf_dir: str):
     import ray.data
 
@@ -1229,6 +1245,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "dedup_apply": lambda sf: dedup.dedup_apply(
             _docs_cols(sf, ["doc_id", "text"])),
+        # keep-LONGEST variant: the cluster member with the most
+        # characters survives instead of the min-id one
+        "dedup_keep_longest": lambda sf: dedup.dedup_keep_longest(
+            _docs_cols(sf, ["doc_id", "text"])),
         "exact_dedup_hashed": lambda sf: dedup.exact_dedup_hashed(
             _docs_cols(sf, ["doc_id", "text"])),
         "edit1_name_pairs": edit1_names_q,
@@ -1390,7 +1410,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_type": lambda sf: _events_hll_by_type(sf),
         "funnel_stages": lambda sf: _events_funnel(sf),
         "retention_cohorts": lambda sf: _events_retention(sf),
+        "event_transitions": lambda sf: _events_transitions(sf),
         "cms_token_estimates": lambda sf: _cms_estimates(sf),
+        # sketch-guided exact heavy hitters (CMS prunes the shuffle)
+        "heavy_hitters": lambda sf: _heavy_hitters(sf),
         "asof_join": lambda sf: _events_asof(sf),
         "range_join": lambda sf: _events_range_join(sf),
         # graph ops over the lineitem part->supplier digraph
@@ -1506,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
             "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
             "search_engine_links", "dedup_apply_emb", "timeout_ids",
+            "dedup_keep_longest",
             "pagerank", "containment_pairs",
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs", "media_dedup_apply",
@@ -2036,6 +2060,19 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS n "
             "FROM events CROSS JOIN generate_series(0,3) s(j) "
             "GROUP BY event_type, w",
+        "event_transitions": """
+            SELECT prev_type, event_type, count(*)::BIGINT AS n
+            FROM (SELECT lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                    AS prev_type, event_type
+                  FROM events) t
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type""",
+        "heavy_hitters": """
+            SELECT token, count(*)::BIGINT AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents) t
+            GROUP BY token HAVING count(*) >= 20""",
         "retention_cohorts": """
             WITH f AS (SELECT user_id,
                               min(date_trunc('day', ts)) AS d0

@@ -143,6 +143,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     for name in ("exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
                  "simhash", "simhash_dup_pairs", "dedup_apply",
                  "exact_dedup_hashed", "edit1_name_pairs",
+                 "dedup_keep_longest",
                  "dedup_apply_emb", "dedup_extracted",
                  "semdedup_pairs", "semdedup_apply",
                  "knn_cosine", "knn_ivf", "knn_ivf_indexed", "cosine_nn",
@@ -172,6 +173,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "quality_stratified_sample",
                  "hll_users_by_type", "source_quota_sample",
                  "funnel_stages", "retention_cohorts",
+                 "event_transitions", "heavy_hitters",
                  "url_blocklist_filter",
                  "lang_id", "doc_fingerprint", "topk_per_group",
                  "ordered_dedup", "union_sources",

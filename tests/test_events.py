@@ -555,3 +555,47 @@ def test_retention_cohorts_triangle(ray_session):
     got2 = {(r["cohort"], r["day_offset"]): r["n_users"]
             for r in retention_cohorts(ds.repartition(4)).take_all()}
     assert got2 == got
+
+
+def test_event_transitions_crafted(ray_session):
+    """Per-user ordering, cross-user isolation, and the tie-break on
+    (ts, event_id) all feed the transition counts."""
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import event_transitions
+
+    T = lambda m: dt.datetime(2026, 1, 1, 0, m)
+    rows = [
+        # u1: a -> b -> b  (same ts for the two b's: event_id orders)
+        {"event_id": 1, "user_id": 1, "ts": T(0), "event_type": "a"},
+        {"event_id": 3, "user_id": 1, "ts": T(1), "event_type": "b"},
+        {"event_id": 2, "user_id": 1, "ts": T(1), "event_type": "b"},
+        # u2: b -> a ; u1's trailing b must NOT chain into u2's b
+        {"event_id": 4, "user_id": 2, "ts": T(0), "event_type": "b"},
+        {"event_id": 5, "user_id": 2, "ts": T(9), "event_type": "a"},
+        # u3: single event -> no transition
+        {"event_id": 6, "user_id": 3, "ts": T(0), "event_type": "a"},
+    ]
+    got = {(r["prev_type"], r["event_type"]): r["n"]
+           for r in event_transitions(
+               ray.data.from_items(rows).repartition(3),
+               n_buckets=4).take_all()}
+    assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "a"): 1}
+
+
+def test_heavy_hitters_exact_with_collisions(ray_session):
+    """Width 1 collides every token into one cell, so EVERY token
+    becomes a candidate — the exact second pass must still drop the
+    sub-threshold ones (no false positives survive)."""
+    import ray.data
+
+    from webtext.functions.sketches import heavy_hitters
+
+    rows = [{"text": "a a a b"}, {"text": "a b c"}]
+    got = {r["token"]: r["n"]
+           for r in heavy_hitters(ray.data.from_items(rows)
+                                  .repartition(2),
+                                  threshold=2, w=1).take_all()}
+    assert got == {"a": 4, "b": 2}

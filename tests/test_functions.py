@@ -134,6 +134,37 @@ def test_dedup_apply_keeps_min_id_survivors(ray_session):
     assert surv2 == [4, 5]
 
 
+def test_dedup_keep_longest_prefers_content(ray_session):
+    """Same planted cluster as dedup_apply's test, but doc 2 is made
+    the LONGEST member — keep-longest must keep 2 where keep-min-id
+    keeps 1; ties on length fall back to min doc_id."""
+    import ray.data
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " extra trailing tail words"},
+        {"doc_id": 3, "text": base.replace("alpha", "omega")},
+        {"doc_id": 4, "text": "entirely unrelated text with other tokens"},
+        {"doc_id": 5, "text": "second unrelated document of other words"},
+    ]
+    surv = sorted(r["doc_id"] for r in dedup.dedup_keep_longest(
+        ray.data.from_items(rows), 0.5).take_all())
+    assert surv == [2, 4, 5]
+
+    # equal lengths → min doc_id, i.e. dedup_apply's representative
+    rows_eq = [
+        {"doc_id": 7, "text": base},
+        {"doc_id": 6, "text": base.replace("upsilon", "psiilon")[
+            :len(base)]},
+        {"doc_id": 9, "text": "entirely unrelated text with other tokens"},
+    ]
+    surv_eq = sorted(r["doc_id"] for r in dedup.dedup_keep_longest(
+        ray.data.from_items(rows_eq), 0.5).take_all())
+    assert surv_eq == [6, 9]
+
+
 # -- ANN --------------------------------------------------------------------
 
 def test_knn_brute_matches_numpy(ray_session, emb_ds):

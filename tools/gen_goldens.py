@@ -720,6 +720,22 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
         {"doc_id": pa.array([d for d, _ in keep], pa.int64()),
          "text": pa.array([x for _, x in keep], pa.string())})
 
+    # keep-LONGEST dedup: same clusters, best member = most characters
+    # (Python len(str) counts code points = Arrow utf8_length), ties →
+    # min doc_id; everything else in the cluster drops
+    comp: dict[int, list[int]] = {}
+    for x in uf.p:
+        comp.setdefault(uf.find(x), []).append(x)
+    len_by = {i: len(x) for i, x in zip(ids, texts)}
+    drop_best: set[int] = set()
+    for members in comp.values():
+        best = min(members, key=lambda i: (-len_by[i], i))
+        drop_best.update(m for m in members if m != best)
+    keep_l = [(d, x) for d, x in zip(ids, texts) if d not in drop_best]
+    g["dedup_keep_longest"] = pa.table(
+        {"doc_id": pa.array([d for d, _ in keep_l], pa.int64()),
+         "text": pa.array([x for _, x in keep_l], pa.string())})
+
     # dup-cluster size histogram from the SAME independent union-find
     # (clusters of size >= 2 only — singletons never enter the edge set)
     comp_size: Counter = Counter()

@@ -982,3 +982,108 @@ def edit1_name_pairs(ds, col: str = "p_name",
     # the same pair can surface via several shared signatures
     uniq = pairs.groupby(["left_name", "right_name"]).count()
     return uniq.drop_columns(["count()"])
+
+
+def dedup_keep_longest(ds, threshold: float = 0.5,
+                       checkpoint_dir: str | None = None):
+    """Corpus near-dup removal with the KEEP-LONGEST rule: like
+    dedup_apply (minhash_lsh_pairs → connected components → anti-join)
+    but each dup cluster keeps its member with the MOST characters
+    (ties → min doc_id) instead of the min-id one — the keep rule
+    production pipelines actually want (the mirror with the fullest
+    content survives; excerpts and truncated copies drop).
+
+    Scale shape: quality never rides the CC iteration — per-doc char
+    counts attach to the label table through one hash(node)%256
+    bucketed emit-union join (int64 rows, no text), the per-cluster
+    argmax is one vectorized lexsort-first pass per hash(label)%256
+    bucket (never per-cluster Python groups), and survivors come from
+    the same bucketed anti-join as dedup_apply."""
+    pairs = minhash_lsh_pairs(ds, threshold)
+    labels = connected_components(pairs, checkpoint_dir=checkpoint_dir)
+
+    def qual_emit(batch: pa.Table) -> pa.Table:
+        ids = _col_i64(batch, "doc_id")
+        nch = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ids)), pa.array(ids),
+             pa.array(np.full(len(ids), -1, dtype=np.int64)),
+             nch, pa.array(np.zeros(len(ids), dtype=np.int8))],
+            names=["key", "node", "label", "n_chars", "is_lab"])
+
+    def lab_emit(batch: pa.Table) -> pa.Table:
+        nodes = _col_i64(batch, "node")
+        labs = _col_i64(batch, "label")
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(nodes)), pa.array(nodes),
+             pa.array(labs),
+             pa.array(np.zeros(len(nodes), dtype=np.int64)),
+             pa.array(np.ones(len(nodes), dtype=np.int8))],
+            names=["key", "node", "label", "n_chars", "is_lab"])
+
+    def attach(group: pa.Table) -> pa.Table:
+        """In-bucket quality attach: every label node is a corpus doc,
+        so one searchsorted against the bucket's sorted doc side maps
+        node → n_chars for all label rows at once."""
+        is_lab = group.column("is_lab").to_numpy(zero_copy_only=False)
+        nodes = group.column("node").to_numpy(zero_copy_only=False)
+        nch = group.column("n_chars").to_numpy(zero_copy_only=False)
+        labs = group.column("label").to_numpy(zero_copy_only=False)
+        dn, dq = nodes[is_lab == 0], nch[is_lab == 0]
+        order = np.argsort(dn)
+        dn, dq = dn[order], dq[order]
+        ln, ll = nodes[is_lab == 1], labs[is_lab == 1]
+        pos = np.searchsorted(dn, ln)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ll)), pa.array(ll), pa.array(ln),
+             pa.array(dq[pos])],
+            names=["lkey", "label", "node", "n_chars"])
+
+    quald = ds.select_columns(["doc_id", "text"]).map_batches(
+        qual_emit, batch_format="pyarrow", zero_copy_batch=True).union(
+        labels.map_batches(lab_emit, batch_format="pyarrow",
+                           zero_copy_batch=True)) \
+        .groupby("key").map_groups(attach, batch_format="pyarrow")
+
+    def argmax_drop(group: pa.Table) -> pa.Table:
+        """Per-cluster keep-longest, vectorized across every cluster in
+        the bucket: sort (label, n_chars desc, node asc), keep the
+        first row per label, drop the rest."""
+        lab = group.column("label").to_numpy(zero_copy_only=False)
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        q = group.column("n_chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((node, -q, lab))
+        lab_s, node_s = lab[order], node[order]
+        first = np.concatenate([[True], lab_s[1:] != lab_s[:-1]])
+        dropped = node_s[~first]
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(dropped)), pa.array(dropped),
+             pa.array([""] * len(dropped), pa.string()),
+             pa.array(np.ones(len(dropped), dtype=np.int8))],
+            names=["key", "doc_id", "text", "is_drop"])
+
+    drops = quald.groupby("lkey").map_groups(argmax_drop,
+                                             batch_format="pyarrow")
+
+    def doc_emit(batch: pa.Table) -> pa.Table:
+        ids = _col_i64(batch, "doc_id")
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ids)), pa.array(ids),
+             batch.column("text"),
+             pa.array(np.zeros(len(ids), dtype=np.int8))],
+            names=["key", "doc_id", "text", "is_drop"])
+
+    def keep(group: pa.Table) -> pa.Table:
+        flags = group.column("is_drop").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        dropped_ids = ids[flags == 1]
+        mask = (flags == 0) & ~np.isin(ids, dropped_ids)
+        kept = group.filter(pa.array(mask))
+        return pa.Table.from_arrays(
+            [kept.column("doc_id"), kept.column("text")],
+            names=["doc_id", "text"])
+
+    u = ds.select_columns(["doc_id", "text"]).map_batches(
+        doc_emit, batch_format="pyarrow", zero_copy_batch=True).union(
+        drops)
+    return u.groupby("key").map_groups(keep, batch_format="pyarrow")

@@ -927,3 +927,61 @@ def retention_cohorts(ds, n_buckets: int = 256):
     return summed.map_batches(
         lambda b: b.rename_columns(["cohort", "day_offset", "n_users"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def event_transitions(ds, n_buckets: int = 256):
+    """(prev_type, event_type, n): corpus-wide Markov transition counts
+    over each user's time-ordered event stream — the first-order
+    sequence-mining summary (which action follows which).  Matches
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    + GROUP BY, so the SQL oracle is live and exact.
+
+    Scale shape (same as lag_deltas): ONE corpus shuffle keyed by
+    hash(user_id) % n_buckets co-locates each user's stream; inside a
+    bucket one lexsort orders every user at once and the transition
+    pairs collapse to an Arrow group_by count BEFORE leaving the
+    bucket, so the second exchange ships at most |types|² rows per
+    bucket — constant, never event-proportional."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(_ibucket(uid, n_buckets)))
+
+    def trans_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # dictionary-encode types once; transitions ride int codes
+        enc = pc.dictionary_encode(
+            group.column("event_type").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, codes = uid[order], codes[order]
+        same_user = uid[1:] == uid[:-1]
+        prev_c = codes[:-1][same_user]
+        cur_c = codes[1:][same_user]
+        pair = prev_c * len(enc.dictionary) + cur_c
+        vals, counts = np.unique(pair, return_counts=True)
+        types = enc.dictionary
+        return pa.Table.from_arrays(
+            [types.take(pa.array(vals // len(types))),
+             types.take(pa.array(vals % len(types))),
+             pa.array(counts.astype(np.int64))],
+            names=["prev_type", "event_type", "n"])
+
+    partials = ds.select_columns(
+        ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(add_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(trans_bucket,
+                                      batch_format="pyarrow")
+    summed = partials.groupby(["prev_type", "event_type"]).sum("n")
+    return summed.map_batches(
+        lambda b: b.rename_columns(["prev_type", "event_type", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -268,3 +268,64 @@ def cms_token_estimates(ds, k: int = 50, d: int = CMS_D, w: int = CMS_W):
     return pa.Table.from_arrays(
         [pa.array(tokens, pa.string()), pa.array(est)],
         names=["token", "est_n"])
+
+
+def heavy_hitters(ds, threshold: int = 100, d: int = CMS_D,
+                  w: int = CMS_W):
+    """(token, n): EXACT corpus counts of every whitespace token
+    occurring ≥ threshold times — found without ever shuffling the
+    full token domain.  The classic sketch-guided two-pass:
+
+    1. stream the corpus once into a count-min sketch (`cms_sketch`;
+       the exchange is ≤ d·w cell rows at any corpus size);
+    2. broadcast the dense d×w cell array via `ray.put` (constant
+       size), re-stream the corpus, value_counts each batch, and keep
+       only tokens whose CMS point estimate ≥ threshold.  CMS never
+       underestimates, so NO true heavy hitter is pruned; the exact
+       groupby-sum that follows ships only near-heavy candidates —
+       at 100 TB the all-to-all carries thousands of rows, not the
+       multi-billion-row token domain;
+    3. the final n ≥ threshold filter drops collision-inflated false
+       positives, so the output is exact (live SQL HAVING oracle).
+
+    Output is integer counts → order-invariant, bit-equal to DuckDB's
+    GROUP BY ... HAVING count(*) >= threshold."""
+    import ray
+
+    cells = cms_sketch(ds, d, w).take_all()   # ≤ d·w rows, constant
+    dense = np.zeros(d * w, dtype=np.int64)
+    for r in cells:
+        dense[r["cell"]] = r["n"]
+    ref = ray.put(dense)
+
+    def candidates(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        import pyarrow.compute as pc
+        sk = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        toks = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = pc.value_counts(pc.list_flatten(toks))
+        tokens = vc.field("values").to_pylist()
+        counts = vc.field("counts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if not tokens:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["token", "n"])
+        h = _token_row_hashes(tokens, d)
+        cols = (h % np.uint64(w)).astype(np.int64)
+        est = sk[cols + (np.arange(d, dtype=np.int64)[:, None] * w)] \
+            .min(axis=0)
+        keep = est >= threshold
+        return pa.Table.from_arrays(
+            [pa.array([t for t, k_ in zip(tokens, keep) if k_],
+                      pa.string()),
+             pa.array(counts[keep])],
+            names=["token", "n"])
+
+    partials = ds.select_columns(["text"]).map_batches(
+        candidates, batch_format="pyarrow", zero_copy_batch=True)
+    summed = partials.groupby("token").sum("n").map_batches(
+        lambda b: b.rename_columns(["token", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return summed.filter(expr=f"n >= {int(threshold)}")
