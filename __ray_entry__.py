@@ -1249,6 +1249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # characters survives instead of the min-id one
         "dedup_keep_longest": lambda sf: dedup.dedup_keep_longest(
             _docs_cols(sf, ["doc_id", "text"])),
+        # DEFLATE compressibility quality signal (boilerplate detector)
+        "compression_ratio": lambda sf: textstats.compression_ratio(
+            _docs_cols(sf, ["doc_id", "text"])),
         "exact_dedup_hashed": lambda sf: dedup.exact_dedup_hashed(
             _docs_cols(sf, ["doc_id", "text"])),
         "edit1_name_pairs": edit1_names_q,
@@ -1529,7 +1532,7 @@ def oracle_sql() -> dict[str, str]:
             "read_rejects",
             "integrate_outputs", "scan_output_for_errors",
             "search_engine_links", "dedup_apply_emb", "timeout_ids",
-            "dedup_keep_longest",
+            "dedup_keep_longest", "compression_ratio",
             "pagerank", "containment_pairs",
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs", "media_dedup_apply",

@@ -1229,3 +1229,25 @@ def test_bpe_encode_counts_matches_replay(ray_session):
            textstats.bpe_encode_counts(
                ray.data.from_items(docs), merges).take_all()}
     assert out == {0: 4, 1: 0}   # b an an a ; empty text -> 0 tokens
+
+
+def test_compression_ratio_orders_redundancy(ray_session):
+    """Repeated boilerplate compresses far below high-entropy prose,
+    and the fixed-point ratio is deterministic across block splits."""
+    import ray.data
+
+    from webtext.functions import textstats
+
+    rows = [
+        {"doc_id": 1, "text": "spam " * 200},
+        {"doc_id": 2, "text": " ".join(f"w{i * 7919 % 1000}x{i}"
+                                       for i in range(200))},
+        {"doc_id": 3, "text": ""},
+    ]
+    got = {r["doc_id"]: r for r in textstats.compression_ratio(
+        ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got[1]["ratio_micro"] < got[2]["ratio_micro"]
+    assert got[3]["raw_bytes"] == 0 and got[3]["ratio_micro"] == 0
+    # ratio is floor(1e6*comp/raw)
+    assert got[1]["ratio_micro"] == (
+        got[1]["zlib_bytes"] * 1_000_000 // got[1]["raw_bytes"])

@@ -711,6 +711,20 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
          "shared_fps": pa.array([r[2] for r in crows], pa.int64()),
          "min_fps": pa.array([r[3] for r in crows], pa.int64())})
 
+    # zlib compressibility: same pinned codec (level 6), independent
+    # single-process pass
+    import zlib
+
+    craw = [len(x.encode("utf-8")) for x in texts]
+    ccmp = [len(zlib.compress(x.encode("utf-8"), 6)) for x in texts]
+    g["compression_ratio"] = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "raw_bytes": pa.array(craw, pa.int64()),
+         "zlib_bytes": pa.array(ccmp, pa.int64()),
+         "ratio_micro": pa.array(
+             [c * 1_000_000 // r if r else 0
+              for r, c in zip(craw, ccmp)], pa.int64())})
+
     uf = UnionFind()
     for a, b in mh:
         uf.union(a, b)

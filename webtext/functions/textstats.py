@@ -1394,3 +1394,38 @@ def bpe_encode_counts(ds, merges: list[tuple[int, int]]):
             names=["doc_id", "n_tokens"])
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def compression_ratio_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, raw_bytes, zlib_bytes, ratio_micro): per-doc DEFLATE
+    compressibility — the classic cheap redundancy signal (a page of
+    repeated boilerplate compresses far below natural prose; Gopher /
+    Dolma-family curation stacks use exactly this as a quality gate).
+    ratio_micro = floor(1e6 · compressed / raw) over the utf-8 bytes,
+    fixed-point so the value is platform-order-invariant; raw_bytes=0
+    rows report ratio_micro=0.  zlib level is pinned (6) so the output
+    is deterministic for a given zlib — the golden oracle shares the
+    codec but reimplements everything around it single-process."""
+    import zlib
+
+    texts = batch.column("text").to_pylist()
+    raw = np.empty(len(texts), dtype=np.int64)
+    comp = np.empty(len(texts), dtype=np.int64)
+    # one C zlib call per doc (same per-doc-codec shape as the md5
+    # fingerprint pass); the Python loop is over docs, not tokens
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        raw[i] = len(b)
+        comp[i] = len(zlib.compress(b, 6))
+    ratio = np.where(raw > 0, comp * 1_000_000 // np.maximum(raw, 1), 0)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(raw), pa.array(comp),
+         pa.array(ratio)],
+        names=["doc_id", "raw_bytes", "zlib_bytes", "ratio_micro"])
+
+
+def compression_ratio(ds):
+    """Per-doc zlib compressibility — pure map, no shuffle; one
+    column-pruned streaming pass at any corpus size."""
+    return ds.map_batches(compression_ratio_batch,
+                          batch_format="pyarrow", zero_copy_batch=True)
