@@ -1448,6 +1448,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_columns": lambda sf: _tpch_profile(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
             _docs_cols(sf, ["doc_id", "lang"])),
+        # deterministic per-epoch sharded shuffle (training data order)
+        "epoch_shuffle": lambda sf: textstats.epoch_shuffle(
+            _docs_cols(sf, ["doc_id"]), epoch=1),
         "source_quota_sample": lambda sf: rel.source_quota_sample(
             _docs_cols(sf, ["doc_id", "source"])),
         # relational skeleton (U5/U9/A1/A2/A3/E12 shapes)
@@ -2439,6 +2442,16 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY lang
                 ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
               FROM documents) t WHERE rn <= 3""",
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   (('0x' || substr(h, 1, 4))::INTEGER % 64)::BIGINT
+                     AS shard,
+                   row_number() OVER (
+                     PARTITION BY ('0x' || substr(h, 1, 4))::INTEGER % 64
+                     ORDER BY h, doc_id)::BIGINT AS pos
+            FROM (SELECT doc_id,
+                         md5(doc_id::VARCHAR || ':e1') AS h
+                  FROM documents) t""",
         "source_quota_sample": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source, row_number() OVER (

@@ -1251,3 +1251,29 @@ def test_compression_ratio_orders_redundancy(ray_session):
     # ratio is floor(1e6*comp/raw)
     assert got[1]["ratio_micro"] == (
         got[1]["zlib_bytes"] * 1_000_000 // got[1]["raw_bytes"])
+
+
+def test_epoch_shuffle_deterministic_permutation(ray_session):
+    import ray.data
+
+    from webtext.functions import textstats
+
+    rows = [{"doc_id": i} for i in range(1, 41)]
+    ds = ray.data.from_items(rows).repartition(4)
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in textstats.epoch_shuffle(ds, epoch=0,
+                                          n_shards=4).take_all()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in textstats.epoch_shuffle(ds, epoch=0,
+                                          n_shards=4).take_all()}
+    assert a == b                       # re-run reproduces the order
+    c = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in textstats.epoch_shuffle(ds, epoch=1,
+                                          n_shards=4).take_all()}
+    assert c != a                       # a new epoch reshuffles
+    # positions within each shard are a contiguous 1..n permutation
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))

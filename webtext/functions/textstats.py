@@ -1429,3 +1429,50 @@ def compression_ratio(ds):
     column-pruned streaming pass at any corpus size."""
     return ds.map_batches(compression_ratio_batch,
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def epoch_shuffle(ds, epoch: int = 0, n_shards: int = 64):
+    """(doc_id, shard, pos): the deterministic per-epoch global shuffle
+    a training job consumes — shard = md5(doc_id ":e" epoch) % n_shards,
+    pos = the doc's 1-based rank inside its shard ordered by the same
+    hash (ties → doc_id).  Changing ``epoch`` reshuffles everything
+    with zero coordination; re-running an epoch reproduces its order
+    bit-exactly (resumable training data order, the webdataset-style
+    sharded-shuffle practice).
+
+    Scale shape: the hash assignment is a pure map; the ONE exchange
+    groups by the constant shard key, and each shard's order is a
+    vectorized in-shard lexsort.  A shard is the unit a trainer streams
+    sequentially, so ``n_shards`` is sized to make corpus/n_shards fit
+    a worker (file-sized shards at 100 TB — tens of thousands of
+    shards, still constant per-task state).  SQL oracle: ROW_NUMBER()
+    OVER (PARTITION BY shard ORDER BY md5 hex, doc_id) — the hex string
+    sort and the Python hex sort agree byte-for-byte."""
+    import hashlib
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hexes = [hashlib.md5(f"{i}:e{epoch}".encode()).hexdigest()
+                 for i in ids]
+        shard = np.array([int(h[:4], 16) % n_shards for h in hexes],
+                         dtype=np.int64)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id").cast(pa.int64()),
+             pa.array(shard), pa.array(hexes, pa.string())],
+            names=["doc_id", "shard", "hkey"])
+
+    def rank(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        hk = group.column("hkey").to_numpy(
+            zero_copy_only=False).astype("U32")
+        order = np.lexsort((ids, hk))
+        pos = np.empty(len(ids), dtype=np.int64)
+        pos[order] = np.arange(1, len(ids) + 1)
+        return pa.Table.from_arrays(
+            [group.column("doc_id"), group.column("shard"),
+             pa.array(pos)],
+            names=["doc_id", "shard", "pos"])
+
+    return ds.select_columns(["doc_id"]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("shard").map_groups(rank, batch_format="pyarrow")
