@@ -1453,6 +1453,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id"]), epoch=1),
         "source_quota_sample": lambda sf: rel.source_quota_sample(
             _docs_cols(sf, ["doc_id", "source"])),
+        # per-source TOKEN-budgeted selection (mixture building)
+        "token_budget_sample": lambda sf: rel.token_budget_sample(
+            _docs_cols(sf, ["doc_id", "source", "text"]), budget=500),
         # relational skeleton (U5/U9/A1/A2/A3/E12 shapes)
         "topk_per_group": lambda sf: rel.topk_per_group(_docs(sf)),
         "ordered_dedup": lambda sf: rel.ordered_dedup(_docs(sf)),
@@ -2457,6 +2460,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source, row_number() OVER (
                 PARTITION BY source ORDER BY doc_id) AS rn
               FROM documents) t WHERE rn <= 10""",
+        "token_budget_sample": """
+            SELECT doc_id, source, n_tokens FROM (
+              SELECT doc_id, source, n_tokens,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY n_tokens DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM (SELECT doc_id, source,
+                           len(string_split(text, ' '))::BIGINT
+                             AS n_tokens
+                    FROM documents) t) w
+            WHERE cum <= 500""",
         "asof_join": """
             SELECT event_id, user_id, o_orderkey FROM (
               SELECT e.event_id, e.user_id, o.o_orderkey,

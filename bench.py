@@ -173,6 +173,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "perplexity_buckets", "dice_collocations",
                  "quality_stratified_sample",
                  "hll_users_by_type", "source_quota_sample",
+                 "token_budget_sample",
                  "funnel_stages", "retention_cohorts",
                  "event_transitions", "heavy_hitters",
                  "url_blocklist_filter",

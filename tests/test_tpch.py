@@ -525,3 +525,30 @@ def test_source_quota_sample_caps_and_split_invariance(ray_session):
     b = source_quota_sample(ds.repartition(13), k=10).take_all()
     assert sorted((r["doc_id"], r["source"]) for r in out) \
         == sorted((r["doc_id"], r["source"]) for r in b)
+
+
+def test_token_budget_sample_combiner_invariance(ray_session):
+    """The block-local budget prune is a valid combiner: survivors are
+    identical however the corpus is split into blocks, and each
+    source's kept prefix is exactly the greedy biggest-docs-first fill
+    of the budget."""
+    import ray.data
+
+    from webtext.pipelines.relational import token_budget_sample
+
+    rows = [
+        {"doc_id": 1, "source": "a", "text": "w " * 9 + "w"},   # 10 tok
+        {"doc_id": 2, "source": "a", "text": "w " * 7 + "w"},   # 8
+        {"doc_id": 3, "source": "a", "text": "w " * 4 + "w"},   # 5
+        {"doc_id": 4, "source": "b", "text": "w " * 99 + "w"},  # 100
+        {"doc_id": 5, "source": "b", "text": "w"},              # 1
+    ]
+    for parts in (1, 3, 5):
+        got = sorted(r["doc_id"] for r in token_budget_sample(
+            ray.data.from_items(rows).repartition(parts),
+            budget=18).take_all())
+        # a: 10+8=18 <= 18 (doc 3 would overflow); b: 100 > 18, 1 fits?
+        # order is n_tokens DESC -> doc 4 first with cum 100 > 18 drops,
+        # doc 5 cum 101 > 18 drops too (prefix cumsum is inclusive and
+        # monotone — once over budget nothing later re-enters)
+        assert got == [1, 2], (parts, got)

@@ -543,3 +543,77 @@ def source_quota_sample(ds, group_col: str = "source", k: int = 10,
     return cols.map_batches(keyed, batch_format="pyarrow",
                             zero_copy_batch=True) \
         .groupby("bucket").map_groups(final, batch_format="pyarrow")
+
+
+def _budget_prune(t: pa.Table, group_col: str, budget: int,
+                  inclusive: bool) -> pa.Table:
+    """Vectorized per-group budget prefix over (n_tokens desc, doc_id
+    asc) order — one lexsort + one cumsum across every group at once.
+
+    inclusive=True (the FINAL rule): keep rows whose inclusive cumsum
+    ≤ budget.  inclusive=False (the block COMBINER): keep rows whose
+    EXCLUSIVE prefix < budget — this keeps each block's first
+    overflowing row too, which is what makes the combiner exact: a
+    pruned row's block retains ≥ budget worth of higher-priority mass,
+    so every truly-over-budget candidate still sees ≥ budget ahead of
+    it in the final pass (pinned by the combiner-invariance test)."""
+    import numpy as np
+
+    src = t.column(group_col).to_numpy(zero_copy_only=False)
+    ntok = t.column("n_tokens").to_numpy(zero_copy_only=False)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -ntok, src))
+    s, n = src[order], ntok[order]
+    cs = np.cumsum(n)
+    new = np.concatenate([[True], s[1:] != s[:-1]])
+    starts = np.flatnonzero(new)
+    base = np.concatenate([[0], cs[:-1]])[starts]
+    rep = np.repeat(base, np.diff(np.append(starts, len(s))))
+    gcum = cs - rep
+    keep_sorted = (gcum <= budget) if inclusive else (gcum - n < budget)
+    keep = np.empty(len(s), dtype=bool)
+    keep[order] = keep_sorted
+    return t.filter(pa.array(keep))
+
+
+def token_budget_sample(ds, budget: int = 500,
+                        group_col: str = "source",
+                        n_buckets: int = 64):
+    """(doc_id, source, n_tokens): per-source TOKEN-budgeted selection —
+    each source keeps its docs in (n_tokens desc, doc_id) order until
+    the inclusive token cumsum exceeds ``budget``.  This is the mixture
+    builder's primitive: cap every domain's token contribution, biggest
+    documents first, deterministically (no RNG), so the window-cumsum
+    SQL oracle is exact.
+
+    Scale shape: blocks pre-prune with the EXCLUSIVE-prefix rule
+    (see _budget_prune — keeping each block's first overflow row is
+    what makes the combiner exact), so the shuffle ships at most
+    budget-worth-plus-one rows per (block, source); the exchange
+    groups by hash(source) % n_buckets (heavy-tailed domains never
+    form one giant Python group) and the in-bucket final pass is the
+    same single lexsort+cumsum with the inclusive ≤ budget rule."""
+    cols = ds.select_columns(["doc_id", group_col, "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n_tok = pc.list_value_length(
+            pc.split_pattern(batch.column("text"), " ")).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("doc_id"), batch.column(group_col), n_tok],
+            names=["doc_id", group_col, "n_tokens"])
+        pruned = _budget_prune(t, group_col, budget,
+                               inclusive=False)
+        src2 = pruned.column(group_col).to_numpy(zero_copy_only=False)
+        return pruned.append_column(
+            "bucket", pa.array(_sbucket(src2, n_buckets)))
+
+    def final(group: pa.Table) -> pa.Table:
+        return _budget_prune(group, group_col, budget,
+                             inclusive=True) \
+            .drop_columns(["bucket"])
+
+    return cols.map_batches(keyed, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("bucket").map_groups(final, batch_format="pyarrow")
