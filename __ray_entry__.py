@@ -1254,6 +1254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "exact_dedup_hashed": lambda sf: dedup.exact_dedup_hashed(
             _docs_cols(sf, ["doc_id", "text"])),
+        # per-source duplication diagnostics (crawl health report)
+        "dup_rate_by_source": lambda sf: dedup.dup_rate_by_source(
+            _docs_cols(sf, ["source", "text"])),
         "edit1_name_pairs": edit1_names_q,
         # BPE tokenizer lifecycle: train on the deterministic 12.5%
         # md5-prefix sample (the 100-TB practice — tokenizers fit on a
@@ -2460,6 +2463,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source, row_number() OVER (
                 PARTITION BY source ORDER BY doc_id) AS rn
               FROM documents) t WHERE rn <= 10""",
+        "dup_rate_by_source": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   count(DISTINCT text)::BIGINT AS n_distinct
+            FROM documents GROUP BY source""",
         "token_budget_sample": """
             SELECT doc_id, source, n_tokens FROM (
               SELECT doc_id, source, n_tokens,

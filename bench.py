@@ -143,7 +143,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     for name in ("exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
                  "simhash", "simhash_dup_pairs", "dedup_apply",
                  "exact_dedup_hashed", "edit1_name_pairs",
-                 "dedup_keep_longest",
+                 "dedup_keep_longest", "dup_rate_by_source",
                  "dedup_apply_emb", "dedup_extracted",
                  "semdedup_pairs", "semdedup_apply",
                  "knn_cosine", "knn_ivf", "knn_ivf_indexed", "cosine_nn",

@@ -1277,3 +1277,19 @@ def test_epoch_shuffle_deterministic_permutation(ray_session):
         by_shard.setdefault(shard, []).append(pos)
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_dup_rate_by_source_exact_distinct(ray_session):
+    import ray.data
+
+    rows = [
+        {"source": "a", "text": "same"},
+        {"source": "a", "text": "same"},
+        {"source": "a", "text": "other"},
+        {"source": "b", "text": "same"},     # same text, other source
+        {"source": "b", "text": "unique b"},
+    ]
+    got = {r["source"]: (r["n_docs"], r["n_distinct"])
+           for r in dedup.dup_rate_by_source(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {"a": (3, 2), "b": (2, 2)}

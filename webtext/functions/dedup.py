@@ -1087,3 +1087,58 @@ def dedup_keep_longest(ds, threshold: float = 0.5,
         doc_emit, batch_format="pyarrow", zero_copy_batch=True).union(
         drops)
     return u.groupby("key").map_groups(keep, batch_format="pyarrow")
+
+
+def dup_rate_by_source(ds, n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(source, n_docs, n_distinct): per-source exact-duplicate
+    diagnostics — how many documents each source contributed and how
+    many DISTINCT contents that is (the crawl-health report that tells
+    you which domains are mirror farms before you pay for near-dedup).
+
+    Scale shape (distinct_users' two-level combiner, content edition):
+    texts travel as md5 fingerprints, never payloads; each block
+    collapses to unique (source, fp) pairs carrying the block's doc
+    count, the ONE corpus exchange buckets by hash(fp) so a pair's
+    copies co-locate, and the final groupby sums ≤ n_buckets × sources
+    tiny partials.  Counts are integers → order-invariant, bit-equal
+    to COUNT(*) / COUNT(DISTINCT text) in SQL (md5 collisions bound
+    the distinct count error: ~n²/2¹²⁸, nil at any real corpus)."""
+    import hashlib
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(t.encode("utf-8")).digest()[:8]
+               for t in batch.column("text").to_pylist()]
+        key = np.frombuffer(b"".join(fps), dtype=np.int64) \
+            if fps else np.empty(0, dtype=np.int64)
+        t = pa.Table.from_arrays(
+            [batch.column("source"), pa.array(key)],
+            names=["source", "fp"])
+        uniq = t.group_by(["source", "fp"]).aggregate([("fp", "count")])
+        uniq = uniq.rename_columns(["source", "fp", "n_docs"])
+        fp2 = uniq.column("fp").to_numpy(zero_copy_only=False)
+        return uniq.append_column(
+            "bucket", pa.array(_ibucket(fp2, n_buckets)))
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        """Per-bucket: re-aggregate pair partials (a pair may appear
+        once per block), then per source: docs = sum, distinct = count
+        of unique fps — globally exact because a fp lives in exactly
+        one bucket."""
+        agg = pa.Table.from_arrays(
+            [group.column("source"), group.column("fp"),
+             group.column("n_docs")],
+            names=["source", "fp", "n_docs"]) \
+            .group_by(["source", "fp"]).aggregate([("n_docs", "sum")])
+        out = agg.group_by("source").aggregate(
+            [("n_docs_sum", "sum"), ("fp", "count")])
+        return out.rename_columns(["source", "n_docs", "n_distinct"])
+
+    partial = ds.select_columns(["source", "text"]).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("bucket").map_groups(count_bucket,
+                                      batch_format="pyarrow")
+    return partial.groupby("source") \
+        .sum(["n_docs", "n_distinct"]).map_batches(
+            lambda b: b.rename_columns(["source", "n_docs",
+                                        "n_distinct"]),
+            batch_format="pyarrow", zero_copy_batch=True)
