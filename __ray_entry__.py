@@ -1252,6 +1252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DEFLATE compressibility quality signal (boilerplate detector)
         "compression_ratio": lambda sf: textstats.compression_ratio(
             _docs_cols(sf, ["doc_id", "text"])),
+        # character-class composition (symbol-ratio quality signal)
+        "charclass_stats": lambda sf: textstats.charclass_stats(
+            _docs_cols(sf, ["doc_id", "text"])),
         "exact_dedup_hashed": lambda sf: dedup.exact_dedup_hashed(
             _docs_cols(sf, ["doc_id", "text"])),
         # per-source duplication diagnostics (crawl health report)
@@ -2463,6 +2466,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source, row_number() OVER (
                 PARTITION BY source ORDER BY doc_id) AS rn
               FROM documents) t WHERE rn <= 10""",
+        "charclass_stats": """
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars_c,
+                   len(regexp_extract_all(text, '[a-z]'))::BIGINT
+                     AS n_lower,
+                   len(regexp_extract_all(text, '[A-Z]'))::BIGINT
+                     AS n_upper,
+                   len(regexp_extract_all(text, '[0-9]'))::BIGINT
+                     AS n_digit,
+                   len(regexp_extract_all(text, '\\s'))::BIGINT
+                     AS n_space,
+                   (length(text) - len(regexp_extract_all(text, '[a-z]'))
+                    - len(regexp_extract_all(text, '[A-Z]'))
+                    - len(regexp_extract_all(text, '[0-9]'))
+                    - len(regexp_extract_all(text, '\\s')))::BIGINT
+                     AS n_other
+            FROM documents""",
         "dup_rate_by_source": """
             SELECT source, count(*)::BIGINT AS n_docs,
                    count(DISTINCT text)::BIGINT AS n_distinct

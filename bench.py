@@ -168,7 +168,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "inverted_index", "bm25_topk",
                  "length_histogram", "quality_score",
                  "gopher_quality", "lang_mismatch",
-                 "compression_ratio",
+                 "compression_ratio", "charclass_stats",
                  "tokenizer_fertility", "source_stats",
                  "perplexity_buckets", "dice_collocations",
                  "quality_stratified_sample",

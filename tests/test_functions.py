@@ -1293,3 +1293,19 @@ def test_dup_rate_by_source_exact_distinct(ray_session):
            for r in dedup.dup_rate_by_source(
                ray.data.from_items(rows).repartition(3)).take_all()}
     assert got == {"a": (3, 2), "b": (2, 2)}
+
+
+def test_charclass_stats_partitions_chars(ray_session):
+    import ray.data
+
+    from webtext.functions import textstats
+
+    rows = [{"doc_id": 1, "text": "Ab1 !"}, {"doc_id": 2, "text": ""}]
+    got = {r["doc_id"]: r for r in textstats.charclass_stats(
+        ray.data.from_items(rows)).take_all()}
+    r1 = got[1]
+    assert (r1["n_lower"], r1["n_upper"], r1["n_digit"],
+            r1["n_space"], r1["n_other"]) == (1, 1, 1, 1, 1)
+    assert r1["n_chars_c"] == 5
+    r2 = got[2]
+    assert r2["n_chars_c"] == 0 and r2["n_other"] == 0

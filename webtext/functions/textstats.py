@@ -1476,3 +1476,37 @@ def epoch_shuffle(ds, epoch: int = 0, n_shards: int = 64):
     return ds.select_columns(["doc_id"]).map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("shard").map_groups(rank, batch_format="pyarrow")
+
+
+def charclass_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_chars_c, n_lower, n_upper, n_digit, n_space,
+    n_other): per-doc character-class composition — the symbol-ratio
+    quality signal (a doc that is mostly digits/punctuation is a
+    table dump or minified blob, not prose).  All counts via Arrow's
+    RE2 count_substring_regex = DuckDB's regexp engine → bit-exact
+    live SQL parity; n_other is derived by subtraction so the five
+    classes always partition n_chars_c."""
+    text = batch.column("text")
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_lower = pc.count_substring_regex(text, pattern="[a-z]") \
+        .cast(pa.int64())
+    n_upper = pc.count_substring_regex(text, pattern="[A-Z]") \
+        .cast(pa.int64())
+    n_digit = pc.count_substring_regex(text, pattern="[0-9]") \
+        .cast(pa.int64())
+    n_space = pc.count_substring_regex(text, pattern=r"\s") \
+        .cast(pa.int64())
+    n_other = pc.subtract(
+        n_chars, pc.add(pc.add(n_lower, n_upper),
+                        pc.add(n_digit, n_space)))
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), n_chars, n_lower, n_upper, n_digit,
+         n_space, n_other],
+        names=["doc_id", "n_chars_c", "n_lower", "n_upper", "n_digit",
+               "n_space", "n_other"])
+
+
+def charclass_stats(ds):
+    """Per-doc character-class composition — pure map, no shuffle."""
+    return ds.map_batches(charclass_stats_batch,
+                          batch_format="pyarrow", zero_copy_batch=True)
