@@ -1393,6 +1393,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "training_pipeline": lambda sf: textstats.training_pipeline(
             _docs_cols(sf, ["doc_id", "text"])),
+        # gopher filter -> keep-longest dedup -> epoch shuffle, whole
+        # chain pinned by one independent golden
+        "curation_pipeline": lambda sf: textstats.curation_pipeline(
+            _docs_cols(sf, ["doc_id", "text"])),
         "hash_embed_nn": lambda sf: _hash_embed_nn(sf),
         "lsh_cosine_pairs": lambda sf: ann.lsh_cosine_dup_pairs(
             _emb(sf), 0.4),
@@ -1537,7 +1541,7 @@ def oracle_sql() -> dict[str, str]:
             "extract_links", "minhash_lsh_pairs", "simhash",
             "simhash_dup_pairs", "dedup_apply", "knn_ivf",
             "winnow_fingerprint", "lsh_cosine_pairs",
-            "training_pipeline", "hash_embed_nn",
+            "training_pipeline", "curation_pipeline", "hash_embed_nn",
             "lsh_nearest_neighbor", "semdedup_pairs", "semdedup_apply",
             "bpe_merges", "bpe_token_count", "dsir_scores",
             "dedup_substrings",

@@ -152,7 +152,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "winnow_fingerprint",
                  "containment_pairs", "sample_by_hash",
                  "pack_sequences", "chunk_documents",
-                 "training_pipeline", "hash_embed_nn",
+                 "training_pipeline", "curation_pipeline",
+                 "hash_embed_nn",
                  "corpus_filter",
                  "redact_pii", "canonicalize_urls", "url_dedup",
                  "line_dedup",

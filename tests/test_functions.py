@@ -1309,3 +1309,31 @@ def test_charclass_stats_partitions_chars(ray_session):
     assert r1["n_chars_c"] == 5
     r2 = got[2]
     assert r2["n_chars_c"] == 0 and r2["n_other"] == 0
+
+
+def test_curation_pipeline_chain(ray_session):
+    """Junk drops at the gopher gate, near-dups collapse to the longest
+    member, and the output is an epoch-deterministic (shard, pos)
+    assignment of exactly the survivors."""
+    import ray.data
+
+    from webtext.functions import textstats
+
+    # ~40-token prose with stopwords and distinct words passes gopher
+    prose = ("the quick brown fox and a lazy dog walk in the park of "
+             "every town to see " +
+             " ".join(f"sight{i}" for i in range(25)))
+    rows = [
+        {"doc_id": 1, "text": prose},
+        {"doc_id": 2, "text": prose + " extra tail content here"},
+        {"doc_id": 3, "text": "too short"},                # gopher-fail
+    ]
+    out = textstats.curation_pipeline(
+        ray.data.from_items(rows).repartition(2),
+        threshold=0.5, epoch=0, n_shards=4).take_all()
+    assert sorted(r["doc_id"] for r in out) == [2]  # longest survives
+    again = textstats.curation_pipeline(
+        ray.data.from_items(rows).repartition(3),
+        threshold=0.5, epoch=0, n_shards=4).take_all()
+    assert [(r["doc_id"], r["shard"], r["pos"]) for r in again] == \
+        [(r["doc_id"], r["shard"], r["pos"]) for r in out]

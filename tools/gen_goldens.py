@@ -750,6 +750,54 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
         {"doc_id": pa.array([d for d, _ in keep_l], pa.int64()),
          "text": pa.array([x for _, x in keep_l], pa.string())})
 
+    # curation pipeline: gopher keep → keep-longest near-dedup over the
+    # SURVIVORS (pairs re-derived on the filtered set — banding is
+    # per-doc, so filtering first changes nothing for surviving pairs)
+    # → epoch-0 md5 shuffle; every rule re-derived here from the spec
+    # constants, no library code
+    import hashlib as _hl
+
+    _stop = {"the", "a", "of", "and", "in", "to"}
+
+    def _gopher_keep(text: str) -> bool:
+        toks = text.split(" ")
+        n_tok = len(toks)
+        tot = len(text) - n_tok + 1
+        n_stop = sum(1 for t in toks if t in _stop)
+        n_uniq = len(set(toks))
+        return (20 <= n_tok <= 90 and 10 * tot >= 42 * n_tok
+                and tot <= 10 * n_tok and 50 * n_stop >= n_tok
+                and 10 * n_uniq >= 4 * n_tok)
+
+    kept_g = [(d, x) for d, x in zip(ids, texts) if _gopher_keep(x)]
+    mh2 = golden_minhash_pairs([d for d, _ in kept_g],
+                               [x for _, x in kept_g])
+    uf2 = UnionFind()
+    for a, b in mh2:
+        uf2.union(a, b)
+    comp2: dict[int, list[int]] = {}
+    for x in uf2.p:
+        comp2.setdefault(uf2.find(x), []).append(x)
+    lb2 = {d: len(x) for d, x in kept_g}
+    drop2: set[int] = set()
+    for members in comp2.values():
+        best2 = min(members, key=lambda i: (-lb2[i], i))
+        drop2.update(m for m in members if m != best2)
+    by_shard: dict[int, list[tuple[str, int]]] = {}
+    for d, _ in kept_g:
+        if d in drop2:
+            continue
+        h = _hl.md5(f"{d}:e0".encode()).hexdigest()
+        by_shard.setdefault(int(h[:4], 16) % 64, []).append((h, d))
+    crow = []
+    for sh in sorted(by_shard):
+        for pos, (_, d) in enumerate(sorted(by_shard[sh]), 1):
+            crow.append((d, sh, pos))
+    g["curation_pipeline"] = pa.table(
+        {"doc_id": pa.array([r[0] for r in crow], pa.int64()),
+         "shard": pa.array([r[1] for r in crow], pa.int64()),
+         "pos": pa.array([r[2] for r in crow], pa.int64())})
+
     # dup-cluster size histogram from the SAME independent union-find
     # (clusters of size >= 2 only — singletons never enter the edge set)
     comp_size: Counter = Counter()

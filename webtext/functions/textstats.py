@@ -19,7 +19,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dedup import _ibucket, _sbucket, exact_dedup  # module scope: worker
+from .dedup import (_ibucket, _sbucket,  # module scope: worker
+                    dedup_keep_longest, exact_dedup)
 # is shipped by value and cannot lazy-import webtext
 
 # tiny per-language stopword tables for the n-gram/stopword lang-id
@@ -1510,3 +1511,33 @@ def charclass_stats(ds):
     """Per-doc character-class composition — pure map, no shuffle."""
     return ds.map_batches(charclass_stats_batch,
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def curation_pipeline(ds, threshold: float = 0.5, epoch: int = 0,
+                      n_shards: int = 64):
+    """The corpus-curation counterpart to training_pipeline, one
+    streaming Dataset chain:
+
+        Gopher quality mask (vectorized predicate, no shuffle)
+          → keep-longest near-dedup (banding + CC + argmax attach)
+          → deterministic per-epoch sharded shuffle
+
+    i.e. filter junk, collapse each near-dup cluster to its fullest
+    member, and emit the (doc_id, shard, pos) training order.  The
+    three stages are independently oracled; the WHOLE chain is pinned
+    by its own independent golden (tools/gen_goldens.py re-derives the
+    predicate, the union-find + keep-longest rule and the md5 shuffle
+    with no library code)."""
+
+    def keep_gopher(batch: pa.Table) -> pa.Table:
+        mask = gopher_quality_batch(batch).column("keep")
+        return batch.filter(pc.equal(mask, 1)) \
+            .select(["doc_id", "text"])
+
+    filtered = ds.select_columns(["doc_id", "text"]).map_batches(
+        keep_gopher, batch_format="pyarrow", zero_copy_batch=True)
+    # the dedup stage consumes its input THREE times (pairs, quality
+    # attach, anti-join) — materialize the filter once instead of
+    # re-running the predicate per consumer (single-consumption rule)
+    survivors = dedup_keep_longest(filtered.materialize(), threshold)
+    return epoch_shuffle(survivors, epoch=epoch, n_shards=n_shards)
