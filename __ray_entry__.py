@@ -126,6 +126,15 @@ def _events_transitions(sf_dir: str):
         columns=["event_id", "user_id", "ts", "event_type"]))
 
 
+def _events_props(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import props_field_stats
+
+    return props_field_stats(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]))
+
+
 def _heavy_hitters(sf_dir: str):
     from webtext.functions.sketches import heavy_hitters
 
@@ -1424,6 +1433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": lambda sf: _events_funnel(sf),
         "retention_cohorts": lambda sf: _events_retention(sf),
         "event_transitions": lambda sf: _events_transitions(sf),
+        # semi-structured JSON props field extraction + aggregate
+        "props_field_stats": lambda sf: _events_props(sf),
         "cms_token_estimates": lambda sf: _cms_estimates(sf),
         # sketch-guided exact heavy hitters (CMS prunes the shuffle)
         "heavy_hitters": lambda sf: _heavy_hitters(sf),
@@ -2087,6 +2098,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM events) t
             WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type""",
+        "props_field_stats": """
+            SELECT event_type,
+                   sum(CASE WHEN regexp_matches(props,
+                              '"k":\\s*(-?[0-9]+)')
+                            THEN 1 ELSE 0 END)::BIGINT
+                     AS n_with_field,
+                   sum(CASE WHEN regexp_matches(props,
+                              '"k":\\s*(-?[0-9]+)')
+                            THEN regexp_extract(props,
+                              '"k":\\s*(-?[0-9]+)', 1)::BIGINT
+                            ELSE 0 END)::BIGINT AS field_sum
+            FROM events GROUP BY event_type""",
         "heavy_hitters": """
             SELECT token, count(*)::BIGINT AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS token

@@ -177,6 +177,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "token_budget_sample",
                  "funnel_stages", "retention_cohorts",
                  "event_transitions", "heavy_hitters",
+                 "props_field_stats",
                  "url_blocklist_filter",
                  "lang_id", "doc_fingerprint", "topk_per_group",
                  "ordered_dedup", "union_sources",

@@ -599,3 +599,20 @@ def test_heavy_hitters_exact_with_collisions(ray_session):
                                   .repartition(2),
                                   threshold=2, w=1).take_all()}
     assert got == {"a": 4, "b": 2}
+
+
+def test_props_field_stats_missing_and_negative(ray_session):
+    import ray.data
+
+    from webtext.functions.events import props_field_stats
+
+    rows = [
+        {"event_type": "a", "props": '{"k": 7}'},
+        {"event_type": "a", "props": '{"k": -3}'},
+        {"event_type": "a", "props": '{"x": 9}'},     # no k: not counted
+        {"event_type": "b", "props": '{"k":  11}'},   # extra whitespace
+    ]
+    got = {r["event_type"]: (r["n_with_field"], r["field_sum"])
+           for r in props_field_stats(
+               ray.data.from_items(rows).repartition(2)).take_all()}
+    assert got == {"a": (2, 4), "b": (1, 11)}

@@ -985,3 +985,39 @@ def event_transitions(ds, n_buckets: int = 256):
     return summed.map_batches(
         lambda b: b.rename_columns(["prev_type", "event_type", "n"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def props_field_stats(ds, field: str = "k"):
+    """(event_type, n_with_field, field_sum): semi-structured payload
+    aggregation — extract an integer field from the JSON ``props``
+    string column with one RE2 kernel pass (no per-row json.loads;
+    Arrow's extract_regex and DuckDB's regexp_extract are the same
+    regex engine → bit-exact live SQL parity) and reduce per event
+    type with the usual per-batch combiner.  Events whose props lack
+    the field don't count.  Integer sums → order-invariant."""
+    pat = f'"{field}":\\s*(?P<v>-?[0-9]+)'
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch.column("props"), pattern=pat)
+        if isinstance(ex, pa.ChunkedArray):
+            ex = ex.combine_chunks()
+        v = pc.struct_field(ex, "v")
+        ok = pc.is_valid(v)
+        vals = pc.if_else(ok, v, "0").cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("event_type"),
+             ok.cast(pa.int64()), vals],
+            names=["event_type", "n_with_field", "field_sum"])
+        agg = t.group_by("event_type").aggregate(
+            [("n_with_field", "sum"), ("field_sum", "sum")])
+        return agg.rename_columns(
+            ["event_type", "n_with_field", "field_sum"])
+
+    partials = ds.select_columns(["event_type", "props"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    summed = partials.groupby("event_type") \
+        .sum(["n_with_field", "field_sum"])
+    return summed.map_batches(
+        lambda b: b.rename_columns(
+            ["event_type", "n_with_field", "field_sum"]),
+        batch_format="pyarrow", zero_copy_batch=True)
