@@ -1412,6 +1412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_nearest_neighbor": lambda sf: ann.lsh_nearest_neighbor_ids(
             _emb(sf)),
         "label_centroids": lambda sf: ann.label_centroids(_emb(sf)),
+        # nearest-centroid classification confusion matrix
+        "centroid_classify": lambda sf: ann.centroid_classify(_emb(sf)),
         "quantize_embeddings": lambda sf: ann.quantize_embeddings(
             _emb(sf)),
         # event-stream windows (beyond the reference: time-windowed ops)
@@ -1560,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
             "integrate_outputs", "scan_output_for_errors",
             "search_engine_links", "dedup_apply_emb", "timeout_ids",
             "dedup_keep_longest", "compression_ratio",
+            "centroid_classify",
             "pagerank", "containment_pairs",
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs", "media_dedup_apply",

@@ -190,6 +190,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "distinct_users", "pivot_events", "hll_users",
                  "cms_token_estimates",
                  "outlier_events", "label_centroids",
+                 "centroid_classify",
                  "quantize_embeddings",
                  "asof_join", "range_join", "group_quantiles",
                  "global_quantiles",

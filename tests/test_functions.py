@@ -1337,3 +1337,27 @@ def test_curation_pipeline_chain(ray_session):
         threshold=0.5, epoch=0, n_shards=4).take_all()
     assert [(r["doc_id"], r["shard"], r["pos"]) for r in again] == \
         [(r["doc_id"], r["shard"], r["pos"]) for r in out]
+
+
+def test_centroid_classify_confusion(ray_session):
+    """A vector labeled 0 but sitting on label 1's axis must show up as
+    off-diagonal (0, 1) mass; output is block-split invariant."""
+    import ray.data
+
+    rows = [
+        {"vec_id": 1, "label": 0, "embedding": [1.0, 0.0]},
+        {"vec_id": 2, "label": 0, "embedding": [0.9, 0.1]},
+        {"vec_id": 3, "label": 1, "embedding": [0.0, 1.0]},
+        {"vec_id": 4, "label": 1, "embedding": [0.1, 0.9]},
+        {"vec_id": 5, "label": 0, "embedding": [0.0, 1.0]},  # mislabeled
+    ]
+    for parts in (1, 3):
+        got = {(r["label"], r["pred_label"]): r["n"]
+               for r in __import__("webtext.functions.ann",
+                                   fromlist=["centroid_classify"])
+               .centroid_classify(
+                   ray.data.from_items(rows).repartition(parts))
+               .take_all()}
+        assert got[(0, 1)] == 1          # the planted mislabel
+        assert got[(1, 1)] == 2
+        assert got[(0, 0)] == 2

@@ -940,6 +940,31 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
          "label": pa.array([int(l) for l, k in zip(vlabels, keep_mask)
                             if k], pa.int32())})
 
+    # nearest-centroid confusion matrix: dense single-process reimpl —
+    # same fixed-point centroid rule (round-half-away × 1e9, int sums,
+    # divide once), unit-normalized rows, 1e-12-quantized argmax with
+    # first-max (= smallest label, labels sorted asc) tie-break
+    _cids, _clabs, _cmat = emb_matrix(sf_dir)
+    _cl = _clabs.astype(np.int64)
+    _x = _cmat * 1e9
+    _fp = np.where(_x >= 0, np.floor(_x + 0.5),
+                   np.ceil(_x - 0.5)).astype(np.int64)
+    _ulabs = np.unique(_cl)
+    _C = np.zeros((len(_ulabs), _cmat.shape[1]), dtype=np.float64)
+    for _i, _l in enumerate(_ulabs):
+        _m = _cl == _l
+        _C[_i] = _fp[_m].sum(axis=0) / (int(_m.sum()) * 10**9)
+    _C = _C / np.linalg.norm(_C, axis=1, keepdims=True)
+    _V = _cmat / np.linalg.norm(_cmat, axis=1, keepdims=True)
+    _sims = np.floor(_V @ _C.T / 1e-12 + 0.5)
+    _pred = _ulabs[np.argmax(_sims, axis=1)]
+    _pairs = Counter(zip(_cl.tolist(), _pred.tolist()))
+    _keys = sorted(_pairs)
+    g["centroid_classify"] = pa.table(
+        {"label": pa.array([k[0] for k in _keys], pa.int64()),
+         "pred_label": pa.array([k[1] for k in _keys], pa.int64()),
+         "n": pa.array([_pairs[k] for k in _keys], pa.int64())})
+
     # -- extraction surface (oracle over the deterministic synth corpus)
     res42 = oracle_results(n_fam, seed=42)
     g["extract_spans"] = pa.Table.from_pydict(

@@ -1090,3 +1090,65 @@ def semdedup_apply(ds, nlist: int = 16, threshold: float = 0.4,
         vec_emit, batch_format="pyarrow", zero_copy_batch=True).union(
         drops.select_columns(["key", "vec_id", "label", "is_drop"]))
     return u.groupby("key").map_groups(keep, batch_format="pyarrow")
+
+
+def centroid_classify(ds, scale: int = CENTROID_SCALE,
+                      sim_quantum: float = 1e-12):
+    """(label, pred_label, n): nearest-centroid classification confusion
+    matrix — every vector is assigned to the label whose centroid has
+    the max cosine, then (true, predicted) pairs are counted.  The
+    label-quality audit an embedding pipeline runs before trusting its
+    labels (off-diagonal mass = mislabeled or overlapping classes).
+
+    Scale shape: the centroid fit is label_centroids' combiner (the
+    shuffle ships per-batch partial centroid sums, never embeddings);
+    the constant-size (labels × dim) table materializes once on the
+    driver, the derived unit matrix broadcasts via ray.put, and
+    classification is one matmul per batch feeding an integer
+    confusion combiner.  Determinism: centroid means derive from EXACT
+    int64 fixed-point sums (order-invariant), and similarities are
+    quantized to ``sim_quantum`` before the argmax so BLAS summation
+    order can never flip a winner; grid ties resolve to the smallest
+    label."""
+    import ray
+
+    cents = label_centroids(ds, scale).take_all()   # labels×dim rows
+    labs = sorted({r["label"] for r in cents})
+    lab_ix = {l: i for i, l in enumerate(labs)}
+    dim = max(r["dim"] for r in cents)
+    C = np.zeros((len(labs), dim), dtype=np.float64)
+    for r in cents:
+        C[lab_ix[r["label"]], r["dim"] - 1] = \
+            r["sum_fp"] / (r["n"] * scale)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    ref = ray.put((np.array(labs, dtype=np.int64), C))
+
+    class Classify:
+        def __init__(self, r):
+            self.labs, self.C = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            true = batch.column("label").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            m = _matrix(batch)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = np.floor(m @ self.C.T / sim_quantum + 0.5)
+            # argmax with ties → smallest label: labs is sorted asc and
+            # np.argmax returns the FIRST maximal index
+            pred = self.labs[np.argmax(sims, axis=1)]
+            pair = true * (self.labs.max() + 1) + pred
+            vals, counts = np.unique(pair, return_counts=True)
+            base = self.labs.max() + 1
+            return pa.Table.from_arrays(
+                [pa.array(vals // base), pa.array(vals % base),
+                 pa.array(counts.astype(np.int64))],
+                names=["label", "pred_label", "n"])
+
+    partials = ds.select_columns(["vec_id", "label", "embedding"]) \
+        .map_batches(Classify, batch_format="pyarrow",
+                     zero_copy_batch=True, concurrency=(1, 4),
+                     fn_constructor_args=(ref,))
+    summed = partials.groupby(["label", "pred_label"]).sum("n")
+    return summed.map_batches(
+        lambda b: b.rename_columns(["label", "pred_label", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True)
