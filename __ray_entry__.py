@@ -346,6 +346,24 @@ def _tpch_q5(sf_dir: str):
                               columns=["n_nationkey", "n_name"]))
 
 
+def _tpch_q10(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import returned_item_report
+
+    return returned_item_report(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"]),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_extendedprice",
+                                       "l_discount", "l_returnflag"]),
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"]))
+
+
 def _tpch_cube(sf_dir: str):
     import ray.data
 
@@ -1465,6 +1483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_rollup": lambda sf: _tpch_rollup(sf),
         "pricing_cube": lambda sf: _tpch_cube(sf),
         "local_supplier_volume": lambda sf: _tpch_q5(sf),
+        "returned_item_report": lambda sf: _tpch_q10(sf),
         "order_line_left": lambda sf: _tpch_left_join(sf),
         "small_quantity_revenue": lambda sf: _tpch_q17(sf),
         "order_line_full": lambda sf: _tpch_full_join(sf),
@@ -2386,6 +2405,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_rows
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)""",
+        "returned_item_report": """
+            SELECT c_custkey, n_name, revenue_cents FROM (
+              SELECT c.c_custkey, n.n_name,
+                     CAST(SUM(CAST(round(
+                       l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM customer c
+              JOIN orders o ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+              WHERE o.o_orderdate >= TIMESTAMP '1995-07-01'
+                AND o.o_orderdate < TIMESTAMP '1995-10-01'
+                AND l.l_returnflag = 'R'
+              GROUP BY c.c_custkey, n.n_name)
+            ORDER BY revenue_cents DESC, c_custkey LIMIT 20""",
         "local_supplier_volume": """
             SELECT n.n_name,
                    CAST(SUM(CAST(round(

@@ -202,7 +202,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "pricing_rollup", "pricing_cube",
                  "order_line_left", "order_line_full",
                  "profile_columns", "small_quantity_revenue",
-                 "local_supplier_volume",
+                 "local_supplier_volume", "returned_item_report",
                  "customers_with_orders", "customers_without_f_orders",
                  "extract_spans",
                  "extract_links",

@@ -1010,3 +1010,107 @@ def pricing_cube(lineitem):
             ["l_returnflag", "l_linestatus", "sum_qty",
              "sum_base_cents", "n_rows"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def returned_item_report(customer, orders, lineitem, nation,
+                         date_from: str = "1995-07-01",
+                         date_to: str = "1995-10-01", k: int = 20):
+    """TPC-H Q10 shape: top-k customers by revenue lost to RETURNED
+    items ('R' lines) on orders placed in a quarter, with the
+    customer's nation attached.  Output: (c_custkey, n_name,
+    revenue_cents), revenue desc / custkey asc.
+
+    Plan (no sf-proportional broadcast anywhere):
+    1. lineitem pre-aggregates returned-line revenue per (batch,
+       orderkey) — the combiner bounds the first exchange;
+    2. revenue partials pick up o_custkey through the generic
+       `_bucket_attach` on hash(orderkey) % 256 (orders filtered to
+       the quarter; inner semantics drop out-of-window revenue);
+    3. one native groupby(custkey).sum;
+    4. per-customer totals pick up c_nationkey through a second
+       `_bucket_attach` on hash(custkey) % 256 — customer is
+       sf-proportional, so it rides the shuffle, never ray.put;
+    5. nation names (constant 25 rows) broadcast; top-k is the usual
+       per-block partial + single-block final."""
+    import ray
+
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        flag = batch.column("l_returnflag").to_numpy(
+            zero_copy_only=False)
+        keep = flag == "R"
+        okey = batch.column("l_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[keep]
+        rev = _rev_cents(
+            batch.column("l_extendedprice")
+            .to_numpy(zero_copy_only=False)[keep],
+            batch.column("l_discount")
+            .to_numpy(zero_copy_only=False)[keep])
+        t = pa.Table.from_arrays([pa.array(okey), pa.array(rev)],
+                                 names=["l_orderkey", "rev"])
+        agg = t.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return agg.rename_columns(["l_orderkey", "rev"])
+
+    def orders_window(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (od >= lo) & (od < hi)
+        # key column renamed to the fact side's name (_bucket_attach
+        # uses ONE key_col for both sides)
+        return batch.filter(pa.array(keep)).select(
+            ["o_orderkey", "o_custkey"]) \
+            .rename_columns(["l_orderkey", "o_custkey"])
+
+    rev_parts = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount",
+         "l_returnflag"]).map_batches(
+        line_partial, batch_format="pyarrow", zero_copy_batch=True)
+    in_window = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_window, batch_format="pyarrow", zero_copy_batch=True)
+    with_cust = _bucket_attach(rev_parts, in_window, "l_orderkey",
+                               "o_custkey", ("rev",))
+    per_cust = with_cust.groupby("o_custkey").sum("rev").map_batches(
+        lambda b: b.rename_columns(["c_custkey", "rev"]).append_column(
+            "ckey", b.column(0).cast(pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # _bucket_attach keeps only (attach, carry) — the custkey rides as
+    # an explicit carry copy
+    with_nat = _bucket_attach(
+        per_cust, customer.select_columns(["c_custkey", "c_nationkey"]),
+        "c_custkey", "c_nationkey", ("rev", "ckey"))
+
+    names = {r["n_nationkey"]: r["n_name"] for r in
+             nation.select_columns(["n_nationkey", "n_name"])
+             .take_all()}                       # constant 25 rows
+    ref = ray.put(names)
+
+    def attach_name_topk(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        nm = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        ck = batch.column("ckey").to_numpy(zero_copy_only=False)
+        rev = batch.column("rev").to_numpy(zero_copy_only=False)
+        top = np.lexsort((ck, -rev))[:k]
+        return pa.Table.from_arrays(
+            [pa.array(ck[top]),
+             pa.array([nm[int(x)] for x in nk[top]], pa.string()),
+             pa.array(rev[top])],
+            names=["c_custkey", "n_name", "revenue_cents"])
+
+    # partial top-k per block, then one single-block final pass
+    partial = with_nat.map_batches(attach_name_topk,
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        rev = batch.column("revenue_cents") \
+            .to_numpy(zero_copy_only=False)
+        top = np.lexsort((ck, -rev))[:k]
+        return batch.take(pa.array(top))
+
+    return partial.repartition(1).map_batches(
+        final_topk, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True)
