@@ -388,6 +388,43 @@ def _tpch_q17(sf_dir: str):
                               columns=["p_partkey", "p_brand"]))
 
 
+def _tpch_q6(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import forecast_revenue
+
+    return forecast_revenue(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_shipdate", "l_discount",
+                                       "l_quantity", "l_extendedprice"]))
+
+
+def _tpch_q14(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import promo_revenue
+
+    return promo_revenue(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_extendedprice",
+                                       "l_discount", "l_shipdate"]),
+        ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_type"]))
+
+
+def _tpch_q18(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import large_volume_orders
+
+    return large_volume_orders(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_quantity"]))
+
+
 def _tpch_profile(sf_dir: str):
     import ray.data
 
@@ -1488,6 +1525,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": lambda sf: _tpch_q17(sf),
         "order_line_full": lambda sf: _tpch_full_join(sf),
         "profile_columns": lambda sf: _tpch_profile(sf),
+        "forecast_revenue": lambda sf: _tpch_q6(sf),
+        "promo_revenue": lambda sf: _tpch_q14(sf),
+        "large_volume_orders": lambda sf: _tpch_q18(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
             _docs_cols(sf, ["doc_id", "lang"])),
         # deterministic per-epoch sharded shuffle (training data order)
@@ -2454,6 +2494,37 @@ def oracle_sql() -> dict[str, str]:
               ON t.l_partkey = l.l_partkey
             WHERE 5 * CAST(round(l.l_quantity * 100) AS BIGINT) * t.n
                   < t.sq""",
+        "forecast_revenue": """
+            SELECT CAST(COALESCE(SUM(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)), 0)
+                     AS BIGINT) AS revenue_micro,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+              AND l_shipdate < TIMESTAMP '2001-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT)
+                  BETWEEN 5 AND 7
+              AND l_quantity < 24""",
+        "promo_revenue": """
+            SELECT CAST(COALESCE(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN r ELSE 0 END), 0) AS BIGINT) AS promo_cents,
+                   CAST(COALESCE(SUM(r), 0) AS BIGINT) AS total_cents
+            FROM (SELECT l_partkey,
+                         CAST(round(l_extendedprice * (1 - l_discount)
+                           * 100) AS BIGINT) AS r
+                  FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '2000-09-01'
+                    AND l_shipdate < TIMESTAMP '2000-10-01') l
+            JOIN part p ON p.p_partkey = l.l_partkey""",
+        "large_volume_orders": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                   t.q AS total_qty
+            FROM (SELECT l_orderkey,
+                         SUM(CAST(l_quantity AS BIGINT))::BIGINT AS q
+                  FROM lineitem GROUP BY 1
+                  HAVING SUM(CAST(l_quantity AS BIGINT)) > 150) t
+            JOIN orders o ON o.o_orderkey = t.l_orderkey""",
         "order_line_full": """
             SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS o_orderkey,
                    COALESCE(o.o_custkey, -1)::BIGINT AS o_custkey,

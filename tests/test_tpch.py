@@ -552,3 +552,101 @@ def test_token_budget_sample_combiner_invariance(ray_session):
         # doc 5 cum 101 > 18 drops too (prefix cumsum is inclusive and
         # monotone — once over budget nothing later re-enters)
         assert got == [1, 2], (parts, got)
+
+
+def test_forecast_revenue_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import forecast_revenue
+
+    sf = "/root/testdata/sf0.001"
+    got = forecast_revenue(
+        ray.data.read_parquet(f"{sf}/lineitem.parquet")).take_all()
+    want = duckdb.sql(f"""
+        SELECT CAST(COALESCE(SUM(
+                 CAST(round(l_extendedprice*100) AS BIGINT)
+                 * CAST(round(l_discount*100) AS BIGINT)), 0) AS BIGINT),
+               count(*)::BIGINT
+        FROM read_parquet('{sf}/lineitem.parquet')
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+          AND l_shipdate < TIMESTAMP '2001-01-01'
+          AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24""").fetchall()
+    assert len(got) == 1
+    assert (got[0]["revenue_micro"], got[0]["n_lines"]) == want[0]
+
+
+def test_promo_revenue_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import promo_revenue
+
+    sf = "/root/testdata/sf0.001"
+    got = promo_revenue(
+        ray.data.read_parquet(f"{sf}/lineitem.parquet"),
+        ray.data.read_parquet(f"{sf}/part.parquet")).take_all()
+    want = duckdb.sql(f"""
+        SELECT CAST(COALESCE(SUM(CASE WHEN p.p_type='PROMO' THEN r
+                 ELSE 0 END), 0) AS BIGINT),
+               CAST(COALESCE(SUM(r), 0) AS BIGINT)
+        FROM (SELECT l_partkey,
+                     CAST(round(l_extendedprice*(1-l_discount)*100)
+                       AS BIGINT) AS r
+              FROM read_parquet('{sf}/lineitem.parquet')
+              WHERE l_shipdate >= TIMESTAMP '2000-09-01'
+                AND l_shipdate < TIMESTAMP '2000-10-01') l
+        JOIN read_parquet('{sf}/part.parquet') p
+          ON p.p_partkey = l.l_partkey""").fetchall()
+    assert len(got) == 1
+    assert (got[0]["promo_cents"], got[0]["total_cents"]) == want[0]
+
+
+def test_large_volume_orders_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import large_volume_orders
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["o_orderkey"], r["o_custkey"], r["o_orderdate"],
+         r["total_qty"])
+        for r in large_volume_orders(
+            ray.data.read_parquet(f"{sf}/orders.parquet"),
+            ray.data.read_parquet(f"{sf}/lineitem.parquet")).take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, t.q
+        FROM (SELECT l_orderkey,
+                     SUM(CAST(l_quantity AS BIGINT))::BIGINT AS q
+              FROM read_parquet('{sf}/lineitem.parquet')
+              GROUP BY 1
+              HAVING SUM(CAST(l_quantity AS BIGINT)) > 150) t
+        JOIN read_parquet('{sf}/orders.parquet') o
+          ON o.o_orderkey = t.l_orderkey""").fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_large_volume_orders_having_before_join(ray_session):
+    """Crafted: an order below the threshold never reaches the join;
+    a dangling heavy aggregate (no matching order row) drops with
+    inner semantics."""
+    import ray.data
+
+    from webtext.pipelines.tpch import large_volume_orders
+
+    orders = ray.data.from_items([
+        {"o_orderkey": 1, "o_custkey": 7,
+         "o_orderdate": __import__("datetime").datetime(2000, 1, 2)},
+        {"o_orderkey": 2, "o_custkey": 8,
+         "o_orderdate": __import__("datetime").datetime(2000, 2, 3)},
+    ])
+    lineitem = ray.data.from_items(
+        [{"l_orderkey": 1, "l_quantity": 60.0} for _ in range(3)]
+        + [{"l_orderkey": 2, "l_quantity": 10.0}]
+        + [{"l_orderkey": 9, "l_quantity": 999.0}])
+    got = large_volume_orders(orders, lineitem,
+                              min_total_qty=150).take_all()
+    assert [(r["o_orderkey"], r["o_custkey"], r["total_qty"])
+            for r in got] == [(1, 7, 180)]

@@ -668,20 +668,24 @@ def brand_volume(lineitem, part):
         zero_copy_batch=True)
 
 
-def _bucket_attach(fact, dim, key_col: str, attach_col: str,
-                   carry_cols: tuple[str, ...]):
+def _bucket_attach_multi(fact, dim, key_col: str,
+                         attach_cols: tuple[str, ...],
+                         carry_cols: tuple[str, ...]):
     """Generic bucketed dimension attach (inner join): fact rows
-    (key, *carry int64) pick up ``attach_col`` from dim rows
-    (key, attach int64) inside hash(key) % 256 buckets — the repeated
-    join primitive of the deep-join pipelines.  Unmatched fact rows
-    drop (inner semantics); dim keys are unique by contract."""
+    (key, *carry int64) pick up every column in ``attach_cols`` from
+    dim rows (key, *attach int64) inside hash(key) % 256 buckets — the
+    repeated join primitive of the deep-join pipelines.  Unmatched fact
+    rows drop (inner semantics); dim keys are unique by contract."""
 
     def fact_emit(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         zeros = pa.array(np.zeros(len(k), dtype=np.int64))
-        cols = [pa.array(_ibucket(k)), pa.array(k), zeros, zeros]
-        names = ["bucket", "key", "is_dim", "attach"]
+        cols = [pa.array(_ibucket(k)), pa.array(k), zeros]
+        names = ["bucket", "key", "is_dim"]
+        for a in attach_cols:
+            cols.append(zeros)
+            names.append(a)
         for c in carry_cols:
             cols.append(batch.column(c).cast(pa.int64()))
             names.append(c)
@@ -691,9 +695,11 @@ def _bucket_attach(fact, dim, key_col: str, attach_col: str,
         k = batch.column(key_col).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         ones = pa.array(np.ones(len(k), dtype=np.int64))
-        cols = [pa.array(_ibucket(k)), pa.array(k), ones,
-                batch.column(attach_col).cast(pa.int64())]
-        names = ["bucket", "key", "is_dim", "attach"]
+        cols = [pa.array(_ibucket(k)), pa.array(k), ones]
+        names = ["bucket", "key", "is_dim"]
+        for a in attach_cols:
+            cols.append(batch.column(a).cast(pa.int64()))
+            names.append(a)
         zeros = pa.array(np.zeros(len(k), dtype=np.int64))
         for c in carry_cols:
             cols.append(zeros)
@@ -704,19 +710,22 @@ def _bucket_attach(fact, dim, key_col: str, attach_col: str,
         is_dim = group.column("is_dim").to_numpy(
             zero_copy_only=False).astype(bool)
         k = group.column("key").to_numpy(zero_copy_only=False)
-        att = group.column("attach").to_numpy(zero_copy_only=False)
-        dk, da = k[is_dim], att[is_dim]
+        dk = k[is_dim]
         order = np.argsort(dk)
-        dk, da = dk[order], da[order]
+        dk = dk[order]
         fk = k[~is_dim]
-        out_names = [attach_col] + list(carry_cols)
+        out_names = list(attach_cols) + list(carry_cols)
         if len(dk) == 0 or len(fk) == 0:
             return pa.Table.from_arrays(
                 [pa.array([], pa.int64()) for _ in out_names],
                 names=out_names)
         pos = np.clip(np.searchsorted(dk, fk), 0, len(dk) - 1)
         hit = dk[pos] == fk
-        cols = [pa.array(da[pos[hit]])]
+        cols = []
+        for a in attach_cols:
+            da = group.column(a).to_numpy(
+                zero_copy_only=False)[is_dim][order]
+            cols.append(pa.array(da[pos[hit]]))
         for c in carry_cols:
             cols.append(pa.array(group.column(c).to_numpy(
                 zero_copy_only=False)[~is_dim][hit]))
@@ -727,6 +736,15 @@ def _bucket_attach(fact, dim, key_col: str, attach_col: str,
         dim.map_batches(dim_emit, batch_format="pyarrow",
                         zero_copy_batch=True))
     return u.groupby("bucket").map_groups(join, batch_format="pyarrow")
+
+
+def _bucket_attach(fact, dim, key_col: str, attach_col: str,
+                   carry_cols: tuple[str, ...]):
+    """Single-attach-column convenience wrapper over
+    `_bucket_attach_multi` (the historical interface every deep-join
+    pipeline here uses)."""
+    return _bucket_attach_multi(fact, dim, key_col, (attach_col,),
+                                carry_cols)
 
 
 def local_supplier_volume(customer, orders, lineitem, supplier, nation):
@@ -1114,3 +1132,196 @@ def returned_item_report(customer, orders, lineitem, nation,
     return partial.repartition(1).map_batches(
         final_topk, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+def forecast_revenue(lineitem, date_from: str = "2000-01-01",
+                     date_to: str = "2001-01-01",
+                     disc_lo_c: int = 5, disc_hi_c: int = 7,
+                     qty_lt: float = 24.0):
+    """TPC-H Q6 shape: revenue increase from dropping small discounts —
+    one global filtered aggregate.  Output: a single row
+    (revenue_micro, n_lines) where revenue_micro is
+    Σ price_cents × disc_cents (unit 10^-4 dollars — the product of two
+    exact integer quantizations, so the distributed sum is
+    order-invariant and bit-equal to the SQL oracle; reference for the
+    predicate ladder style: web_text_extractor_ver1.5.py:1011-1031's
+    chained keep/drop filters).
+
+    Scale shape: the purest combiner pipeline — each batch collapses to
+    ONE partial row inside map_batches, so the only exchange is
+    n_blocks rows into a single final block.  Discounts are compared in
+    integer cents (round(l_discount*100)), never raw floats, so the
+    BETWEEN edges cannot flake on float representation."""
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        disc_c = _cents(disc)
+        keep = ((ship >= lo) & (ship < hi)
+                & (disc_c >= disc_lo_c) & (disc_c <= disc_hi_c)
+                & (qty < qty_lt))
+        price_c = _cents(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False)[keep])
+        rev = int((price_c * disc_c[keep]).sum())
+        return pa.Table.from_arrays(
+            [pa.array([rev], pa.int64()),
+             pa.array([int(keep.sum())], pa.int64())],
+            names=["revenue_micro", "n_lines"])
+
+    def total(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array([int(batch.column("revenue_micro")
+                           .to_numpy(zero_copy_only=False).sum())],
+                      pa.int64()),
+             pa.array([int(batch.column("n_lines")
+                           .to_numpy(zero_copy_only=False).sum())],
+                      pa.int64())],
+            names=["revenue_micro", "n_lines"])
+
+    return lineitem.select_columns(
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .repartition(1).map_batches(total, batch_size=None,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+
+def promo_revenue(lineitem, part, date_from: str = "2000-09-01",
+                  date_to: str = "2000-10-01"):
+    """TPC-H Q14 shape: what share of one month's revenue came from
+    promotional parts.  Output: a single row
+    (promo_cents, total_cents) — both exact integer cents; the caller
+    divides (the ratio itself is irrational, so shipping the two exact
+    integers is the only bit-stable contract).
+
+    Scale shape: lineitem pre-aggregates revenue per (batch, partkey)
+    — the combiner bounds the exchange to one row per distinct partkey
+    per batch — then picks up the is-promo flag from part via the
+    bucketed `_bucket_attach` (part is corpus-sized at real scale:
+    NEVER broadcast), and the flagged partials collapse through a
+    second one-row-per-batch combiner."""
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ship >= lo) & (ship < hi)
+        pk = batch.column("l_partkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[keep]
+        rev = _rev_cents(
+            batch.column("l_extendedprice")
+            .to_numpy(zero_copy_only=False)[keep],
+            batch.column("l_discount")
+            .to_numpy(zero_copy_only=False)[keep])
+        t = pa.Table.from_arrays([pa.array(pk), pa.array(rev)],
+                                 names=["l_partkey", "rev"])
+        agg = t.group_by(["l_partkey"]).aggregate([("rev", "sum")])
+        return agg.rename_columns(["l_partkey", "rev"])
+
+    def part_emit(batch: pa.Table) -> pa.Table:
+        promo = pc.equal(batch.column("p_type"), "PROMO") \
+            .cast(pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("p_partkey").cast(pa.int64()), promo],
+            names=["l_partkey", "is_promo"])
+
+    flagged = _bucket_attach(
+        lineitem.select_columns(
+            ["l_partkey", "l_extendedprice", "l_discount",
+             "l_shipdate"]).map_batches(
+            line_partial, batch_format="pyarrow",
+            zero_copy_batch=True),
+        part.select_columns(["p_partkey", "p_type"]).map_batches(
+            part_emit, batch_format="pyarrow", zero_copy_batch=True),
+        "l_partkey", "is_promo", ("rev",))
+
+    def split_partial(batch: pa.Table) -> pa.Table:
+        promo = batch.column("is_promo").to_numpy(
+            zero_copy_only=False).astype(bool)
+        rev = batch.column("rev").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array([int(rev[promo].sum())], pa.int64()),
+             pa.array([int(rev.sum())], pa.int64())],
+            names=["promo_cents", "total_cents"])
+
+    def total(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array([int(batch.column("promo_cents")
+                           .to_numpy(zero_copy_only=False).sum())],
+                      pa.int64()),
+             pa.array([int(batch.column("total_cents")
+                           .to_numpy(zero_copy_only=False).sum())],
+                      pa.int64())],
+            names=["promo_cents", "total_cents"])
+
+    return flagged.map_batches(split_partial, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .repartition(1).map_batches(total, batch_size=None,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+
+def large_volume_orders(orders, lineitem, min_total_qty: int = 150):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, with the order's customer and date attached.  Output:
+    (o_orderkey, o_custkey, o_orderdate, total_qty), unordered.
+
+    Scale shape: the HAVING filter runs BEFORE the join — lineitem
+    pre-aggregates quantity per (batch, orderkey), one native
+    groupby(okey).sum totals them, and only the surviving heavy orders
+    (a tiny fraction of all orders at any scale) enter the bucketed
+    attach that picks up (o_custkey, o_orderdate) from the orders
+    table via `_bucket_attach_multi` — orders is corpus-sized, so it
+    rides the hash(orderkey) % 256 shuffle, never a broadcast."""
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        agg = _keyed_qty_partial(batch, "l_orderkey")
+        return agg.select(["key", "qty"]) \
+            .rename_columns(["okey", "qty"])
+
+    totals = lineitem.select_columns(["l_orderkey", "l_quantity"]) \
+        .map_batches(line_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("okey").sum("qty")
+
+    def heavy(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["okey", "qty"])
+        keep = pc.greater(batch.column("qty"),
+                          pa.scalar(min_total_qty, pa.int64()))
+        return batch.filter(keep)
+
+    def orders_emit(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("o_orderkey").cast(pa.int64()),
+             batch.column("o_custkey").cast(pa.int64()), od],
+            names=["okey", "custkey", "odate_us"])
+
+    joined = _bucket_attach_multi(
+        totals.map_batches(heavy, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .map_batches(lambda b: b.append_column(
+            "okey2", b.column("okey")), batch_format="pyarrow",
+            zero_copy_batch=True),
+        orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            orders_emit, batch_format="pyarrow", zero_copy_batch=True),
+        "okey", ("custkey", "odate_us"), ("okey2", "qty"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("okey2"), batch.column("custkey"),
+             batch.column("odate_us").cast(pa.timestamp("us")),
+             batch.column("qty")],
+            names=["o_orderkey", "o_custkey", "o_orderdate",
+                   "total_qty"])
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
