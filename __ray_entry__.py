@@ -425,6 +425,43 @@ def _tpch_q18(sf_dir: str):
                               columns=["l_orderkey", "l_quantity"]))
 
 
+def _tpch_q13(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import customer_order_counts
+
+    return customer_order_counts(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"]),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey"]))
+
+
+def _tpch_q15(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import top_supplier
+
+    return top_supplier(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_suppkey", "l_shipdate",
+                                       "l_extendedprice",
+                                       "l_discount"]))
+
+
+def _tpch_q22(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import idle_rich_customers
+
+    return idle_rich_customers(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_acctbal",
+                                       "c_mktsegment"]),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderdate"]))
+
+
 def _tpch_profile(sf_dir: str):
     import ray.data
 
@@ -1528,6 +1565,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": lambda sf: _tpch_q6(sf),
         "promo_revenue": lambda sf: _tpch_q14(sf),
         "large_volume_orders": lambda sf: _tpch_q18(sf),
+        "customer_order_counts": lambda sf: _tpch_q13(sf),
+        "top_supplier": lambda sf: _tpch_q15(sf),
+        "idle_rich_customers": lambda sf: _tpch_q22(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
             _docs_cols(sf, ["doc_id", "lang"])),
         # deterministic per-epoch sharded shuffle (training data order)
@@ -2525,6 +2565,42 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem GROUP BY 1
                   HAVING SUM(CAST(l_quantity AS BIGINT)) > 150) t
             JOIN orders o ON o.o_orderkey = t.l_orderkey""",
+        "customer_order_counts": """
+            SELECT c_count, count(*)::BIGINT AS custdist FROM (
+              SELECT c.c_custkey,
+                     count(o.o_orderkey)::BIGINT AS c_count
+              FROM customer c LEFT JOIN orders o
+                ON o.o_custkey = c.c_custkey
+              GROUP BY 1)
+            GROUP BY 1""",
+        "top_supplier": """
+            WITH r AS (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(SUM(CAST(round(
+                       l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_revenue_cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+                AND l_shipdate < TIMESTAMP '1999-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, total_revenue_cents FROM r
+            WHERE total_revenue_cents =
+              (SELECT max(total_revenue_cents) FROM r)""",
+        "idle_rich_customers": """
+            WITH t AS (
+              SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+                     count(*)::BIGINT AS n
+              FROM customer WHERE c_acctbal > 0.0)
+            SELECT c_mktsegment, count(*)::BIGINT AS n_cust,
+                   CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                     AS BIGINT) AS sum_acctbal_cents
+            FROM customer c, t
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * t.n > t.s
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+            GROUP BY 1""",
         "order_line_full": """
             SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS o_orderkey,
                    COALESCE(o.o_custkey, -1)::BIGINT AS o_custkey,

@@ -650,3 +650,131 @@ def test_large_volume_orders_having_before_join(ray_session):
                               min_total_qty=150).take_all()
     assert [(r["o_orderkey"], r["o_custkey"], r["total_qty"])
             for r in got] == [(1, 7, 180)]
+
+
+def test_customer_order_counts_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import customer_order_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted((r["c_count"], r["custdist"])
+                 for r in customer_order_counts(
+        ray.data.read_parquet(f"{sf}/customer.parquet"),
+        ray.data.read_parquet(f"{sf}/orders.parquet")).take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+        SELECT c_count, count(*)::BIGINT FROM (
+          SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+          FROM read_parquet('{sf}/customer.parquet') c
+          LEFT JOIN read_parquet('{sf}/orders.parquet') o
+            ON o.o_custkey = c.c_custkey
+          GROUP BY 1) GROUP BY 1""").fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_customer_order_counts_zero_bucket(ray_session):
+    """Crafted: a customer with no orders lands in the c_count=0 cell;
+    order rows for unknown custkeys are ignored (left semantics)."""
+    import ray.data
+
+    from webtext.pipelines.tpch import customer_order_counts
+
+    customer = ray.data.from_items(
+        [{"c_custkey": k} for k in (1, 2, 3)])
+    orders = ray.data.from_items(
+        [{"o_custkey": 1}, {"o_custkey": 1}, {"o_custkey": 3},
+         {"o_custkey": 99}])
+    got = sorted((r["c_count"], r["custdist"])
+                 for r in customer_order_counts(customer,
+                                                orders).take_all())
+    assert got == [(0, 1), (1, 1), (2, 1)]
+
+
+def test_top_supplier_keeps_all_ties(ray_session):
+    import datetime
+
+    import ray.data
+
+    from webtext.pipelines.tpch import top_supplier
+
+    d = datetime.datetime(1999, 2, 1)
+    lineitem = ray.data.from_items([
+        {"l_suppkey": 1, "l_shipdate": d, "l_extendedprice": 100.0,
+         "l_discount": 0.0},
+        {"l_suppkey": 2, "l_shipdate": d, "l_extendedprice": 60.0,
+         "l_discount": 0.0},
+        {"l_suppkey": 2, "l_shipdate": d, "l_extendedprice": 40.0,
+         "l_discount": 0.0},
+        {"l_suppkey": 3, "l_shipdate": d, "l_extendedprice": 99.0,
+         "l_discount": 0.0},
+        # out of window — would break the tie if counted
+        {"l_suppkey": 3,
+         "l_shipdate": datetime.datetime(1999, 6, 1),
+         "l_extendedprice": 50.0, "l_discount": 0.0},
+    ])
+    got = sorted((r["s_suppkey"], r["total_revenue_cents"])
+                 for r in top_supplier(lineitem).take_all())
+    assert got == [(1, 10000), (2, 10000)]
+
+
+def test_idle_rich_customers_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import idle_rich_customers
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted((r["c_mktsegment"], r["n_cust"],
+                  r["sum_acctbal_cents"])
+                 for r in idle_rich_customers(
+        ray.data.read_parquet(f"{sf}/customer.parquet"),
+        ray.data.read_parquet(f"{sf}/orders.parquet")).take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+        WITH t AS (SELECT SUM(CAST(round(c_acctbal*100) AS BIGINT))
+                     AS s, count(*)::BIGINT AS n
+                   FROM read_parquet('{sf}/customer.parquet')
+                   WHERE c_acctbal > 0.0)
+        SELECT c_mktsegment, count(*)::BIGINT,
+               CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT))
+                 AS BIGINT)
+        FROM read_parquet('{sf}/customer.parquet') c, t
+        WHERE CAST(round(c_acctbal*100) AS BIGINT) * t.n > t.s
+          AND NOT EXISTS (
+            SELECT 1 FROM read_parquet('{sf}/orders.parquet') o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+        GROUP BY 1""").fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_idle_rich_exact_rational_threshold(ray_session):
+    """Crafted: the avg predicate is the exact rational compare —
+    bal*n > s.  avg of (10.00, 20.00) = 15.00; a 15.00 customer is NOT
+    above average, a 15.01 customer is."""
+    import datetime
+
+    import ray.data
+
+    from webtext.pipelines.tpch import idle_rich_customers
+
+    # positive bals 10, 20, 15, 16, 15.25 -> avg exactly 15.25
+    customer = ray.data.from_items([
+        {"c_custkey": 1, "c_acctbal": 10.0, "c_mktsegment": "A"},
+        {"c_custkey": 2, "c_acctbal": 20.0, "c_mktsegment": "A"},
+        {"c_custkey": 3, "c_acctbal": 15.0, "c_mktsegment": "B"},
+        {"c_custkey": 4, "c_acctbal": 16.0, "c_mktsegment": "B"},
+        {"c_custkey": 5, "c_acctbal": 15.25, "c_mktsegment": "B"},
+        # negative balance: excluded from the average entirely
+        {"c_custkey": 6, "c_acctbal": -500.0, "c_mktsegment": "B"},
+    ])
+    orders = ray.data.from_items([
+        {"o_custkey": 2,
+         "o_orderdate": datetime.datetime(2001, 1, 1)}])
+    got = sorted((r["c_mktsegment"], r["n_cust"],
+                  r["sum_acctbal_cents"])
+                 for r in idle_rich_customers(customer,
+                                              orders).take_all())
+    # above 15.25 strictly: 20.00 (recent order -> dropped) and
+    # 16.00 (kept); 15.25 itself sits exactly ON the average -> out
+    assert got == [("B", 1, 1600)]

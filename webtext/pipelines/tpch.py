@@ -1325,3 +1325,236 @@ def large_volume_orders(orders, lineitem, min_total_qty: int = 150):
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def _cents_signed(x: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero integer cents over the FULL domain —
+    DuckDB's CAST(round(x*100) AS BIGINT) including negatives (account
+    balances can be negative; `_cents` is positive-domain only)."""
+    s = x * 100.0
+    return np.where(s >= 0, np.floor(s + 0.5),
+                    np.ceil(s - 0.5)).astype(np.int64)
+
+
+def customer_order_counts(customer, orders):
+    """TPC-H Q13 shape: the distribution of orders-per-customer,
+    INCLUDING zero-order customers.  Output: (c_count, custdist).
+
+    Scale shape: orders pre-count per (batch, custkey) — the combiner
+    bounds the exchange — then customers and count-partials meet in
+    hash(custkey) % 256 buckets; each bucket left-joins (customers
+    with no orders get 0), collapses straight to a histogram partial
+    (c_count, n_cust), and one tiny native groupby sums the ≤256
+    partial histograms.  Customer rows never leave their bucket as
+    rows — only histogram cells do."""
+
+    def orders_partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_custkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uk, counts = np.unique(keys, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(uk)), pa.array(uk),
+             pa.array(np.zeros(len(uk), dtype=np.int64)),
+             pa.array(counts.astype(np.int64))],
+            names=["bucket", "key", "is_cust", "n"])
+
+    def cust_emit(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(keys)), pa.array(keys),
+             pa.array(np.ones(len(keys), dtype=np.int64)),
+             pa.array(np.zeros(len(keys), dtype=np.int64))],
+            names=["bucket", "key", "is_cust", "n"])
+
+    def bucket_hist(group: pa.Table) -> pa.Table:
+        is_cust = group.column("is_cust").to_numpy(
+            zero_copy_only=False).astype(bool)
+        k = group.column("key").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        ck = np.sort(k[is_cust])
+        totals = np.zeros(len(ck), dtype=np.int64)
+        ok, on = k[~is_cust], n[~is_cust]
+        if len(ck) and len(ok):
+            pos = np.clip(np.searchsorted(ck, ok), 0, len(ck) - 1)
+            hit = ck[pos] == ok
+            np.add.at(totals, pos[hit], on[hit])
+        cc, dist = np.unique(totals, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(cc), pa.array(dist.astype(np.int64))],
+            names=["c_count", "n_cust"])
+
+    u = orders.select_columns(["o_custkey"]).map_batches(
+        orders_partial, batch_format="pyarrow",
+        zero_copy_batch=True).union(
+        customer.select_columns(["c_custkey"]).map_batches(
+            cust_emit, batch_format="pyarrow", zero_copy_batch=True))
+    hist = u.groupby("bucket").map_groups(bucket_hist,
+                                          batch_format="pyarrow")
+    return hist.groupby("c_count").sum("n_cust").map_batches(
+        lambda b: b.rename_columns(["c_count", "custdist"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_supplier(lineitem, date_from: str = "1999-01-01",
+                 date_to: str = "1999-04-01"):
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue in a
+    quarter — ALL ties survive, per the reference view semantics.
+    Output: (s_suppkey, total_revenue_cents).
+
+    Scale shape: per-(batch, suppkey) revenue combiner → one native
+    groupby(suppkey).sum → the per-supplier table is materialized ONCE
+    (it fans out to two consumers — the global max and the equality
+    filter — and the single-consumption rule says a lazy plan would
+    re-execute the whole lineage per consumer); the global max travels
+    as per-block 1-row partials into a single final block, and only
+    that one constant-size scalar crosses the driver."""
+
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ship >= lo) & (ship < hi)
+        sk = batch.column("l_suppkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[keep]
+        rev = _rev_cents(
+            batch.column("l_extendedprice")
+            .to_numpy(zero_copy_only=False)[keep],
+            batch.column("l_discount")
+            .to_numpy(zero_copy_only=False)[keep])
+        t = pa.Table.from_arrays([pa.array(sk), pa.array(rev)],
+                                 names=["s_suppkey", "rev"])
+        agg = t.group_by(["s_suppkey"]).aggregate([("rev", "sum")])
+        return agg.rename_columns(["s_suppkey", "rev"])
+
+    revs = lineitem.select_columns(
+        ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]) \
+        .map_batches(line_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("s_suppkey").sum("rev").map_batches(
+        lambda b: b.rename_columns(["s_suppkey",
+                                    "total_revenue_cents"]),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        r = batch.column("total_revenue_cents") \
+            .to_numpy(zero_copy_only=False)
+        m = int(r.max()) if len(r) else np.iinfo(np.int64).min
+        return pa.Table.from_arrays([pa.array([m], pa.int64())],
+                                    names=["m"])
+
+    parts = revs.map_batches(block_max, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    best = max(r["m"] for r in parts) if parts else 0
+
+    def keep_max(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(
+            batch.column("total_revenue_cents"),
+            pa.scalar(best, pa.int64())))
+
+    return revs.map_batches(keep_max, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def idle_rich_customers(customer, orders,
+                        inactive_since: str = "2000-07-01"):
+    """TPC-H Q22 shape: customers with an above-average positive
+    account balance with no order placed on or after ``inactive_since``,
+    grouped by market segment (segment stands in for the reference's
+    phone country code; the recency predicate keeps the anti-join
+    non-vacuous on corpora where every customer has SOME order).
+    Output: (c_mktsegment, n_cust, sum_acctbal_cents).
+
+    Exactness: "above average" is decided as
+    acctbal_cents × n_positive > Σ positive_cents — the rational
+    comparison in exact int64, so the distributed filter is bit-equal
+    to the SQL AVG() predicate with NO float division anywhere.
+
+    Scale shape: the two-integer threshold reduces through one-row
+    per-batch partials (constant driver traffic); rich customers are
+    filtered BEFORE the anti-join shuffle (they are a small fraction),
+    then anti-join orders' per-batch-distinct custkeys in
+    hash(custkey) % 256 buckets; survivors collapse to per-segment
+    partials and one tiny native groupby."""
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        pos = bal > 0.0
+        c = _cents_signed(bal[pos])
+        return pa.Table.from_arrays(
+            [pa.array([int(c.sum())], pa.int64()),
+             pa.array([int(pos.sum())], pa.int64())],
+            names=["s", "n"])
+
+    parts = customer.select_columns(["c_acctbal"]).map_batches(
+        bal_partial, batch_format="pyarrow",
+        zero_copy_batch=True).take_all()
+    s_total = sum(r["s"] for r in parts)
+    n_total = sum(r["n"] for r in parts)
+
+    def cust_emit(batch: pa.Table) -> pa.Table:
+        bal_c = _cents_signed(batch.column("c_acctbal")
+                              .to_numpy(zero_copy_only=False))
+        # exact rational AVG() compare: bal > s/n  <=>  bal*n > s
+        rich = bal_c * n_total > s_total
+        keys = batch.column("c_custkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[rich]
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(keys)), pa.array(keys),
+             pa.array(np.zeros(len(keys), dtype=np.int64)),
+             pa.array(bal_c[rich]),
+             batch.column("c_mktsegment").filter(pa.array(rich))],
+            names=["bucket", "key", "is_order", "bal_c", "seg"])
+
+    cut_us = np.datetime64(inactive_since, "us").astype(np.int64)
+
+    def orders_emit(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        recent = od >= cut_us
+        keys = np.unique(batch.column("o_custkey").cast(pa.int64())
+                         .to_numpy(zero_copy_only=False)[recent])
+        z = pa.array(np.zeros(len(keys), dtype=np.int64))
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(keys)), pa.array(keys),
+             pa.array(np.ones(len(keys), dtype=np.int64)), z,
+             pa.array([""] * len(keys), pa.string())],
+            names=["bucket", "key", "is_order", "bal_c", "seg"])
+
+    def anti_bucket(group: pa.Table) -> pa.Table:
+        is_order = group.column("is_order").to_numpy(
+            zero_copy_only=False).astype(bool)
+        k = group.column("key").to_numpy(zero_copy_only=False)
+        ok = np.unique(k[is_order])
+        ck = k[~is_order]
+        if len(ok):
+            pos = np.clip(np.searchsorted(ok, ck), 0, len(ok) - 1)
+            lonely = ok[pos] != ck
+        else:
+            lonely = np.ones(len(ck), dtype=bool)
+        keep = np.zeros(len(k), dtype=bool)
+        keep[np.flatnonzero(~is_order)[lonely]] = True
+        surv = group.filter(pa.array(keep))
+        t = pa.Table.from_arrays(
+            [surv.column("seg"), surv.column("bal_c"),
+             pa.array(np.ones(surv.num_rows, dtype=np.int64))],
+            names=["c_mktsegment", "bal", "one"])
+        agg = t.group_by(["c_mktsegment"]).aggregate(
+            [("one", "sum"), ("bal", "sum")])
+        return agg.rename_columns(
+            ["c_mktsegment", "n_cust", "sum_acctbal_cents"])
+
+    u = customer.select_columns(
+        ["c_custkey", "c_acctbal", "c_mktsegment"]).map_batches(
+        cust_emit, batch_format="pyarrow", zero_copy_batch=True) \
+        .union(orders.select_columns(["o_custkey", "o_orderdate"]).map_batches(
+            orders_emit, batch_format="pyarrow", zero_copy_batch=True))
+    per_bucket = u.groupby("bucket").map_groups(
+        anti_bucket, batch_format="pyarrow")
+    return per_bucket.groupby("c_mktsegment").sum(
+        ["n_cust", "sum_acctbal_cents"]).map_batches(
+        lambda b: b.rename_columns(
+            ["c_mktsegment", "n_cust", "sum_acctbal_cents"]),
+        batch_format="pyarrow", zero_copy_batch=True)
