@@ -462,6 +462,49 @@ def _tpch_q22(sf_dir: str):
                               columns=["o_custkey", "o_orderdate"]))
 
 
+def _tpch_q7(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import volume_shipping
+
+    return volume_shipping(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"]),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_suppkey",
+                                       "l_shipdate", "l_extendedprice",
+                                       "l_discount"]),
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"]),
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"]))
+
+
+def _tpch_q8(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import market_share
+
+    return market_share(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"]),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_suppkey",
+                                       "l_partkey", "l_extendedprice",
+                                       "l_discount"]),
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"]),
+        ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_type"]),
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_regionkey"]))
+
+
 def _tpch_profile(sf_dir: str):
     import ray.data
 
@@ -1568,6 +1611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": lambda sf: _tpch_q13(sf),
         "top_supplier": lambda sf: _tpch_q15(sf),
         "idle_rich_customers": lambda sf: _tpch_q22(sf),
+        "volume_shipping": lambda sf: _tpch_q7(sf),
+        "market_share": lambda sf: _tpch_q8(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
             _docs_cols(sf, ["doc_id", "lang"])),
         # deterministic per-epoch sharded shuffle (training data order)
@@ -2565,6 +2610,37 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem GROUP BY 1
                   HAVING SUM(CAST(l_quantity AS BIGINT)) > 150) t
             JOIN orders o ON o.o_orderkey = t.l_orderkey""",
+        "volume_shipping": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   EXTRACT(year FROM l.l_shipdate)::BIGINT AS l_year,
+                   CAST(SUM(CAST(round(
+                     l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            WHERE s.s_nationkey <> c.c_nationkey
+            GROUP BY 1, 2, 3""",
+        "market_share": """
+            SELECT EXTRACT(year FROM o.o_orderdate)::BIGINT AS o_year,
+                   CAST(SUM(CASE WHEN s.s_nationkey = 19 THEN r
+                     ELSE 0 END) AS BIGINT) AS nation_cents,
+                   CAST(SUM(r) AS BIGINT) AS total_cents
+            FROM (SELECT l_orderkey, l_suppkey, l_partkey,
+                         CAST(round(l_extendedprice * (1 - l_discount)
+                           * 100) AS BIGINT) AS r
+                  FROM lineitem) l
+            JOIN part p ON p.p_partkey = l.l_partkey
+                       AND p.p_type = 'ECONOMY'
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            WHERE cn.n_regionkey = 2
+            GROUP BY 1""",
         "customer_order_counts": """
             SELECT c_count, count(*)::BIGINT AS custdist FROM (
               SELECT c.c_custkey,

@@ -778,3 +778,111 @@ def test_idle_rich_exact_rational_threshold(ray_session):
     # above 15.25 strictly: 20.00 (recent order -> dropped) and
     # 16.00 (kept); 15.25 itself sits exactly ON the average -> out
     assert got == [("B", 1, 1600)]
+
+
+def test_volume_shipping_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import volume_shipping
+
+    sf = "/root/testdata/sf0.001"
+    rp = lambda t: ray.data.read_parquet(f"{sf}/{t}.parquet")  # noqa: E731
+    got = sorted((r["supp_nation"], r["cust_nation"], r["l_year"],
+                  r["revenue_cents"])
+                 for r in volume_shipping(
+        rp("customer"), rp("orders"), rp("lineitem"), rp("supplier"),
+        rp("nation")).take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+        SELECT sn.n_name, cn.n_name,
+               EXTRACT(year FROM l.l_shipdate)::BIGINT,
+               CAST(SUM(CAST(round(
+                 l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT))
+                 AS BIGINT)
+        FROM read_parquet('{sf}/lineitem.parquet') l
+        JOIN read_parquet('{sf}/orders.parquet') o
+          ON o.o_orderkey = l.l_orderkey
+        JOIN read_parquet('{sf}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey
+        JOIN read_parquet('{sf}/supplier.parquet') s
+          ON s.s_suppkey = l.l_suppkey
+        JOIN read_parquet('{sf}/nation.parquet') sn
+          ON sn.n_nationkey = s.s_nationkey
+        JOIN read_parquet('{sf}/nation.parquet') cn
+          ON cn.n_nationkey = c.c_nationkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2, 3""").fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_market_share_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import market_share
+
+    sf = "/root/testdata/sf0.001"
+    rp = lambda t: ray.data.read_parquet(f"{sf}/{t}.parquet")  # noqa: E731
+    got = sorted((r["o_year"], r["nation_cents"], r["total_cents"])
+                 for r in market_share(
+        rp("customer"), rp("orders"), rp("lineitem"), rp("supplier"),
+        rp("part"), rp("nation")).take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+        SELECT EXTRACT(year FROM o.o_orderdate)::BIGINT,
+               CAST(SUM(CASE WHEN s.s_nationkey = 19 THEN r ELSE 0
+                 END) AS BIGINT),
+               CAST(SUM(r) AS BIGINT)
+        FROM (SELECT l_orderkey, l_suppkey, l_partkey,
+                     CAST(round(l_extendedprice*(1-l_discount)*100)
+                       AS BIGINT) AS r
+              FROM read_parquet('{sf}/lineitem.parquet')) l
+        JOIN read_parquet('{sf}/part.parquet') p
+          ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+        JOIN read_parquet('{sf}/orders.parquet') o
+          ON o.o_orderkey = l.l_orderkey
+        JOIN read_parquet('{sf}/customer.parquet') c
+          ON c.c_custkey = o.o_custkey
+        JOIN read_parquet('{sf}/supplier.parquet') s
+          ON s.s_suppkey = l.l_suppkey
+        JOIN read_parquet('{sf}/nation.parquet') cn
+          ON cn.n_nationkey = c.c_nationkey
+        WHERE cn.n_regionkey = 2
+        GROUP BY 1""").fetchall()))
+    assert got == want and len(got) > 0
+    assert any(n > 0 for _, n, _ in got), "numerator degenerate"
+
+
+def test_market_share_pack_roundtrip(ray_session):
+    """Crafted: the custkey/year int64 pack survives the attach chain
+    — a single selected line lands in the right (year, nation) cell."""
+    import datetime
+
+    import ray.data
+
+    from webtext.pipelines.tpch import market_share
+
+    customer = ray.data.from_items(
+        [{"c_custkey": 5, "c_nationkey": 2}])
+    orders = ray.data.from_items(
+        [{"o_orderkey": 1, "o_custkey": 5,
+          "o_orderdate": datetime.datetime(1997, 3, 9)}])
+    lineitem = ray.data.from_items([
+        {"l_orderkey": 1, "l_suppkey": 3, "l_partkey": 11,
+         "l_extendedprice": 100.0, "l_discount": 0.0},
+        # non-selected part type: dropped before the orders attach
+        {"l_orderkey": 1, "l_suppkey": 3, "l_partkey": 12,
+         "l_extendedprice": 999.0, "l_discount": 0.0},
+    ])
+    supplier = ray.data.from_items(
+        [{"s_suppkey": 3, "s_nationkey": 19}])
+    part = ray.data.from_items([
+        {"p_partkey": 11, "p_type": "ECONOMY"},
+        {"p_partkey": 12, "p_type": "LARGE"},
+    ])
+    nation = ray.data.from_items(
+        [{"n_nationkey": 2, "n_regionkey": 2},
+         {"n_nationkey": 19, "n_regionkey": 4}])
+    got = market_share(customer, orders, lineitem, supplier, part,
+                       nation).take_all()
+    assert [(r["o_year"], r["nation_cents"], r["total_cents"])
+            for r in got] == [(1997, 10000, 10000)]

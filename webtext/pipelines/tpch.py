@@ -1558,3 +1558,243 @@ def idle_rich_customers(customer, orders,
         lambda b: b.rename_columns(
             ["c_mktsegment", "n_cust", "sum_acctbal_cents"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _ship_year(ts_us: np.ndarray) -> np.ndarray:
+    """Calendar year from int64 microsecond timestamps, vectorized
+    (datetime64 truncation — no per-row Python)."""
+    return (ts_us.astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64) + 1970)
+
+
+def volume_shipping(customer, orders, lineitem, supplier, nation):
+    """TPC-H Q7 shape: revenue flowing between every ordered pair of
+    DIFFERENT nations (supplier nation → customer nation), per ship
+    year.  Output: (supp_nation, cust_nation, l_year, revenue_cents).
+
+    Scale shape: the Q5 deep-join chain with the ship year carried as
+    an extra int64 through three bucketed attaches (orderkey →
+    custkey → suppkey; orders/customer/supplier are all corpus-sized
+    and ride the shuffle, never a broadcast); the pair × year
+    aggregate is a native groupby over ≤ nations² × years rows, and
+    only the constant 25-row nation name table broadcasts."""
+    import ray
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        okey = batch.column("l_orderkey").cast(pa.int64())
+        skey = batch.column("l_suppkey").cast(pa.int64())
+        yr = _ship_year(batch.column("l_shipdate")
+                        .cast(pa.timestamp("us")).cast(pa.int64())
+                        .to_numpy(zero_copy_only=False))
+        rev = _rev_cents(
+            batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False),
+            batch.column("l_discount").to_numpy(zero_copy_only=False))
+        t = pa.Table.from_arrays(
+            [okey, skey, pa.array(yr), pa.array(rev)],
+            names=["l_orderkey", "suppkey", "l_year", "rev"])
+        agg = t.group_by(["l_orderkey", "suppkey", "l_year"]) \
+            .aggregate([("rev", "sum")])
+        return agg.rename_columns(
+            ["l_orderkey", "suppkey", "l_year", "rev"])
+
+    lines = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+         "l_discount"]).map_batches(
+        line_partial, batch_format="pyarrow", zero_copy_batch=True)
+    with_cust = _bucket_attach(
+        lines, orders.select_columns(["o_orderkey", "o_custkey"])
+        .map_batches(lambda b: b.rename_columns(
+            ["l_orderkey", "custkey"]), batch_format="pyarrow",
+            zero_copy_batch=True),
+        "l_orderkey", "custkey", ("suppkey", "l_year", "rev"))
+    with_cnat = _bucket_attach(
+        with_cust, customer.select_columns(["c_custkey", "c_nationkey"])
+        .map_batches(lambda b: b.rename_columns(["custkey", "c_nat"]),
+                     batch_format="pyarrow", zero_copy_batch=True),
+        "custkey", "c_nat", ("suppkey", "l_year", "rev"))
+    with_snat = _bucket_attach(
+        with_cnat, supplier.select_columns(["s_suppkey", "s_nationkey"])
+        .map_batches(lambda b: b.rename_columns(["suppkey", "s_nat"]),
+                     batch_format="pyarrow", zero_copy_batch=True),
+        "suppkey", "s_nat", ("c_nat", "l_year", "rev"))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        s_nat = batch.column("s_nat").to_numpy(zero_copy_only=False)
+        c_nat = batch.column("c_nat").to_numpy(zero_copy_only=False)
+        keep = s_nat != c_nat
+        t = pa.Table.from_arrays(
+            [pa.array(s_nat[keep]), pa.array(c_nat[keep]),
+             batch.column("l_year").filter(pa.array(keep)),
+             batch.column("rev").filter(pa.array(keep))],
+            names=["s_nat", "c_nat", "l_year", "rev"])
+        agg = t.group_by(["s_nat", "c_nat", "l_year"]).aggregate(
+            [("rev", "sum")])
+        return agg.rename_columns(["s_nat", "c_nat", "l_year", "rev"])
+
+    summed = with_snat.map_batches(
+        pair_partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["s_nat", "c_nat", "l_year"]).sum("rev")
+
+    names = {r["n_nationkey"]: r["n_name"] for r in
+             nation.select_columns(["n_nationkey", "n_name"])
+             .take_all()}                       # constant 25 rows
+    ref = ray.put(names)
+
+    def attach_names(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        m = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        batch = batch.rename_columns(
+            ["s_nat", "c_nat", "l_year", "revenue_cents"])
+        s = batch.column("s_nat").to_numpy(zero_copy_only=False)
+        c = batch.column("c_nat").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array([m[int(x)] for x in s], pa.string()),
+             pa.array([m[int(x)] for x in c], pa.string()),
+             batch.column("l_year"), batch.column("revenue_cents")],
+            names=["supp_nation", "cust_nation", "l_year",
+                   "revenue_cents"])
+
+    return summed.map_batches(attach_names, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def market_share(customer, orders, lineitem, supplier, part, nation,
+                 region_key: int = 2, target_nation: int = 19,
+                 part_type: str = "ECONOMY"):
+    """TPC-H Q8 shape: of each year's revenue from ``part_type`` parts
+    sold into region ``region_key``'s market (the CUSTOMER's region),
+    how much was supplied by ``target_nation``.  Output:
+    (o_year, nation_cents, total_cents) — the exact integer numerator
+    and denominator; the share itself is irrational, so shipping the
+    two integers is the bit-stable contract (same rule as
+    promo_revenue).
+
+    Scale shape — the repo's deepest join (6 tables), all bucketed:
+    1. lineitem pre-aggregates per (batch, orderkey, suppkey, partkey);
+    2. is-selected flag attaches from part on hash(partkey) and
+       non-selected rows drop BEFORE any further shuffle;
+    3. (custkey, order year) attach from orders on hash(orderkey) —
+       PACKED into one int64 (custkey*64 + year-1970) so the generic
+       single-attach join carries it in one column, unpacked in the
+       next emit (years are bounded by the 64 pack base, asserted);
+    4. customer nation attaches on hash(custkey), supplier nation on
+       hash(suppkey);
+    5. the constant 25-row nation→region map broadcasts; per-year
+       numerator/denominator collapse through one-row-per-batch
+       combiners and a native groupby."""
+    import ray
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        okey = batch.column("l_orderkey").cast(pa.int64())
+        skey = batch.column("l_suppkey").cast(pa.int64())
+        pkey = batch.column("l_partkey").cast(pa.int64())
+        rev = _rev_cents(
+            batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False),
+            batch.column("l_discount").to_numpy(zero_copy_only=False))
+        t = pa.Table.from_arrays(
+            [pkey, okey, skey, pa.array(rev)],
+            names=["partkey", "okey", "suppkey", "rev"])
+        agg = t.group_by(["partkey", "okey", "suppkey"]).aggregate(
+            [("rev", "sum")])
+        return agg.rename_columns(["partkey", "okey", "suppkey",
+                                   "rev"])
+
+    def part_emit(batch: pa.Table) -> pa.Table:
+        sel = pc.equal(batch.column("p_type"), part_type) \
+            .cast(pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("p_partkey").cast(pa.int64()), sel],
+            names=["partkey", "is_sel"])
+
+    flagged = _bucket_attach(
+        lineitem.select_columns(
+            ["l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice",
+             "l_discount"]).map_batches(
+            line_partial, batch_format="pyarrow",
+            zero_copy_batch=True),
+        part.select_columns(["p_partkey", "p_type"]).map_batches(
+            part_emit, batch_format="pyarrow", zero_copy_batch=True),
+        "partkey", "is_sel", ("okey", "suppkey", "rev"))
+
+    def keep_selected(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("is_sel"),
+                                     pa.scalar(1, pa.int64()))) \
+            .select(["okey", "suppkey", "rev"])
+
+    selected = flagged.map_batches(keep_selected,
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    def orders_emit(batch: pa.Table) -> pa.Table:
+        yr = _ship_year(batch.column("o_orderdate")
+                        .cast(pa.timestamp("us")).cast(pa.int64())
+                        .to_numpy(zero_copy_only=False))
+        assert ((yr >= 1970) & (yr < 1970 + 64)).all(), \
+            "order year outside the 64-year pack base"
+        cust = batch.column("o_custkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        packed = cust * 64 + (yr - 1970)
+        return pa.Table.from_arrays(
+            [batch.column("o_orderkey").cast(pa.int64()),
+             pa.array(packed)],
+            names=["okey", "cust_year"])
+
+    with_cy = _bucket_attach(
+        selected, orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            orders_emit, batch_format="pyarrow", zero_copy_batch=True),
+        "okey", "cust_year", ("suppkey", "rev"))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        packed = batch.column("cust_year").to_numpy(
+            zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(packed // 64), pa.array(packed % 64 + 1970),
+             batch.column("suppkey"), batch.column("rev")],
+            names=["custkey", "o_year", "suppkey", "rev"])
+
+    with_cnat = _bucket_attach(
+        with_cy.map_batches(unpack, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        customer.select_columns(["c_custkey", "c_nationkey"])
+        .map_batches(lambda b: b.rename_columns(["custkey", "c_nat"]),
+                     batch_format="pyarrow", zero_copy_batch=True),
+        "custkey", "c_nat", ("o_year", "suppkey", "rev"))
+    with_snat = _bucket_attach(
+        with_cnat, supplier.select_columns(["s_suppkey", "s_nationkey"])
+        .map_batches(lambda b: b.rename_columns(["suppkey", "s_nat"]),
+                     batch_format="pyarrow", zero_copy_batch=True),
+        "suppkey", "s_nat", ("c_nat", "o_year", "rev"))
+
+    regions = {r["n_nationkey"]: r["n_regionkey"] for r in
+               nation.select_columns(["n_nationkey", "n_regionkey"])
+               .take_all()}                     # constant 25 rows
+    ref = ray.put(regions)
+
+    def share_partial(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        m = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        c_nat = batch.column("c_nat").to_numpy(zero_copy_only=False)
+        s_nat = batch.column("s_nat").to_numpy(zero_copy_only=False)
+        yr = batch.column("o_year").to_numpy(zero_copy_only=False)
+        rev = batch.column("rev").to_numpy(zero_copy_only=False)
+        lut = np.full(max(m, default=0) + 1, -1, dtype=np.int64)
+        for k, v in m.items():
+            lut[k] = v
+        in_mkt = lut[c_nat] == region_key
+        num = np.where(s_nat == target_nation, rev, 0)
+        t = pa.Table.from_arrays(
+            [pa.array(yr[in_mkt]), pa.array(num[in_mkt]),
+             pa.array(rev[in_mkt])],
+            names=["o_year", "nation_cents", "total_cents"])
+        agg = t.group_by(["o_year"]).aggregate(
+            [("nation_cents", "sum"), ("total_cents", "sum")])
+        return agg.rename_columns(
+            ["o_year", "nation_cents", "total_cents"])
+
+    return with_snat.map_batches(
+        share_partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("o_year").sum(["nation_cents", "total_cents"]) \
+        .map_batches(lambda b: b.rename_columns(
+            ["o_year", "nation_cents", "total_cents"]),
+            batch_format="pyarrow", zero_copy_batch=True)
