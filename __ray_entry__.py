@@ -877,6 +877,11 @@ def _ivf_index_path(sf_dir: str) -> str:
     return f"/tmp/webtext_ivf_{_sf_tag(sf_dir)}_{tag}.parquet"
 
 
+def _pq_index_path(sf_dir: str) -> str:
+    tag = _code_tag("webtext/functions/ann.py")
+    return f"/tmp/webtext_pq_{_sf_tag(sf_dir)}_{tag}.parquet"
+
+
 def _near_band_index_path(sf_dir: str) -> str:
     """Persisted historical LSH band table for incremental_near_dedup
     (a parquet DIRECTORY; code-tag keyed like every /tmp artifact)."""
@@ -932,6 +937,9 @@ def prewarm(sf_dir: str) -> None:
     path = _ivf_index_path(sf_dir)
     if not os.path.exists(path):
         ann.ivf_build_index(_emb(sf_dir), path, nlist=16)
+    pq_path = _pq_index_path(sf_dir)
+    if not os.path.exists(pq_path):
+        ann.pq_build_index(_emb(sf_dir), pq_path)
     band_path = _near_band_index_path(sf_dir)
     if not os.path.exists(band_path):
         from webtext.functions.curation import split_by_mod
@@ -1252,6 +1260,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ann.ivf_build_index(ds, path, nlist=16)
         return ann.knn_ivf(ds, q, k=10, index_path=path)
 
+    def pq_q(sf_dir):
+        """PQ/ADC approximate top-k through the persisted codebook
+        (build-once/query-many, same lifecycle as knn_ivf_indexed):
+        vectors are matched via m uint8 sub-centroid codes — the
+        memory-compression ANN path (64×4 B → 8 B per vector)."""
+        ds = _emb(sf_dir)
+        q = ann.get_query_vector(ds, 0)
+        path = _pq_index_path(sf_dir)
+        if not os.path.exists(path):
+            ann.pq_build_index(ds, path)
+        return ann.knn_pq(ds, q, k=10, index_path=path)
+
     def links_q(sf_dir):
         import pyarrow as pa
         import ray.data
@@ -1432,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": knn,
         "knn_ivf": ivf,
         "knn_ivf_indexed": ivf_indexed,
+        "knn_pq": pq_q,
         "cosine_nn": lambda sf: ann.nearest_neighbor_ids(_emb(sf)),
         # text analysis
         "token_count": lambda sf: textstats.token_count(
@@ -1696,7 +1717,7 @@ def oracle_sql() -> dict[str, str]:
             "extract_spans", "extract_status", "media_features",
             "media_features_real",
             "extract_links", "minhash_lsh_pairs", "simhash",
-            "simhash_dup_pairs", "dedup_apply", "knn_ivf",
+            "simhash_dup_pairs", "dedup_apply", "knn_ivf", "knn_pq",
             "winnow_fingerprint", "lsh_cosine_pairs",
             "training_pipeline", "curation_pipeline", "hash_embed_nn",
             "lsh_nearest_neighbor", "semdedup_pairs", "semdedup_apply",

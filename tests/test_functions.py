@@ -1361,3 +1361,58 @@ def test_centroid_classify_confusion(ray_session):
         assert got[(0, 1)] == 1          # the planted mislabel
         assert got[(1, 1)] == 2
         assert got[(0, 0)] == 2
+
+
+def test_pq_index_roundtrip_bit_identical(ray_session, emb_ds, tmp_path):
+    p = str(tmp_path / "pq.parquet")
+    built = ann.pq_build_index(emb_ds, p, m=8, ksub=8)
+    loaded = ann.pq_load_index(p)
+    assert built.shape == loaded.shape and (built == loaded).all()
+    q = ann.get_query_vector(emb_ds, 0)
+    inline = [r["vec_id"] for r in
+              ann.knn_pq(emb_ds, q, k=10, m=8, ksub=8).take_all()]
+    indexed = [r["vec_id"] for r in
+               ann.knn_pq(emb_ds, q, k=10, m=8, ksub=8,
+                          index_path=p).take_all()]
+    assert inline == indexed and len(inline) == 10
+
+
+def test_pq_fit_invariant_under_repartition(ray_session, emb_ds):
+    """The codebook fit reduces fixed-point integer partials, so block
+    boundaries cannot change the learned centroids."""
+    a = ann.pq_fit_distributed(emb_ds, m=4, ksub=8, iters=3)
+    b = ann.pq_fit_distributed(emb_ds.repartition(7), m=4, ksub=8,
+                               iters=3)
+    assert (a == b).all()
+
+
+def test_pq_matches_independent_golden(ray_session, emb_ds):
+    """knn_pq vs the single-process reimplementation in
+    tools/gen_goldens.py (seeding, fixed-point fit, ADC, tie-break)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "gen_goldens", os.path.join(os.path.dirname(__file__),
+                                    "..", "tools", "gen_goldens.py"))
+    gg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gg)
+    sf = "/root/testdata/sf0.001"
+    import ray.data
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    q = ann.get_query_vector(ds, 0)
+    got = [(r["vec_id"], r["label"])
+           for r in ann.knn_pq(ds, q, k=10).take_all()]
+    kids, klabels = gg.golden_knn_pq(sf)
+    assert got == list(zip(kids.tolist(), klabels.tolist()))
+
+
+def test_pq_recall_vs_brute(ray_session, emb_ds):
+    """ADC is approximate; sanity-bound its recall@10 against exact
+    brute force on the same corpus (shared label structure makes the
+    embedding space clusterable, so PQ should land most neighbors)."""
+    q = ann.get_query_vector(emb_ds, 0)
+    brute = {r["vec_id"] for r in
+             ann.knn_brute(emb_ds, q, k=10).take_all()}
+    pq_ids = {r["vec_id"] for r in
+              ann.knn_pq(emb_ds, q, k=10).take_all()}
+    assert len(brute & pq_ids) >= 3

@@ -207,6 +207,50 @@ def golden_knn_ivf(sf_dir, k=10, nlist=16, nprobe=4, iters=5):
     return kids[order], klabels[order]
 
 
+def golden_knn_pq(sf_dir, k=10, m=8, ksub=16, iters=5):
+    """Independent reimplementation of ann.knn_pq: per-subspace k-means
+    with deterministic linspace seeds and fixed-point int64 partial
+    sums (whole-matrix here; integer addition makes the distributed
+    fit identical), then uint8 encoding and asymmetric-distance top-k
+    (ties → min vec_id)."""
+    ids, labels, mat = emb_matrix(sf_dir)
+    query = mat[ids == 0][0]
+    seed_ids = sorted(set(int(i) for i in
+                          np.linspace(0, ids.max(), ksub).astype(int)))
+    seed_mat = np.stack([mat[ids == s][0] for s in seed_ids])
+    ksub = len(seed_mat)
+    dim = mat.shape[1]
+    dsub = dim // m
+    cents = np.stack([seed_mat[:, s * dsub:(s + 1) * dsub]
+                      for s in range(m)])
+    for _ in range(iters):
+        new = cents.copy()
+        for s in range(m):
+            sub = mat[:, s * dsub:(s + 1) * dsub]
+            d = ((sub[:, None, :] - cents[s][None, :, :]) ** 2) \
+                .sum(axis=2)
+            assign = d.argmin(axis=1)
+            q = np.rint(sub * KMEANS_SCALE).astype(np.int64)
+            tot = np.zeros((ksub, dsub), dtype=np.int64)
+            np.add.at(tot, assign, q)
+            cnt = np.bincount(assign, minlength=ksub).astype(np.int64)
+            nz = cnt > 0
+            new[s][nz] = (tot[nz] / KMEANS_SCALE) / cnt[nz, None]
+        cents = new
+    qsub = query.reshape(m, dsub)
+    table = ((cents - qsub[:, None, :]) ** 2).sum(axis=2)
+    keep = ids != 0
+    kmat, kids, klabels = mat[keep], ids[keep], labels[keep]
+    dist = np.zeros(len(kids), dtype=np.float64)
+    for s in range(m):
+        sub = kmat[:, s * dsub:(s + 1) * dsub]
+        d = ((sub[:, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
+        codes = d.argmin(axis=1)
+        dist += table[s][codes]
+    order = np.lexsort((kids, dist))[:k]
+    return kids[order], klabels[order]
+
+
 def golden_lsh_cosine_pairs(sf_dir, threshold=0.4, n_planes=5, n_tables=8):
     ids, _labels, mat = emb_matrix(sf_dir)
     rng = np.random.RandomState(987)
@@ -882,6 +926,11 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["knn_ivf"] = pa.table(
         {"vec_id": pa.array(kids.tolist(), pa.int64()),
          "label": pa.array(klabels.tolist(), pa.int32())})
+
+    pqids, pqlabels = golden_knn_pq(sf_dir)
+    g["knn_pq"] = pa.table(
+        {"vec_id": pa.array(pqids.tolist(), pa.int64()),
+         "label": pa.array(pqlabels.tolist(), pa.int32())})
 
     lc = golden_lsh_cosine_pairs(sf_dir)
     g["lsh_cosine_pairs"] = pa.table(

@@ -1152,3 +1152,184 @@ def centroid_classify(ds, scale: int = CENTROID_SCALE,
     return summed.map_batches(
         lambda b: b.rename_columns(["label", "pred_label", "n"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -- product quantization (PQ) ------------------------------------------------
+
+
+def pq_fit_distributed(ds, m: int = 8, ksub: int = 16,
+                       iters: int = 5) -> np.ndarray:
+    """Distributed product-quantization codebook fit: the embedding
+    dimension splits into ``m`` contiguous subspaces and each learns
+    its own ``ksub``-centroid k-means — ALL subspaces in ONE
+    map_batches pass per iteration (one corpus scan trains every
+    sub-quantizer, not m of them).
+
+    Same determinism contract as `kmeans_fit_distributed`: seeds are
+    the vectors at evenly spaced vec_ids (no RNG), per-iteration
+    partials are fixed-point int64 sums (KMEANS_SCALE), so integer
+    addition makes the reduce order-invariant and the codebook
+    bit-identical regardless of block boundaries or parallelism.
+    Returns float64 centroids of shape (m, ksub, dim // m).
+
+    Scale rationale: PQ compresses a dim-D float corpus to m uint8
+    codes per vector (64 × 4 B → 8 B at the defaults) — the memory
+    path that lets a 10^12-vector index live in cluster RAM; only
+    codebook-sized data (m × ksub × dsub per block) reaches the
+    driver."""
+    import ray
+
+    from ray.data.aggregate import Max
+
+    max_id = ds.select_columns(["vec_id"]).aggregate(
+        Max("vec_id"))["max(vec_id)"]
+    seed_ids = sorted(set(int(i) for i in
+                          np.linspace(0, max_id, ksub).astype(int)))
+    seeds = ds.filter(
+        expr=" or ".join(f"vec_id == {i}" for i in seed_ids)) \
+        .select_columns(["vec_id", "embedding"]).take_all()
+    seeds.sort(key=lambda r: r["vec_id"])
+    seed_mat = np.array([r["embedding"] for r in seeds],
+                        dtype=np.float64)
+    ksub = len(seed_mat)
+    dim = seed_mat.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    dsub = dim // m
+    # subspace s's init = the s-th slice of every seed vector
+    cents = np.stack([seed_mat[:, s * dsub:(s + 1) * dsub]
+                      for s in range(m)])        # (m, ksub, dsub)
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            mat = _matrix(batch)
+            rows = []
+            for s in range(m):
+                sub = mat[:, s * dsub:(s + 1) * dsub]
+                assign = _assign_clusters(sub, c[s])
+                q = np.rint(sub * KMEANS_SCALE).astype(np.int64)
+                sums = np.zeros((ksub, dsub), dtype=np.int64)
+                np.add.at(sums, assign, q)
+                counts = np.bincount(assign, minlength=ksub) \
+                    .astype(np.int64)
+                rows.append((s, counts, sums))
+            return pa.Table.from_arrays(
+                [pa.array(np.repeat([r[0] for r in rows], ksub)
+                          .astype(np.int64)),
+                 pa.array(np.tile(np.arange(ksub, dtype=np.int64), m)),
+                 pa.array(np.concatenate([r[1] for r in rows])),
+                 pa.array(np.concatenate(
+                     [r[2] for r in rows]).tolist(),
+                     pa.list_(pa.int64()))],
+                names=["sub", "cluster", "count", "sum_fp"])
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+        tot = np.zeros((m, ksub, dsub), dtype=np.int64)
+        cnt = np.zeros((m, ksub), dtype=np.int64)
+        for row in parts:                 # m × ksub × n_blocks tiny rows
+            tot[row["sub"], row["cluster"]] += np.asarray(
+                row["sum_fp"], dtype=np.int64)
+            cnt[row["sub"], row["cluster"]] += row["count"]
+        new = cents.copy()
+        nz = cnt > 0
+        new[nz] = (tot[nz] / KMEANS_SCALE) / cnt[nz][:, None]
+        cents = new
+    return cents
+
+
+def pq_build_index(ds, path: str, m: int = 8, ksub: int = 16,
+                   iters: int = 5) -> np.ndarray:
+    """Fit the PQ codebook and persist it as a tiny parquet — the
+    build-once/query-many lifecycle of ivf_build_index (atomic
+    last-wins publish for concurrent builders)."""
+    import pyarrow.parquet as pq
+
+    cents = pq_fit_distributed(ds, m=m, ksub=ksub, iters=iters)
+    mm, kk, dsub = cents.shape
+    table = pa.Table.from_arrays(
+        [pa.array(np.repeat(np.arange(mm, dtype=np.int64), kk)),
+         pa.array(np.tile(np.arange(kk, dtype=np.int64), mm)),
+         pa.array(cents.reshape(mm * kk, dsub).tolist(),
+                  pa.list_(pa.float64()))],
+        names=["sub", "cluster", "centroid"])
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return cents
+
+
+def pq_load_index(path: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).sort_by([("sub", "ascending"),
+                                     ("cluster", "ascending")])
+    mm = int(t.column("sub")[-1].as_py()) + 1
+    kk = t.num_rows // mm
+    col = t.column("centroid").combine_chunks()
+    return np.asarray(col.flatten(), dtype=np.float64) \
+        .reshape(mm, kk, -1)
+
+
+def knn_pq(ds, query: np.ndarray, k: int = 10, m: int = 8,
+           ksub: int = 16, exclude_id: int | None = 0,
+           index_path: str | None = None):
+    """PQ approximate top-k by asymmetric distance (ADC): each vector
+    is encoded as m sub-centroid codes; its distance to the query is
+    Σ_s ||q_s − C[s, code_s]||², looked up from an m × ksub table
+    computed ONCE from the codebook — per-batch work is an integer
+    gather + sum, never a full-dimension distance.  Output:
+    (vec_id, label), ascending ADC distance, ties → min vec_id.
+
+    The per-batch partial keeps only its local top-k, so the global
+    sort sees ≤ k × n_blocks rows at any corpus size.  Pass
+    ``index_path`` (from pq_build_index) to skip the fit."""
+    import ray
+
+    if index_path is not None:
+        cents = pq_load_index(index_path)
+    else:
+        cents = pq_fit_distributed(ds, m=m, ksub=ksub)
+    mm, kk, dsub = cents.shape
+    # ADC lookup table: T[s, j] = ||q_s - C[s, j]||^2
+    qsub = query.reshape(mm, dsub)
+    table = ((cents - qsub[:, None, :]) ** 2).sum(axis=2)
+    cref = ray.put((cents, table))
+
+    class AdcTopK:
+        def __init__(self, ref, k):
+            self.cents, self.table = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _matrix(batch)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            labels = batch.column("label").to_numpy(
+                zero_copy_only=False)
+            if exclude_id is not None:
+                keep = ids != exclude_id
+                mat, ids, labels = mat[keep], ids[keep], labels[keep]
+            if not len(ids):
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int32()),
+                     pa.array([], pa.float64())],
+                    names=["vec_id", "label", "dist"])
+            dist = np.zeros(len(ids), dtype=np.float64)
+            for s in range(self.cents.shape[0]):
+                sub = mat[:, s * dsub:(s + 1) * dsub]
+                codes = _assign_clusters(sub, self.cents[s])
+                dist += self.table[s][codes]
+            order = np.lexsort((ids, dist))[:self.k]
+            return pa.Table.from_arrays(
+                [pa.array(ids[order], pa.int64()),
+                 pa.array(labels[order], pa.int32()),
+                 pa.array(dist[order], pa.float64())],
+                names=["vec_id", "label", "dist"])
+
+    partial = ds.map_batches(
+        AdcTopK, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4), fn_constructor_args=(cref, k))
+    top = partial.sort(["dist", "vec_id"])
+    return top.limit(k).drop_columns(["dist"])
