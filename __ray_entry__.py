@@ -505,6 +505,34 @@ def _tpch_q8(sf_dir: str):
                               columns=["n_nationkey", "n_regionkey"]))
 
 
+def _tpch_q4(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import order_priority_check
+
+    return order_priority_check(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderdate",
+                                       "o_orderpriority"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_shipdate"]))
+
+
+def _tpch_q19(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import brand_size_revenue
+
+    return brand_size_revenue(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_quantity",
+                                       "l_extendedprice",
+                                       "l_discount"]),
+        ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand",
+                                       "p_size"]))
+
+
 def _tpch_profile(sf_dir: str):
     import ray.data
 
@@ -1634,6 +1662,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_customers": lambda sf: _tpch_q22(sf),
         "volume_shipping": lambda sf: _tpch_q7(sf),
         "market_share": lambda sf: _tpch_q8(sf),
+        "order_priority_check": lambda sf: _tpch_q4(sf),
+        "brand_size_revenue": lambda sf: _tpch_q19(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
             _docs_cols(sf, ["doc_id", "lang"])),
         # deterministic per-epoch sharded shuffle (training data order)
@@ -2631,6 +2661,29 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem GROUP BY 1
                   HAVING SUM(CAST(l_quantity AS BIGINT)) > 150) t
             JOIN orders o ON o.o_orderkey = t.l_orderkey""",
+        "order_priority_check": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1""",
+        "brand_size_revenue": """
+            SELECT count(*)::BIGINT AS n_lines,
+                   CAST(COALESCE(SUM(CAST(round(
+                     l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 20
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 21 AND 30
+                   AND l.l_quantity BETWEEN 20 AND 30)""",
         "volume_shipping": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                    EXTRACT(year FROM l.l_shipdate)::BIGINT AS l_year,

@@ -203,6 +203,11 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "order_line_left", "order_line_full",
                  "profile_columns", "small_quantity_revenue",
                  "local_supplier_volume", "returned_item_report",
+                 "forecast_revenue", "promo_revenue",
+                 "large_volume_orders", "customer_order_counts",
+                 "top_supplier", "idle_rich_customers",
+                 "volume_shipping", "market_share", "knn_pq",
+                 "order_priority_check", "brand_size_revenue",
                  "customers_with_orders", "customers_without_f_orders",
                  "extract_spans",
                  "extract_links",

@@ -886,3 +886,117 @@ def test_market_share_pack_roundtrip(ray_session):
                        nation).take_all()
     assert [(r["o_year"], r["nation_cents"], r["total_cents"])
             for r in got] == [(1997, 10000, 10000)]
+
+
+def test_order_priority_check_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import order_priority_check
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted((r["o_orderpriority"], r["n_orders"])
+                 for r in order_priority_check(
+        ray.data.read_parquet(f"{sf}/orders.parquet"),
+        ray.data.read_parquet(f"{sf}/lineitem.parquet")).take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+        SELECT o_orderpriority, count(*)::BIGINT
+        FROM read_parquet('{sf}/orders.parquet') o
+        WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-04-01'
+          AND EXISTS (
+            SELECT 1 FROM read_parquet('{sf}/lineitem.parquet') l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1""").fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_order_priority_check_nonequi_boundary(ray_session):
+    """Crafted: EXISTS compares against the OUTER row's date — a line
+    shipped exactly 60 days after is NOT late (strict >); 61 days is;
+    an order with no lines never counts."""
+    import datetime
+
+    import ray.data
+
+    from webtext.pipelines.tpch import order_priority_check
+
+    d0 = datetime.datetime(1998, 2, 1)
+    orders = ray.data.from_items([
+        {"o_orderkey": 1, "o_orderdate": d0, "o_orderpriority": "HI"},
+        {"o_orderkey": 2, "o_orderdate": d0, "o_orderpriority": "HI"},
+        {"o_orderkey": 3, "o_orderdate": d0, "o_orderpriority": "LO"},
+    ])
+    lineitem = ray.data.from_items([
+        {"l_orderkey": 1,
+         "l_shipdate": d0 + datetime.timedelta(days=60)},   # on time
+        {"l_orderkey": 2,
+         "l_shipdate": d0 + datetime.timedelta(days=61)},   # late
+        {"l_orderkey": 2,
+         "l_shipdate": d0 + datetime.timedelta(days=1)},    # irrelevant
+    ])
+    got = sorted((r["o_orderpriority"], r["n_orders"])
+                 for r in order_priority_check(orders,
+                                               lineitem).take_all())
+    assert got == [("HI", 1)]
+
+
+def test_brand_size_revenue_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import brand_size_revenue
+
+    sf = "/root/testdata/sf0.001"
+    got = [(r["n_lines"], r["revenue_cents"])
+           for r in brand_size_revenue(
+        ray.data.read_parquet(f"{sf}/lineitem.parquet"),
+        ray.data.read_parquet(f"{sf}/part.parquet")).take_all()]
+    want = list(map(tuple, duckdb.sql(f"""
+        SELECT count(*)::BIGINT,
+               CAST(COALESCE(SUM(CAST(round(
+                 l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)),
+                 0) AS BIGINT)
+        FROM read_parquet('{sf}/lineitem.parquet') l
+        JOIN read_parquet('{sf}/part.parquet') p
+          ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand='Brand#1' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand='Brand#2' AND p.p_size BETWEEN 11 AND 20
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand='Brand#3' AND p.p_size BETWEEN 21 AND 30
+               AND l.l_quantity BETWEEN 20 AND 30)""").fetchall()))
+    assert got == want and got[0][0] > 0
+
+
+def test_brand_size_revenue_arm_boundaries(ray_session):
+    """Crafted: each arm's size AND quantity edges are inclusive; a
+    row matching brand of one arm but size of another never passes."""
+    import ray.data
+
+    from webtext.pipelines.tpch import brand_size_revenue
+
+    part = ray.data.from_items([
+        {"p_partkey": 1, "p_brand": "Brand#1", "p_size": 10},
+        {"p_partkey": 2, "p_brand": "Brand#1", "p_size": 11},
+        {"p_partkey": 3, "p_brand": "Brand#2", "p_size": 11},
+    ])
+    lineitem = ray.data.from_items([
+        # arm 1 hit: size 10 in [1,10], qty 11 in [1,11]
+        {"l_partkey": 1, "l_quantity": 11.0,
+         "l_extendedprice": 10.0, "l_discount": 0.0},
+        # qty 12 outside arm 1
+        {"l_partkey": 1, "l_quantity": 12.0,
+         "l_extendedprice": 10.0, "l_discount": 0.0},
+        # Brand#1 size 11: matches no arm (size 11 belongs to arm 2's
+        # range but arm 2 needs Brand#2)
+        {"l_partkey": 2, "l_quantity": 10.0,
+         "l_extendedprice": 10.0, "l_discount": 0.0},
+        # arm 2 hit: Brand#2, size 11, qty 10
+        {"l_partkey": 3, "l_quantity": 10.0,
+         "l_extendedprice": 20.0, "l_discount": 0.5},
+    ])
+    got = [(r["n_lines"], r["revenue_cents"])
+           for r in brand_size_revenue(lineitem, part).take_all()]
+    assert got == [(2, 2000)]

@@ -1798,3 +1798,192 @@ def market_share(customer, orders, lineitem, supplier, part, nation,
         .map_batches(lambda b: b.rename_columns(
             ["o_year", "nation_cents", "total_cents"]),
             batch_format="pyarrow", zero_copy_batch=True)
+
+
+def order_priority_check(orders, lineitem,
+                         date_from: str = "1998-01-01",
+                         date_to: str = "1998-04-01",
+                         late_days: int = 60):
+    """TPC-H Q4 shape: per order priority, how many of a quarter's
+    orders had at least one line shipped more than ``late_days`` after
+    the order date.  Output: (o_orderpriority, n_orders).
+
+    The EXISTS predicate is NON-EQUI (it compares l_shipdate against
+    the outer row's o_orderdate), so it cannot ride a key-only
+    semi-join: lineitem instead pre-reduces to max(l_shipdate) per
+    (batch, orderkey) — EXISTS(ship > cutoff) ≡ max(ship) > cutoff —
+    and the bucketed join evaluates the date comparison with both
+    sides' values in hand.  The combiner bounds the exchange to one
+    row per distinct orderkey per batch; priorities leave each bucket
+    pre-counted."""
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+    late_us = late_days * 86_400_000_000
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        okey = batch.column("l_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ship = batch.column("l_shipdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.Table.from_arrays([pa.array(okey), pa.array(ship)],
+                                 names=["okey", "ship"])
+        agg = t.group_by(["okey"]).aggregate([("ship", "max")])
+        keys = agg.column("okey").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(keys)), agg.column("okey"),
+             pa.array(np.full(len(keys), -1, dtype=np.int64)),
+             agg.column("ship_max"),
+             pa.array([""] * len(keys), pa.string())],
+            names=["bucket", "okey", "odate_us", "ship_us", "prio"])
+
+    def orders_emit(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (od >= lo) & (od < hi)
+        okey = batch.column("o_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[keep]
+        prio = batch.column("o_orderpriority").filter(pa.array(keep))
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(okey)), pa.array(okey),
+             pa.array(od[keep]),
+             pa.array(np.full(len(okey), -1, dtype=np.int64)), prio],
+            names=["bucket", "okey", "odate_us", "ship_us", "prio"])
+
+    def check_bucket(group: pa.Table) -> pa.Table:
+        odate = group.column("odate_us").to_numpy(zero_copy_only=False)
+        is_order = odate != -1
+        k = group.column("okey").to_numpy(zero_copy_only=False)
+        ship = group.column("ship_us").to_numpy(zero_copy_only=False)
+        ok = k[is_order]
+        order = np.argsort(ok)
+        ok, od = ok[order], odate[is_order][order]
+        prio = group.column("prio").filter(
+            pa.array(is_order)).take(pa.array(order))
+        # max ship per order across this bucket's lineitem partials
+        ms = np.full(len(ok), np.iinfo(np.int64).min, dtype=np.int64)
+        lk, ls = k[~is_order], ship[~is_order]
+        if len(ok) and len(lk):
+            pos = np.clip(np.searchsorted(ok, lk), 0, len(ok) - 1)
+            hit = ok[pos] == lk
+            np.maximum.at(ms, pos[hit], ls[hit])
+        late = ms > od + late_us
+        t = pa.Table.from_arrays(
+            [prio.filter(pa.array(late)),
+             pa.array(np.ones(int(late.sum()), dtype=np.int64))],
+            names=["o_orderpriority", "one"])
+        agg = t.group_by(["o_orderpriority"]).aggregate([("one", "sum")])
+        return agg.rename_columns(["o_orderpriority", "n_orders"])
+
+    u = lineitem.select_columns(["l_orderkey", "l_shipdate"]) \
+        .map_batches(line_partial, batch_format="pyarrow",
+                     zero_copy_batch=True).union(
+        orders.select_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(orders_emit, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    per_bucket = u.groupby("bucket").map_groups(
+        check_bucket, batch_format="pyarrow")
+    return per_bucket.groupby("o_orderpriority").sum("n_orders") \
+        .map_batches(lambda b: b.rename_columns(
+            ["o_orderpriority", "n_orders"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+
+_Q19_RULES = (
+    # (brand, size_lo, size_hi, qty_lo, qty_hi) — disjunctive arms
+    ("Brand#1", 1, 10, 1, 11),
+    ("Brand#2", 11, 20, 10, 20),
+    ("Brand#3", 21, 30, 20, 30),
+)
+
+
+def brand_size_revenue(lineitem, part, rules=_Q19_RULES):
+    """TPC-H Q19 shape: revenue from lines matching ANY of several
+    (brand, size range, quantity range) predicate arms — the
+    disjunctive multi-column join filter.  Output: a single row
+    (n_lines, revenue_cents).
+
+    The quantity predicate lives on the FACT side and brand/size on
+    the dimension side, so neither side can evaluate the disjunction
+    alone.  Quantities are integral units here, so lineitem pre-sums
+    per (batch, partkey, qty_units) — bounded fan-out because qty has
+    ≤ ~50 distinct units per key — and part ships (brand_id, size)
+    PACKED into one int64 through the generic attach; each arm is then
+    one vectorized conjunction over the joined partials."""
+
+    brand_ids = {b: i for i, b in
+                 enumerate(sorted({r[0] for r in rules}))}
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        qty = _qty_i64(batch.column("l_quantity")
+                       .to_numpy(zero_copy_only=False))
+        rev = _rev_cents(
+            batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False),
+            batch.column("l_discount").to_numpy(zero_copy_only=False))
+        t = pa.Table.from_arrays(
+            [pa.array(pk), pa.array(qty), pa.array(rev),
+             pa.array(np.ones(len(pk), dtype=np.int64))],
+            names=["partkey", "qty", "rev", "n"])
+        agg = t.group_by(["partkey", "qty"]).aggregate(
+            [("rev", "sum"), ("n", "sum")])
+        return agg.rename_columns(["partkey", "qty", "rev", "n"])
+
+    def part_emit(batch: pa.Table) -> pa.Table:
+        brands = batch.column("p_brand").to_numpy(zero_copy_only=False)
+        size = batch.column("p_size").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        bid = np.array([brand_ids.get(b, -1) for b in brands],
+                       dtype=np.int64)
+        assert (size < 1 << 32).all() and (size >= 0).all()
+        packed = bid * (1 << 32) + size
+        return pa.Table.from_arrays(
+            [batch.column("p_partkey").cast(pa.int64()),
+             pa.array(packed)],
+            names=["partkey", "brand_size"])
+
+    joined = _bucket_attach(
+        lineitem.select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice",
+             "l_discount"]).map_batches(
+            line_partial, batch_format="pyarrow",
+            zero_copy_batch=True),
+        part.select_columns(["p_partkey", "p_brand", "p_size"])
+        .map_batches(part_emit, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        "partkey", "brand_size", ("qty", "rev", "n"))
+
+    def arm_partial(batch: pa.Table) -> pa.Table:
+        packed = batch.column("brand_size").to_numpy(
+            zero_copy_only=False)
+        bid, size = packed >> 32, packed & ((1 << 32) - 1)
+        qty = batch.column("qty").to_numpy(zero_copy_only=False)
+        rev = batch.column("rev").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(packed), dtype=bool)
+        for brand, s_lo, s_hi, q_lo, q_hi in rules:
+            keep |= ((bid == brand_ids[brand])
+                     & (size >= s_lo) & (size <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        return pa.Table.from_arrays(
+            [pa.array([int(n[keep].sum())], pa.int64()),
+             pa.array([int(rev[keep].sum())], pa.int64())],
+            names=["n_lines", "revenue_cents"])
+
+    def total(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array([int(batch.column("n_lines")
+                           .to_numpy(zero_copy_only=False).sum())],
+                      pa.int64()),
+             pa.array([int(batch.column("revenue_cents")
+                           .to_numpy(zero_copy_only=False).sum())],
+                      pa.int64())],
+            names=["n_lines", "revenue_cents"])
+
+    return joined.map_batches(arm_partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .repartition(1).map_batches(total, batch_size=None,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
