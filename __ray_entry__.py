@@ -533,6 +533,17 @@ def _tpch_q19(sf_dir: str):
                                        "p_size"]))
 
 
+def _tpch_q21(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import waiting_suppliers
+
+    return waiting_suppliers(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_suppkey",
+                                       "l_shipdate"]))
+
+
 def _tpch_profile(sf_dir: str):
     import ray.data
 
@@ -1664,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": lambda sf: _tpch_q8(sf),
         "order_priority_check": lambda sf: _tpch_q4(sf),
         "brand_size_revenue": lambda sf: _tpch_q19(sf),
+        "waiting_suppliers": lambda sf: _tpch_q21(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
             _docs_cols(sf, ["doc_id", "lang"])),
         # deterministic per-epoch sharded shuffle (training data order)
@@ -2661,6 +2673,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem GROUP BY 1
                   HAVING SUM(CAST(l_quantity AS BIGINT)) > 150) t
             JOIN orders o ON o.o_orderkey = t.l_orderkey""",
+        "waiting_suppliers": """
+            WITH per AS (
+              SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms
+              FROM lineitem GROUP BY 1, 2),
+            ostat AS (
+              SELECT l_orderkey, max(ms) AS m, count(*) AS ns
+              FROM per GROUP BY 1)
+            SELECT p.l_suppkey AS s_suppkey,
+                   count(*)::BIGINT AS n_waiting
+            FROM per p JOIN ostat o ON o.l_orderkey = p.l_orderkey
+            WHERE o.ns >= 2 AND p.ms = o.m
+              AND (SELECT count(*) FROM per p2
+                   WHERE p2.l_orderkey = p.l_orderkey
+                     AND p2.ms = o.m) = 1
+            GROUP BY 1""",
         "order_priority_check": """
             SELECT o_orderpriority, count(*)::BIGINT AS n_orders
             FROM orders o

@@ -208,6 +208,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "top_supplier", "idle_rich_customers",
                  "volume_shipping", "market_share", "knn_pq",
                  "order_priority_check", "brand_size_revenue",
+                 "waiting_suppliers",
                  "customers_with_orders", "customers_without_f_orders",
                  "extract_spans",
                  "extract_links",

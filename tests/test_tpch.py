@@ -1000,3 +1000,61 @@ def test_brand_size_revenue_arm_boundaries(ray_session):
     got = [(r["n_lines"], r["revenue_cents"])
            for r in brand_size_revenue(lineitem, part).take_all()]
     assert got == [(2, 2000)]
+
+
+def test_waiting_suppliers_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import waiting_suppliers
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted((r["s_suppkey"], r["n_waiting"])
+                 for r in waiting_suppliers(
+        ray.data.read_parquet(f"{sf}/lineitem.parquet")).take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+        WITH per AS (
+          SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms
+          FROM read_parquet('{sf}/lineitem.parquet') GROUP BY 1, 2),
+        ostat AS (
+          SELECT l_orderkey, max(ms) AS m, count(*) AS ns
+          FROM per GROUP BY 1)
+        SELECT p.l_suppkey, count(*)::BIGINT
+        FROM per p JOIN ostat o ON o.l_orderkey = p.l_orderkey
+        WHERE o.ns >= 2 AND p.ms = o.m
+          AND (SELECT count(*) FROM per p2
+               WHERE p2.l_orderkey = p.l_orderkey
+                 AND p2.ms = o.m) = 1
+        GROUP BY 1""").fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_waiting_suppliers_unique_argmax_rules(ray_session):
+    """Crafted: two suppliers tied on the latest date -> nobody
+    blamed; single-supplier order -> nobody blamed; clean unique
+    latest on a 2-supplier order -> one strike.  Cross-batch partial
+    recombination: the same (order, supplier) pair split over two
+    input blocks must still reduce to one max."""
+    import datetime
+
+    import ray.data
+
+    d = lambda n: datetime.datetime(2000, 1, n)  # noqa: E731
+    rows = [
+        # order 1: suppliers 1, 2 tie on latest day 5 -> no blame
+        {"l_orderkey": 1, "l_suppkey": 1, "l_shipdate": d(5)},
+        {"l_orderkey": 1, "l_suppkey": 2, "l_shipdate": d(5)},
+        # order 2: single supplier -> no blame
+        {"l_orderkey": 2, "l_suppkey": 3, "l_shipdate": d(9)},
+        # order 3: supplier 4 latest (day 8 via two split lines),
+        # supplier 5 earlier -> supplier 4 blamed
+        {"l_orderkey": 3, "l_suppkey": 4, "l_shipdate": d(2)},
+        {"l_orderkey": 3, "l_suppkey": 4, "l_shipdate": d(8)},
+        {"l_orderkey": 3, "l_suppkey": 5, "l_shipdate": d(7)},
+    ]
+    from webtext.pipelines.tpch import waiting_suppliers
+
+    ds = ray.data.from_items(rows).repartition(3)
+    got = sorted((r["s_suppkey"], r["n_waiting"])
+                 for r in waiting_suppliers(ds).take_all())
+    assert got == [(4, 1)]

@@ -1987,3 +1987,77 @@ def brand_size_revenue(lineitem, part, rules=_Q19_RULES):
         .repartition(1).map_batches(total, batch_size=None,
                                     batch_format="pyarrow",
                                     zero_copy_batch=True)
+
+
+def waiting_suppliers(lineitem, min_suppliers: int = 2):
+    """TPC-H Q21 shape: for every multi-supplier order, if exactly ONE
+    supplier's lines carry the order's latest ship date, that supplier
+    "kept the order waiting" and takes a strike.  Output: every
+    supplier's strike count (s_suppkey, n_waiting).
+
+    One all-to-all: lineitem pre-reduces max(l_shipdate) per (batch,
+    orderkey, suppkey), partials meet in hash(orderkey) % 256 buckets,
+    and each bucket runs the whole per-order analysis VECTORIZED —
+    lexsort + reduceat segment reduces (re-combine cross-batch
+    partials, per-order max, distinct-supplier count, unique-argmax
+    test) — never a Python loop over orders.  Buckets emit pre-counted
+    (suppkey, n) partials into one tiny native groupby."""
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        okey = batch.column("l_orderkey").cast(pa.int64())
+        skey = batch.column("l_suppkey").cast(pa.int64())
+        ship = batch.column("l_shipdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        t = pa.Table.from_arrays([okey, skey, ship],
+                                 names=["okey", "suppkey", "ship"])
+        agg = t.group_by(["okey", "suppkey"]).aggregate(
+            [("ship", "max")])
+        keys = agg.column("okey").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(keys)), agg.column("okey"),
+             agg.column("suppkey"), agg.column("ship_max")],
+            names=["bucket", "okey", "suppkey", "ship"])
+
+    def blame_bucket(group: pa.Table) -> pa.Table:
+        okey = group.column("okey").to_numpy(zero_copy_only=False)
+        supp = group.column("suppkey").to_numpy(zero_copy_only=False)
+        ship = group.column("ship").to_numpy(zero_copy_only=False)
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["s_suppkey", "n_waiting"])
+        if not len(okey):
+            return empty
+        # 1. re-combine cross-batch partials: max ship per (okey, supp)
+        order = np.lexsort((supp, okey))
+        okey, supp, ship = okey[order], supp[order], ship[order]
+        pair_start = np.ones(len(okey), dtype=bool)
+        pair_start[1:] = (okey[1:] != okey[:-1]) | (supp[1:] != supp[:-1])
+        starts = np.flatnonzero(pair_start)
+        okey, supp = okey[starts], supp[starts]
+        ship = np.maximum.reduceat(ship, starts)
+        # 2. per-order segments (already okey-sorted)
+        seg = np.flatnonzero(np.r_[True, okey[1:] != okey[:-1]])
+        n_supp = np.diff(np.r_[seg, len(okey)])
+        omax = np.maximum.reduceat(ship, seg)
+        seg_id = np.cumsum(np.r_[True, okey[1:] != okey[:-1]]) - 1
+        is_max = ship == omax[seg_id]
+        n_max = np.add.reduceat(is_max.astype(np.int64), seg)
+        # 3. unique latest supplier on a multi-supplier order
+        blame = is_max & (n_supp[seg_id] >= min_suppliers) \
+            & (n_max[seg_id] == 1)
+        if not blame.any():
+            return empty
+        sk, cnt = np.unique(supp[blame], return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(sk), pa.array(cnt.astype(np.int64))],
+            names=["s_suppkey", "n_waiting"])
+
+    per_bucket = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        line_partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("bucket").map_groups(blame_bucket,
+                                      batch_format="pyarrow")
+    return per_bucket.groupby("s_suppkey").sum("n_waiting") \
+        .map_batches(lambda b: b.rename_columns(
+            ["s_suppkey", "n_waiting"]),
+            batch_format="pyarrow", zero_copy_batch=True)
