@@ -1508,6 +1508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "sample_by_hash": lambda sf: textstats.sample_by_hash(
             _docs_cols(sf, ["doc_id", "text"]), 512, "s0"),
+        # content-addressed train/val/test holdout assignment
+        "split_assign": lambda sf: textstats.split_assign(
+            _docs_cols(sf, ["doc_id"])),
         "corpus_filter": lambda sf: dedup.exact_dedup(
             textstats.corpus_quality_filter(
                 _docs_cols(sf, ["doc_id", "text"]))),
@@ -1935,6 +1938,14 @@ def oracle_sql() -> dict[str, str]:
         "sample_by_hash":
             "SELECT doc_id, text FROM documents WHERE "
             "substr(md5(CAST(doc_id AS VARCHAR) || 's0'), 1, 3) < '200'",
+        "split_assign": """
+            SELECT doc_id,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)
+                     || 'split'), 1, 4) < 'cccc' THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)
+                     || 'split'), 1, 4) < 'e666' THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents""",
         # decode must round-trip the text and attribute rows with a
         # valid header charset to the 'header' rung; the encoding NAME
         # on the apparent rungs is charset_normalizer's business and is

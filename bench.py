@@ -158,7 +158,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "redact_pii", "canonicalize_urls", "url_dedup",
                  "line_dedup",
                  "repetition_stats", "decontaminate", "dsir_scores",
-                 "temperature_sample", "epoch_shuffle",
+                 "temperature_sample", "epoch_shuffle", "split_assign",
                  "decode_bytes",
                  "bigram_lm_scores", "dup_ngram_flags",
                  "dup_doc_filter", "dedup_substrings",

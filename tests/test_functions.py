@@ -1416,3 +1416,48 @@ def test_pq_recall_vs_brute(ray_session, emb_ds):
     pq_ids = {r["vec_id"] for r in
               ann.knn_pq(emb_ds, q, k=10).take_all()}
     assert len(brute & pq_ids) >= 3
+
+
+def test_split_assign_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.functions import textstats
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted((r["doc_id"], r["split"]) for r in textstats
+                 .split_assign(ray.data.read_parquet(
+                     f"{sf}/documents.parquet", columns=["doc_id"]))
+                 .take_all())
+    want = sorted(map(tuple, duckdb.sql(f"""
+        SELECT doc_id,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'),
+                 1, 4) < 'cccc' THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'),
+                 1, 4) < 'e666' THEN 'val'
+               ELSE 'test' END
+        FROM read_parquet('{sf}/documents.parquet')""").fetchall()))
+    assert got == want and len(got) > 0
+    fracs = {}
+    for _, s in got:
+        fracs[s] = fracs.get(s, 0) + 1
+    assert set(fracs) == {"train", "val", "test"}
+    assert fracs["train"] > fracs["val"] and fracs["train"] > \
+        fracs["test"]
+
+
+def test_split_assign_stable_under_corpus_growth(ray_session):
+    """Content-addressed splits: a document's assignment never changes
+    when the corpus around it grows or reshards."""
+    import ray.data
+
+    from webtext.functions import textstats
+
+    small = ray.data.from_items([{"doc_id": i} for i in range(50)])
+    big = ray.data.from_items([{"doc_id": i} for i in range(500)]) \
+        .repartition(7)
+    a = {r["doc_id"]: r["split"]
+         for r in textstats.split_assign(small).take_all()}
+    b = {r["doc_id"]: r["split"]
+         for r in textstats.split_assign(big).take_all()}
+    assert all(b[k] == v for k, v in a.items())

@@ -425,6 +425,46 @@ def sample_by_hash(ds, keep_of_4096: int = 512, salt: str = "s0"):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+# train/val/test hex-threshold edges over the first 4 md5 nibbles:
+# 0xcccc/0x10000 ≈ 0.80, 0xe666/0x10000 ≈ 0.90
+SPLIT_EDGES = (("train", "cccc"), ("val", "e666"))
+SPLIT_SALT = "split"
+
+
+def split_assign_batch(batch: pa.Table, salt: str = SPLIT_SALT
+                       ) -> pa.Table:
+    """Deterministic train/val/test assignment: the first 4 hex chars
+    of md5(str(doc_id) + salt) compare against the SPLIT_EDGES
+    thresholds (fixed-width lowercase hex compares lexicographically =
+    numerically — the sample_by_hash convention, so the same predicate
+    is exactly expressible in SQL).  Content-addressed: the split of a
+    document never depends on block boundaries, cluster size, or the
+    rest of the corpus — re-running over a grown corpus keeps every
+    old document's split stable (the property epoch-level reshuffles
+    cannot give you)."""
+    hexes = [hashlib.md5((str(d) + salt).encode()).hexdigest()[:4]
+             for d in batch.column("doc_id").to_pylist()]
+    split = []
+    for h in hexes:
+        for name, edge in SPLIT_EDGES:
+            if h < edge:
+                split.append(name)
+                break
+        else:
+            split.append("test")
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(split, pa.string())],
+        names=["doc_id", "split"])
+
+
+def split_assign(ds, salt: str = SPLIT_SALT):
+    """Per-document (doc_id, split) over the corpus — pure map, no
+    shuffle; the holdout-split primitive of a training-data pipeline."""
+    return ds.select_columns(["doc_id"]).map_batches(
+        lambda b: split_assign_batch(b, salt),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 CHUNK_TOKENS = 64
 CHUNK_OVERLAP = 16
 
