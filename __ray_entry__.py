@@ -255,6 +255,16 @@ def _events_dense_rank(sf_dir: str):
         columns=["event_id", "user_id", "value"]))
 
 
+def _events_percent_rank(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import percent_rank_events
+
+    return percent_rank_events(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"]))
+
+
 def _events_growth(sf_dir: str):
     import ray.data
 
@@ -554,6 +564,17 @@ def _tpch_profile(sf_dir: str):
                               columns=["l_quantity", "l_extendedprice",
                                        "l_discount", "l_tax"]),
         ("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+
+def _tpch_corr(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import corr_by_group
+
+    return corr_by_group(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_returnflag", "l_quantity",
+                                       "l_extendedprice"]))
 
 
 def _tpch_join(sf_dir: str):
@@ -1543,6 +1564,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _docs_cols(sf, ["doc_id", "text"]), mod=100, lt=3)),
         "temperature_sample": lambda sf: curation.temperature_sample(
             _docs_cols(sf, ["doc_id", "lang"])),
+        "pps_sample": lambda sf: curation.pps_sample(
+            _docs_cols(sf, ["doc_id", "source", "n_chars"])),
         "decontaminate": lambda sf: curation.decontaminate(
             curation.split_by_mod(
                 _docs_cols(sf, ["doc_id", "text"]), invert=True),
@@ -1623,6 +1646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_deltas": lambda sf: _events_lag(sf),
         "ntile_events": lambda sf: _events_ntile(sf),
         "dense_rank_events": lambda sf: _events_dense_rank(sf),
+        "percent_rank_events": lambda sf: _events_percent_rank(sf),
         "zscore_events": lambda sf: _events_zscore(sf),
         "user_growth": lambda sf: _events_growth(sf),
         "distinct_users": lambda sf: _events_distinct_users(sf),
@@ -1668,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": lambda sf: _tpch_q17(sf),
         "order_line_full": lambda sf: _tpch_full_join(sf),
         "profile_columns": lambda sf: _tpch_profile(sf),
+        "price_qty_corr": lambda sf: _tpch_corr(sf),
         "forecast_revenue": lambda sf: _tpch_q6(sf),
         "promo_revenue": lambda sf: _tpch_q14(sf),
         "large_volume_orders": lambda sf: _tpch_q18(sf),
@@ -2427,6 +2452,17 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY CAST(round(value*100) AS BIGINT))
                      AS BIGINT) AS dense_rank
             FROM events""",
+        # percent_rank() is (rank-1)/(n-1) in double — the same IEEE
+        # divide the numpy kernel runs — then one multiply + floor, so
+        # the micro values are bit-identical; single-row partitions
+        # emit 0 on both sides
+        "percent_rank_events": """
+            SELECT event_id, user_id,
+                   CAST(floor(percent_rank() OVER (
+                     PARTITION BY user_id
+                     ORDER BY CAST(round(value*100) AS BIGINT))
+                     * 1000000.0 + 0.5) AS BIGINT) AS pr_micro
+            FROM events""",
         "user_growth": """
             SELECT d, new_users,
                    CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT)
@@ -2544,6 +2580,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE th.t >= 4096
                OR substr(md5(CAST(d.doc_id AS VARCHAR) || 'ts'), 1, 3)
                   < printf('%03x', th.t)""",
+        # h and the keep bound evaluate in the identical left-to-right
+        # IEEE double order as the numpy kernel (w·k → /W → ·2^63), so
+        # PPS membership is bit-exact; md5_number_upper & 63-bit mask
+        # is the _did63 convention
+        "pps_sample": """
+            WITH w AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS total
+                       FROM documents)
+            SELECT doc_id, source, n_chars
+            FROM documents, w
+            WHERE CAST(md5_number_upper(
+                    CAST(doc_id AS VARCHAR) || 'pps')
+                    & 9223372036854775807 AS DOUBLE)
+                < CAST(n_chars AS DOUBLE) * 500.0 / w.total
+                  * 9223372036854775808.0""",
         # winner = min (did, idx, doc_id) per distinct line where
         # did = md5_number_upper & 63-bit mask, the same little-endian
         # md5-prefix the Ray side computes — no engine-order assumption
@@ -2798,6 +2848,36 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o FULL JOIN lineitem l
               ON l.l_orderkey = o.o_orderkey
             GROUP BY 1, 2""",
+        # exact HUGEINT moment sums mirror the Ray side's limb-encoded
+        # big-int partials; the final expression is the identical IEEE
+        # order (int → double casts, one multiply, one sqrt, one
+        # divide, one floor), so corr_micro is bit-equal
+        "price_qty_corr": """
+            WITH s AS (
+              SELECT l_returnflag, count(*)::BIGINT AS n,
+                     SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sx,
+                     SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+                       AS sy,
+                     SUM(CAST(round(l_quantity*100) AS BIGINT)
+                         * CAST(round(l_quantity*100) AS BIGINT))
+                       AS sxx,
+                     SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * CAST(round(l_extendedprice*100) AS BIGINT))
+                       AS syy,
+                     SUM(CAST(round(l_quantity*100) AS BIGINT)
+                         * CAST(round(l_extendedprice*100) AS BIGINT))
+                       AS sxy
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   CASE WHEN n > 1 AND n*sxx - sx*sx > 0
+                             AND n*syy - sy*sy > 0
+                        THEN CAST(floor(
+                          CAST(n*sxy - sx*sy AS DOUBLE) * 1000000.0
+                          / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                 * CAST(n*syy - sy*sy AS DOUBLE))
+                          + 0.5) AS BIGINT)
+                        ELSE 0 END AS corr_micro
+            FROM s""",
         "profile_columns": """
             SELECT col AS "column", count(*)::BIGINT AS n_rows,
                    0::BIGINT AS n_null,

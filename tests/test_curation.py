@@ -374,3 +374,24 @@ def test_url_blocklist_filter_suffix_semantics(ray_session):
     got = sorted((r["doc_id"], r["host"]) for r in out.take_all())
     assert got == [(3, "evilsite1.example.com"),
                    (4, "site2.example.com")]
+
+
+def test_pps_sample_weight_monotone_and_deterministic(ray_session):
+    import ray.data
+
+    from webtext.functions.curation import pps_sample
+
+    rows = [{"doc_id": i, "source": "s", "n_chars": 10 + 90 * (i % 2)}
+            for i in range(400)]
+    ds = ray.data.from_items(rows).repartition(4)
+    kept = pps_sample(ds, k=100).take_all()
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    # deterministic under different blocking
+    kept2 = sorted(r["doc_id"] for r in
+                   pps_sample(ray.data.from_items(rows).repartition(7),
+                              k=100).take_all())
+    assert kept_ids == kept2
+    # size-biased: heavy docs (100 chars) survive ~10x more often
+    heavy = sum(1 for i in kept_ids if i % 2 == 1)
+    light = len(kept_ids) - heavy
+    assert heavy > 3 * max(light, 1)

@@ -493,6 +493,27 @@ def test_zscore_events_crafted(ray_session):
     assert math.isclose(got[1], -got[3])
 
 
+def test_percent_rank_sql_convention(ray_session):
+    import ray.data
+
+    from webtext.functions.events import percent_rank_events
+
+    events = ray.data.from_items([
+        {"event_id": 1, "user_id": 7, "value": 1.00},
+        {"event_id": 2, "user_id": 7, "value": 1.00},  # tie shares rank
+        {"event_id": 3, "user_id": 7, "value": 5.00},
+        {"event_id": 4, "user_id": 7, "value": 9.00},
+        {"event_id": 5, "user_id": 9, "value": 99.0},  # n=1 -> 0
+    ]).repartition(2)
+    got = {r["event_id"]: r["pr_micro"]
+           for r in percent_rank_events(events).take_all()}
+    # user 7: ranks (1,1,3,4) of n=4 -> pr = 0, 0, 2/3, 1
+    assert got[1] == 0 and got[2] == 0
+    assert got[3] == 666_667          # floor(2/3 * 1e6 + 0.5)
+    assert got[4] == 1_000_000
+    assert got[5] == 0
+
+
 def test_funnel_stages_strict_order_and_stalls(ray_session):
     import datetime as dt
 

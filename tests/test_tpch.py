@@ -1058,3 +1058,76 @@ def test_waiting_suppliers_unique_argmax_rules(ray_session):
     got = sorted((r["s_suppkey"], r["n_waiting"])
                  for r in waiting_suppliers(ds).take_all())
     assert got == [(4, 1)]
+
+
+def test_corr_by_group_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from webtext.pipelines.tpch import corr_by_group
+
+    sf = "/root/testdata/sf0.001"
+    got = corr_by_group(ray.data.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"]))
+    got = got.sort_values("l_returnflag").reset_index(drop=True)
+    want = duckdb.sql(f"""
+        WITH s AS (
+          SELECT l_returnflag, count(*)::BIGINT AS n,
+                 SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sx,
+                 SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sy,
+                 SUM(CAST(round(l_quantity*100) AS BIGINT)
+                     * CAST(round(l_quantity*100) AS BIGINT)) AS sxx,
+                 SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                     * CAST(round(l_extendedprice*100) AS BIGINT))
+                   AS syy,
+                 SUM(CAST(round(l_quantity*100) AS BIGINT)
+                     * CAST(round(l_extendedprice*100) AS BIGINT))
+                   AS sxy
+          FROM read_parquet('{sf}/lineitem.parquet')
+          GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               CASE WHEN n > 1 AND n*sxx - sx*sx > 0
+                         AND n*syy - sy*sy > 0
+                    THEN CAST(floor(
+                      CAST(n*sxy - sx*sy AS DOUBLE) * 1000000.0
+                      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                             * CAST(n*syy - sy*sy AS DOUBLE)) + 0.5)
+                      AS BIGINT)
+                    ELSE 0 END AS corr_micro
+        FROM s ORDER BY l_returnflag""").fetchdf()
+    assert got["l_returnflag"].tolist() == want["l_returnflag"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["corr_micro"].tolist() == want["corr_micro"].tolist()
+
+
+def test_limb_sum_exact_past_int64(ray_session):
+    import numpy as np
+
+    from webtext.pipelines.tpch import _limb_sum
+
+    # values whose naive int64 sum wraps: 2^62 twice
+    v = np.array([1 << 62, 1 << 62, 5], dtype=np.int64)
+    hi, lo = _limb_sum(v, 1 << 62)
+    assert hi * 1_000_000_000 + lo == (1 << 63) + 5
+
+
+def test_corr_degenerate_groups(ray_session):
+    import ray.data
+
+    from webtext.pipelines.tpch import corr_by_group
+
+    rows = [
+        # group a: perfectly correlated -> 1e6
+        {"l_returnflag": "a", "l_quantity": 1.0, "l_extendedprice": 2.0},
+        {"l_returnflag": "a", "l_quantity": 2.0, "l_extendedprice": 4.0},
+        {"l_returnflag": "a", "l_quantity": 3.0, "l_extendedprice": 6.0},
+        # group b: single row -> 0
+        {"l_returnflag": "b", "l_quantity": 9.0, "l_extendedprice": 1.0},
+        # group c: zero variance in x -> 0
+        {"l_returnflag": "c", "l_quantity": 5.0, "l_extendedprice": 1.0},
+        {"l_returnflag": "c", "l_quantity": 5.0, "l_extendedprice": 9.0},
+    ]
+    got = corr_by_group(ray.data.from_items(rows).repartition(2))
+    vals = dict(zip(got["l_returnflag"], got["corr_micro"]))
+    assert vals == {"a": 1_000_000, "b": 0, "c": 0}

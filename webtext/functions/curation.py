@@ -739,3 +739,40 @@ def temperature_sample(ds, lang_col: str = "lang", salt: str = "ts"):
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def pps_sample(ds, k: int = 500, weight_col: str = "n_chars",
+               salt: str = "pps"):
+    """Deterministic Poisson probability-proportional-to-size sample:
+    keep each document with probability min(1, k·wᵢ/W) where wᵢ is the
+    weight column and W = Σw — the size-biased corpus subsample a
+    mixture builder draws when longer documents should be
+    proportionally more likely to survive (E[sample size] = k when no
+    weight saturates).  Returns (doc_id, source, n_chars).
+
+    Two passes, both trivially scalable: ONE scalar sum aggregate for W
+    (exact int64 — n_chars sums stay far below 2^63 at any corpus this
+    engine targets; the SQL oracle's SUM promotes to HUGEINT then both
+    sides cast the same exact integer to double), then a pure
+    content-addressed filter — no RNG, no shuffle, reproducible under
+    any blocking.  Membership: h < (wᵢ·k/W)·2^63 with h the 63-bit
+    little-endian md5 prefix of doc_id‖salt (the ``_did63`` /
+    ``md5_number_upper`` convention) and the right side evaluated in
+    the same left-to-right IEEE double order as the SQL oracle, so the
+    kept set is bit-identical across engines."""
+    total = ds.sum(weight_col)
+    w_double = float(int(total))
+    k_double = float(k)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = [str(d) + salt
+               for d in batch.column("doc_id").to_pylist()]
+        h = _did63(ids).astype(np.float64)
+        w = batch.column(weight_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        bound = w * k_double / w_double * 9223372036854775808.0
+        return batch.filter(pa.array(h < bound)) \
+            .select(["doc_id", "source", weight_col])
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -728,6 +728,72 @@ def dense_rank_events(ds, n_buckets: int = 256):
                                            batch_format="pyarrow")
 
 
+def percent_rank_events(ds, n_buckets: int = 256):
+    """(event_id, user_id, pr_micro): SQL PERCENT_RANK() of each
+    event's value within its user — (rank − 1) / (n − 1) where rank is
+    RANK() (ties share the group's first position) — micro-quantized
+    as floor(pr·1e6 + 0.5).  Single-row partitions emit 0, SQL's
+    convention.
+
+    Same bucketed window shape as dense_rank_events: one shuffle by
+    hash(user_id) % n_buckets, one lexsort per bucket, then closed-form
+    vectorized rank/size math (no per-user Python groups — a hot user
+    is just a longer contiguous run inside its bucket).  The final
+    division runs in the same IEEE order as the SQL oracle ((rank−1)
+    int → double, (n−1) int → double, one divide, one floor), so the
+    micro values are bit-identical."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(_ibucket(uid, n_buckets)))
+
+    def pr_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # integer cents so tie groups match SQL float equality exactly
+        cents = np.floor(group.column("value")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        order = np.lexsort((eid, cents, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        m = len(uid)
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        new_value = np.concatenate(
+            [[True], (cents[1:] != cents[:-1]) | new_user[1:]])
+        idx = np.arange(m, dtype=np.int64)
+        # segment (user) start position, forward-filled to every row
+        seg_base = np.where(new_user, idx, 0)
+        seg_base = np.maximum.accumulate(seg_base)
+        # tie-group start position (RANK semantics: ties take the
+        # group's first position)
+        tie_base = np.where(new_value, idx, 0)
+        tie_base = np.maximum.accumulate(tie_base)
+        rank = tie_base - seg_base + 1
+        # per-user size scattered back to rows
+        starts = np.flatnonzero(new_user)
+        seg_len = np.diff(np.append(starts, m))
+        n_of = np.repeat(seg_len, seg_len)
+        pr = np.zeros(m, dtype=np.int64)
+        multi = n_of > 1
+        pr[multi] = np.floor(
+            (rank[multi] - 1).astype(np.float64)
+            / (n_of[multi] - 1).astype(np.float64)
+            * 1000000.0 + 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(eid), pa.array(uid), pa.array(pr)],
+            names=["event_id", "user_id", "pr_micro"])
+
+    return ds.select_columns(["event_id", "user_id", "value"]) \
+             .map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .groupby("bucket").map_groups(pr_bucket,
+                                           batch_format="pyarrow")
+
+
 def zscore_events(ds, n_buckets: int = 256):
     """(event_id, event_type, z_micro): each event's value standardized
     within its event_type — z = (v - mean) / sample_std, in micro-units

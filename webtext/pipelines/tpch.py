@@ -468,6 +468,108 @@ def profile_columns(ds, columns: tuple[str, ...]):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _limb_sum(v: np.ndarray, per_row_max: int) -> tuple[int, int]:
+    """Exact sum of an int64 array whose per-row magnitude is bounded by
+    ``per_row_max``, returned as base-1e9 limbs (hi, lo).  Chunked
+    ``add.reduceat`` keeps every partial below 2^62 (no silent int64
+    wrap — the failure mode ADVICE r3 flagged in zscore), then the few
+    chunk totals are summed in Python arbitrary-precision ints.  One
+    vector op + O(n_chunks) Python — not per-row."""
+    if len(v) == 0:
+        return 0, 0
+    chunk = max(1, (1 << 62) // max(per_row_max, 1))
+    if len(v) <= chunk:
+        total = int(v.sum())
+    else:
+        idx = np.arange(0, len(v), chunk, dtype=np.int64)
+        total = int(sum(int(x) for x in np.add.reduceat(v, idx)))
+    return total // 1_000_000_000, total % 1_000_000_000
+
+
+def corr_by_group(ds, group_col: str = "l_returnflag",
+                  x_col: str = "l_quantity",
+                  y_col: str = "l_extendedprice"):
+    """(group, n, corr_micro): per-group Pearson correlation of two
+    numeric columns in integer cents — the feature-correlation pass of
+    a dataset-profiling stage — micro-quantized so the distributed
+    reduce is order-invariant and bit-equal to the SQL oracle.
+
+    Combiner shape: per-batch EXACT integer moment partials (n, Σx, Σy,
+    Σx², Σy², Σxy) with every square/cross sum carried as base-1e9
+    limbs (hi, lo) — Σy² per row reaches ~1.2e14 cents², so a naive
+    int64 groupby sum wraps near 10^5 max-value rows; the limb encoding
+    holds exactly to ~10^13 rows per group (documented bound) while the
+    DuckDB oracle's SUM() promotes to HUGEINT.  The tiny per-group
+    stats table reduces via one groupby (constant rows = distinct
+    groups), and the final r = (nΣxy − ΣxΣy) / √((nΣx²−Σx²)(nΣy²−Σy²))
+    runs driver-side in Python big ints then ONE double divide/sqrt in
+    the same IEEE order as the SQL expression — bit-identical micros."""
+    import pandas as pd
+
+    # per-row magnitude bounds for the chunked exact sums (cents):
+    # quantity ≤ 50.00 → 5e3, price ≤ ~1.1e5.00 → 2e7 (generous)
+    XMAX, YMAX = 100_000, 100_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.floor(batch.column(x_col)
+                     .to_numpy(zero_copy_only=False) * 100.0
+                     + 0.5).astype(np.int64)
+        y = np.floor(batch.column(y_col)
+                     .to_numpy(zero_copy_only=False) * 100.0
+                     + 0.5).astype(np.int64)
+        codes, uniq = pd.factorize(
+            batch.column(group_col).to_pandas(), sort=False)
+        rows = {k: [] for k in (
+            "grp", "n", "sx", "sy", "sxx_hi", "sxx_lo", "syy_hi",
+            "syy_lo", "sxy_hi", "sxy_lo")}
+        for c, grp in enumerate(uniq):
+            m = codes == c
+            xi, yi = x[m], y[m]
+            rows["grp"].append(str(grp))
+            rows["n"].append(int(m.sum()))
+            rows["sx"].append(int(xi.sum()))
+            rows["sy"].append(int(yi.sum()))
+            for key, v, bound in (
+                    ("sxx", xi * xi, XMAX * XMAX),
+                    ("syy", yi * yi, YMAX * YMAX),
+                    ("sxy", xi * yi, XMAX * YMAX)):
+                hi, lo = _limb_sum(v, bound)
+                rows[f"{key}_hi"].append(hi)
+                rows[f"{key}_lo"].append(lo)
+        return pa.Table.from_pydict(
+            {k: pa.array(v, pa.string() if k == "grp" else pa.int64())
+             for k, v in rows.items()})
+
+    import math
+
+    stats = ds.select_columns([group_col, x_col, y_col]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("grp").sum(["n", "sx", "sy", "sxx_hi", "sxx_lo",
+                             "syy_hi", "syy_lo", "sxy_hi", "sxy_lo"]) \
+        .take_all()                      # constant rows: distinct groups
+    out = {group_col: [], "n": [], "corr_micro": []}
+    for r in sorted(stats, key=lambda r: r["grp"]):
+        n = int(r["sum(n)"])
+        sx, sy = int(r["sum(sx)"]), int(r["sum(sy)"])
+        sxx = int(r["sum(sxx_hi)"]) * 1_000_000_000 + int(r["sum(sxx_lo)"])
+        syy = int(r["sum(syy_hi)"]) * 1_000_000_000 + int(r["sum(syy_lo)"])
+        sxy = int(r["sum(sxy_hi)"]) * 1_000_000_000 + int(r["sum(sxy_lo)"])
+        num = n * sxy - sx * sy          # exact big ints
+        den_x = n * sxx - sx * sx
+        den_y = n * syy - sy * sy
+        if n > 1 and den_x > 0 and den_y > 0:
+            cm = int(math.floor(
+                float(num) * 1000000.0
+                / math.sqrt(float(den_x) * float(den_y)) + 0.5))
+        else:
+            cm = 0
+        out[group_col].append(r["grp"])
+        out["n"].append(n)
+        out["corr_micro"].append(cm)
+    return pd.DataFrame(out)
+
+
 def _rev_cents(price: np.ndarray, disc: np.ndarray) -> np.ndarray:
     """DuckDB CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
     for the positive domain — identical double-op order, so bit-equal."""
