@@ -60,6 +60,18 @@ def _incremental_dedup(sf_dir: str):
         split_by_mod(docs, mod=100, lt=50))
 
 
+def _bloom_dedup(sf_dir: str):
+    """Same daily-crawl split as _incremental_dedup, screened through
+    the constant-memory Bloom filter instead of the exact anti-join."""
+    from webtext.functions.curation import split_by_mod
+    from webtext.functions.sketches import bloom_dedup
+
+    docs = _docs_cols(sf_dir, ["doc_id", "text"])
+    return bloom_dedup(
+        split_by_mod(docs, mod=100, lt=50, invert=True),
+        split_by_mod(docs, mod=100, lt=50))
+
+
 def _incremental_near_dedup(sf_dir: str):
     """Daily-crawl near-dup shape: same historical/new split as
     incremental_dedup, MinHash-LSH + Jaccard instead of exact md5.
@@ -1605,6 +1617,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": lambda sf: textstats.vocab_coverage(
             _docs_cols(sf, ["doc_id", "text"]), 50),
         "incremental_dedup": lambda sf: _incremental_dedup(sf),
+        "bloom_dedup": lambda sf: _bloom_dedup(sf),
+        "nb_classify": lambda sf: lm.nb_classify(
+            _docs_cols(sf, ["doc_id", "lang", "text"])),
         "incremental_near_dedup": lambda sf: _incremental_near_dedup(
             sf),
         "dup_cluster_stats": lambda sf: dedup.dup_cluster_stats(
@@ -1799,6 +1814,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_keep_longest", "compression_ratio",
             "centroid_classify",
             "pagerank", "containment_pairs",
+            "nb_classify", "bloom_dedup",
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs", "media_dedup_apply",
             "dedup_extracted", "dup_cluster_stats", "hll_users",
@@ -2592,7 +2608,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(md5_number_upper(
                     CAST(doc_id AS VARCHAR) || 'pps')
                     & 9223372036854775807 AS DOUBLE)
-                < CAST(n_chars AS DOUBLE) * 500.0 / w.total
+                < CAST(n_chars AS DOUBLE) * 100.0 / w.total
                   * 9223372036854775808.0""",
         # winner = min (did, idx, doc_id) per distinct line where
         # did = md5_number_upper & 63-bit mask, the same little-endian

@@ -1461,3 +1461,51 @@ def test_split_assign_stable_under_corpus_growth(ray_session):
     b = {r["doc_id"]: r["split"]
          for r in textstats.split_assign(big).take_all()}
     assert all(b[k] == v for k, v in a.items())
+
+
+def test_bloom_dedup_no_false_negatives(ray_session):
+    import ray.data
+
+    from webtext.functions.sketches import bloom_dedup
+
+    hist = [{"doc_id": i, "text": f"historical document {i}"}
+            for i in range(200)]
+    # new crawl: 50 repeats of historical content + 50 fresh docs
+    new = [{"doc_id": 1000 + i, "text": f"historical document {i}"}
+           for i in range(50)]
+    new += [{"doc_id": 2000 + i, "text": f"fresh document {i}"}
+            for i in range(50)]
+    kept = bloom_dedup(ray.data.from_items(new).repartition(4),
+                       ray.data.from_items(hist).repartition(5)) \
+        .take_all()
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    # every true duplicate is dropped (no false negatives)
+    assert all(i < 1000 or i >= 2000 for i in kept_ids)
+    # false positives are rare at this fill: nearly all fresh docs kept
+    assert len(kept_ids) >= 48
+    # deterministic under different blocking
+    kept2 = sorted(r["doc_id"] for r in bloom_dedup(
+        ray.data.from_items(new).repartition(9),
+        ray.data.from_items(hist).repartition(2)).take_all())
+    assert kept2 == kept_ids
+
+
+def test_bloom_positions_match_python_int_formula(ray_session):
+    import hashlib
+
+    import numpy as np
+
+    from webtext.functions.sketches import (BLOOM_K, BLOOM_M,
+                                            _bloom_fp_halves,
+                                            _bloom_positions)
+
+    texts = ["alpha", "beta", "", "länger unicode ü"]
+    h1, h2, fps = _bloom_fp_halves(texts)
+    pos = _bloom_positions(h1, h2)
+    for i, t in enumerate(texts):
+        f = hashlib.md5(t.encode("utf-8")).hexdigest()
+        assert f == fps[i]
+        a, b = int(f[:16], 16), int(f[16:32], 16)
+        want = [((a + j * b) % (1 << 64)) % BLOOM_M
+                for j in range(BLOOM_K)]
+        assert pos[i].tolist() == want

@@ -331,3 +331,42 @@ def test_quality_stratified_sample_rates(ray_session):
     # keep_tail=0 drops the whole tail deterministically
     none_tail = quality_stratified_sample(ds, keep_tail=0).take_all()
     assert not [r for r in none_tail if r["bucket"] == "tail"]
+
+
+def test_nb_classify_separable_langs(ray_session):
+    import ray.data
+
+    from webtext.functions.lm import nb_classify
+
+    # two languages with disjoint vocabularies; doc_id % 10 < 8 trains
+    rows = []
+    for i in range(40):
+        lang = "aa" if i % 2 == 0 else "bb"
+        words = (["gato perro casa sol"] if lang == "aa"
+                 else ["hund katze haus mond"])
+        rows.append({"doc_id": i, "lang": lang,
+                     "text": " ".join(words * 3)})
+    ds = ray.data.from_items(rows).repartition(4)
+    out = nb_classify(ds).take_all()
+    # held-out = doc_id % 10 in {8, 9} -> 8 docs
+    assert len(out) == 8
+    assert all(r["pred"] == r["lang"] for r in out)
+    # block-split invariance
+    out2 = nb_classify(ray.data.from_items(rows).repartition(7)) \
+        .take_all()
+    assert sorted((r["doc_id"], r["pred"]) for r in out2) == \
+        sorted((r["doc_id"], r["pred"]) for r in out)
+
+
+def test_nb_classify_tie_breaks_to_smallest_lang(ray_session):
+    import ray.data
+
+    from webtext.functions.lm import nb_classify
+
+    # identical text + balanced classes -> every score ties; the
+    # prediction must be the lexicographically smallest language
+    rows = [{"doc_id": i, "lang": "zz" if i % 2 else "mm",
+             "text": "same words every time"} for i in range(20)]
+    out = nb_classify(ray.data.from_items(rows).repartition(3)) \
+        .take_all()
+    assert out and all(r["pred"] == "mm" for r in out)

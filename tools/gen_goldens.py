@@ -686,6 +686,95 @@ def golden_hll_users_by_type(sf_dir: str) -> pa.Table:
                      "n_approx": pa.array(ests, pa.int64())})
 
 
+def golden_nb_classify(sf_dir: str, n_feats: int = 4096,
+                       train_mod: int = 10,
+                       train_lt: int = 8) -> pa.Table:
+    """Independent single-process multinomial NB with feature hashing —
+    dict-of-dicts counts, math.log micro-quantized log-probs, ties to
+    the lexicographically smallest language (must match
+    webtext/functions/lm.py nb_classify bit-for-bit)."""
+    import math
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"]).to_pylist()
+    counts: dict[str, dict[int, int]] = {}
+    docs_of: dict[str, int] = {}
+    for d in docs:
+        if d["doc_id"] % train_mod < train_lt:
+            lg = d["lang"]
+            docs_of[lg] = docs_of.get(lg, 0) + 1
+            c = counts.setdefault(lg, {})
+            for tok in d["text"].split(" "):
+                f = zlib.crc32(tok.encode("utf-8")) % n_feats
+                c[f] = c.get(f, 0) + 1
+    langs = sorted(docs_of)
+    d_total = sum(docs_of.values())
+    prior = {lg: math.floor(math.log(float(docs_of[lg])
+                                     / float(d_total))
+                            * 1000000.0 + 0.5) for lg in langs}
+    denom = {lg: float(sum(counts.get(lg, {}).values()) + n_feats)
+             for lg in langs}
+    llp = {lg: {f: math.floor(math.log(float(c + 1) / denom[lg])
+                              * 1000000.0 + 0.5)
+                for f, c in counts.get(lg, {}).items()}
+           for lg in langs}
+    zero = {lg: math.floor(math.log(1.0 / denom[lg])
+                           * 1000000.0 + 0.5) for lg in langs}
+    rows = {"doc_id": [], "lang": [], "pred": []}
+    for d in docs:
+        if d["doc_id"] % train_mod < train_lt:
+            continue
+        feats = [zlib.crc32(tok.encode("utf-8")) % n_feats
+                 for tok in d["text"].split(" ")]
+        best, best_s = None, None
+        for lg in langs:                 # sorted → first max wins
+            s = prior[lg] + sum(
+                llp[lg].get(f, zero[lg]) for f in feats)
+            if best_s is None or s > best_s:
+                best, best_s = lg, s
+        rows["doc_id"].append(d["doc_id"])
+        rows["lang"].append(d["lang"])
+        rows["pred"].append(best)
+    return pa.Table.from_pydict(rows, schema=pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()),
+         ("pred", pa.string())]))
+
+
+def golden_bloom_dedup(sf_dir: str, m: int = 1 << 20,
+                       k: int = 4) -> pa.Table:
+    """Independent Bloom-filter incremental dedup: Python-int double
+    hashing over md5 halves, set-of-bit-positions filter (must match
+    webtext/functions/sketches.py bloom_dedup bit-for-bit, including
+    any false-positive drops)."""
+    import hashlib
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]).to_pylist()
+
+    def probes(text: str):
+        f = hashlib.md5(text.encode("utf-8")).hexdigest()
+        h1, h2 = int(f[:16], 16), int(f[16:32], 16)
+        return [((h1 + i * h2) % (1 << 64)) % m for i in range(k)], f
+
+    bset: set[int] = set()
+    for d in docs:
+        if d["doc_id"] % 100 < 50:
+            p, _ = probes(d["text"])
+            bset.update(p)
+    rows = {"doc_id": [], "fp": []}
+    for d in docs:
+        if d["doc_id"] % 100 < 50:
+            continue
+        p, f = probes(d["text"])
+        if not all(x in bset for x in p):
+            rows["doc_id"].append(d["doc_id"])
+            rows["fp"].append(f)
+    return pa.Table.from_pydict(rows, schema=pa.schema(
+        [("doc_id", pa.int64()), ("fp", pa.string())]))
+
+
 def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     tag = os.path.basename(sf_dir.rstrip("/"))
     n_fam = 16 if tag.endswith("0.1") else 8
@@ -1308,6 +1397,9 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
 
     g["hll_users"] = golden_hll_users(sf_dir)
     g["hll_users_by_type"] = golden_hll_users_by_type(sf_dir)
+
+    g["nb_classify"] = golden_nb_classify(sf_dir)
+    g["bloom_dedup"] = golden_bloom_dedup(sf_dir)
 
     return g
 

@@ -741,7 +741,7 @@ def temperature_sample(ds, lang_col: str = "lang", salt: str = "ts"):
                           zero_copy_batch=True)
 
 
-def pps_sample(ds, k: int = 500, weight_col: str = "n_chars",
+def pps_sample(ds, k: int = 100, weight_col: str = "n_chars",
                salt: str = "pps"):
     """Deterministic Poisson probability-proportional-to-size sample:
     keep each document with probability min(1, k·wᵢ/W) where wᵢ is the

@@ -565,3 +565,141 @@ def quality_stratified_sample(ds, keep_head: int = 4096,
 
     return perplexity_buckets(ds).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+NB_FEATS = 4096                 # hashed vocabulary (feature-hashing NB)
+
+
+def nb_classify(ds, n_feats: int = NB_FEATS, train_mod: int = 10,
+                train_lt: int = 8):
+    """(doc_id, lang, pred): multinomial Naive Bayes language
+    classifier with feature hashing — the classic fastText-style
+    quality/language screen a curation pipeline trains ON the corpus
+    and applies TO the corpus, with no external model.  Trains on the
+    deterministic ``doc_id % train_mod < train_lt`` slice (labels =
+    the ``lang`` column), predicts the held-out remainder; ties break
+    to the lexicographically smallest language.
+
+    Scale shape: tokens hash into a FIXED n_feats-slot vocabulary
+    (crc32 — the hash_embeddings convention), so the trained model is
+    a constant-size (n_langs × n_feats) count matrix no matter the
+    corpus: the train pass is one combiner map (per-batch bincount over
+    lang·feat keys, emitting ≤ n_langs·n_feats rows per batch) + one
+    tiny groupby; the model broadcasts once via ray.put and scoring is
+    a pure vectorized map (factorize distinct tokens, gather their
+    log-prob columns, one add.at per language).  Laplace-smoothed
+    log-probabilities are micro-quantized int64, so per-document sums
+    are order-invariant and the committed differential golden (an
+    independent single-process NB in tools/gen_goldens.py) matches
+    bit-for-bit under any blocking."""
+    import math
+    import zlib
+
+    import pandas as pd
+    import ray
+
+    def train_partial(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tr = (doc % train_mod) < train_lt
+        t = batch.filter(pa.array(tr))
+        n = t.num_rows
+        lang_codes, langs = pd.factorize(
+            t.column("lang").to_pandas(), sort=False)
+        toks = pc.split_pattern(t.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        out_lang, out_feat, out_cnt = [], [], []
+        if n and lengths.sum():
+            codes, uniq = pd.factorize(
+                pc.list_flatten(toks).to_pandas(), sort=False)
+            feat_of = np.array(
+                [zlib.crc32(str(u).encode("utf-8")) for u in uniq],
+                dtype=np.uint32) % np.uint32(n_feats)
+            feat_of = feat_of.astype(np.int64)
+            rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            key = (lang_codes[rows].astype(np.int64) * n_feats
+                   + feat_of[codes])
+            cnt = np.bincount(key, minlength=len(langs) * n_feats)
+            nz = np.flatnonzero(cnt)
+            out_lang.extend(str(langs[i // n_feats]) for i in nz)
+            out_feat.extend((nz % n_feats).tolist())
+            out_cnt.extend(cnt[nz].tolist())
+        # per-lang doc counts ride the same table as feat = -1 rows
+        for c, lg in enumerate(langs):
+            out_lang.append(str(lg))
+            out_feat.append(-1)
+            out_cnt.append(int((lang_codes == c).sum()))
+        return pa.Table.from_arrays(
+            [pa.array(out_lang, pa.string()),
+             pa.array(out_feat, pa.int64()),
+             pa.array(out_cnt, pa.int64())],
+            names=["lang", "feat", "cnt"])
+
+    model_rows = ds.select_columns(["doc_id", "lang", "text"]) \
+        .map_batches(train_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["lang", "feat"]).sum("cnt") \
+        .take_all()               # ≤ n_langs·(n_feats+1) rows, constant
+    langs = sorted({r["lang"] for r in model_rows})
+    lidx = {lg: i for i, lg in enumerate(langs)}
+    L = len(langs)
+    counts = np.zeros((L, n_feats), dtype=np.int64)
+    docs_of = np.zeros(L, dtype=np.int64)
+    for r in model_rows:
+        if r["feat"] < 0:
+            docs_of[lidx[r["lang"]]] += int(r["sum(cnt)"])
+        else:
+            counts[lidx[r["lang"]], r["feat"]] = int(r["sum(cnt)"])
+    totals = counts.sum(axis=1)
+    d_total = int(docs_of.sum())
+    llp = np.zeros((L, n_feats), dtype=np.int64)
+    prior = np.zeros(L, dtype=np.int64)
+    for i in range(L):
+        denom = float(int(totals[i]) + n_feats)
+        # math.log, not np.log: numpy's SIMD log can differ from libm
+        # in the last ulp, which would flip a micro unit vs the golden;
+        # this runs ONCE driver-side over a constant-size matrix
+        llp[i] = np.fromiter(
+            (math.floor(math.log(float(c + 1) / denom)
+                        * 1000000.0 + 0.5)
+             for c in counts[i].tolist()),
+            dtype=np.int64, count=n_feats)
+        prior[i] = int(math.floor(math.log(
+            float(int(docs_of[i])) / float(d_total)) * 1000000.0 + 0.5))
+    ref = ray.put((langs, prior, llp))
+
+    def score(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        mlangs, mprior, mllp = (_ref if isinstance(_ref, tuple)
+                                else ray.get(_ref))
+        doc = batch.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        held = (doc % train_mod) >= train_lt
+        t = batch.filter(pa.array(held))
+        n = t.num_rows
+        toks = pc.split_pattern(t.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        scores = np.tile(mprior[:, None].astype(np.int64), (1, n))
+        if n and lengths.sum():
+            codes, uniq = pd.factorize(
+                pc.list_flatten(toks).to_pandas(), sort=False)
+            feat_of = (np.array(
+                [zlib.crc32(str(u).encode("utf-8")) for u in uniq],
+                dtype=np.uint32) % np.uint32(n_feats)).astype(np.int64)
+            rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            fcodes = feat_of[codes]
+            for i in range(len(mlangs)):       # constant #languages
+                np.add.at(scores[i], rows, mllp[i][fcodes])
+        pred = np.argmax(scores, axis=0)       # first max = smallest
+        return pa.Table.from_arrays(
+            [t.column("doc_id").cast(pa.int64()), t.column("lang"),
+             pa.array([mlangs[p] for p in pred], pa.string())],
+            names=["doc_id", "lang", "pred"])
+
+    return ds.select_columns(["doc_id", "lang", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)

@@ -329,3 +329,128 @@ def heavy_hitters(ds, threshold: int = 100, d: int = CMS_D,
         lambda b: b.rename_columns(["token", "n"]),
         batch_format="pyarrow", zero_copy_batch=True)
     return summed.filter(expr=f"n >= {int(threshold)}")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the constant-memory membership sketch for incremental dedup
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 20               # bits (128 KiB packed)
+BLOOM_K = 4                     # probes per key (Kirsch–Mitzenmacher)
+_BLOOM_WORDS = BLOOM_M // 64
+
+
+def _bloom_fp_halves(texts: list[str]) -> tuple[np.ndarray, np.ndarray,
+                                                list[str]]:
+    """md5 hex fingerprints (the repo's exact-dedup key convention,
+    dedup_pipeline._fp_batch) split into two big-endian 64-bit halves —
+    the double-hash base for the k probe positions."""
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    h1 = np.fromiter((int(f[:16], 16) for f in fps),
+                     dtype=np.uint64, count=len(fps))
+    h2 = np.fromiter((int(f[16:32], 16) for f in fps),
+                     dtype=np.uint64, count=len(fps))
+    return h1, h2, fps
+
+
+def _bloom_positions(h1: np.ndarray, h2: np.ndarray,
+                     m: int = BLOOM_M, k: int = BLOOM_K) -> np.ndarray:
+    """(n, k) bit positions: (h1 + i·h2) mod 2^64 mod m — uint64
+    arithmetic wraps mod 2^64 natively, so this is exact and identical
+    to the Python-int golden."""
+    ks = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + ks[None, :] * h2[:, None])
+            % np.uint64(m)).astype(np.int64)
+
+
+def bloom_build(seen_ds, m: int = BLOOM_M, k: int = BLOOM_K,
+                merge_fan: int = 16) -> np.ndarray:
+    """Distributed Bloom-filter build over the historical corpus's text
+    fingerprints; returns the packed uint64 bitset (m/64 words).
+
+    Combiner shape: each batch ORs its keys into a private bitset and
+    emits ONE fixed-size row (m/64 uint64 words — 128 KiB at the
+    default m) regardless of batch size; a groupby over ``merge_fan``
+    deterministic groups ORs those partials tree-style, and the driver
+    ORs the surviving ≤ merge_fan rows.  Nothing row-shaped is ever
+    shuffled — at 100 TB the exchange carries (n_batches → merge_fan
+    → 1) 128-KiB rows, while the exact anti-join alternative ships
+    every distinct fingerprint."""
+    words = m // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h1, h2, _ = _bloom_fp_halves(
+            batch.column("text").to_pylist())
+        bits = np.zeros(words, dtype=np.uint64)
+        if len(h1):
+            pos = _bloom_positions(h1, h2, m, k).ravel()
+            np.bitwise_or.at(bits, pos >> 6,
+                             np.uint64(1) << (pos & 63).astype(np.uint64))
+        g = int(h1[0] % merge_fan) if len(h1) else 0
+        return pa.Table.from_arrays(
+            [pa.array([g], pa.int64()),
+             pa.array([bits.view(np.int64)], pa.list_(pa.int64()))],
+            names=["g", "bits"])
+
+    def merge(group: pa.Table) -> pa.Table:
+        acc = np.zeros(words, dtype=np.uint64)
+        for row in group.column("bits").to_pylist():
+            acc |= np.asarray(row, dtype=np.int64).view(np.uint64)
+        return pa.Table.from_arrays(
+            [group.column("g").slice(0, 1),
+             pa.array([acc.view(np.int64)], pa.list_(pa.int64()))],
+            names=["g", "bits"])
+
+    rows = seen_ds.select_columns(["text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("g").map_groups(merge, batch_format="pyarrow") \
+        .take_all()                          # ≤ merge_fan rows, constant
+    final = np.zeros(words, dtype=np.uint64)
+    for r in rows:
+        final |= np.asarray(r["bits"], dtype=np.int64).view(np.uint64)
+    return final
+
+
+def bloom_dedup(new_ds, seen_ds, m: int = BLOOM_M, k: int = BLOOM_K):
+    """(doc_id, fp): the new crawl's documents whose exact content does
+    NOT hit the historical Bloom filter — the constant-memory
+    incremental-dedup screen.  No false negatives by construction
+    (every historical duplicate is dropped); false positives drop a
+    fresh doc with probability ≈ (1 − e^(−kn/m))^k — at the default
+    128-KiB filter that is < 0.24% up to n = 50k historical keys, and a
+    deployment sizes m to its corpus.  Unlike the exact
+    ``incremental_dedup`` anti-join (one bucketed shuffle of every
+    fingerprint), the screen broadcasts 128 KiB once via ray.put and
+    the new side streams through a pure vectorized filter — the 100-TB
+    shape when the historical side dwarfs the daily crawl.  Survivors
+    are NOT deduped within the new crawl (compose with exact_dedup for
+    that); determinism is content-addressed, so output is invariant to
+    blocking and cluster size (pinned by tests + differential golden)."""
+    import ray
+
+    bits = bloom_build(seen_ds, m, k)
+    ref = ray.put(bits.view(np.int64))
+
+    def keep(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        bset = (_ref if isinstance(_ref, np.ndarray)
+                else ray.get(_ref)).view(np.uint64)
+        h1, h2, fps = _bloom_fp_halves(
+            batch.column("text").to_pylist())
+        if not len(h1):
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.string())],
+                names=["doc_id", "fp"])
+        pos = _bloom_positions(h1, h2, m, k)
+        hit = ((bset[pos >> 6] >> (pos & 63).astype(np.uint64))
+               & np.uint64(1)).astype(bool).all(axis=1)
+        fresh = ~hit
+        return pa.Table.from_arrays(
+            [batch.column("doc_id").cast(pa.int64()).filter(
+                pa.array(fresh)),
+             pa.array([f for f, kp in zip(fps, fresh) if kp],
+                      pa.string())],
+            names=["doc_id", "fp"])
+
+    return new_ds.select_columns(["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True)
