@@ -267,6 +267,36 @@ def _events_dense_rank(sf_dir: str):
         columns=["event_id", "user_id", "value"]))
 
 
+def _events_active_spans(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import active_spans
+
+    return active_spans(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"]))
+
+
+def _events_winsorize(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.relational import winsorize
+
+    return winsorize(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"]))
+
+
+def _orders_pareto(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.relational import pareto_front
+
+    return pareto_front(ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"]))
+
+
 def _events_percent_rank(sf_dir: str):
     import ray.data
 
@@ -1662,6 +1692,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_events": lambda sf: _events_ntile(sf),
         "dense_rank_events": lambda sf: _events_dense_rank(sf),
         "percent_rank_events": lambda sf: _events_percent_rank(sf),
+        "active_spans": lambda sf: _events_active_spans(sf),
+        "winsorize_events": lambda sf: _events_winsorize(sf),
+        "pareto_orders": lambda sf: _orders_pareto(sf),
         "zscore_events": lambda sf: _events_zscore(sf),
         "user_growth": lambda sf: _events_growth(sf),
         "distinct_users": lambda sf: _events_distinct_users(sf),
@@ -2468,6 +2501,48 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY CAST(round(value*100) AS BIGINT))
                      AS BIGINT) AS dense_rank
             FROM events""",
+        # gaps-and-islands: lag-delta window replayed in epoch micros;
+        # 1800000000 us = the 30-minute session gap
+        "active_spans": """
+            WITH d AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS delta
+              FROM events)
+            SELECT user_id,
+                   CAST(1 + COALESCE(SUM(CASE WHEN delta > 1800000000
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(SUM(CASE WHEN delta <= 1800000000
+                     THEN delta END), 0) AS BIGINT) AS active_us
+            FROM d GROUP BY user_id""",
+        # clamp bounds are quantile_disc (existing elements) and
+        # unclamped values pass through untouched -> float-exact
+        "winsorize_events": """
+            WITH th AS (
+              SELECT event_type,
+                     quantile_disc(value, 0.05) AS lo,
+                     quantile_disc(value, 0.95) AS hi
+              FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   LEAST(GREATEST(e.value, th.lo), th.hi) AS w_value
+            FROM events e JOIN th USING (event_type)""",
+        # skyline via NOT EXISTS dominance; both engines compare in
+        # integer cents so tie semantics agree
+        "pareto_orders": """
+            SELECT r.o_orderkey,
+                   CAST(round(r.o_totalprice*100) AS BIGINT)
+                     AS price_cents,
+                   r.o_orderdate
+            FROM orders r
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders s
+              WHERE CAST(round(s.o_totalprice*100) AS BIGINT)
+                      >= CAST(round(r.o_totalprice*100) AS BIGINT)
+                AND s.o_orderdate <= r.o_orderdate
+                AND (CAST(round(s.o_totalprice*100) AS BIGINT)
+                       > CAST(round(r.o_totalprice*100) AS BIGINT)
+                     OR s.o_orderdate < r.o_orderdate))""",
         # percent_rank() is (rank-1)/(n-1) in double — the same IEEE
         # divide the numpy kernel runs — then one multiply + floor, so
         # the micro values are bit-identical; single-row partitions

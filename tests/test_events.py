@@ -637,3 +637,30 @@ def test_props_field_stats_missing_and_negative(ray_session):
            for r in props_field_stats(
                ray.data.from_items(rows).repartition(2)).take_all()}
     assert got == {"a": (2, 4), "b": (1, 11)}
+
+
+def test_active_spans_islands_and_durations(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import active_spans
+
+    T = lambda m: (dt.datetime(2026, 1, 1)
+                   + dt.timedelta(minutes=m))  # noqa: E731
+    rows = [
+        # user 1: two islands — [0, 10, 20] then (gap > 30m) [59, 64]
+        {"event_id": 1, "user_id": 1, "ts": T(0)},
+        {"event_id": 2, "user_id": 1, "ts": T(10)},
+        {"event_id": 3, "user_id": 1, "ts": T(20)},
+        {"event_id": 4, "user_id": 1, "ts": T(59)},
+        {"event_id": 5, "user_id": 1, "ts": T(64)},
+        # user 2: single event — one span, zero duration
+        {"event_id": 6, "user_id": 2, "ts": T(5)},
+    ]
+    got = {r["user_id"]: (r["n_spans"], r["active_us"])
+           for r in active_spans(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    us = 60 * 1_000_000
+    assert got[1] == (2, 20 * us + 5 * us)
+    assert got[2] == (1, 0)

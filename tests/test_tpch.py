@@ -1131,3 +1131,50 @@ def test_corr_degenerate_groups(ray_session):
     got = corr_by_group(ray.data.from_items(rows).repartition(2))
     vals = dict(zip(got["l_returnflag"], got["corr_micro"]))
     assert vals == {"a": 1_000_000, "b": 0, "c": 0}
+
+
+def test_winsorize_clamps_to_group_band(ray_session):
+    import ray.data
+
+    from webtext.pipelines.relational import winsorize
+
+    # 20 ordered values 1..20 in one group: q5 -> rank ceil(.05*20)-1=0
+    # (value 1.0), q95 -> rank ceil(.95*20)-1=18 (value 19.0)
+    rows = [{"event_id": i, "event_type": "t", "value": float(i + 1)}
+            for i in range(20)]
+    out = {r["event_id"]: r["w_value"]
+           for r in winsorize(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert out[19] == 19.0          # 20.0 clamped down to q95
+    assert out[0] == 1.0            # q5 is the min -> unchanged
+    assert out[10] == 11.0          # interior passes through
+
+
+def test_pareto_front_dominance_and_ties(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.pipelines.relational import pareto_front
+
+    D = lambda n: dt.datetime(2000, 1, n)  # noqa: E731
+    rows = [
+        # skyline: (100, day1); duplicates of a skyline point both kept
+        {"o_orderkey": 1, "o_totalprice": 100.0, "o_orderdate": D(1)},
+        {"o_orderkey": 2, "o_totalprice": 100.0, "o_orderdate": D(1)},
+        # dominated: same price, later date
+        {"o_orderkey": 3, "o_totalprice": 100.0, "o_orderdate": D(5)},
+        # dominated: lower price, same date
+        {"o_orderkey": 4, "o_totalprice": 50.0, "o_orderdate": D(1)},
+        # skyline: higher price, later date (incomparable with key 1)
+        {"o_orderkey": 5, "o_totalprice": 200.0, "o_orderdate": D(9)},
+        # dominated by 5
+        {"o_orderkey": 6, "o_totalprice": 150.0, "o_orderdate": D(9)},
+    ]
+    got = sorted(r["o_orderkey"] for r in pareto_front(
+        ray.data.from_items(rows).repartition(3)).take_all())
+    assert got == [1, 2, 5]
+    # block-split invariance
+    got2 = sorted(r["o_orderkey"] for r in pareto_front(
+        ray.data.from_items(rows).repartition(6)).take_all())
+    assert got2 == got

@@ -144,6 +144,62 @@ def sessionize(ds, gap_minutes: int = SESSION_GAP_MINUTES,
                                            batch_format="pyarrow")
 
 
+def active_spans(ds, gap_minutes: int = SESSION_GAP_MINUTES,
+                 n_buckets: int = 256):
+    """(user_id, n_spans, active_us): gaps-and-islands over each user's
+    event stream — consecutive events ≤ gap apart merge into one
+    activity span; ``n_spans`` counts the islands (= sessionize's
+    session count) and ``active_us`` sums each span's duration
+    (last − first event), computed as the sum of within-span deltas so
+    it needs no island bookkeeping.
+
+    Same one-shuffle shape as sessionize: hash(user_id) buckets, one
+    lexsort by (user, ts, event_id) per bucket, one np.diff — per-user
+    work is a contiguous vectorized run, never a Python group.  All
+    integer micros, so the SQL oracle (lag-delta window + conditional
+    sums) matches exactly."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(_ibucket(uid, n_buckets)))
+
+    def spans_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        same_user = uid[1:] == uid[:-1]
+        delta = ts[1:] - ts[:-1]
+        breaks = same_user & (delta > gap_us)
+        within = same_user & (delta <= gap_us)
+        users = np.unique(uid)              # sorted
+        n_spans = np.ones(len(users), dtype=np.int64)
+        if breaks.any():
+            bu, bc = np.unique(uid[1:][breaks], return_counts=True)
+            n_spans[np.searchsorted(users, bu)] += bc
+        active = np.zeros(len(users), dtype=np.int64)
+        if within.any():
+            idx = np.searchsorted(users, uid[1:][within])
+            np.add.at(active, idx, delta[within])
+        return pa.Table.from_arrays(
+            [pa.array(users.astype(np.int64)), pa.array(n_spans),
+             pa.array(active)],
+            names=["user_id", "n_spans", "active_us"])
+
+    return ds.select_columns(["user_id", "ts", "event_id"]) \
+             .map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .groupby("bucket").map_groups(spans_bucket,
+                                           batch_format="pyarrow")
+
+
 def distinct_users(ds, n_buckets: int = 256):
     """(event_type, n_users): exact COUNT(DISTINCT user_id) per event
     type, expressed as a two-level combiner so the all-to-all never

@@ -266,6 +266,125 @@ def outlier_filter(ds, group_col: str = "event_type",
         flt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def winsorize(ds, group_col: str = "event_type",
+              value_col: str = "value", lo_q: float = 0.05,
+              hi_q: float = 0.95,
+              keep_cols: tuple[str, ...] = ("event_id",)):
+    """Per-group winsorization: clamp each row's value into its group's
+    exact [lo_q, hi_q] discrete-quantile band — the tail-taming
+    normalization an ML feature pipeline applies before scaling.
+    Output: keep_cols + (group, w_value).
+
+    Same broadcast composition as outlier_filter: group_quantiles
+    reduces the corpus to one (lo, hi) row per group, the thresholds
+    ship once via ray.put, and the clamp is a vectorized
+    dictionary-encode + dense-LUT gather + np.clip per batch.  Both
+    clamp bounds are EXISTING elements (quantile_disc convention) and
+    unclamped values pass through untouched, so every output value is
+    float-exact against the SQL oracle's LEAST/GREATEST."""
+    import numpy as np
+    import ray
+
+    lo_col, hi_col = f"q{int(lo_q * 100)}", f"q{int(hi_q * 100)}"
+    thr = {r[group_col]: (r[lo_col], r[hi_col])
+           for r in group_quantiles(ds, group_col, value_col,
+                                    (lo_q, hi_q)).take_all()}
+    ref = ray.put(thr)
+    out_cols = list(keep_cols) + [group_col, value_col]
+
+    def clamp(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        t = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        enc = pc.dictionary_encode(
+            batch.column(group_col)).combine_chunks()
+        pairs = [t.get(k, (-np.inf, np.inf))
+                 for k in enc.dictionary.to_pylist()]
+        lo_lut = np.append(np.array([p[0] for p in pairs],
+                                    dtype=np.float64), -np.inf)
+        hi_lut = np.append(np.array([p[1] for p in pairs],
+                                    dtype=np.float64), np.inf)
+        codes = enc.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        w = np.clip(vals, lo_lut[codes], hi_lut[codes])
+        out = batch.select(list(keep_cols) + [group_col])
+        return out.append_column("w_value", pa.array(w))
+
+    return ds.select_columns(out_cols).map_batches(
+        clamp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _skyline_mask(cents: np.ndarray, date: np.ndarray) -> np.ndarray:
+    """Boolean skyline membership for (maximize cents, minimize date):
+    a row survives iff no other row has cents ≥ AND date ≤ with one
+    strict.  One lexsort (cents desc, date asc) + per-price-group min +
+    prefix-min over strictly-higher price groups — fully vectorized."""
+    n = len(cents)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((date, -cents))
+    c_s, d_s = cents[order], date[order]
+    new_grp = np.concatenate([[True], c_s[1:] != c_s[:-1]])
+    grp_id = np.cumsum(new_grp) - 1
+    grp_min = d_s[np.flatnonzero(new_grp)]      # date asc ⇒ group min
+    # min date among all STRICTLY higher price groups
+    prev_min = np.concatenate(
+        [[np.iinfo(np.int64).max],
+         np.minimum.accumulate(grp_min)[:-1]])
+    keep_s = (d_s == grp_min[grp_id]) & (d_s < prev_min[grp_id])
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_s
+    return keep
+
+
+def pareto_front(ds, key_col: str = "o_orderkey",
+                 max_col: str = "o_totalprice",
+                 min_col: str = "o_orderdate"):
+    """(key, price_cents, odate): the Pareto skyline — rows not
+    dominated on (maximize ``max_col``, minimize ``min_col``); a row is
+    dominated when another row is ≥ on the max axis AND ≤ on the min
+    axis with at least one strict.  The classic multi-criteria
+    shortlist ("earliest high-value orders"); duplicates of a skyline
+    point all survive (no strict part between equals).
+
+    Distributed as the standard skyline combiner: dominance is
+    transitive, so each batch keeps only its LOCAL skyline (one lexsort
+    + prefix-min, no pairwise loop), and the surviving candidates — a
+    skyline is O(polylog n) points for non-adversarial data — collapse
+    into one block where the same kernel runs once more.  The corpus
+    never shuffles; only local winners move.  Values compare in integer
+    cents / epoch-micros, so tie semantics match the SQL NOT EXISTS
+    oracle exactly."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column(max_col)
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        date = batch.column(min_col).cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = _skyline_mask(cents, date)
+        kmask = pa.array(keep)
+        return pa.Table.from_arrays(
+            [batch.column(key_col).cast(pa.int64()).filter(kmask),
+             pa.array(cents[keep]),
+             batch.column(min_col).filter(kmask)],
+            names=[key_col, "price_cents", min_col])
+
+    def final(batch: pa.Table) -> pa.Table:
+        cents = batch.column("price_cents") \
+            .to_numpy(zero_copy_only=False)
+        date = batch.column(min_col).cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = pa.array(_skyline_mask(cents, date))
+        return batch.filter(keep)
+
+    return ds.select_columns([key_col, max_col, min_col]) \
+        .map_batches(local, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .repartition(1) \
+        .map_batches(final, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+
 def string_intersect(a_ds, b_ds, col: str = "token"):
     """INTERSECT over a string column: the distinct values present in
     BOTH datasets — completes the set-op family (union_sources =
