@@ -1715,6 +1715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph ops over the lineitem part->supplier digraph
         "graph_degrees": lambda sf: graph.degrees(_graph_edges(sf)),
         "pagerank": lambda sf: graph.pagerank(_graph_edges(sf)),
+        "hits_scores": lambda sf: graph.hits(_graph_edges(sf)),
         "group_quantiles": lambda sf: _events_quantiles(sf),
         # corpus-wide exact quantiles with ZERO all-to-all (iterative
         # histogram refinement; sorting a column for 4 ranks is the
@@ -1847,7 +1848,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_keep_longest", "compression_ratio",
             "centroid_classify",
             "pagerank", "containment_pairs",
-            "nb_classify", "bloom_dedup",
+            "nb_classify", "bloom_dedup", "hits_scores",
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs", "media_dedup_apply",
             "dedup_extracted", "dup_cluster_stats", "hll_users",

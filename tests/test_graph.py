@@ -95,3 +95,33 @@ def test_lineitem_edges_collapse_multiedges(ray_session):
     got = sorted((r["src"], r["dst"], r["w"])
                  for r in graph.lineitem_edges(li).take_all())
     assert got == [(2, 11, 2), (4, 11, 1)]
+
+
+def test_hits_bipartite_ordering_and_invariance(ray_session):
+    import ray.data
+
+    from webtext.functions.graph import hits
+
+    # parts 0,2,4 (even) -> suppliers 1,3 (odd); supplier 1 receives
+    # from every part, supplier 3 from one part only
+    edges = [
+        {"src": 0, "dst": 1, "w": 1},
+        {"src": 2, "dst": 1, "w": 1},
+        {"src": 4, "dst": 1, "w": 1},
+        {"src": 4, "dst": 3, "w": 1},
+    ]
+    out = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(ray.data.from_items(edges).repartition(2))
+           .take_all()}
+    # authorities live on suppliers, hubs on parts
+    assert out[1][0] == 0 and out[3][0] == 0
+    assert out[0][1] == 0 and out[2][1] == 0 and out[4][1] == 0
+    # the all-parts supplier out-ranks the single-part supplier
+    assert out[1][1] > out[3][1]
+    # the two-link part out-hubs the single-link parts
+    assert out[4][0] > out[0][0] == out[2][0]
+    # block-split invariance (integer sums + elementwise rescale)
+    out2 = {r["node"]: (r["hub"], r["auth"])
+            for r in hits(ray.data.from_items(edges).repartition(4))
+            .take_all()}
+    assert out2 == out

@@ -614,6 +614,44 @@ def golden_pagerank(sf_dir: str) -> pa.Table:
                      "rank": pa.array(rank, pa.int64())})
 
 
+def golden_hits(sf_dir: str) -> pa.Table:
+    """Dense single-process HITS over the same lineitem part->supplier
+    digraph — differential oracle for webtext/functions/graph.py hits:
+    identical integer contribution sums and float64 L1 rescale, dense
+    np.add.at execution instead of bucketed joins."""
+    SCALE, ITERS = 10**12, 5
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey"])
+    src = li["l_partkey"].to_numpy().astype(np.int64) * 2
+    dst = li["l_suppkey"].to_numpy().astype(np.int64) * 2 + 1
+    pairs = np.stack([src, dst], axis=1)
+    uniq, w = np.unique(pairs, axis=0, return_counts=True)
+    esrc, edst, ew = uniq[:, 0], uniq[:, 1], w.astype(np.int64)
+    nodes = np.unique(np.concatenate([esrc, edst]))
+    si = np.searchsorted(nodes, esrc)
+    di = np.searchsorted(nodes, edst)
+    base = np.int64(SCALE // len(nodes))
+    hub = np.full(len(nodes), base, dtype=np.int64)
+    auth = np.zeros(len(nodes), dtype=np.int64)
+
+    def rescale(raw: np.ndarray) -> np.ndarray:
+        s = int(raw.sum())
+        ratio = (float(SCALE) / float(s)) if s else 0.0
+        return np.floor(raw.astype(np.float64) * ratio) \
+            .astype(np.int64)
+
+    for _ in range(ITERS):
+        araw = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(araw, di, hub[si] * ew)
+        auth = rescale(araw)
+        hraw = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(hraw, si, auth[di] * ew)
+        hub = rescale(hraw)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "hub": pa.array(hub, pa.int64()),
+                     "auth": pa.array(auth, pa.int64())})
+
+
 def golden_hll_users(sf_dir: str) -> pa.Table:
     """Independent single-process HyperLogLog (p=12, splitmix64 element
     hash) over events.user_id — the sketch is a pure deterministic
@@ -1399,6 +1437,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["hll_users_by_type"] = golden_hll_users_by_type(sf_dir)
 
     g["nb_classify"] = golden_nb_classify(sf_dir)
+    g["hits_scores"] = golden_hits(sf_dir)
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)
 
     return g

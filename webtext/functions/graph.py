@@ -224,3 +224,164 @@ def pagerank(edges, iters: int = PAGERANK_ITERS,
             .repartition(STATE_BLOCKS).materialize()
 
     return ranks.select_columns(["node", "rank"])
+
+
+HITS_SCALE = 10**12             # L1-normalized mass per half-step
+HITS_ITERS = 5
+
+
+def _hits_emit_state(n_buckets: int):
+    """(bucket, key, other, w, val): state rows carry other = -1."""
+    def f(batch: pa.Table) -> pa.Table:
+        node = _col_i64(batch, "node")
+        val = _col_i64(batch, "val")
+        neg = np.full(len(node), -1, dtype=np.int64)
+        zero = np.zeros(len(node), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(node, n_buckets)), pa.array(node),
+             pa.array(neg), pa.array(zero), pa.array(val)],
+            names=["bucket", "key", "other", "w", "val"])
+    return f
+
+
+def _hits_bucket_join(group: pa.Table) -> pa.Table:
+    """In-bucket value-to-edge attach (the _pr_bucket_join shape minus
+    the outdeg division): state rows map key→val; edge rows emit
+    (other, val[key]·w) partials, pre-summed per other before the
+    global shuffle; every state node also re-emits a zero row so the
+    downstream groupby sees the full node set — state is consumed
+    exactly once per half-step."""
+    key = _col_i64(group, "key")
+    other = _col_i64(group, "other")
+    w = _col_i64(group, "w")
+    val = _col_i64(group, "val")
+    is_state = other == -1
+    sk, sv = key[is_state], val[is_state]
+    order = np.argsort(sk, kind="stable")
+    sk, sv = sk[order], sv[order]
+    ek, eo, ew = key[~is_state], other[~is_state], w[~is_state]
+    nodes = [sk]
+    contribs = [np.zeros(len(sk), dtype=np.int64)]
+    if len(ek) and len(sk):
+        pos = np.searchsorted(sk, ek)
+        t = pa.Table.from_arrays(
+            [pa.array(eo), pa.array(sv[pos] * ew)],
+            names=["node", "contrib"])
+        agg = t.group_by("node").aggregate([("contrib", "sum")])
+        nodes.append(agg.column("node")
+                     .to_numpy(zero_copy_only=False))
+        contribs.append(agg.column("contrib_sum")
+                        .to_numpy(zero_copy_only=False))
+    return pa.Table.from_arrays(
+        [pa.array(np.concatenate(nodes)),
+         pa.array(np.concatenate(contribs))],
+        names=["node", "contrib"])
+
+
+def hits(edges, iters: int = HITS_ITERS, scale: int = HITS_SCALE,
+         n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(node, hub, auth): Kleinberg HITS over the weighted digraph —
+    auth(v) = Σ_{u→v} hub(u)·w, hub(u) = Σ_{u→v} auth(v)·w, each
+    half-step L1-renormalized to ``scale`` — the classic
+    hub/authority web-quality prior (on the bipartite part→supplier
+    driver graph: hubs = parts, authorities = suppliers).
+
+    Same fixed-point posture as pagerank: integer state, one
+    constant-fan-out bucketed map_groups per half-step (state rows keyed
+    by the edge endpoint being read — src for the auth step, dst for
+    the hub step — riding the shuffle once alongside the matching
+    pre-keyed edge copy), one NATIVE groupby(node).sum, per-round
+    materialize of the compacted STATE_BLOCKS state.  Normalization:
+    the raw L1 mass S is an EXACT int64 sum (one driver scalar per
+    half-step; bound: max in-/out-weight per node must stay below
+    2^63/scale ≈ 9.2e6 — documented, far above every tested graph);
+    values then rescale elementwise by floor(raw · (scale/S)) — one
+    float64 multiply+floor per node, identical in the dense golden, so
+    the distributed result is bit-identical under any blocking.
+
+    Differential golden: tools/gen_goldens.py golden_hits (dense numpy,
+    same integer sums, same float rescale)."""
+    deg = degrees(edges).materialize()
+    n_nodes = deg.count()
+    base = scale // n_nodes
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [batch.column("node").cast(pa.int64()),
+             pa.array(np.full(n, base, dtype=np.int64))],
+            names=["node", "val"])
+
+    def edge_copy(key_col: str, other_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            k = _col_i64(batch, key_col)
+            return pa.Table.from_arrays(
+                [pa.array(_ibucket(k, n_buckets)), pa.array(k),
+                 batch.column(other_col).cast(pa.int64()),
+                 batch.column("w").cast(pa.int64()),
+                 pa.array(np.zeros(len(k), dtype=np.int64))],
+                names=["bucket", "key", "other", "w", "val"])
+        return f
+
+    fwd = edges.map_batches(edge_copy("src", "dst"),
+                            batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .repartition(STATE_BLOCKS).materialize()
+    rev = edges.map_batches(edge_copy("dst", "src"),
+                            batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .repartition(STATE_BLOCKS).materialize()
+    emit = _hits_emit_state(n_buckets)
+
+    def half(state, keyed_edges):
+        raw = state.map_batches(emit, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .union(keyed_edges) \
+            .groupby("bucket").map_groups(_hits_bucket_join,
+                                          batch_format="pyarrow") \
+            .groupby("node").sum("contrib") \
+            .map_batches(
+                lambda b: b.rename_columns(["node", "raw"]),
+                batch_format="pyarrow", zero_copy_batch=True) \
+            .repartition(STATE_BLOCKS).materialize()
+        s = raw.sum("raw")
+        ratio = (float(scale) / float(int(s))) if s else 0.0
+
+        def rescale(batch: pa.Table) -> pa.Table:
+            rv = _col_i64(batch, "raw")
+            v = np.floor(rv.astype(np.float64) * ratio).astype(np.int64)
+            return pa.Table.from_arrays(
+                [batch.column("node").cast(pa.int64()), pa.array(v)],
+                names=["node", "val"])
+
+        return raw.map_batches(rescale, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    hub = deg.map_batches(init_state, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .repartition(STATE_BLOCKS).materialize()
+    auth = None
+    # half() already materializes the raw state before its driver-side
+    # L1 sum; the returned dataset is only the cheap rescale map over
+    # those STATE_BLOCKS blocks, so re-consumption costs nothing and a
+    # second materialize per half-step would just add a pass
+    for _ in range(iters):
+        auth = half(hub, fwd)          # auth ← hubs over u→v
+        hub = half(auth, rev)          # hub  ← auths over u→v
+    tag_h = hub.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("node"), b.column("val"),
+             pa.array(np.zeros(b.num_rows, dtype=np.int64))],
+            names=["node", "hub", "auth"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    tag_a = auth.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("node"),
+             pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+             b.column("val")],
+            names=["node", "hub", "auth"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    merged = tag_h.union(tag_a).groupby("node").sum(["hub", "auth"])
+    return merged.map_batches(
+        lambda b: b.rename_columns(["node", "hub", "auth"]),
+        batch_format="pyarrow", zero_copy_batch=True)
