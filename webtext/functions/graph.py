@@ -301,6 +301,10 @@ def hits(edges, iters: int = HITS_ITERS, scale: int = HITS_SCALE,
 
     Differential golden: tools/gen_goldens.py golden_hits (dense numpy,
     same integer sums, same float rescale)."""
+    # edges is consumed three times (degrees + the two pre-keyed
+    # copies); materialize so a lazy edge-derivation (e.g. the
+    # lineitem_edges collapse groupby) executes once, not thrice
+    edges = edges.materialize()
     deg = degrees(edges).materialize()
     n_nodes = deg.count()
     base = scale // n_nodes

@@ -393,6 +393,8 @@ def bloom_build(seen_ds, m: int = BLOOM_M, k: int = BLOOM_K,
             names=["g", "bits"])
 
     def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group
         acc = np.zeros(words, dtype=np.uint64)
         for row in group.column("bits").to_pylist():
             acc |= np.asarray(row, dtype=np.int64).view(np.uint64)
@@ -401,8 +403,15 @@ def bloom_build(seen_ds, m: int = BLOOM_M, k: int = BLOOM_K,
              pa.array([acc.view(np.int64)], pa.list_(pa.int64()))],
             names=["g", "bits"])
 
+    # two combiner levels: ``merge`` also runs as a plain map over each
+    # arriving BLOCK of partial rows (collapsing it to one row) before
+    # the keyed groupby — without it a group would collect
+    # O(n_batches / merge_fan) 128-KiB rows in one table at corpus
+    # scale; with it the groupby sees ≤ one row per upstream block
     rows = seen_ds.select_columns(["text"]) \
         .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .map_batches(merge, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .groupby("g").map_groups(merge, batch_format="pyarrow") \
         .take_all()                          # ≤ merge_fan rows, constant
