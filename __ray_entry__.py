@@ -191,6 +191,15 @@ def _events_pivot(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["ts", "event_type"]))
 
 
+def _events_dd_quantiles(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.sketches import dd_quantiles_by_group
+
+    return dd_quantiles_by_group(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]))
+
+
 def _events_hll(sf_dir: str):
     import ray.data
 
@@ -1701,6 +1710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": lambda sf: _events_pivot(sf),
         # sketch: no SQL can replicate HLL registers → rows-only check
         "hll_users": lambda sf: _events_hll(sf),
+        "dd_quantiles": lambda sf: _events_dd_quantiles(sf),
         "hll_users_by_type": lambda sf: _events_hll_by_type(sf),
         "funnel_stages": lambda sf: _events_funnel(sf),
         "retention_cohorts": lambda sf: _events_retention(sf),
@@ -1849,6 +1859,7 @@ def oracle_sql() -> dict[str, str]:
             "centroid_classify",
             "pagerank", "containment_pairs",
             "nb_classify", "bloom_dedup", "hits_scores",
+            "dd_quantiles",
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs", "media_dedup_apply",
             "dedup_extracted", "dup_cluster_stats", "hll_users",

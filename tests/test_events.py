@@ -664,3 +664,46 @@ def test_active_spans_islands_and_durations(ray_session):
     us = 60 * 1_000_000
     assert got[1] == (2, 20 * us + 5 * us)
     assert got[2] == (1, 0)
+
+
+def test_dd_quantiles_accuracy_and_invariance(ray_session):
+    import numpy as np
+    import ray.data
+
+    from webtext.functions.sketches import dd_quantiles_by_group
+
+    rng = np.random.RandomState(7)
+    vals = np.round(rng.lognormal(3.0, 1.0, 4000), 2)
+    rows = [{"event_type": "a" if i % 3 else "b", "value": float(v)}
+            for i, v in enumerate(vals)]
+    ds = ray.data.from_items(rows).repartition(5)
+    got = {(r["grp"], r["q_pct"]): r["est_cents"]
+           for r in dd_quantiles_by_group(ds).take_all()}
+    for grp in ("a", "b"):
+        sub = np.sort(np.floor(
+            np.array([r["value"] for r in rows
+                      if r["event_type"] == grp]) * 100 + 0.5))
+        for q in (50, 95, 99):
+            exact = sub[max(0, int(np.ceil(q / 100 * len(sub))) - 1)]
+            rel = abs(got[(grp, q)] - exact) / exact
+            assert rel <= 1.0 / 32, (grp, q, rel)  # ≤ 2x midpoint bound
+    # pure function of the value multiset: blocking-invariant
+    got2 = {(r["grp"], r["q_pct"]): r["est_cents"]
+            for r in dd_quantiles_by_group(
+                ray.data.from_items(rows).repartition(11)).take_all()}
+    assert got2 == got
+
+
+def test_dd_keys_zero_and_negative_values(ray_session):
+    import numpy as np
+
+    from webtext.functions.sketches import _dd_keys, _dd_rep_cents
+
+    keys = _dd_keys(np.array([-5, 0, 1, 2, 3, 1 << 40], dtype=np.int64))
+    assert keys[0] == -1 and keys[1] == -1        # reserved bucket
+    assert keys[2] == 0                            # 1 -> octave 0, sub 0
+    reps = _dd_rep_cents(keys)
+    assert reps[0] == 0 and reps[1] == 0
+    # representative within 1/(2*32) of the value
+    v = np.array([1, 2, 3, 1 << 40], dtype=np.float64)
+    assert (np.abs(reps[2:] - v) / v <= 1.0 / 32).all()

@@ -652,6 +652,48 @@ def golden_hits(sf_dir: str) -> pa.Table:
                      "auth": pa.array(auth, pa.int64())})
 
 
+def golden_dd_quantiles(sf_dir: str, sub: int = 32,
+                        qs=(0.5, 0.95, 0.99)) -> pa.Table:
+    """Independent single-process DDSketch-style quantiles per
+    event_type: dense per-type bucket dict, same frexp bucketing and
+    midpoint representative as webtext/functions/sketches.py
+    dd_quantiles_by_group — must match bit-for-bit."""
+    import math
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_type", "value"]).to_pylist()
+    per_type: dict[str, dict[int, int]] = {}
+    for r in ev:
+        c = math.floor(r["value"] * 100.0 + 0.5)
+        if c < 1:
+            key = -1
+        else:
+            m, e = math.frexp(float(c))
+            key = (e - 1) * sub + min(int((m * 2.0 - 1.0) * sub),
+                                      sub - 1)
+        d = per_type.setdefault(r["event_type"], {})
+        d[key] = d.get(key, 0) + 1
+    rows = {"grp": [], "q_pct": [], "est_cents": []}
+    for t in sorted(per_type):
+        items = sorted(per_type[t].items())
+        keys = [k for k, _ in items]
+        cum = np.cumsum([n for _, n in items])
+        total = int(cum[-1])
+        for q in qs:
+            rank = max(0, int(np.ceil(q * total)) - 1)
+            b = int(np.searchsorted(cum, rank + 1))
+            k = keys[b]
+            rep = 0 if k < 0 else int(math.floor(
+                2.0 ** (k // sub)
+                * (1.0 + ((k % sub) + 0.5) / sub) + 0.5))
+            rows["grp"].append(t)
+            rows["q_pct"].append(int(round(q * 100)))
+            rows["est_cents"].append(rep)
+    return pa.Table.from_pydict(rows, schema=pa.schema(
+        [("grp", pa.string()), ("q_pct", pa.int64()),
+         ("est_cents", pa.int64())]))
+
+
 def golden_hll_users(sf_dir: str) -> pa.Table:
     """Independent single-process HyperLogLog (p=12, splitmix64 element
     hash) over events.user_id — the sketch is a pure deterministic
@@ -1438,6 +1480,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
 
     g["nb_classify"] = golden_nb_classify(sf_dir)
     g["hits_scores"] = golden_hits(sf_dir)
+    g["dd_quantiles"] = golden_dd_quantiles(sf_dir)
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)
 
     return g

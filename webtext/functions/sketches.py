@@ -463,3 +463,105 @@ def bloom_dedup(new_ds, seen_ds, m: int = BLOOM_M, k: int = BLOOM_K):
 
     return new_ds.select_columns(["doc_id", "text"]).map_batches(
         keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style quantiles: the mergeable relative-error quantile sketch
+# ---------------------------------------------------------------------------
+
+DD_SUB = 32                     # subbuckets per octave
+DD_QS = (0.5, 0.95, 0.99)
+
+
+def _dd_keys(cents: np.ndarray) -> np.ndarray:
+    """Log-histogram bucket per positive integer-cents value:
+    key = octave·DD_SUB + floor(frac·DD_SUB) where v = 2^octave·(1+frac)
+    — np.frexp is IEEE-exact for ints < 2^53, so bucketing is
+    deterministic with NO float log; values < 1 cent collapse to the
+    reserved key -1 (representative 0)."""
+    out = np.full(len(cents), -1, dtype=np.int64)
+    pos = cents >= 1
+    if pos.any():
+        m, e = np.frexp(cents[pos].astype(np.float64))  # v = m·2^e
+        oct_ = e.astype(np.int64) - 1                   # v = 2^oct·(2m)
+        sub = np.minimum(
+            np.floor((m * 2.0 - 1.0) * DD_SUB).astype(np.int64),
+            DD_SUB - 1)
+        out[pos] = oct_ * DD_SUB + sub
+    return out
+
+
+def _dd_rep_cents(keys: np.ndarray) -> np.ndarray:
+    """Bucket midpoint representative: round(2^oct·(1+(sub+0.5)/SUB));
+    key -1 → 0.  Worst-case relative error ≤ 1/(2·DD_SUB) ≈ 1.6%."""
+    oct_, sub = keys // DD_SUB, keys % DD_SUB
+    rep = np.floor(np.exp2(oct_.astype(np.float64))
+                   * (1.0 + (sub.astype(np.float64) + 0.5) / DD_SUB)
+                   + 0.5).astype(np.int64)
+    rep[keys < 0] = 0
+    return rep
+
+
+def dd_quantiles_by_group(ds, group_col: str = "event_type",
+                          value_col: str = "value",
+                          qs: tuple[float, ...] = DD_QS):
+    """(group, q_pct, est_cents): approximate q-quantiles per group from
+    a DDSketch-style log-histogram — the mergeable relative-error
+    quantile sketch a 100-TB profile pass uses where the exact
+    ``group_quantiles`` would ship every (group, value) pair: here the
+    shuffle carries ≤ (distinct groups × ~2k buckets) count rows no
+    matter the corpus size, and merge is bucket-count addition.
+
+    Estimate = the midpoint representative of the bucket holding rank
+    ⌈q·n⌉−1 (quantile_disc's rank convention over the bucket cumsum) —
+    within 1/(2·DD_SUB) ≈ 1.6% relative error of the exact quantile,
+    pinned by tests.  Everything is integer counts + the frexp-exact
+    bucketing, so the sketch is a pure function of the value multiset:
+    block-split/cluster-size invariant and bit-equal to the committed
+    differential golden (independent reimpl in tools/gen_goldens.py)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column(value_col)
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        codes, uniq = pd.factorize(
+            batch.column(group_col).to_pandas(), sort=False)
+        keys = _dd_keys(cents)
+        combo = codes.astype(np.int64) * 100_000 + (keys + 1)
+        cnt = np.bincount(combo, minlength=0)
+        nz = np.flatnonzero(cnt)
+        return pa.Table.from_arrays(
+            [pa.array([str(uniq[i // 100_000]) for i in nz],
+                      pa.string()),
+             pa.array(nz % 100_000 - 1, pa.int64()),
+             pa.array(cnt[nz], pa.int64())],
+            names=["grp", "key", "n"])
+
+    def finalize(group: pa.Table) -> pa.Table:
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys, n = keys[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        reps = _dd_rep_cents(keys)
+        g = group.column("grp").to_pylist()[0]
+        out = {"grp": [], "q_pct": [], "est_cents": []}
+        for q in qs:
+            rank = max(0, int(np.ceil(q * total)) - 1)
+            b = int(np.searchsorted(cum, rank + 1))
+            out["grp"].append(g)
+            out["q_pct"].append(int(round(q * 100)))
+            out["est_cents"].append(int(reps[b]))
+        return pa.Table.from_pydict(out, schema=pa.schema(
+            [("grp", pa.string()), ("q_pct", pa.int64()),
+             ("est_cents", pa.int64())]))
+
+    return ds.select_columns([group_col, value_col]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["grp", "key"]).sum("n") \
+        .map_batches(lambda b: b.rename_columns(["grp", "key", "n"]),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("grp").map_groups(finalize, batch_format="pyarrow")
