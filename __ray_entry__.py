@@ -1566,6 +1566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": pq_q,
         "cosine_nn": lambda sf: ann.nearest_neighbor_ids(_emb(sf)),
         # text analysis
+        "token_diversity": lambda sf: textstats.token_diversity(
+            _docs_cols(sf, ["doc_id", "text"])),
         "token_count": lambda sf: textstats.token_count(
             _docs_cols(sf, ["doc_id", "text"])),
         "quality_score": lambda sf: textstats.quality_score(
@@ -2660,6 +2662,22 @@ def oracle_sql() -> dict[str, str]:
                 = 'site1.example.com'
               OR regexp_extract(canon_url, '^[a-z]+://([^/:?#]+)', 1)
                 LIKE '%.site1.example.com')""",
+        # Simpson diversity stays in exact integer arithmetic on both
+        # engines (no log anywhere); // is DuckDB integer floor division
+        "token_diversity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            tc AS (SELECT doc_id, w, count(*)::BIGINT AS c
+                   FROM toks GROUP BY doc_id, w),
+            agg AS (SELECT doc_id, SUM(c)::BIGINT AS n,
+                           SUM(c*c)::BIGINT AS s2
+                    FROM tc GROUP BY doc_id)
+            SELECT doc_id, n AS n_tokens,
+                   CAST((1000000 * (n*n - s2)) // (n*n) AS BIGINT)
+                     AS simpson_micro
+            FROM agg""",
         "normalize_text": r"""
             SELECT doc_id,
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))

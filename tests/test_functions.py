@@ -1509,3 +1509,23 @@ def test_bloom_positions_match_python_int_formula(ray_session):
         want = [((a + j * b) % (1 << 64)) % BLOOM_M
                 for j in range(BLOOM_K)]
         assert pos[i].tolist() == want
+
+
+def test_token_diversity_crafted(ray_session):
+    import ray.data
+
+    from webtext.functions.textstats import token_diversity
+
+    rows = [
+        {"doc_id": 1, "text": "a a a a"},       # one type: micro 0
+        {"doc_id": 2, "text": "a b c d"},       # all distinct: 1-4/16
+        {"doc_id": 3, "text": ""},              # one empty token
+        {"doc_id": 4, "text": "x x y"},         # 1 - (4+1)/9
+    ]
+    got = {r["doc_id"]: (r["n_tokens"], r["simpson_micro"])
+           for r in token_diversity(
+               ray.data.from_items(rows).repartition(2)).take_all()}
+    assert got[1] == (4, 0)
+    assert got[2] == (4, 750_000)
+    assert got[3] == (1, 0)                     # "" splits to [""]
+    assert got[4] == (3, (1_000_000 * (9 - 5)) // 9)
