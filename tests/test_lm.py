@@ -370,3 +370,15 @@ def test_nb_classify_tie_breaks_to_smallest_lang(ray_session):
     out = nb_classify(ray.data.from_items(rows).repartition(3)) \
         .take_all()
     assert out and all(r["pred"] == "mm" for r in out)
+
+
+def test_nb_classify_empty_training_slice(ray_session):
+    import ray.data
+
+    from webtext.functions.lm import nb_classify
+
+    # every doc_id lands in the held-out slice -> no trained classes
+    rows = [{"doc_id": i, "lang": "aa", "text": "x y"}
+            for i in (8, 9, 18, 19)]
+    out = nb_classify(ray.data.from_items(rows)).take_all()
+    assert out == []

@@ -644,6 +644,16 @@ def nb_classify(ds, n_feats: int = NB_FEATS, train_mod: int = 10,
         .groupby(["lang", "feat"]).sum("cnt") \
         .take_all()               # ≤ n_langs·(n_feats+1) rows, constant
     langs = sorted({r["lang"] for r in model_rows})
+    if not langs:
+        # empty training slice: nothing to predict with — emit the
+        # empty (doc_id, lang, pred) table instead of argmax over zero
+        # classes crashing inside every scoring task
+        import ray.data
+
+        return ray.data.from_arrow(pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.string()),
+             pa.array([], pa.string())],
+            names=["doc_id", "lang", "pred"]))
     lidx = {lg: i for i, lg in enumerate(langs)}
     L = len(langs)
     counts = np.zeros((L, n_feats), dtype=np.int64)
