@@ -200,6 +200,15 @@ def _events_dd_quantiles(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]))
 
 
+def _events_mode(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import mode_by_type
+
+    return mode_by_type(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]))
+
+
 def _events_hll(sf_dir: str):
     import ray.data
 
@@ -1713,6 +1722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch: no SQL can replicate HLL registers → rows-only check
         "hll_users": lambda sf: _events_hll(sf),
         "dd_quantiles": lambda sf: _events_dd_quantiles(sf),
+        "mode_by_type": lambda sf: _events_mode(sf),
         "hll_users_by_type": lambda sf: _events_hll_by_type(sf),
         "funnel_stages": lambda sf: _events_funnel(sf),
         "retention_cohorts": lambda sf: _events_retention(sf),
@@ -2557,6 +2567,17 @@ def oracle_sql() -> dict[str, str]:
                 AND (CAST(round(s.o_totalprice*100) AS BIGINT)
                        > CAST(round(r.o_totalprice*100) AS BIGINT)
                      OR s.o_orderdate < r.o_orderdate))""",
+        # exact mode, ties to the smallest value on both engines
+        "mode_by_type": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(round(value*100) AS BIGINT) AS cents,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY event_type, cents)
+            SELECT event_type, cents AS mode_cents, n
+            FROM c
+            QUALIFY row_number() OVER (
+              PARTITION BY event_type ORDER BY n DESC, cents) = 1""",
         # percent_rank() is (rank-1)/(n-1) in double — the same IEEE
         # divide the numpy kernel runs — then one multiply + floor, so
         # the micro values are bit-identical; single-row partitions

@@ -707,3 +707,18 @@ def test_dd_keys_zero_and_negative_values(ray_session):
     # representative within 1/(2*32) of the value
     v = np.array([1, 2, 3, 1 << 40], dtype=np.float64)
     assert (np.abs(reps[2:] - v) / v <= 1.0 / 32).all()
+
+
+def test_mode_by_type_tie_breaks_to_smallest(ray_session):
+    import ray.data
+
+    from webtext.functions.events import mode_by_type
+
+    rows = ([{"event_type": "a", "value": 2.0}] * 3
+            + [{"event_type": "a", "value": 1.0}] * 3   # tie -> min
+            + [{"event_type": "a", "value": 9.0}]
+            + [{"event_type": "b", "value": 5.0}])
+    got = {r["event_type"]: (r["mode_cents"], r["n"])
+           for r in mode_by_type(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {"a": (100, 3), "b": (500, 1)}

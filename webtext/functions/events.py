@@ -1143,3 +1143,55 @@ def props_field_stats(ds, field: str = "k"):
         lambda b: b.rename_columns(
             ["event_type", "n_with_field", "field_sum"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mode_by_type(ds, n_buckets: int = 256):
+    """(event_type, mode_cents, n): each event type's most frequent
+    value (integer cents), ties broken to the SMALLEST value so the
+    answer is deterministic — the exact-mode profile statistic.
+
+    Classic two-level combiner: per-batch (type, cents, n) partial
+    counts (one factorize + bincount over packed codes — the shuffle
+    ships distinct pairs per block, never events), one native
+    groupby(type, cents).sum, then a per-type argmax over that
+    already-tiny table via groupby(type).map_groups (group payload =
+    the type's distinct values, not its events)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column("value")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        tcodes, tuniq = pd.factorize(
+            batch.column("event_type").to_pandas(), sort=False)
+        ccodes, cuniq = pd.factorize(pd.Series(cents), sort=False)
+        packed = tcodes.astype(np.int64) * len(cuniq) + ccodes
+        cnt = np.bincount(packed)
+        nz = np.flatnonzero(cnt)
+        return pa.Table.from_arrays(
+            [pa.array([str(tuniq[i // len(cuniq)]) for i in nz],
+                      pa.string()),
+             pa.array(cuniq.to_numpy()[nz % len(cuniq)]
+                      .astype(np.int64)),
+             pa.array(cnt[nz], pa.int64())],
+            names=["event_type", "cents", "n"])
+
+    def pick(group: pa.Table) -> pa.Table:
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, -n))       # max count, then min value
+        i = order[0]
+        return pa.Table.from_arrays(
+            [group.column("event_type").slice(0, 1),
+             pa.array([int(cents[i])], pa.int64()),
+             pa.array([int(n[i])], pa.int64())],
+            names=["event_type", "mode_cents", "n"])
+
+    return ds.select_columns(["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["event_type", "cents"]).sum("n") \
+        .map_batches(
+            lambda b: b.rename_columns(["event_type", "cents", "n"]),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("event_type").map_groups(pick, batch_format="pyarrow")
