@@ -209,6 +209,15 @@ def _events_mode(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]))
 
 
+def _events_mad(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.relational import mad_by_group
+
+    return mad_by_group(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]))
+
+
 def _events_hll(sf_dir: str):
     import ray.data
 
@@ -1723,6 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": lambda sf: _events_hll(sf),
         "dd_quantiles": lambda sf: _events_dd_quantiles(sf),
         "mode_by_type": lambda sf: _events_mode(sf),
+        "mad_by_type": lambda sf: _events_mad(sf),
         "hll_users_by_type": lambda sf: _events_hll_by_type(sf),
         "funnel_stages": lambda sf: _events_funnel(sf),
         "retention_cohorts": lambda sf: _events_retention(sf),
@@ -2567,6 +2577,18 @@ def oracle_sql() -> dict[str, str]:
                 AND (CAST(round(s.o_totalprice*100) AS BIGINT)
                        > CAST(round(r.o_totalprice*100) AS BIGINT)
                      OR s.o_orderdate < r.o_orderdate))""",
+        # both passes are quantile_disc over integers -> exact parity
+        "mad_by_type": """
+            WITH med AS (
+              SELECT event_type,
+                     quantile_disc(CAST(round(value*100) AS BIGINT),
+                                   0.5) AS m
+              FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   quantile_disc(abs(CAST(round(e.value*100) AS BIGINT)
+                                     - med.m), 0.5)::BIGINT AS mad_cents
+            FROM events e JOIN med USING (event_type)
+            GROUP BY e.event_type""",
         # exact mode, ties to the smallest value on both engines
         "mode_by_type": """
             WITH c AS (

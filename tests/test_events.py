@@ -722,3 +722,19 @@ def test_mode_by_type_tie_breaks_to_smallest(ray_session):
            for r in mode_by_type(
                ray.data.from_items(rows).repartition(3)).take_all()}
     assert got == {"a": (100, 3), "b": (500, 1)}
+
+
+def test_mad_by_group_crafted(ray_session):
+    import ray.data
+
+    from webtext.pipelines.relational import mad_by_group
+
+    # group a: values 1..7 -> median 4.00, |dev| = 3,2,1,0,1,2,3 ->
+    # sorted 0,1,1,2,2,3,3 -> rank ceil(.5*7)-1 = 3 -> MAD 200 cents
+    rows = [{"event_type": "a", "value": float(v)}
+            for v in range(1, 8)]
+    rows += [{"event_type": "b", "value": 5.0}]   # single row -> 0
+    got = {r["event_type"]: r["mad_cents"]
+           for r in mad_by_group(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {"a": 200, "b": 0}

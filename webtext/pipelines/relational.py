@@ -385,6 +385,61 @@ def pareto_front(ds, key_col: str = "o_orderkey",
                      zero_copy_batch=True)
 
 
+def mad_by_group(ds, group_col: str = "event_type",
+                 value_col: str = "value"):
+    """(group, mad_cents): median absolute deviation per group in
+    integer cents — the robust spread statistic (outlier-insensitive
+    counterpart to zscore's sd), computed as the exact discrete median
+    of |cents − median(cents)|.
+
+    Two exact-quantile passes composed through one broadcast: the
+    per-group median reduces to a constant-size table (group_quantiles,
+    one bucketed shuffle of (group, cents) pairs), ships via ray.put,
+    and the deviation pass re-streams the corpus through a vectorized
+    dictionary-encode + dense-LUT subtract before the second quantile
+    shuffle.  All integers end-to-end (quantile_disc convention on both
+    passes), so the SQL oracle matches exactly."""
+    import numpy as np
+    import ray
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column(value_col)
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch.column(group_col), pa.array(cents)],
+            names=[group_col, "cents"])
+
+    c_ds = ds.select_columns([group_col, value_col]).map_batches(
+        to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    med = {r[group_col]: int(r["q50"])
+           for r in group_quantiles(c_ds, group_col, "cents",
+                                    (0.5,)).take_all()}
+    ref = ray.put(med)
+
+    def dev(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        t = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        enc = pc.dictionary_encode(
+            batch.column(group_col)).combine_chunks()
+        lut = np.array([t.get(k, 0)
+                        for k in enc.dictionary.to_pylist()],
+                       dtype=np.int64)
+        codes = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [batch.column(group_col),
+             pa.array(np.abs(cents - lut[codes]))],
+            names=[group_col, "dev"])
+
+    d_ds = c_ds.map_batches(dev, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = group_quantiles(d_ds, group_col, "dev", (0.5,))
+    return out.map_batches(
+        lambda b: b.rename_columns([group_col, "mad_cents"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def string_intersect(a_ds, b_ds, col: str = "token"):
     """INTERSECT over a string column: the distinct values present in
     BOTH datasets — completes the set-op family (union_sources =
