@@ -159,6 +159,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "line_dedup",
                  "repetition_stats", "decontaminate", "dsir_scores",
                  "temperature_sample", "epoch_shuffle", "split_assign",
+                 "pps_sample", "nb_classify", "bloom_dedup",
+                 "token_diversity",
                  "decode_bytes",
                  "bigram_lm_scores", "dup_ngram_flags",
                  "dup_doc_filter", "dedup_substrings",
@@ -186,6 +188,9 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "hopping_events", "sessionize", "running_totals",
                  "rolling_sums", "lag_deltas", "ntile_events",
                  "dense_rank_events", "zscore_events",
+                 "percent_rank_events", "active_spans",
+                 "winsorize_events", "mode_by_type", "mad_by_type",
+                 "dd_quantiles",
                  "user_growth",
                  "distinct_users", "pivot_events", "hll_users",
                  "cms_token_estimates",
@@ -194,7 +199,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "quantize_embeddings",
                  "asof_join", "range_join", "group_quantiles",
                  "global_quantiles",
-                 "graph_degrees", "pagerank",
+                 "graph_degrees", "pagerank", "hits_scores",
                  "sample_stratified", "pricing_summary",
                  "order_line_join", "region_customers",
                  "supplier_shipments", "brand_volume",
@@ -210,6 +215,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "order_priority_check", "brand_size_revenue",
                  "waiting_suppliers",
                  "customers_with_orders", "customers_without_f_orders",
+                 "price_qty_corr", "pareto_orders",
                  "extract_spans",
                  "extract_links",
                  "media_features", "media_resize", "frame_sample",
