@@ -623,6 +623,40 @@ def _tpch_q21(sf_dir: str):
                                        "l_shipdate"]))
 
 
+def _tpch_q12(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import late_line_priority
+
+    return late_line_priority(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_shipdate",
+                                       "l_linestatus"]),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderdate",
+                                       "o_orderpriority"]))
+
+
+def _events_latest(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import latest_events
+
+    return latest_events(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"]))
+
+
+def _events_cooccurrence(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import event_cooccurrence
+
+    return event_cooccurrence(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type"]))
+
+
 def _tpch_profile(sf_dir: str):
     import ray.data
 
@@ -1737,6 +1771,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": lambda sf: _events_funnel(sf),
         "retention_cohorts": lambda sf: _events_retention(sf),
         "event_transitions": lambda sf: _events_transitions(sf),
+        "latest_events": lambda sf: _events_latest(sf),
+        "event_cooccurrence": lambda sf: _events_cooccurrence(sf),
         # semi-structured JSON props field extraction + aggregate
         "props_field_stats": lambda sf: _events_props(sf),
         "cms_token_estimates": lambda sf: _cms_estimates(sf),
@@ -1783,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "volume_shipping": lambda sf: _tpch_q7(sf),
         "market_share": lambda sf: _tpch_q8(sf),
         "order_priority_check": lambda sf: _tpch_q4(sf),
+        "late_line_priority": lambda sf: _tpch_q12(sf),
         "brand_size_revenue": lambda sf: _tpch_q19(sf),
         "waiting_suppliers": lambda sf: _tpch_q21(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
@@ -2913,6 +2950,38 @@ def oracle_sql() -> dict[str, str]:
                    WHERE p2.l_orderkey = p.l_orderkey
                      AND p2.ms = o.m) = 1
             GROUP BY 1""",
+        # Q12 shape: the late predicate and the high/low split run on
+        # the joined row, grouping on the fact side
+        "late_line_priority": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN o.o_orderpriority IN
+                         ('1-URGENT', '2-HIGH') THEN 1 ELSE 0
+                       END)::BIGINT AS high_line_count,
+                   SUM(CASE WHEN o.o_orderpriority IN
+                         ('1-URGENT', '2-HIGH') THEN 0 ELSE 1
+                       END)::BIGINT AS low_line_count
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_linestatus""",
+        # latest row per key: max ts, ties to the largest event_id on
+        # both engines
+        "latest_events": """
+            SELECT user_id, event_id, event_type,
+                   CAST(round(value*100) AS BIGINT) AS cents
+            FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) = 1""",
+        # distinct-user co-occurrence of unordered type pairs
+        "event_cooccurrence": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type
+                        FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*)::BIGINT AS n_users
+            FROM ut a JOIN ut b USING (user_id)
+            WHERE a.event_type < b.event_type
+            GROUP BY 1, 2""",
         "order_priority_check": """
             SELECT o_orderpriority, count(*)::BIGINT AS n_orders
             FROM orders o

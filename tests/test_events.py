@@ -738,3 +738,84 @@ def test_mad_by_group_crafted(ray_session):
            for r in mad_by_group(
                ray.data.from_items(rows).repartition(3)).take_all()}
     assert got == {"a": 200, "b": 0}
+
+
+def test_latest_events_tie_breaks_to_largest_eid(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import latest_events
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        {"event_id": 1, "ts": T(5), "user_id": 7,
+         "event_type": "a", "value": 1.0},
+        {"event_id": 2, "ts": T(9), "user_id": 7,
+         "event_type": "b", "value": 2.0},      # latest for user 7
+        {"event_id": 3, "ts": T(9), "user_id": 8,
+         "event_type": "c", "value": 3.0},
+        {"event_id": 4, "ts": T(9), "user_id": 8,
+         "event_type": "d", "value": 4.5},      # tie -> larger eid
+    ]
+    got = {r["user_id"]: (r["event_id"], r["event_type"], r["cents"])
+           for r in latest_events(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {7: (2, "b", 200), 8: (4, "d", 450)}
+
+
+def test_event_cooccurrence_distinct_users(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import event_cooccurrence
+
+    # user 1: a,b (twice over -> still one user); user 2: a,b,c;
+    # user 3: a only (no pair)
+    rows = [{"user_id": 1, "event_type": "a"},
+            {"user_id": 1, "event_type": "b"},
+            {"user_id": 1, "event_type": "a"},
+            {"user_id": 1, "event_type": "b"},
+            {"user_id": 2, "event_type": "a"},
+            {"user_id": 2, "event_type": "b"},
+            {"user_id": 2, "event_type": "c"},
+            {"user_id": 3, "event_type": "a"}]
+    got = {(r["type_a"], r["type_b"]): r["n_users"]
+           for r in event_cooccurrence(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_late_line_priority_boundary(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.pipelines.tpch import late_line_priority
+
+    D = lambda d: dt.datetime(2024, 1, d)
+    orders = ray.data.from_items([
+        {"o_orderkey": 1, "o_orderdate": D(1),
+         "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 2, "o_orderdate": D(1),
+         "o_orderpriority": "5-LOW"},
+    ])
+    lineitem = ray.data.from_items([
+        # exactly +60 days: NOT late (> is strict)
+        {"l_orderkey": 1, "l_shipdate": dt.datetime(2024, 3, 1),
+         "l_linestatus": "O"},
+        # +61 days on a high-priority order
+        {"l_orderkey": 1, "l_shipdate": dt.datetime(2024, 3, 2),
+         "l_linestatus": "O"},
+        # +61 days on a low-priority order, other status
+        {"l_orderkey": 2, "l_shipdate": dt.datetime(2024, 3, 2),
+         "l_linestatus": "F"},
+        # orphan orderkey: dropped by the join
+        {"l_orderkey": 9, "l_shipdate": dt.datetime(2024, 3, 2),
+         "l_linestatus": "F"},
+    ]).repartition(2)
+    got = {r["l_linestatus"]: (r["high_line_count"],
+                               r["low_line_count"])
+           for r in late_line_priority(lineitem, orders).take_all()}
+    assert got == {"O": (1, 0), "F": (0, 1)}

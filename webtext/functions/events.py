@@ -1195,3 +1195,128 @@ def mode_by_type(ds, n_buckets: int = 256):
             lambda b: b.rename_columns(["event_type", "cents", "n"]),
             batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("event_type").map_groups(pick, batch_format="pyarrow")
+
+
+def latest_events(ds, n_buckets: int = 256):
+    """(user_id, event_id, event_type, cents): each user's most recent
+    event — the upsert-compaction / "latest record per key" primitive a
+    mutable-log table needs before training-data extraction.  Latest =
+    max ts, ties broken to the largest event_id, so the survivor is
+    deterministic.
+
+    Two-level argmax, never a per-user group: every block first
+    compacts to one candidate row per user it contains (lexsort by
+    (user, ts, event_id), keep each run's last row), so the shuffle
+    ships at most |distinct users in block| rows; the single exchange
+    groups by hash(user_id) % n_buckets and the same lexsort kernel
+    picks the global survivor inside each bucket.  A hot user is one
+    longer run inside one bucket, not a straggler group."""
+
+    def _keep_latest(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        last = np.nonzero(np.append(u[1:] != u[:-1], True))[0]
+        idx = pa.array(order[last])
+        return pa.Table.from_arrays(
+            [t.column("user_id").take(idx),
+             t.column("ts_us").take(idx),
+             t.column("event_id").take(idx),
+             t.column("event_type").take(idx),
+             t.column("cents").take(idx)],
+            names=["user_id", "ts_us", "event_id", "event_type",
+                   "cents"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column("value")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        t = pa.Table.from_arrays(
+            [batch.column("user_id").cast(pa.int64()),
+             batch.column("ts").cast(pa.timestamp("us"))
+             .cast(pa.int64()),
+             batch.column("event_id").cast(pa.int64()),
+             batch.column("event_type"),
+             pa.array(cents)],
+            names=["user_id", "ts_us", "event_id", "event_type",
+                   "cents"])
+        t = _keep_latest(t)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket",
+                               pa.array(_ibucket(uid, n_buckets)))
+
+    def final_bucket(group: pa.Table) -> pa.Table:
+        t = _keep_latest(group)
+        return pa.Table.from_arrays(
+            [t.column("user_id"), t.column("event_id"),
+             t.column("event_type"), t.column("cents")],
+            names=["user_id", "event_id", "event_type", "cents"])
+
+    return ds.select_columns(
+        ["event_id", "ts", "user_id", "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(final_bucket,
+                                      batch_format="pyarrow")
+
+
+def event_cooccurrence(ds, n_buckets: int = 256):
+    """(type_a, type_b, n_users) with type_a < type_b: for every
+    unordered pair of event types, how many distinct users performed
+    BOTH — the market-basket co-occurrence table behind lift/PMI
+    recommenders and feature-correlation audits.
+
+    The co-occurrence matrix is a transpose-product: inside each
+    user-hash bucket a boolean user×type membership matrix M is built
+    (distinct (user, type) rows only — each block pre-distincts before
+    the shuffle, so the exchange ships at most |users|·|types| rows
+    total, never events) and Mᵀ·M counts every pair at once.  Type
+    cardinality is small and fixed, so each bucket emits a constant
+    |types|² partial and the final groupby is constant-size.  No pair
+    enumeration per user, no per-user groups."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        typ = batch.column("event_type").to_pandas()
+        ucodes, _uuniq = pd.factorize(pd.Series(uid), sort=False)
+        tcodes, tuniq = pd.factorize(typ, sort=False)
+        packed = np.unique(ucodes.astype(np.int64) * len(tuniq)
+                           + tcodes)
+        u = _uuniq.to_numpy()[packed // len(tuniq)]
+        t = tuniq.to_numpy()[packed % len(tuniq)]
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(u.astype(np.int64), n_buckets)),
+             pa.array(u.astype(np.int64)),
+             pa.array([str(x) for x in t], pa.string())],
+            names=["bucket", "user_id", "event_type"])
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        typ = np.asarray(group.column("event_type").to_pylist())
+        uuniq, ucodes = np.unique(uid, return_inverse=True)
+        tuniq, tcodes = np.unique(typ, return_inverse=True)
+        m = np.zeros((len(uuniq), len(tuniq)), dtype=bool)
+        m[ucodes, tcodes] = True          # re-distincts across blocks
+        counts = m.astype(np.int64).T @ m.astype(np.int64)
+        ia, ib = np.triu_indices(len(tuniq), k=1)
+        n = counts[ia, ib]
+        keep = n > 0
+        return pa.Table.from_arrays(
+            [pa.array(tuniq[ia[keep]], pa.string()),
+             pa.array(tuniq[ib[keep]], pa.string()),
+             pa.array(n[keep])],
+            names=["type_a", "type_b", "n_users"])
+
+    return ds.select_columns(["user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(count_bucket,
+                                      batch_format="pyarrow") \
+        .groupby(["type_a", "type_b"]).sum("n_users") \
+        .map_batches(lambda b: b.rename_columns(
+            ["type_a", "type_b", "n_users"]),
+            batch_format="pyarrow", zero_copy_batch=True)

@@ -2163,3 +2163,102 @@ def waiting_suppliers(lineitem, min_suppliers: int = 2):
         .map_batches(lambda b: b.rename_columns(
             ["s_suppkey", "n_waiting"]),
             batch_format="pyarrow", zero_copy_batch=True)
+
+
+def late_line_priority(lineitem, orders, late_days: int = 60):
+    """TPC-H Q12 shape (shipmode priority check, adapted to this
+    schema's columns — the synthetic lineitem carries no l_shipmode,
+    so l_linestatus plays the grouping role): per line status, how
+    many LATE lines (shipped more than ``late_days`` after the order
+    date) belong to high-priority orders (1-URGENT / 2-HIGH) vs the
+    rest.  Output: (l_linestatus, high_line_count, low_line_count).
+    Reference has no relational ops; shape per SURVEY §2.4 note.
+
+    The late predicate is NON-EQUI (l_shipdate vs the joined row's
+    o_orderdate), and the grouping key lives on the fact side while
+    the priority lives on the dimension side, so one all-to-all keyed
+    by hash(orderkey) is unavoidable: lineitem ships (okey, status,
+    ship_us) — three narrow columns, never the money columns — and
+    orders ships one (okey, odate, prio) row each.  Buckets evaluate
+    the date comparison with both sides in hand via sorted-key
+    searchsorted gather and leave pre-counted (status, high, n)
+    partials; the final groupby is constant-size (|statuses| rows)."""
+    late_us = late_days * 86_400_000_000
+    HIGH = ("1-URGENT", "2-HIGH")
+
+    def line_emit(batch: pa.Table) -> pa.Table:
+        okey = batch.column("l_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ship = batch.column("l_shipdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(okey)), pa.array(okey),
+             pa.array(np.full(len(okey), -1, dtype=np.int64)),
+             pa.array(ship), batch.column("l_linestatus"),
+             pa.array(np.zeros(len(okey), dtype=bool))],
+            names=["bucket", "okey", "odate_us", "ship_us", "status",
+                   "high"])
+
+    def orders_emit(batch: pa.Table) -> pa.Table:
+        okey = batch.column("o_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        od = batch.column("o_orderdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        high = pc.is_in(batch.column("o_orderpriority"),
+                        value_set=pa.array(HIGH)) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(okey)), pa.array(okey), pa.array(od),
+             pa.array(np.full(len(okey), -1, dtype=np.int64)),
+             pa.array([""] * len(okey), pa.string()),
+             pa.array(high)],
+            names=["bucket", "okey", "odate_us", "ship_us", "status",
+                   "high"])
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        odate = group.column("odate_us").to_numpy(zero_copy_only=False)
+        is_order = odate != -1
+        k = group.column("okey").to_numpy(zero_copy_only=False)
+        ok = k[is_order]
+        order = np.argsort(ok)
+        ok = ok[order]
+        od = odate[is_order][order]
+        hi = group.column("high").to_numpy(zero_copy_only=False)[
+            is_order][order]
+        lk = k[~is_order]
+        ship = group.column("ship_us") \
+            .to_numpy(zero_copy_only=False)[~is_order]
+        status = group.column("status").filter(pa.array(~is_order))
+        if not len(ok) or not len(lk):
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["l_linestatus", "high_n", "low_n"])
+        pos = np.clip(np.searchsorted(ok, lk), 0, len(ok) - 1)
+        hit = ok[pos] == lk
+        late = hit & (ship > od[pos] + late_us)
+        lhigh = hi[pos] & late
+        t = pa.Table.from_arrays(
+            [status.filter(pa.array(late)),
+             lhigh[late].astype(np.int64),
+             (~lhigh[late]).astype(np.int64)],
+            names=["l_linestatus", "high_n", "low_n"])
+        agg = t.group_by(["l_linestatus"]).aggregate(
+            [("high_n", "sum"), ("low_n", "sum")])
+        return agg.rename_columns(["l_linestatus", "high_n", "low_n"])
+
+    u = lineitem.select_columns(
+        ["l_orderkey", "l_shipdate", "l_linestatus"]) \
+        .map_batches(line_emit, batch_format="pyarrow",
+                     zero_copy_batch=True).union(
+        orders.select_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(orders_emit, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    per_bucket = u.groupby("bucket").map_groups(
+        join_bucket, batch_format="pyarrow")
+    return per_bucket.groupby("l_linestatus") \
+        .sum(["high_n", "low_n"]) \
+        .map_batches(lambda b: b.rename_columns(
+            ["l_linestatus", "high_line_count", "low_line_count"]),
+            batch_format="pyarrow", zero_copy_batch=True)
