@@ -657,6 +657,26 @@ def _events_cooccurrence(sf_dir: str):
         columns=["user_id", "event_type"]))
 
 
+def _events_robust_outliers(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.relational import robust_outliers
+
+    return robust_outliers(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"]))
+
+
+def _tpch_q11(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import important_parts
+
+    return important_parts(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice"]))
+
+
 def _tpch_profile(sf_dir: str):
     import ray.data
 
@@ -1773,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": lambda sf: _events_transitions(sf),
         "latest_events": lambda sf: _events_latest(sf),
         "event_cooccurrence": lambda sf: _events_cooccurrence(sf),
+        "robust_outliers": lambda sf: _events_robust_outliers(sf),
         # semi-structured JSON props field extraction + aggregate
         "props_field_stats": lambda sf: _events_props(sf),
         "cms_token_estimates": lambda sf: _cms_estimates(sf),
@@ -1820,6 +1841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": lambda sf: _tpch_q8(sf),
         "order_priority_check": lambda sf: _tpch_q4(sf),
         "late_line_priority": lambda sf: _tpch_q12(sf),
+        "important_parts": lambda sf: _tpch_q11(sf),
         "brand_size_revenue": lambda sf: _tpch_q19(sf),
         "waiting_suppliers": lambda sf: _tpch_q21(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
@@ -2973,6 +2995,34 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY user_id
               ORDER BY ts DESC, event_id DESC) = 1""",
+        # robust (median/MAD) outlier screen: all-integer comparison,
+        # exact on both engines — no sd, no divide
+        "robust_outliers": """
+            WITH c AS (SELECT event_id,
+                              event_type,
+                              CAST(round(value*100) AS BIGINT) AS cents
+                       FROM events),
+            med AS (SELECT event_type,
+                           quantile_disc(cents, 0.5) AS m
+                    FROM c GROUP BY 1),
+            dev AS (SELECT c.event_id, c.event_type, c.cents,
+                           abs(c.cents - med.m) AS dev_cents
+                    FROM c JOIN med USING (event_type)),
+            mad AS (SELECT event_type,
+                           quantile_disc(dev_cents, 0.5) AS mad
+                    FROM dev GROUP BY 1)
+            SELECT d.event_id, d.event_type, d.cents, d.dev_cents
+            FROM dev d JOIN mad USING (event_type)
+            WHERE d.dev_cents > 3 * mad.mad""",
+        # Q11 shape: parts whose revenue exceeds 1 basis point of the
+        # global total — strict integer threshold, rev > total // 1e4
+        "important_parts": """
+            WITH pp AS (SELECT l_partkey,
+                               SUM(CAST(round(l_extendedprice*100) AS
+                                   BIGINT))::BIGINT AS rev_cents
+                        FROM lineitem GROUP BY 1)
+            SELECT l_partkey, rev_cents FROM pp
+            WHERE rev_cents > (SELECT SUM(rev_cents) FROM pp) // 10000""",
         # distinct-user co-occurrence of unordered type pairs
         "event_cooccurrence": """
             WITH ut AS (SELECT DISTINCT user_id, event_type

@@ -191,6 +191,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "percent_rank_events", "active_spans",
                  "winsorize_events", "mode_by_type", "mad_by_type",
                  "dd_quantiles", "latest_events", "event_cooccurrence",
+                 "robust_outliers",
                  "user_growth",
                  "distinct_users", "pivot_events", "hll_users",
                  "cms_token_estimates",
@@ -216,7 +217,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "waiting_suppliers",
                  "customers_with_orders", "customers_without_f_orders",
                  "price_qty_corr", "pareto_orders",
-                 "late_line_priority",
+                 "late_line_priority", "important_parts",
                  "extract_spans",
                  "extract_links",
                  "media_features", "media_resize", "frame_sample",

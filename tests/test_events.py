@@ -819,3 +819,27 @@ def test_late_line_priority_boundary(ray_session):
                                r["low_line_count"])
            for r in late_line_priority(lineitem, orders).take_all()}
     assert got == {"O": (1, 0), "F": (0, 1)}
+
+
+def test_robust_outliers_median_mad(ray_session):
+    import ray.data
+
+    from webtext.pipelines.relational import robust_outliers
+
+    # group a: values 1,2,3,4,100 -> med=3, devs=2,1,0,1,97, mad=1,
+    # flagged: dev > 3 -> only the 100 (dev 97)
+    # group b: all equal -> mad=0, any deviation flags; one dev=1 row
+    rows = [
+        {"event_id": 1, "event_type": "a", "value": 0.01},
+        {"event_id": 2, "event_type": "a", "value": 0.02},
+        {"event_id": 3, "event_type": "a", "value": 0.03},
+        {"event_id": 4, "event_type": "a", "value": 0.04},
+        {"event_id": 5, "event_type": "a", "value": 1.00},
+        {"event_id": 6, "event_type": "b", "value": 0.05},
+        {"event_id": 7, "event_type": "b", "value": 0.05},
+        {"event_id": 8, "event_type": "b", "value": 0.06},
+    ]
+    got = {r["event_id"]: (r["cents"], r["dev_cents"])
+           for r in robust_outliers(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {5: (100, 97), 8: (6, 1)}

@@ -1178,3 +1178,24 @@ def test_pareto_front_dominance_and_ties(ray_session):
     got2 = sorted(r["o_orderkey"] for r in pareto_front(
         ray.data.from_items(rows).repartition(6)).take_all())
     assert got2 == got
+
+
+def test_important_parts_strict_threshold(ray_session):
+    import ray.data
+
+    from webtext.pipelines.tpch import important_parts
+
+    # total = 10000 cents; 1bp threshold = 1 cent (strict >):
+    # part 1: 1 cent  -> NOT kept (1 > 1 false)
+    # part 2: 2 cents -> kept
+    # part 3: 9997 cents (two lines) -> kept
+    rows = [
+        {"l_partkey": 1, "l_extendedprice": 0.01},
+        {"l_partkey": 2, "l_extendedprice": 0.02},
+        {"l_partkey": 3, "l_extendedprice": 90.00},
+        {"l_partkey": 3, "l_extendedprice": 9.97},
+    ]
+    got = {r["l_partkey"]: r["rev_cents"]
+           for r in important_parts(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {2: 2, 3: 9997}

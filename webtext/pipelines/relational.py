@@ -791,3 +791,75 @@ def token_budget_sample(ds, budget: int = 500,
     return cols.map_batches(keyed, batch_format="pyarrow",
                             zero_copy_batch=True) \
         .groupby("bucket").map_groups(final, batch_format="pyarrow")
+
+
+def robust_outliers(ds, group_col: str = "event_type",
+                    value_col: str = "value",
+                    id_col: str = "event_id", k: int = 3):
+    """(event_id, group, cents, dev_cents): rows whose value deviates
+    from the per-group MEDIAN by more than ``k``× the group's MAD — the
+    robust outlier screen (median/MAD survive the very outliers a
+    mean/sd zscore absorbs; the standard quality-filter companion to
+    `zscore_events`).  All-integer comparison (|cents−med| > k·mad), so
+    the flag is exact on both engines — no sd, no divide.
+
+    Composition of two constant-size broadcasts: per-group median
+    (group_quantiles, one (group, cents) shuffle), then per-group MAD
+    (same machinery over the deviations), then ONE final streaming
+    filter pass with both constant-size dicts shipped via ray.put and
+    applied through dictionary-encode + dense-LUT gathers — the corpus
+    is never grouped per row, and nothing sf-proportional broadcasts."""
+    import ray
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column(value_col)
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch.column(id_col).cast(pa.int64()),
+             batch.column(group_col), pa.array(cents)],
+            names=[id_col, group_col, "cents"])
+
+    c_ds = ds.select_columns([id_col, group_col, value_col]) \
+        .map_batches(to_cents, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    med = {r[group_col]: int(r["q50"])
+           for r in group_quantiles(c_ds, group_col, "cents",
+                                    (0.5,)).take_all()}
+    med_ref = ray.put(med)
+
+    def dev(batch: pa.Table, *, _ref=med_ref) -> pa.Table:
+        t = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        enc = pc.dictionary_encode(
+            batch.column(group_col)).combine_chunks()
+        lut = np.array([t.get(g, 0)
+                        for g in enc.dictionary.to_pylist()],
+                       dtype=np.int64)
+        codes = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "dev_cents", pa.array(np.abs(cents - lut[codes])))
+
+    d_ds = c_ds.map_batches(dev, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    mad = {r[group_col]: int(r["q50"])
+           for r in group_quantiles(d_ds, group_col, "dev_cents",
+                                    (0.5,)).take_all()}
+    mad_ref = ray.put(mad)
+
+    def flag(batch: pa.Table, *, _ref=mad_ref) -> pa.Table:
+        t = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        enc = pc.dictionary_encode(
+            batch.column(group_col)).combine_chunks()
+        lut = np.array([t.get(g, 0)
+                        for g in enc.dictionary.to_pylist()],
+                       dtype=np.int64)
+        codes = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        devs = batch.column("dev_cents") \
+            .to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(devs > k * lut[codes]))
+
+    return d_ds.map_batches(flag, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -2262,3 +2262,56 @@ def late_line_priority(lineitem, orders, late_days: int = 60):
         .map_batches(lambda b: b.rename_columns(
             ["l_linestatus", "high_line_count", "low_line_count"]),
             batch_format="pyarrow", zero_copy_batch=True)
+
+
+def important_parts(lineitem, frac_bp: int = 1):
+    """TPC-H Q11 shape (important-stock identification, adapted: the
+    synthetic schema has no partsupp, so lineitem revenue plays the
+    value role): parts whose total revenue exceeds ``frac_bp``
+    basis-points (1/10000) of GLOBAL revenue.  Output (l_partkey,
+    rev_cents), the value-concentration report behind "which SKUs /
+    domains dominate the corpus" audits.  Reference has no relational
+    ops; shape per SURVEY §2.4 note.
+
+    Fraction-of-global filters need one scalar, not a join: per-part
+    cents pre-sum per batch (combiner), one native groupby.sum gives
+    the sf-proportional per-part table (stays distributed), and the
+    global total is a second combiner pass over the same two narrow
+    columns reduced to ONE scalar (no groupby, no shuffle — cheaper
+    than materializing the per-part table to reuse it).  The strict
+    threshold is exact in integers: for integer
+    rev and total, rev > total·frac_bp/10⁴ ⟺ rev > total·frac_bp // 10⁴
+    (driver-side Python big-int — no int64 overflow at any scale, no
+    float comparison), shipped as one scalar into a vectorized filter."""
+    def part_partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_partkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = _cents(batch.column("l_extendedprice")
+                       .to_numpy(zero_copy_only=False))
+        order = np.argsort(k)
+        ks = k[order]
+        starts = np.nonzero(np.append(True, ks[1:] != ks[:-1]))[0]
+        sums = np.add.reduceat(cents[order], starts)
+        return pa.Table.from_arrays(
+            [pa.array(ks[starts]), pa.array(sums)],
+            names=["l_partkey", "rev_cents"])
+
+    partial = lineitem.select_columns(
+        ["l_partkey", "l_extendedprice"]) \
+        .map_batches(part_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    per_part = partial.groupby("l_partkey").sum("rev_cents") \
+        .map_batches(lambda b: b.rename_columns(
+            ["l_partkey", "rev_cents"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    # one scalar: sum of the SAME combiner partials (constant-size
+    # driver result; Python ints, exact at any corpus size)
+    total = int(partial.sum("rev_cents"))
+    thr = (total * frac_bp) // 10_000
+
+    def keep(batch: pa.Table) -> pa.Table:
+        rev = batch.column("rev_cents").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(rev > thr))
+
+    return per_part.map_batches(keep, batch_format="pyarrow",
+                                zero_copy_batch=True)
