@@ -1729,6 +1729,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .topk_tokens_per_group(_docs_cols(sf, ["lang", "text"])),
         "vocab_coverage": lambda sf: textstats.vocab_coverage(
             _docs_cols(sf, ["doc_id", "text"]), 50),
+        # per-document TF-IDF keyword extraction (rational idf)
+        "tfidf_top_terms": lambda sf: textstats.tfidf_top_terms(
+            _docs_cols(sf, ["doc_id", "text"])),
         "incremental_dedup": lambda sf: _incremental_dedup(sf),
         "bloom_dedup": lambda sf: _bloom_dedup(sf),
         "nb_classify": lambda sf: lm.nb_classify(
@@ -2183,6 +2186,28 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM grams gr
                               JOIN bench b ON gr.g = b.g
                               WHERE gr.doc_id = d.doc_id)""",
+        # rational idf (N-df+0.5)/(df+0.5), micros before ranking —
+        # identical IEEE ops on both engines, no libm log anywhere
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            df AS (SELECT term, count(*)::BIGINT AS df
+                   FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     CAST(floor(tf.tf * ((n.n - df.df + 0.5)
+                                         / (df.df + 0.5))
+                                * 1000000 + 0.5) AS BIGINT)
+                       AS score_micro
+              FROM tf JOIN df USING (term), n)
+            SELECT doc_id, term, score_micro FROM scored
+            QUALIFY row_number() OVER (
+              PARTITION BY doc_id
+              ORDER BY score_micro DESC, term) <= 3""",
         "vocab_coverage": """
             WITH vocab AS (
               SELECT token FROM (

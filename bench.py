@@ -165,7 +165,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "bigram_lm_scores", "dup_ngram_flags",
                  "dup_doc_filter", "dedup_substrings",
                  "token_frequencies", "topk_tokens_per_lang",
-                 "vocab_coverage",
+                 "vocab_coverage", "tfidf_top_terms",
                  "incremental_dedup", "incremental_near_dedup",
                  "dup_cluster_stats",
                  "inverted_index", "bm25_topk",

@@ -1529,3 +1529,37 @@ def test_token_diversity_crafted(ray_session):
     assert got[2] == (4, 750_000)
     assert got[3] == (1, 0)                     # "" splits to [""]
     assert got[4] == (3, (1_000_000 * (9 - 5)) // 9)
+
+
+def test_tfidf_top_terms_ranking_and_invariance(ray_session):
+    import ray.data
+
+    from webtext.functions.textstats import tfidf_top_terms
+
+    # 4 docs. "rare" appears only in doc 1 (df=1, idf=(4-1+.5)/1.5=2.333);
+    # "common" in all 4 (df=4, idf=0.5/4.5=0.111).  Doc 1's tf(common)=3
+    # still loses to tf(rare)=1: 1*2.333 > 3*0.111.
+    rows = [
+        {"doc_id": 1, "text": "rare common common common"},
+        {"doc_id": 2, "text": "common x y"},
+        {"doc_id": 3, "text": "common x z"},
+        {"doc_id": 4, "text": "common y z"},
+    ]
+    got = tfidf_top_terms(
+        ray.data.from_items(rows).repartition(2), k=2).take_all()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["score_micro"], r["term"]))
+    top1 = sorted(by_doc[1], key=lambda t: (-t[0], t[1]))
+    assert [t[1] for t in top1] == ["rare", "common"]
+    assert top1[0][0] == 2333333   # floor(1 * (3.5/1.5) * 1e6 + 0.5)
+    # x,y,z each df=2 -> idf=2.5/2.5=1.0 -> 1e6; ties break term-asc:
+    # doc 2 keeps (x, y) over "common"
+    assert sorted(t[1] for t in by_doc[2]) == ["x", "y"]
+    # block-split invariance
+    got2 = tfidf_top_terms(
+        ray.data.from_items(rows).repartition(4), k=2).take_all()
+    assert sorted((r["doc_id"], r["term"], r["score_micro"])
+                  for r in got2) == \
+        sorted((r["doc_id"], r["term"], r["score_micro"]) for r in got)

@@ -1632,3 +1632,93 @@ def token_diversity(ds):
     return ds.select_columns(["doc_id", "text"]).map_batches(
         token_diversity_batch, batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+def tfidf_top_terms(ds, k: int = 3, n_buckets: int = 256):
+    """(doc_id, term, score_micro): each document's top-``k`` TF-IDF
+    terms — per-document keyword extraction (topic tagging, index-page
+    detection, mixture diagnostics).  Ties break to the lexicographically
+    smaller term, so the survivors are deterministic.
+
+    IDF is the RATIONAL BM25 form ``(N − df + 0.5) / (df + 0.5)`` — one
+    IEEE divide instead of a logarithm (libm logs differ in the last
+    ulp between engines; division does not, the `bm25_topk` trick), and
+    the tf·idf product quantizes to integer micros before any ordering,
+    so ranking is exact on both engines.
+
+    Two linear all-to-alls, nothing corpus-sized on the driver:
+    * docs pre-reduce per block to distinct (term, doc, tf) rows (a doc
+      lives in one block, so tf is exact at the combiner);
+    * exchange 1 keys by hash(term): a term's postings land complete in
+      one cell, so df is exact in-cell and every row scores there —
+      df is NEVER a separate table to join;
+    * exchange 2 keys by hash(doc): one lexsort + run-rank kernel per
+      cell keeps each doc's top-k.  Both shuffles ship fixed-width
+      rows; vocabulary and corpus size only widen them linearly."""
+    import pandas as pd
+
+    agg = ds.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pa.array([b.num_rows], pa.int64())], names=["n"]),
+        batch_format="pyarrow", zero_copy_batch=True).sum("n")
+    n_docs = int(agg)
+
+    def doc_tf(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        flat = pc.list_flatten(toks)
+        codes, uniq = pd.factorize(
+            pd.Series(flat.to_pandas()), sort=False)
+        packed, tf = np.unique(rows * len(uniq) + codes,
+                               return_counts=True)
+        docs = batch.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[packed // len(uniq)]
+        terms = uniq.to_numpy(dtype=object)[packed % len(uniq)]
+        return pa.Table.from_arrays(
+            [pa.array(_sbucket(terms, n_buckets)),
+             pa.array(terms.astype(str), pa.string()),
+             pa.array(docs), pa.array(tf.astype(np.int64))],
+            names=["bucket", "term", "doc_id", "tf"])
+
+    def score_cell(group: pa.Table) -> pa.Table:
+        terms = group.column("term").to_pandas()
+        codes, uniq = pd.factorize(terms, sort=False)
+        df = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        idf = (n_docs - df + 0.5) / (df + 0.5)
+        tf = group.column("tf").to_numpy(zero_copy_only=False)
+        score = np.floor(tf.astype(np.float64) * idf[codes]
+                         * 1_000_000.0 + 0.5).astype(np.int64)
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(docs, n_buckets)), group.column("doc_id"),
+             group.column("term"), pa.array(score)],
+            names=["dbucket", "doc_id", "term", "score_micro"])
+
+    def topk_cell(group: pa.Table) -> pa.Table:
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False)
+        score = group.column("score_micro") \
+            .to_numpy(zero_copy_only=False)
+        terms = np.asarray(group.column("term").to_pylist(),
+                           dtype=object)
+        order = np.lexsort((terms, -score, docs))
+        d = docs[order]
+        starts = np.nonzero(np.append(True, d[1:] != d[:-1]))[0]
+        rank = np.arange(len(d)) - np.repeat(
+            starts, np.diff(np.append(starts, len(d))))
+        idx = pa.array(order[rank < k])
+        return pa.Table.from_arrays(
+            [group.column("doc_id").take(idx),
+             group.column("term").take(idx),
+             group.column("score_micro").take(idx)],
+            names=["doc_id", "term", "score_micro"])
+
+    return ds.select_columns(["doc_id", "text"]) \
+        .map_batches(doc_tf, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(score_cell,
+                                      batch_format="pyarrow") \
+        .groupby("dbucket").map_groups(topk_cell,
+                                       batch_format="pyarrow")
