@@ -1584,6 +1584,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(
             _docs_cols(sf, ["doc_id", "text"])),
+        # EXACT similarity self-join (prefix filtering, PPJoin family);
+        # 0.9 on this corpus: the synthetic template vocabulary makes
+        # looser thresholds match half the corpus to itself
+        "prefix_filter_pairs": lambda sf: dedup.prefix_filter_pairs(
+            _docs_cols(sf, ["doc_id", "text"]), threshold=0.9),
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(
             _docs_cols(sf, ["doc_id", "text"])),
         "simhash": lambda sf: dedup.simhash(
@@ -1986,6 +1991,25 @@ def oracle_sql() -> dict[str, str]:
                     string_split(b.text,' '))))::BIGINT AS union_n
               FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
             ) t WHERE inter_n * 10 >= union_n * 3""",
+        # brute-force ALL-pairs Jaccard >= 0.5 via the posting-list
+        # join; the Ray side must find exactly these (completeness is
+        # the prefix filter's guarantee, unlike LSH banding)
+        "prefix_filter_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(string_split(text, ' ')))
+                       AS tok
+              FROM documents),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS n
+                      FROM toks GROUP BY 1),
+            inter AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                             count(*)::BIGINT AS i
+                      FROM toks a JOIN toks b USING (tok)
+                      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT left_id, right_id FROM inter
+            JOIN sizes sa ON sa.doc_id = left_id
+            JOIN sizes sb ON sb.doc_id = right_id
+            WHERE i * 10 >= (sa.n + sb.n - i) * 9""",
         "knn_cosine": """
             SELECT e.vec_id, e.label FROM embeddings e,
               (SELECT embedding FROM embeddings WHERE vec_id = 0) q

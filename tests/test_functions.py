@@ -1563,3 +1563,32 @@ def test_tfidf_top_terms_ranking_and_invariance(ray_session):
     assert sorted((r["doc_id"], r["term"], r["score_micro"])
                   for r in got2) == \
         sorted((r["doc_id"], r["term"], r["score_micro"]) for r in got)
+
+
+def test_prefix_filter_pairs_exact_join(ray_session):
+    import ray.data
+
+    from webtext.functions.dedup import prefix_filter_pairs
+
+    # docs 1/2: J = 3/5 >= 0.5 (boundary-ish); docs 1/3: J = 4/4 = 1.0;
+    # doc 4 disjoint; doc 5 shares only 1 of 5 union tokens with 1
+    rows = [
+        {"doc_id": 1, "text": "a b c d"},
+        {"doc_id": 2, "text": "a b c e"},   # inter 3, union 5 -> 0.6
+        {"doc_id": 3, "text": "d c b a"},   # same set as 1 -> 1.0
+        {"doc_id": 4, "text": "x y z"},
+        {"doc_id": 5, "text": "a q r s"},   # inter 1, union 7 -> no
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    got = sorted((r["left_id"], r["right_id"])
+                 for r in prefix_filter_pairs(ds, 0.5).take_all())
+    assert got == [(1, 2), (1, 3), (2, 3)]
+    # tight threshold keeps only the identical set pair
+    got9 = sorted((r["left_id"], r["right_id"])
+                  for r in prefix_filter_pairs(ds, 0.9).take_all())
+    assert got9 == [(1, 3)]
+    # block-split invariance
+    got2 = sorted((r["left_id"], r["right_id"])
+                  for r in prefix_filter_pairs(
+                      ds.repartition(5), 0.5).take_all())
+    assert got2 == got

@@ -1142,3 +1142,130 @@ def dup_rate_by_source(ds, n_buckets: int = N_SHUFFLE_BUCKETS):
             lambda b: b.rename_columns(["source", "n_docs",
                                         "n_distinct"]),
             batch_format="pyarrow", zero_copy_batch=True)
+
+
+def prefix_filter_pairs(ds, threshold: float = 0.5, n_buckets: int = 256):
+    """(left_id, right_id): EVERY pair of documents with word-set
+    Jaccard ≥ ``threshold`` — the exact similarity self-join.  MinHash
+    LSH (minhash_lsh_pairs) is the probabilistic scale path; this is
+    the deterministic one: prefix filtering guarantees completeness
+    (no false negatives, unlike banding), while still never touching
+    the all-pairs space.
+
+    Prefix-filter principle (PPJoin family): order every document's
+    distinct tokens by a single global order and keep only the first
+    p = n − ⌈t·n⌉ + 1 as its "prefix".  If J(A,B) ≥ t, the globally
+    smallest token of A∩B sits inside BOTH prefixes (everything before
+    it in either doc is outside the intersection), so candidates =
+    pairs sharing ≥1 prefix token — complete by construction.  The
+    global order is (document frequency asc, token), so prefixes hold
+    the RAREST tokens and candidate cells stay small; the length
+    filter |B| ≤ |A|/t prunes in-cell before any pair is emitted.
+
+    Dataflow — three linear keyed exchanges plus the shared verify:
+    (1) distinct (token, doc, set_size) postings land complete per
+    hash(token) cell, so df is exact in-cell (never a joined table);
+    (2) regroup by hash(doc) sorts each doc's tokens by (df, token)
+    and keeps the prefix; (3) prefix postings regroup by hash(token),
+    each cell emits length-filtered (min,max) id pairs; duplicates
+    across cells collapse inside _jaccard_verify_pairs' per-pair dict
+    (the band_candidates dedupe=False contract).  Nothing materializes
+    on the driver; a hot token is one larger cell, not a straggler."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def postings(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        flat = pc.list_flatten(toks)
+        codes, uniq = pd.factorize(pd.Series(flat.to_pandas()),
+                                   sort=False)
+        packed = np.unique(rows * len(uniq) + codes)
+        ridx = packed // len(uniq)
+        terms = uniq.to_numpy(dtype=object)[packed % len(uniq)]
+        # distinct-set size per row (run lengths over sorted packed)
+        starts = np.nonzero(np.append(True, ridx[1:] != ridx[:-1]))[0]
+        sizes = np.zeros(len(lens), dtype=np.int64)
+        sizes[ridx[starts]] = np.diff(np.append(starts, len(ridx)))
+        docs = _col_i64(batch, "doc_id")[ridx]
+        return pa.Table.from_arrays(
+            [pa.array(_sbucket(terms, n_buckets)),
+             pa.array(terms.astype(str), pa.string()),
+             pa.array(docs), pa.array(sizes[ridx])],
+            names=["bucket", "token", "doc_id", "n"])
+
+    def df_cell(group: pa.Table) -> pa.Table:
+        terms = group.column("token").to_pandas()
+        codes, uniq = pd.factorize(terms, sort=False)
+        df = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(docs, n_buckets)), pa.array(docs),
+             group.column("token"), pa.array(df[codes]),
+             group.column("n")],
+            names=["dbucket", "doc_id", "token", "df", "n"])
+
+    def prefix_cell(group: pa.Table) -> pa.Table:
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False)
+        df = group.column("df").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        terms = np.asarray(group.column("token").to_pylist(),
+                           dtype=object)
+        order = np.lexsort((terms, df, docs))
+        d = docs[order]
+        starts = np.nonzero(np.append(True, d[1:] != d[:-1]))[0]
+        rank = np.arange(len(d)) - np.repeat(
+            starts, np.diff(np.append(starts, len(d))))
+        ns = n[order]
+        p = ns - np.ceil(threshold * ns).astype(np.int64) + 1
+        keep = order[rank < p]
+        kept_terms = terms[keep]
+        return pa.Table.from_arrays(
+            [pa.array(_sbucket(kept_terms, n_buckets)),
+             pa.array(kept_terms.astype(str), pa.string()),
+             pa.array(docs[keep]), pa.array(n[keep])],
+            names=["bucket", "token", "doc_id", "n"])
+
+    def cand_cell(group: pa.Table) -> pa.Table:
+        terms = group.column("token").to_pandas()
+        codes, uniq = pd.factorize(terms, sort=False)
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, n, codes))
+        c, d, ns = codes[order], docs[order], n[order]
+        ls, rs = [], []
+        starts = np.nonzero(np.append(True, c[1:] != c[:-1]))[0]
+        ends = np.append(starts[1:], len(c))
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            # sorted by size asc: need size_big ≤ size_small / t
+            ok = ns[s + ib] * threshold <= ns[s + ia]
+            ls.append(d[s + ia[ok]])
+            rs.append(d[s + ib[ok]])
+        if not ls:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["left_id", "right_id"])
+        le = np.concatenate(ls)
+        r = np.concatenate(rs)
+        lo, hi = np.minimum(le, r), np.maximum(le, r)
+        uniq_pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.Table.from_arrays(
+            [pa.array(uniq_pairs[:, 0]), pa.array(uniq_pairs[:, 1])],
+            names=["left_id", "right_id"])
+
+    cands = ds.select_columns(["doc_id", "text"]) \
+        .map_batches(postings, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(df_cell, batch_format="pyarrow") \
+        .groupby("dbucket").map_groups(prefix_cell,
+                                       batch_format="pyarrow") \
+        .groupby("bucket").map_groups(cand_cell, batch_format="pyarrow")
+    return _jaccard_verify_pairs(
+        cands, ds.select_columns(["doc_id", "text"]), threshold)
