@@ -1642,6 +1642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_indexed": ivf_indexed,
         "knn_pq": pq_q,
         "cosine_nn": lambda sf: ann.nearest_neighbor_ids(_emb(sf)),
+        # greedy k-center diversity coreset (differential golden)
+        "kcenter_select": lambda sf: ann.kcenter_select(_emb(sf)),
         # text analysis
         "token_diversity": lambda sf: textstats.token_diversity(
             _docs_cols(sf, ["doc_id", "text"])),
@@ -1948,7 +1950,7 @@ def oracle_sql() -> dict[str, str]:
             "centroid_classify",
             "pagerank", "containment_pairs",
             "nb_classify", "bloom_dedup", "hits_scores",
-            "dd_quantiles",
+            "dd_quantiles", "kcenter_select",
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs", "media_dedup_apply",
             "dedup_extracted", "dup_cluster_stats", "hll_users",

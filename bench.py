@@ -147,7 +147,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "dedup_apply_emb", "dedup_extracted",
                  "semdedup_pairs", "semdedup_apply",
                  "knn_cosine", "knn_ivf", "knn_ivf_indexed", "cosine_nn",
-                 "cosine_dup_pairs", "lsh_cosine_pairs", "token_count",
+                 "cosine_dup_pairs", "lsh_cosine_pairs",
+                 "kcenter_select", "token_count",
                  "token_count_bpe", "bpe_merges", "bpe_token_count",
                  "winnow_fingerprint",
                  "containment_pairs", "sample_by_hash",

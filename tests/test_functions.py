@@ -1592,3 +1592,28 @@ def test_prefix_filter_pairs_exact_join(ray_session):
                   for r in prefix_filter_pairs(
                       ds.repartition(5), 0.5).take_all())
     assert got2 == got
+
+
+def test_kcenter_select_greedy_and_invariant(ray_session):
+    import ray.data
+
+    from webtext.functions.ann import kcenter_select
+
+    # 1-D embeddings on a line: seed = min id (0 at x=0); farthest is
+    # x=10 (id 3); next farthest from {0,10} is x=4 (id 1, dist 16);
+    # then x=7 (id 2, dist 9 to center 10)... tie at x=2 vs x=6?
+    rows = [
+        {"vec_id": 0, "embedding": [0.0]},
+        {"vec_id": 1, "embedding": [4.0]},
+        {"vec_id": 2, "embedding": [7.0]},
+        {"vec_id": 3, "embedding": [10.0]},
+        {"vec_id": 4, "embedding": [5.0]},
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    got = kcenter_select(ds, k=4)
+    assert got.column("vec_id").to_pylist() == [0, 3, 4, 2]
+    # x=5 (id 4): min(25,25)=25 beats x=4's 16 and x=7's 9
+    assert got.column("dist_micro").to_pylist() == [
+        0, 100_000_000, 25_000_000, 4_000_000]
+    got2 = kcenter_select(ds.repartition(5), k=4)
+    assert got.equals(got2)

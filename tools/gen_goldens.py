@@ -652,6 +652,29 @@ def golden_hits(sf_dir: str) -> pa.Table:
                      "auth": pa.array(auth, pa.int64())})
 
 
+def golden_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
+    """Dense single-process greedy k-center (farthest-point, Gonzalez)
+    — differential oracle for webtext/functions/ann.py kcenter_select:
+    identical integer-micros distance recurrence and (max dist, min id)
+    tie-break, dense numpy execution instead of blockwise partials."""
+    ids, _labels, mat = emb_matrix(sf_dir)
+    c0_pos = int(np.argmin(ids))
+    sel = [(0, int(ids[c0_pos]), 0)]
+    centers = mat[[c0_pos]]
+    for rank in range(1, k):
+        d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        dmi = np.floor(d2 * 1_000_000.0 + 0.5).astype(np.int64)
+        nearest = dmi.min(axis=1)
+        order = np.lexsort((ids, -nearest))
+        b = order[0]
+        sel.append((rank, int(ids[b]), int(nearest[b])))
+        centers = np.concatenate([centers, mat[[b]]])
+    return pa.table({
+        "rank": pa.array([r for r, _, _ in sel], pa.int64()),
+        "vec_id": pa.array([v for _, v, _ in sel], pa.int64()),
+        "dist_micro": pa.array([d for _, _, d in sel], pa.int64())})
+
+
 def golden_dd_quantiles(sf_dir: str, sub: int = 32,
                         qs=(0.5, 0.95, 0.99)) -> pa.Table:
     """Independent single-process DDSketch-style quantiles per
@@ -1481,6 +1504,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["nb_classify"] = golden_nb_classify(sf_dir)
     g["hits_scores"] = golden_hits(sf_dir)
     g["dd_quantiles"] = golden_dd_quantiles(sf_dir)
+    g["kcenter_select"] = golden_kcenter(sf_dir)
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)
 
     return g

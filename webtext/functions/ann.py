@@ -1333,3 +1333,77 @@ def knn_pq(ds, query: np.ndarray, k: int = 10, m: int = 8,
         concurrency=(1, 4), fn_constructor_args=(cref, k))
     top = partial.sort(["dist", "vec_id"])
     return top.limit(k).drop_columns(["dist"])
+
+
+def kcenter_select(ds, k: int = 8):
+    """(rank, vec_id, dist_micro): a greedy k-center (farthest-point)
+    coreset — the diversity-maximizing subset selection behind "pick k
+    maximally-different exemplars" training-data curation (Gonzalez's
+    2-approximation to the k-center objective).  Deterministic: seed =
+    smallest vec_id, each step adds the point FARTHEST from its nearest
+    already-chosen center (squared-L2, quantized to integer micros
+    before every comparison; ties to the smallest vec_id), and
+    dist_micro records that coverage radius at selection time.
+
+    Scale shape: k streaming argmax passes, nothing corpus-sized moves —
+    the centers matrix (k × dim, constant) broadcasts via ray.put; each
+    pass is a vectorized blockwise (n_block × k) distance matmul whose
+    per-block reduction emits ONE (dist, id, embedding) candidate row,
+    so the driver merges #blocks rows per round and learns the winner's
+    embedding from the partial itself (no lookup pass).  Re-scanning
+    per round costs k passes total; a 100-TB run would persist the
+    running nearest-distance column between rounds instead — same
+    recurrence, one pass amortized per round."""
+    import ray
+
+    first = ds.select_columns(["vec_id"]).min("vec_id")
+    c0 = int(first)
+
+    def fetch_seed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids == c0))
+
+    seed = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        fetch_seed, batch_format="pyarrow",
+        zero_copy_batch=True).take_all()
+    centers = [(c0, np.asarray(seed[0]["embedding"], dtype=np.float64))]
+    out = [(0, c0, 0)]
+
+    for rank in range(1, k):
+        cmat = np.stack([c for _, c in centers])
+        ref = ray.put(cmat)
+
+        def block_best(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            cm = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+            x = _matrix(batch)
+            if x.shape[0] == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                     pa.array([], pa.list_(pa.float64()))],
+                    names=["dist_micro", "vec_id", "embedding"])
+            # squared L2 to every center; micros BEFORE min/argmax so
+            # every comparison is integer (blocking-invariant)
+            d2 = ((x[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            dmi = np.floor(d2 * 1_000_000.0 + 0.5).astype(np.int64)
+            nearest = dmi.min(axis=1)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, -nearest))
+            b = order[0]
+            return pa.Table.from_arrays(
+                [pa.array([nearest[b]]), pa.array([int(ids[b])]),
+                 pa.array([x[b].tolist()], pa.list_(pa.float64()))],
+                names=["dist_micro", "vec_id", "embedding"])
+
+        cands = ds.select_columns(["vec_id", "embedding"]).map_batches(
+            block_best, batch_format="pyarrow",
+            zero_copy_batch=True).take_all()
+        best = min(cands, key=lambda r: (-r["dist_micro"], r["vec_id"]))
+        centers.append((int(best["vec_id"]),
+                        np.asarray(best["embedding"], dtype=np.float64)))
+        out.append((rank, int(best["vec_id"]),
+                    int(best["dist_micro"])))
+
+    return pa.table({
+        "rank": pa.array([r for r, _, _ in out], pa.int64()),
+        "vec_id": pa.array([v for _, v, _ in out], pa.int64()),
+        "dist_micro": pa.array([d for _, _, d in out], pa.int64())})
