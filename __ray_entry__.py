@@ -677,6 +677,16 @@ def _tpch_q11(sf_dir: str):
         columns=["l_partkey", "l_extendedprice"]))
 
 
+def _tpch_q2(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import cheapest_supplier_per_part
+
+    return cheapest_supplier_per_part(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"]))
+
+
 def _tpch_profile(sf_dir: str):
     import ray.data
 
@@ -1589,6 +1599,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # looser thresholds match half the corpus to itself
         "prefix_filter_pairs": lambda sf: dedup.prefix_filter_pairs(
             _docs_cols(sf, ["doc_id", "text"]), threshold=0.9),
+        # cross-source shared word-set contamination matrix
+        "source_overlap": lambda sf: dedup.source_overlap(
+            _docs_cols(sf, ["source", "text"])),
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(
             _docs_cols(sf, ["doc_id", "text"])),
         "simhash": lambda sf: dedup.simhash(
@@ -1852,6 +1865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_check": lambda sf: _tpch_q4(sf),
         "late_line_priority": lambda sf: _tpch_q12(sf),
         "important_parts": lambda sf: _tpch_q11(sf),
+        "cheapest_supplier": lambda sf: _tpch_q2(sf),
         "brand_size_revenue": lambda sf: _tpch_q19(sf),
         "waiting_suppliers": lambda sf: _tpch_q21(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
@@ -3065,6 +3079,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.event_id, d.event_type, d.cents, d.dev_cents
             FROM dev d JOIN mad USING (event_type)
             WHERE d.dev_cents > 3 * mad.mad""",
+        # Q2 shape: per-part min-cost supplier, ties to smallest supp
+        "cheapest_supplier": """
+            WITH ps AS (SELECT l_partkey, l_suppkey,
+                               SUM(CAST(round(l_extendedprice*100) AS
+                                   BIGINT))::BIGINT AS cost_cents
+                        FROM lineitem GROUP BY 1, 2)
+            SELECT l_partkey, l_suppkey, cost_cents FROM ps
+            QUALIFY row_number() OVER (
+              PARTITION BY l_partkey
+              ORDER BY cost_cents, l_suppkey) = 1""",
+        # cross-source contamination: distinct sorted word-SET
+        # fingerprints shared between source pairs
+        "source_overlap": """
+            WITH fp AS (
+              SELECT DISTINCT
+                md5(list_aggregate(list_sort(list_distinct(
+                    string_split(text, ' '))), 'string_agg', ' '))
+                  AS fp,
+                source
+              FROM documents)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*)::BIGINT AS n_shared
+            FROM fp a JOIN fp b USING (fp)
+            WHERE a.source < b.source
+            GROUP BY 1, 2""",
         # Q11 shape: parts whose revenue exceeds 1 basis point of the
         # global total — strict integer threshold, rev > total // 1e4
         "important_parts": """

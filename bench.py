@@ -167,7 +167,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "dup_doc_filter", "dedup_substrings",
                  "token_frequencies", "topk_tokens_per_lang",
                  "vocab_coverage", "tfidf_top_terms",
-                 "prefix_filter_pairs",
+                 "prefix_filter_pairs", "source_overlap",
                  "incremental_dedup", "incremental_near_dedup",
                  "dup_cluster_stats",
                  "inverted_index", "bm25_topk",
@@ -220,6 +220,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "customers_with_orders", "customers_without_f_orders",
                  "price_qty_corr", "pareto_orders",
                  "late_line_priority", "important_parts",
+                 "cheapest_supplier",
                  "extract_spans",
                  "extract_links",
                  "media_features", "media_resize", "frame_sample",

@@ -1617,3 +1617,24 @@ def test_kcenter_select_greedy_and_invariant(ray_session):
         0, 100_000_000, 25_000_000, 4_000_000]
     got2 = kcenter_select(ds.repartition(5), k=4)
     assert got.equals(got2)
+
+
+def test_source_overlap_word_set_semantics(ray_session):
+    import ray.data
+
+    from webtext.functions.dedup import source_overlap
+
+    # same word SET, different order/repetition -> shared; s3's set
+    # differs by one word -> not shared
+    rows = [
+        {"source": "s1", "text": "a b c"},
+        {"source": "s2", "text": "c b a a"},    # same set {a,b,c}
+        {"source": "s3", "text": "a b d"},
+        {"source": "s1", "text": "x y"},
+        {"source": "s3", "text": "y x"},        # {x,y} shared s1/s3
+        {"source": "s2", "text": "a b c"},      # dup within pair: 1
+    ]
+    got = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in source_overlap(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {("s1", "s2"): 1, ("s1", "s3"): 1}

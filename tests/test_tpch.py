@@ -1199,3 +1199,23 @@ def test_important_parts_strict_threshold(ray_session):
            for r in important_parts(
                ray.data.from_items(rows).repartition(3)).take_all()}
     assert got == {2: 2, 3: 9997}
+
+
+def test_cheapest_supplier_argmin_ties(ray_session):
+    import ray.data
+
+    from webtext.pipelines.tpch import cheapest_supplier_per_part
+
+    rows = [
+        # part 1: supp 5 total 300, supp 2 total 300 -> tie, keep 2
+        {"l_partkey": 1, "l_suppkey": 5, "l_extendedprice": 1.00},
+        {"l_partkey": 1, "l_suppkey": 5, "l_extendedprice": 2.00},
+        {"l_partkey": 1, "l_suppkey": 2, "l_extendedprice": 3.00},
+        # part 2: supp 9 cheapest
+        {"l_partkey": 2, "l_suppkey": 9, "l_extendedprice": 0.50},
+        {"l_partkey": 2, "l_suppkey": 1, "l_extendedprice": 0.60},
+    ]
+    got = {r["l_partkey"]: (r["l_suppkey"], r["cost_cents"])
+           for r in cheapest_supplier_per_part(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {1: (2, 300), 2: (9, 50)}

@@ -1269,3 +1269,89 @@ def prefix_filter_pairs(ds, threshold: float = 0.5, n_buckets: int = 256):
         .groupby("bucket").map_groups(cand_cell, batch_format="pyarrow")
     return _jaccard_verify_pairs(
         cands, ds.select_columns(["doc_id", "text"]), threshold)
+
+
+def source_overlap(ds, n_buckets: int = 256):
+    """(source_a, source_b, n_shared) with source_a < source_b: for
+    every pair of crawl sources, how many distinct word-SETS (the
+    bag-of-words content fingerprint — word order and repetition
+    ignored) appear in BOTH — the cross-source contamination matrix an
+    operator reads before deciding which feeds to dedup against which.
+    Exact-content md5 is too strict for reshuffled mirrors; the sorted
+    distinct-token-set fingerprint catches them.
+
+    Canonicalization is all C kernels (split → per-row sorted distinct
+    token list → binary_join); only the md5 runs per row (the
+    _fp_batch convention — hashing has no Arrow kernel).  Each block
+    emits its DISTINCT (fp, source) rows, the one exchange keys by
+    hash(fp) so a fingerprint's sources land complete in one cell, and
+    the cell's boolean fp×source membership matrix counts every source
+    pair at once (MᵀM, the event_cooccurrence transpose-product);
+    cells emit constant |sources|² partials into a tiny final sum."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        flat = pc.list_flatten(toks)
+        codes, uniq = pd.factorize(pd.Series(flat.to_pandas()),
+                                   sort=True)   # code order == lexicographic
+        packed = np.unique(rows * len(uniq) + codes)
+        ridx = packed // len(uniq)
+        terms = uniq.to_numpy(dtype=object)[packed % len(uniq)]
+        starts = np.nonzero(np.append(True, ridx[1:] != ridx[:-1]))[0]
+        offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+        counts = np.diff(np.append(starts, len(ridx)))
+        offsets[ridx[starts] + 1] = counts
+        offsets = np.cumsum(offsets).astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(terms.astype(str), pa.string()))
+        canon = pc.binary_join(lst, " ").to_pylist()
+        fps = np.fromiter(
+            (int.from_bytes(hashlib.md5(c.encode("utf-8")).digest()[:8],
+                            "big") & 0x7FFFFFFFFFFFFFFF
+             for c in canon), dtype=np.int64, count=len(canon))
+        srcs = np.asarray(batch.column("source").to_pylist(),
+                          dtype=object)
+        pair = np.unique(np.stack(
+            [fps, pd.util.hash_array(srcs).astype(np.int64)], axis=1),
+            axis=0, return_index=True)[1]
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(fps[pair], n_buckets)),
+             pa.array(fps[pair]),
+             pa.array(srcs[pair].astype(str), pa.string())],
+            names=["bucket", "fp", "source"])
+
+    def count_cell(group: pa.Table) -> pa.Table:
+        fp = group.column("fp").to_numpy(zero_copy_only=False)
+        src = np.asarray(group.column("source").to_pylist(),
+                         dtype=object)
+        funiq, fcodes = np.unique(fp, return_inverse=True)
+        suniq, scodes = np.unique(src, return_inverse=True)
+        m = np.zeros((len(funiq), len(suniq)), dtype=bool)
+        m[fcodes, scodes] = True      # re-distincts across blocks
+        counts = m.astype(np.int64).T @ m.astype(np.int64)
+        ia, ib = np.triu_indices(len(suniq), k=1)
+        n = counts[ia, ib]
+        keep = n > 0
+        return pa.Table.from_arrays(
+            [pa.array(suniq[ia[keep]].astype(str), pa.string()),
+             pa.array(suniq[ib[keep]].astype(str), pa.string()),
+             pa.array(n[keep])],
+            names=["source_a", "source_b", "n_shared"])
+
+    return ds.select_columns(["source", "text"]) \
+        .map_batches(fp_rows, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(count_cell,
+                                      batch_format="pyarrow") \
+        .groupby(["source_a", "source_b"]).sum("n_shared") \
+        .map_batches(lambda b: b.rename_columns(
+            ["source_a", "source_b", "n_shared"]),
+            batch_format="pyarrow", zero_copy_batch=True)

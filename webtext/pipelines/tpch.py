@@ -2315,3 +2315,63 @@ def important_parts(lineitem, frac_bp: int = 1):
 
     return per_part.map_batches(keep, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+def cheapest_supplier_per_part(lineitem):
+    """TPC-H Q2 shape (min-cost supplier per part; adapted — the
+    synthetic schema has no partsupp, so total shipped lineitem cents
+    play the supply-cost role): for every part, the supplier with the
+    SMALLEST total shipped value, ties to the smallest suppkey.
+    Output (l_partkey, l_suppkey, cost_cents).  The correlated
+    min-subquery becomes a per-part argmin.  Reference has no
+    relational ops; shape per SURVEY §2.4 note.
+
+    ONE all-to-all: batches pre-sum per (part, supplier) pair
+    (combiner — bounded fan-out, a batch's distinct pairs), the
+    exchange keys by hash(partkey) so every (part, supplier) partial
+    of a part lands in one cell, and the cell finishes with two
+    lexsort passes: segment-reduce the cross-block partials per
+    (part, supp), then keep each part run's first row under
+    (cost, supp) order.  No per-part groups, no dimension table."""
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_partkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s = batch.column("l_suppkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = _cents(batch.column("l_extendedprice")
+                       .to_numpy(zero_copy_only=False))
+        order = np.lexsort((s, p))
+        ps, ss, cs = p[order], s[order], cents[order]
+        new = np.append(True, (ps[1:] != ps[:-1]) | (ss[1:] != ss[:-1]))
+        starts = np.nonzero(new)[0]
+        sums = np.add.reduceat(cs, starts)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ps[starts])), pa.array(ps[starts]),
+             pa.array(ss[starts]), pa.array(sums)],
+            names=["bucket", "l_partkey", "l_suppkey", "cost_cents"])
+
+    def argmin_cell(group: pa.Table) -> pa.Table:
+        p = group.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = group.column("l_suppkey").to_numpy(zero_copy_only=False)
+        c = group.column("cost_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, p))
+        ps, ss, cs = p[order], s[order], c[order]
+        new = np.append(True, (ps[1:] != ps[:-1]) | (ss[1:] != ss[:-1]))
+        starts = np.nonzero(new)[0]
+        psum = np.add.reduceat(cs, starts)
+        pp, sp = ps[starts], ss[starts]
+        pick = np.lexsort((sp, psum, pp))
+        ppk = pp[pick]
+        first = np.nonzero(np.append(True, ppk[1:] != ppk[:-1]))[0]
+        idx = pick[first]
+        return pa.Table.from_arrays(
+            [pa.array(pp[idx]), pa.array(sp[idx]),
+             pa.array(psum[idx])],
+            names=["l_partkey", "l_suppkey", "cost_cents"])
+
+    return lineitem.select_columns(
+        ["l_partkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(pair_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(argmin_cell,
+                                      batch_format="pyarrow")
