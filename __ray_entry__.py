@@ -48,6 +48,22 @@ def _emb(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _emb_mod(sf_dir: str, lt: int, invert: bool = False):
+    """Deterministic vec_id % 100 slice of the embeddings table (the
+    decontaminate/incremental split convention)."""
+    import pyarrow as pa
+
+    def f(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = (ids % 100) < lt
+        return batch.filter(pa.array(~m if invert else m))
+
+    return _emb(sf_dir).map_batches(f, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+
 def _incremental_dedup(sf_dir: str):
     """Daily-crawl split: docs with doc_id % 100 < 50 are the
     historical index, the rest are the new crawl."""
@@ -655,6 +671,15 @@ def _events_cooccurrence(sf_dir: str):
     return event_cooccurrence(ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "event_type"]))
+
+
+def _events_ks_drift(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import ks_drift
+
+    return ks_drift(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]))
 
 
 def _events_robust_outliers(sf_dir: str):
@@ -1657,6 +1682,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_nn": lambda sf: ann.nearest_neighbor_ids(_emb(sf)),
         # greedy k-center diversity coreset (differential golden)
         "kcenter_select": lambda sf: ann.kcenter_select(_emb(sf)),
+        # embedding-space decontamination: corpus (id%100>=10) vs
+        # benchmark slice (id%100<10), n-gram decontaminate's mod split
+        "semantic_decontaminate": lambda sf: ann.semantic_decontaminate(
+            _emb_mod(sf, lt=10, invert=True),
+            _emb_mod(sf, lt=10), threshold=0.4),
         # text analysis
         "token_diversity": lambda sf: textstats.token_diversity(
             _docs_cols(sf, ["doc_id", "text"])),
@@ -1817,6 +1847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_events": lambda sf: _events_latest(sf),
         "event_cooccurrence": lambda sf: _events_cooccurrence(sf),
         "robust_outliers": lambda sf: _events_robust_outliers(sf),
+        "ks_drift": lambda sf: _events_ks_drift(sf),
         # semi-structured JSON props field extraction + aggregate
         "props_field_stats": lambda sf: _events_props(sf),
         "cms_token_estimates": lambda sf: _cms_estimates(sf),
@@ -2045,6 +2076,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS left_id, b.vec_id AS right_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+        "semantic_decontaminate": """
+            SELECT c.vec_id FROM embeddings c
+            WHERE c.vec_id % 100 >= 10
+              AND NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE b.vec_id % 100 < 10
+                  AND list_cosine_similarity(c.embedding, b.embedding)
+                      >= 0.4)""",
         "token_count":
             "SELECT doc_id, len(string_split(text, ' '))::BIGINT "
             "AS n_tokens FROM documents",
@@ -3060,6 +3099,26 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY user_id
               ORDER BY ts DESC, event_id DESC) = 1""",
+        # exact two-sample KS drift statistic in integer micros —
+        # HUGEINT cross-multiplication mirrors the Python big-ints
+        "ks_drift": """
+            WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS v,
+                              user_id % 2 AS side
+                       FROM events),
+            g AS (SELECT v,
+                         SUM(CASE WHEN side=0 THEN 1 ELSE 0
+                             END)::BIGINT AS ca,
+                         SUM(CASE WHEN side=1 THEN 1 ELSE 0
+                             END)::BIGINT AS cb
+                  FROM c GROUP BY 1),
+            cum AS (SELECT SUM(ca) OVER (ORDER BY v) AS fa,
+                           SUM(cb) OVER (ORDER BY v) AS fb
+                    FROM g),
+            tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g)
+            SELECT CAST((SELECT max(abs(fa*nb - fb*na))
+                         FROM cum, tot) * 1000000
+                        // (SELECT na*nb FROM tot) AS BIGINT)
+              AS d_micro""",
         # robust (median/MAD) outlier screen: all-integer comparison,
         # exact on both engines — no sd, no divide
         "robust_outliers": """

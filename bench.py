@@ -148,7 +148,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "semdedup_pairs", "semdedup_apply",
                  "knn_cosine", "knn_ivf", "knn_ivf_indexed", "cosine_nn",
                  "cosine_dup_pairs", "lsh_cosine_pairs",
-                 "kcenter_select", "token_count",
+                 "kcenter_select", "semantic_decontaminate",
+                 "token_count",
                  "token_count_bpe", "bpe_merges", "bpe_token_count",
                  "winnow_fingerprint",
                  "containment_pairs", "sample_by_hash",
@@ -193,7 +194,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "percent_rank_events", "active_spans",
                  "winsorize_events", "mode_by_type", "mad_by_type",
                  "dd_quantiles", "latest_events", "event_cooccurrence",
-                 "robust_outliers",
+                 "robust_outliers", "ks_drift",
                  "user_growth",
                  "distinct_users", "pivot_events", "hll_users",
                  "cms_token_estimates",

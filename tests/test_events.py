@@ -843,3 +843,21 @@ def test_robust_outliers_median_mad(ray_session):
            for r in robust_outliers(
                ray.data.from_items(rows).repartition(3)).take_all()}
     assert got == {5: (100, 97), 8: (6, 1)}
+
+
+def test_ks_drift_exact_statistic(ray_session):
+    import ray.data
+
+    from webtext.functions.events import ks_drift
+
+    # side 0 (even users): values 1,2,3; side 1 (odd): 3,4,5
+    # sorted grid 1..5; Fa = 1/3,2/3,3/3,3/3,3/3; Fb = 0,0,1/3,2/3,1
+    # D = max = 2/3 at v=2 -> 666666 micros
+    rows = [
+        {"user_id": 0, "value": 0.01}, {"user_id": 2, "value": 0.02},
+        {"user_id": 4, "value": 0.03}, {"user_id": 1, "value": 0.03},
+        {"user_id": 3, "value": 0.04}, {"user_id": 5, "value": 0.05},
+    ]
+    got = ks_drift(
+        ray.data.from_items(rows).repartition(3)).to_pylist()
+    assert got == [{"d_micro": 666666}]

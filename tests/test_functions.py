@@ -1638,3 +1638,25 @@ def test_source_overlap_word_set_semantics(ray_session):
            for r in source_overlap(
                ray.data.from_items(rows).repartition(3)).take_all()}
     assert got == {("s1", "s2"): 1, ("s1", "s3"): 1}
+
+
+def test_semantic_decontaminate_broadcast_filter(ray_session):
+    import ray.data
+
+    from webtext.functions.ann import semantic_decontaminate
+
+    bench = ray.data.from_items([
+        {"vec_id": 1, "embedding": [1.0, 0.0]},
+    ])
+    corpus = ray.data.from_items([
+        {"vec_id": 10, "embedding": [0.9, 0.1]},   # cos ~0.994 -> out
+        {"vec_id": 11, "embedding": [0.0, 1.0]},   # cos 0 -> kept
+        {"vec_id": 12, "embedding": [-1.0, 0.0]},  # cos -1 -> kept
+    ]).repartition(2)
+    got = sorted(r["vec_id"] for r in semantic_decontaminate(
+        corpus, bench, threshold=0.95).take_all())
+    assert got == [11, 12]
+    # empty benchmark: everything survives
+    got2 = sorted(r["vec_id"] for r in semantic_decontaminate(
+        corpus, bench.filter(lambda r: False), 0.95).take_all())
+    assert got2 == [10, 11, 12]

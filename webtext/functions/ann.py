@@ -1407,3 +1407,39 @@ def kcenter_select(ds, k: int = 8):
         "rank": pa.array([r for r, _, _ in out], pa.int64()),
         "vec_id": pa.array([v for _, v, _ in out], pa.int64()),
         "dist_micro": pa.array([d for _, _, d in out], pa.int64())})
+
+
+def semantic_decontaminate(corpus_ds, bench_ds, threshold: float = 0.95):
+    """Surviving (vec_id) rows of ``corpus_ds`` whose embedding is NOT
+    within cosine ``threshold`` of ANY benchmark vector — the semantic
+    counterpart to the n-gram `decontaminate` pass (a paraphrased
+    benchmark question shares no 8-gram but sits next to the original
+    in embedding space).
+
+    Same broadcast posture as the n-gram pass: the BENCHMARK side is
+    the small one by nature (eval suites are thousands of rows, the
+    corpus is the 100-TB side), so its L2-normalized matrix ships once
+    via ray.put and the corpus streams through one vectorized
+    (block × bench) matmul filter — no shuffle at all.  All cosine
+    math in float64, bit-compatible with DuckDB's
+    list_cosine_similarity on id-level output."""
+    import ray
+
+    rows = bench_ds.select_columns(["vec_id", "embedding"]).take_all()
+    if not rows:
+        return corpus_ds.select_columns(["vec_id"])
+    bm = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+    ref = ray.put(bm)
+
+    def keep(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        b = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        x = _matrix(batch)
+        if x.shape[0] == 0:
+            return batch.select(["vec_id"])
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        hit = (xn @ b.T >= threshold).any(axis=1)
+        return batch.filter(pa.array(~hit)).select(["vec_id"])
+
+    return corpus_ds.select_columns(["vec_id", "embedding"]) \
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

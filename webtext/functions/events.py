@@ -1320,3 +1320,55 @@ def event_cooccurrence(ds, n_buckets: int = 256):
         .map_batches(lambda b: b.rename_columns(
             ["type_a", "type_b", "n_users"]),
             batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ks_drift(ds, n_buckets: int = 256):
+    """One-row (d_micro,): the exact two-sample Kolmogorov-Smirnov
+    statistic D = max|F_a − F_b| between the value distributions of the
+    user_id%2==0 and %2==1 halves — the drift detector a pipeline runs
+    between yesterday's corpus and today's before trusting a quality
+    model.  D is computed as exact integer micros:
+    ⌊max|Fa·nb − Fb·na| · 10⁶ / (na·nb)⌋ in Python big-ints (the SQL
+    oracle's HUGEINT arithmetic), so the scalar matches bit-for-bit.
+
+    Scale shape: per-batch (cents, side) count partials (combiner) →
+    one native groupby(cents).sum — after which the table has ONE row
+    per distinct cents value, bounded by the value domain (like the
+    quantile-threshold tables), NOT by corpus size — so the driver
+    finish (sort, cumsum, max) is a constant-size reduction."""
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column("value")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        side = (batch.column("user_id").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) % 2).astype(np.int64)
+        order = np.lexsort((side, cents))
+        v, s = cents[order], side[order]
+        new = np.append(True, (v[1:] != v[:-1]) | (s[1:] != s[:-1]))
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.append(starts, len(v)))
+        va, sa = v[starts], s[starts]
+        return pa.Table.from_arrays(
+            [pa.array(va),
+             pa.array(np.where(sa == 0, counts, 0).astype(np.int64)),
+             pa.array(np.where(sa == 1, counts, 0).astype(np.int64))],
+            names=["v", "ca", "cb"])
+
+    agg = ds.select_columns(["user_id", "value"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("v").sum(["ca", "cb"])
+    rows = agg.take_all()           # one row per DISTINCT cents value
+    rows.sort(key=lambda r: r["v"])
+    fa = fb = 0
+    na = sum(int(r["sum(ca)"]) for r in rows)
+    nb = sum(int(r["sum(cb)"]) for r in rows)
+    if na == 0 or nb == 0:
+        return pa.table({"d_micro": pa.array([0], pa.int64())})
+    best = 0
+    for r in rows:                  # constant-size driver loop
+        fa += int(r["sum(ca)"])
+        fb += int(r["sum(cb)"])
+        best = max(best, abs(fa * nb - fb * na))
+    return pa.table({"d_micro": pa.array(
+        [best * 1_000_000 // (na * nb)], pa.int64())})
