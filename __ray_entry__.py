@@ -712,6 +712,19 @@ def _tpch_q2(sf_dir: str):
         columns=["l_partkey", "l_suppkey", "l_extendedprice"]))
 
 
+def _tpch_q16(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import brand_supplier_counts
+
+    return brand_supplier_counts(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_suppkey"]),
+        ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand",
+                                       "p_type"]))
+
+
 def _tpch_profile(sf_dir: str):
     import ray.data
 
@@ -1897,6 +1910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_line_priority": lambda sf: _tpch_q12(sf),
         "important_parts": lambda sf: _tpch_q11(sf),
         "cheapest_supplier": lambda sf: _tpch_q2(sf),
+        "brand_supplier_counts": lambda sf: _tpch_q16(sf),
         "brand_size_revenue": lambda sf: _tpch_q19(sf),
         "waiting_suppliers": lambda sf: _tpch_q21(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
@@ -3138,6 +3152,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.event_id, d.event_type, d.cents, d.dev_cents
             FROM dev d JOIN mad USING (event_type)
             WHERE d.dev_cents > 3 * mad.mad""",
+        # Q16 shape: distinct suppliers per (brand, type)
+        "brand_supplier_counts": """
+            SELECT p_brand, p_type,
+                   count(DISTINCT l_suppkey)::BIGINT AS n_supp
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY 1, 2""",
         # Q2 shape: per-part min-cost supplier, ties to smallest supp
         "cheapest_supplier": """
             WITH ps AS (SELECT l_partkey, l_suppkey,

@@ -221,7 +221,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "customers_with_orders", "customers_without_f_orders",
                  "price_qty_corr", "pareto_orders",
                  "late_line_priority", "important_parts",
-                 "cheapest_supplier",
+                 "cheapest_supplier", "brand_supplier_counts",
                  "extract_spans",
                  "extract_links",
                  "media_features", "media_resize", "frame_sample",

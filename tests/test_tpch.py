@@ -1219,3 +1219,28 @@ def test_cheapest_supplier_argmin_ties(ray_session):
            for r in cheapest_supplier_per_part(
                ray.data.from_items(rows).repartition(3)).take_all()}
     assert got == {1: (2, 300), 2: (9, 50)}
+
+
+def test_brand_supplier_counts_distinct_across_blocks(ray_session):
+    import ray.data
+
+    from webtext.pipelines.tpch import brand_supplier_counts
+
+    part = ray.data.from_items([
+        {"p_partkey": 1, "p_brand": "B1", "p_type": "T1"},
+        {"p_partkey": 2, "p_brand": "B1", "p_type": "T1"},
+        {"p_partkey": 3, "p_brand": "B2", "p_type": "T2"},
+    ])
+    lineitem = ray.data.from_items([
+        # supplier 7 ships parts 1 AND 2 (same brand/type) from
+        # different blocks -> must count ONCE
+        {"l_partkey": 1, "l_suppkey": 7},
+        {"l_partkey": 2, "l_suppkey": 7},
+        {"l_partkey": 1, "l_suppkey": 8},
+        {"l_partkey": 3, "l_suppkey": 7},
+        # orphan part: dropped by the inner join
+        {"l_partkey": 9, "l_suppkey": 7},
+    ]).repartition(4)
+    got = {(r["p_brand"], r["p_type"]): r["n_supp"]
+           for r in brand_supplier_counts(lineitem, part).take_all()}
+    assert got == {("B1", "T1"): 2, ("B2", "T2"): 1}

@@ -2375,3 +2375,132 @@ def cheapest_supplier_per_part(lineitem):
                      zero_copy_batch=True) \
         .groupby("bucket").map_groups(argmin_cell,
                                       batch_format="pyarrow")
+
+
+def brand_supplier_counts(lineitem, part):
+    """TPC-H Q16 shape (parts/supplier relationship, adapted — no
+    partsupp in the synthetic schema, so "supplier can supply part" =
+    "supplier shipped the part"): per (p_brand, p_type), how many
+    DISTINCT suppliers shipped parts of that brand and type.  Output
+    (p_brand, p_type, n_supp).  Reference has no relational ops; shape
+    per SURVEY §2.4 note.
+
+    Distinct-count-after-join without ever carrying duplicates: blocks
+    pre-distinct lineitem to (partkey, suppkey) pairs (combiner), one
+    hash(partkey) exchange attaches brand/type (part is corpus-sized —
+    never broadcast), each cell re-distincts its (brand, type, supp)
+    triples, and a SECOND hash(triple) exchange makes triples globally
+    unique before constant-size per-(brand, type) count partials feed
+    the tiny final sum.  Both exchanges ship fixed-width rows bounded
+    by |distinct triples|, not lineitem."""
+    import pandas as pd
+
+    def fact_emit(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_partkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s = batch.column("l_suppkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([p, s], axis=1), axis=0)
+        k = pairs[:, 0]
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(k)), pa.array(k),
+             pa.array(np.zeros(len(k), dtype=np.int8)),
+             pa.array([""] * len(k), pa.string()),
+             pa.array([""] * len(k), pa.string()),
+             pa.array(pairs[:, 1])],
+            names=["bucket", "key", "is_dim", "p_brand", "p_type",
+                   "supp"])
+
+    def dim_emit(batch: pa.Table) -> pa.Table:
+        k = batch.column("p_partkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(k)), pa.array(k),
+             pa.array(np.ones(len(k), dtype=np.int8)),
+             batch.column("p_brand").cast(pa.string()),
+             batch.column("p_type").cast(pa.string()),
+             pa.array(np.zeros(len(k), dtype=np.int64))],
+            names=["bucket", "key", "is_dim", "p_brand", "p_type",
+                   "supp"])
+
+    def attach_cell(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        is_dim = group.column("is_dim").to_numpy(
+            zero_copy_only=False).astype(bool)
+        k = group.column("key").to_numpy(zero_copy_only=False)
+        dk = k[is_dim]
+        order = np.argsort(dk)
+        dk = dk[order]
+        fk = k[~is_dim]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.string()),
+             pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["bucket2", "p_brand", "p_type", "supp"])
+        if not len(dk) or not len(fk):
+            return empty
+        dim_idx = np.nonzero(is_dim)[0][order]
+        supp = group.column("supp").to_numpy(
+            zero_copy_only=False)[~is_dim]
+        pos = np.clip(np.searchsorted(dk, fk), 0, len(dk) - 1)
+        hit = dk[pos] == fk
+        gat = pa.array(dim_idx[pos[hit]])
+        b = group.column("p_brand").take(gat)   # Arrow C gathers
+        t = group.column("p_type").take(gat)
+        s = supp[hit]
+        if not len(s):
+            return empty
+        # cell-local distinct triples via factorized code packing —
+        # no string concatenation, exact
+        bcodes, _bu = pd.factorize(b.to_pandas(), sort=False)
+        tcodes, tu = pd.factorize(t.to_pandas(), sort=False)
+        pair = bcodes.astype(np.int64) * len(tu) + tcodes
+        m = np.int64(s.max()) + 1
+        packed, first = np.unique(pair * m + s, return_index=True)
+        fi = pa.array(first)
+        sb = group.column("p_brand").take(gat.take(fi))
+        st = group.column("p_type").take(gat.take(fi))
+        kb = pd.util.hash_array(
+            np.asarray(sb.to_pylist(), dtype=object)).astype(np.int64)
+        kt = pd.util.hash_array(
+            np.asarray(st.to_pylist(), dtype=object)).astype(np.int64)
+        h = (kb * np.int64(31) + kt * np.int64(7)
+             + packed % m) % np.int64(256)
+        return pa.Table.from_arrays(
+            [pa.array(h), sb, st, pa.array(s[first])],
+            names=["bucket2", "p_brand", "p_type", "supp"])
+
+    def count_cell(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = group.column("supp").to_numpy(zero_copy_only=False)
+        bcodes, _bu = pd.factorize(
+            group.column("p_brand").to_pandas(), sort=False)
+        tcodes, tu = pd.factorize(
+            group.column("p_type").to_pandas(), sort=False)
+        pair = bcodes.astype(np.int64) * len(tu) + tcodes
+        m = np.int64(s.max()) + 1
+        packed, first = np.unique(pair * m + s, return_index=True)
+        ci = packed // m
+        cu, cinv = np.unique(ci, return_inverse=True)
+        n = np.bincount(cinv).astype(np.int64)
+        rep = pa.array(first[np.unique(ci, return_index=True)[1]])
+        return pa.Table.from_arrays(
+            [group.column("p_brand").take(rep),
+             group.column("p_type").take(rep), pa.array(n)],
+            names=["p_brand", "p_type", "n"])
+
+    u = lineitem.select_columns(["l_partkey", "l_suppkey"]) \
+        .map_batches(fact_emit, batch_format="pyarrow",
+                     zero_copy_batch=True).union(
+        part.select_columns(["p_partkey", "p_brand", "p_type"])
+        .map_batches(dim_emit, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    return u.groupby("bucket").map_groups(
+        attach_cell, batch_format="pyarrow") \
+        .groupby("bucket2").map_groups(count_cell,
+                                       batch_format="pyarrow") \
+        .groupby(["p_brand", "p_type"]).sum("n") \
+        .map_batches(lambda b: b.rename_columns(
+            ["p_brand", "p_type", "n_supp"]),
+            batch_format="pyarrow", zero_copy_batch=True)
