@@ -673,6 +673,16 @@ def _events_cooccurrence(sf_dir: str):
         columns=["user_id", "event_type"]))
 
 
+def _events_user_paths(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import user_paths
+
+    return user_paths(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]))
+
+
 def _events_ks_drift(sf_dir: str):
     import ray.data
 
@@ -1795,6 +1805,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-document TF-IDF keyword extraction (rational idf)
         "tfidf_top_terms": lambda sf: textstats.tfidf_top_terms(
             _docs_cols(sf, ["doc_id", "text"])),
+        # exactly-k content-addressed sample (partial top-k)
+        "exact_k_sample": lambda sf: textstats.exact_k_sample(
+            _docs_cols(sf, ["doc_id"]), 100),
         "incremental_dedup": lambda sf: _incremental_dedup(sf),
         "bloom_dedup": lambda sf: _bloom_dedup(sf),
         "nb_classify": lambda sf: lm.nb_classify(
@@ -1861,6 +1874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_cooccurrence": lambda sf: _events_cooccurrence(sf),
         "robust_outliers": lambda sf: _events_robust_outliers(sf),
         "ks_drift": lambda sf: _events_ks_drift(sf),
+        "user_paths": lambda sf: _events_user_paths(sf),
         # semi-structured JSON props field extraction + aggregate
         "props_field_stats": lambda sf: _events_props(sf),
         "cms_token_estimates": lambda sf: _cms_estimates(sf),
@@ -3113,6 +3127,18 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY user_id
               ORDER BY ts DESC, event_id DESC) = 1""",
+        # ordered event-type path per user; (ts, event_id) order makes
+        # the string deterministic on both engines
+        "user_paths": """
+            SELECT user_id,
+                   string_agg(event_type, '>'
+                              ORDER BY ts, event_id) AS path
+            FROM events GROUP BY 1""",
+        # exactly-k smallest md5 keys, ties to the smaller doc_id
+        "exact_k_sample": """
+            SELECT doc_id FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 100""",
         # exact two-sample KS drift statistic in integer micros —
         # HUGEINT cross-multiplication mirrors the Python big-ints
         "ks_drift": """

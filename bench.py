@@ -153,6 +153,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "token_count_bpe", "bpe_merges", "bpe_token_count",
                  "winnow_fingerprint",
                  "containment_pairs", "sample_by_hash",
+                 "exact_k_sample",
                  "pack_sequences", "chunk_documents",
                  "training_pipeline", "curation_pipeline",
                  "hash_embed_nn",
@@ -194,7 +195,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "percent_rank_events", "active_spans",
                  "winsorize_events", "mode_by_type", "mad_by_type",
                  "dd_quantiles", "latest_events", "event_cooccurrence",
-                 "robust_outliers", "ks_drift",
+                 "robust_outliers", "ks_drift", "user_paths",
                  "user_growth",
                  "distinct_users", "pivot_events", "hll_users",
                  "cms_token_estimates",

@@ -861,3 +861,24 @@ def test_ks_drift_exact_statistic(ray_session):
     got = ks_drift(
         ray.data.from_items(rows).repartition(3)).to_pylist()
     assert got == [{"d_micro": 666666}]
+
+
+def test_user_paths_order_and_ties(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import user_paths
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        {"user_id": 1, "ts": T(2), "event_id": 5, "event_type": "b"},
+        {"user_id": 1, "ts": T(1), "event_id": 9, "event_type": "a"},
+        # ts tie with eid 5: eid 4 sorts first
+        {"user_id": 1, "ts": T(2), "event_id": 4, "event_type": "c"},
+        {"user_id": 2, "ts": T(9), "event_id": 1, "event_type": "z"},
+    ]
+    got = {r["user_id"]: r["path"]
+           for r in user_paths(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {1: "a>c>b", 2: "z"}

@@ -1660,3 +1660,24 @@ def test_semantic_decontaminate_broadcast_filter(ray_session):
     got2 = sorted(r["vec_id"] for r in semantic_decontaminate(
         corpus, bench.filter(lambda r: False), 0.95).take_all())
     assert got2 == [10, 11, 12]
+
+
+def test_exact_k_sample_size_and_stability(ray_session):
+    import ray.data
+
+    from webtext.functions.textstats import exact_k_sample
+
+    rows = [{"doc_id": i} for i in range(50)]
+    ds = ray.data.from_items(rows).repartition(4)
+    got = [r["doc_id"] for r in exact_k_sample(ds, k=10).take_all()]
+    assert len(got) == 10 and len(set(got)) == 10
+    # blocking-invariant
+    got2 = [r["doc_id"] for r in exact_k_sample(
+        ds.repartition(7), k=10).take_all()]
+    assert sorted(got) == sorted(got2)
+    # matches the straight single-process ranking
+    import hashlib
+    want = sorted(range(50),
+                  key=lambda d: (hashlib.md5(str(d).encode())
+                                 .hexdigest(), d))[:10]
+    assert sorted(got) == sorted(want)

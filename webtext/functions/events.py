@@ -1372,3 +1372,51 @@ def ks_drift(ds, n_buckets: int = 256):
         best = max(best, abs(fa * nb - fb * na))
     return pa.table({"d_micro": pa.array(
         [best * 1_000_000 // (na * nb)], pa.int64())})
+
+
+def user_paths(ds, n_buckets: int = 256):
+    """(user_id, path): each user's full ordered event-type sequence
+    joined with '>' — the raw material of path/funnel mining and
+    session-to-training-text rendering.  Order = (ts, event_id), so
+    ties are deterministic and the string matches the SQL
+    ``string_agg(... ORDER BY ts, event_id)`` exactly.
+
+    One hash(user) exchange of (user, ts_us, event_id, type) rows;
+    each cell lexsorts once and builds every user's string with ONE
+    Arrow binary_join over a ListArray sliced by the user run
+    boundaries — no per-user Python loop, no per-user groups."""
+    def emit(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(uid, n_buckets)), pa.array(uid),
+             batch.column("ts").cast(pa.timestamp("us"))
+             .cast(pa.int64()),
+             batch.column("event_id").cast(pa.int64()),
+             batch.column("event_type")],
+            names=["bucket", "user_id", "ts_us", "event_id",
+                   "event_type"])
+
+    def join_cell(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        starts = np.nonzero(np.append(True, u[1:] != u[:-1]))[0]
+        offsets = np.append(starts, len(u)).astype(np.int32)
+        types = group.column("event_type").take(pa.array(order))
+        types = (types.combine_chunks()
+                 if isinstance(types, pa.ChunkedArray) else types)
+        lst = pa.ListArray.from_arrays(pa.array(offsets), types)
+        paths = pc.binary_join(lst, ">")
+        return pa.Table.from_arrays(
+            [pa.array(u[starts]), paths],
+            names=["user_id", "path"])
+
+    return ds.select_columns(
+        ["user_id", "ts", "event_id", "event_type"]) \
+        .map_batches(emit, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(join_cell,
+                                      batch_format="pyarrow")

@@ -1722,3 +1722,45 @@ def tfidf_top_terms(ds, k: int = 3, n_buckets: int = 256):
                                       batch_format="pyarrow") \
         .groupby("dbucket").map_groups(topk_cell,
                                        batch_format="pyarrow")
+
+
+def exact_k_sample(ds, k: int = 100):
+    """(doc_id,): an EXACTLY-k deterministic uniform sample — the k
+    documents with the smallest md5(str(doc_id)) hex keys (ties to the
+    smaller doc_id).  Complements the hash-threshold samplers
+    (`sample_by_hash`, `pps_sample`), whose sizes are only expected
+    values: eval-set construction often needs a precise count.
+    Content-addressed like the rest of the sampling family, so the
+    chosen set is stable under re-sharding and cluster size — but NOT
+    under corpus growth (a new doc with a smaller key evicts the
+    largest; that is the exact-k/threshold tradeoff, by construction).
+
+    Per-block partial top-k (each block ships at most k (key, id)
+    rows — never the corpus), one single-block final sort over
+    ≤ k·#blocks rows.  The md5 hex keys compare lexicographically =
+    numerically (fixed width), matching the SQL ORDER BY exactly."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keys = np.asarray(
+            [hashlib.md5(str(d).encode()).hexdigest() for d in ids],
+            dtype=object)
+        order = np.lexsort((ids, keys))[:k]
+        return pa.Table.from_arrays(
+            [pa.array(keys[order].astype(str), pa.string()),
+             pa.array(ids[order])],
+            names=["key", "doc_id"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("key").to_pylist(), dtype=object)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))[:k]
+        return pa.Table.from_arrays([pa.array(ids[order])],
+                                    names=["doc_id"])
+
+    return ds.select_columns(["doc_id"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .repartition(1) \
+        .map_batches(final, batch_size=None, batch_format="pyarrow",
+                     zero_copy_batch=True)
