@@ -42,6 +42,20 @@ def _docs_cols(sf_dir: str, cols: list[str]):
                                  columns=cols)
 
 
+def _docs_mod10(sf_dir: str):
+    """Deterministic doc_id % 10 == 0 slice of (doc_id, text)."""
+    import pyarrow as pa
+
+    def f(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _emb(sf_dir: str):
     import ray.data
 
@@ -1644,12 +1658,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         # EXACT similarity self-join (prefix filtering, PPJoin family);
         # 0.9 on this corpus: the synthetic template vocabulary makes
-        # looser thresholds match half the corpus to itself
+        # looser thresholds match half the corpus to itself.  Driven on
+        # the deterministic doc_id%10 slice: the TRUE pair set of the
+        # full corpus is quadratic in its near-dup family sizes (965k
+        # pairs at sf0.1) — any exact join is output-bound there, so
+        # the registered query demos the operator where the answer is
+        # readable; the operator itself takes any input
         "prefix_filter_pairs": lambda sf: dedup.prefix_filter_pairs(
-            _docs_cols(sf, ["doc_id", "text"]), threshold=0.9),
+            _docs_mod10(sf), threshold=0.9),
         # cross-source shared word-set contamination matrix
         "source_overlap": lambda sf: dedup.source_overlap(
             _docs_cols(sf, ["source", "text"])),
+        # duplicate-lineage mapping: dropped member -> survivor
+        "dup_mapping": lambda sf: dedup.dup_mapping(
+            _docs_cols(sf, ["doc_id", "text"])),
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(
             _docs_cols(sf, ["doc_id", "text"])),
         "simhash": lambda sf: dedup.simhash(
@@ -1808,6 +1830,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exactly-k content-addressed sample (partial top-k)
         "exact_k_sample": lambda sf: textstats.exact_k_sample(
             _docs_cols(sf, ["doc_id"]), 100),
+        # corpus bigram census (collocation sibling of token_frequencies)
+        "top_bigrams": lambda sf: textstats.top_bigrams(
+            _docs_cols(sf, ["doc_id", "text"]), 50),
         "incremental_dedup": lambda sf: _incremental_dedup(sf),
         "bloom_dedup": lambda sf: _bloom_dedup(sf),
         "nb_classify": lambda sf: lm.nb_classify(
@@ -2023,7 +2048,7 @@ def oracle_sql() -> dict[str, str]:
             "centroid_classify",
             "pagerank", "containment_pairs",
             "nb_classify", "bloom_dedup", "hits_scores",
-            "dd_quantiles", "kcenter_select",
+            "dd_quantiles", "kcenter_select", "dup_mapping",
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs", "media_dedup_apply",
             "dedup_extracted", "dup_cluster_stats", "hll_users",
@@ -2066,15 +2091,15 @@ def oracle_sql() -> dict[str, str]:
                     string_split(b.text,' '))))::BIGINT AS union_n
               FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
             ) t WHERE inter_n * 10 >= union_n * 3""",
-        # brute-force ALL-pairs Jaccard >= 0.5 via the posting-list
-        # join; the Ray side must find exactly these (completeness is
-        # the prefix filter's guarantee, unlike LSH banding)
+        # brute-force ALL-pairs Jaccard via the posting-list join; the
+        # Ray side must find exactly these (completeness is the prefix
+        # filter's guarantee, unlike LSH banding)
         "prefix_filter_pairs": """
             WITH toks AS (
               SELECT doc_id,
                      unnest(list_distinct(string_split(text, ' ')))
                        AS tok
-              FROM documents),
+              FROM documents WHERE doc_id % 10 = 0),
             sizes AS (SELECT doc_id, count(*)::BIGINT AS n
                       FROM toks GROUP BY 1),
             inter AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
@@ -3127,6 +3152,18 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY user_id
               ORDER BY ts DESC, event_id DESC) = 1""",
+        # top-k corpus bigrams; list_zip slices drop the row-boundary
+        # pair exactly like the engine's offsets mask
+        "top_bigrams": """
+            WITH t AS (SELECT string_split(text, ' ') AS toks
+                       FROM documents),
+            b AS (SELECT unnest(list_zip(toks[1:-2], toks[2:-1]))
+                    AS bg
+                  FROM t)
+            SELECT bg[1] || ' ' || bg[2] AS bigram,
+                   count(*)::BIGINT AS n
+            FROM b GROUP BY 1
+            ORDER BY n DESC, bigram LIMIT 50""",
         # ordered event-type path per user; (ts, event_id) order makes
         # the string deterministic on both engines
         "user_paths": """

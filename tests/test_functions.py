@@ -1681,3 +1681,41 @@ def test_exact_k_sample_size_and_stability(ray_session):
                   key=lambda d: (hashlib.md5(str(d).encode())
                                  .hexdigest(), d))[:10]
     assert sorted(got) == sorted(want)
+
+
+def test_dup_mapping_lineage(ray_session):
+    import ray.data
+
+    from webtext.functions.dedup import dup_mapping
+
+    # docs 1,2,3 form one near-dup cluster (identical text); 4 alone
+    t = ("spark shard lantern vector group value token window actor "
+         "cluster join orchard lantern pipeline arrow lane scan")
+    rows = [
+        {"doc_id": 3, "text": t},
+        {"doc_id": 1, "text": t},
+        {"doc_id": 2, "text": t},
+        {"doc_id": 4, "text": "completely different words entirely "
+                              "unrelated to anything else here now"},
+    ]
+    got = sorted((r["doc_id"], r["rep_id"])
+                 for r in dup_mapping(
+                     ray.data.from_items(rows).repartition(3),
+                     0.5).take_all())
+    assert got == [(2, 1), (3, 1)]
+
+
+def test_top_bigrams_no_cross_row_pairs(ray_session):
+    import ray.data
+
+    from webtext.functions.textstats import top_bigrams
+
+    rows = [
+        {"doc_id": 1, "text": "a b a b"},     # "a b" x2, "b a" x1
+        {"doc_id": 2, "text": "b"},           # single token: no pair
+        {"doc_id": 3, "text": "a b"},         # "a b" x1
+    ]
+    # row boundary between "b" (doc1 end) and "b" (doc2) must not pair
+    got = [(r["bigram"], r["n"]) for r in top_bigrams(
+        ray.data.from_items(rows).repartition(3), k=10).take_all()]
+    assert got == [("a b", 3), ("b a", 1)]

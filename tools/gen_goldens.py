@@ -970,6 +970,20 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
         {"doc_id": pa.array([d for d, _ in keep], pa.int64()),
          "text": pa.array([x for _, x in keep], pa.string())})
 
+    # duplicate-lineage mapping: every dropped member -> its cluster's
+    # min-id representative (the CC label convention)
+    comp_map: dict[int, list[int]] = {}
+    for x in uf.p:
+        comp_map.setdefault(uf.find(x), []).append(x)
+    map_rows = []
+    for members in comp_map.values():
+        rep = min(members)
+        map_rows.extend((m, rep) for m in members if m != rep)
+    map_rows.sort()
+    g["dup_mapping"] = pa.table(
+        {"doc_id": pa.array([m for m, _ in map_rows], pa.int64()),
+         "rep_id": pa.array([r for _, r in map_rows], pa.int64())})
+
     # keep-LONGEST dedup: same clusters, best member = most characters
     # (Python len(str) counts code points = Arrow utf8_length), ties →
     # min doc_id; everything else in the cluster drops

@@ -1355,3 +1355,30 @@ def source_overlap(ds, n_buckets: int = 256):
         .map_batches(lambda b: b.rename_columns(
             ["source_a", "source_b", "n_shared"]),
             batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dup_mapping(ds, threshold: float = 0.5):
+    """(doc_id, rep_id): the duplicate-lineage table — every non-
+    representative member of a MinHash-LSH near-dup cluster mapped to
+    its surviving representative (the cluster's min id).  dedup_apply
+    answers "what survives"; this answers "where did each dropped doc
+    GO" — the record an incremental pipeline keeps so later references
+    (citations, URL redirects, feedback joins) can be re-pointed at
+    the survivor.
+
+    Pure composition of the existing scale machinery: banded candidate
+    pairs → distributed min-label connected components → one streaming
+    filter keeping (node ≠ label) rows.  Nothing new shuffles; the
+    mapping is exactly the CC label table minus its fixed points."""
+    labels = connected_components(minhash_lsh_pairs(ds, threshold))
+
+    def nonrep(batch: pa.Table) -> pa.Table:
+        n = _col_i64(batch, "node")
+        lab = _col_i64(batch, "label")
+        keep = n != lab
+        return pa.Table.from_arrays(
+            [pa.array(n[keep]), pa.array(lab[keep])],
+            names=["doc_id", "rep_id"])
+
+    return labels.map_batches(nonrep, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -1764,3 +1764,45 @@ def exact_k_sample(ds, k: int = 100):
         .repartition(1) \
         .map_batches(final, batch_size=None, batch_format="pyarrow",
                      zero_copy_batch=True)
+
+
+def top_bigrams(ds, k: int = 50):
+    """Top-k corpus bigram frequencies (count desc, bigram asc) — the
+    collocation census behind boilerplate detection and n-gram LM
+    inspection; the bigram sibling of `token_frequencies`.
+
+    Per-batch combiner, all C kernels: flatten tokens once, pair each
+    token with its successor via two shifted gathers, drop the
+    row-boundary pairs with an offsets mask, join element-wise, and
+    pre-count with Arrow value_counts — the shuffle ships (bigram,
+    partial_n) rows only; one native groupby-sum and a tiny
+    deterministic sort+limit finish."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["bigram", "n"])
+        # positions of each row's LAST token: a pair must not cross it
+        ends = np.cumsum(lens) - 1
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        keep[ends[ends < len(flat) - 1]] = False
+        left = flat.slice(0, len(flat) - 1).filter(pa.array(keep))
+        right = flat.slice(1).filter(pa.array(keep))
+        bg = pc.binary_join_element_wise(left, right, " ")
+        vc = pc.value_counts(bg)
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["bigram", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    summed = partials.groupby("bigram").sum("n").map_batches(
+        lambda b: b.rename_columns(["bigram", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return summed.sort(["n", "bigram"], descending=[True, False]).limit(k)
