@@ -1833,6 +1833,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus bigram census (collocation sibling of token_frequencies)
         "top_bigrams": lambda sf: textstats.top_bigrams(
             _docs_cols(sf, ["doc_id", "text"]), 50),
+        # exact chi-square corpus comparison between source halves
+        "vocab_divergence": lambda sf: textstats.vocab_divergence(
+            _docs_cols(sf, ["source", "text"]), 50),
         "incremental_dedup": lambda sf: _incremental_dedup(sf),
         "bloom_dedup": lambda sf: _bloom_dedup(sf),
         "nb_classify": lambda sf: lm.nb_classify(
@@ -3152,6 +3155,33 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY user_id
               ORDER BY ts DESC, event_id DESC) = 1""",
+        # exact 2x2 chi-square in HUGEINT (matches the engine's Python
+        # big-ints; HUGEINT headroom to ~sf1 — (ad-bc)^2*N*1e6 < 1.7e38)
+        "vocab_divergence": """
+            WITH toks AS (
+              SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                          THEN 0 ELSE 1 END AS side,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents),
+            g AS (SELECT token,
+                         SUM(CASE WHEN side=0 THEN 1 ELSE 0
+                             END)::HUGEINT AS a,
+                         SUM(CASE WHEN side=1 THEN 1 ELSE 0
+                             END)::HUGEINT AS b
+                  FROM toks GROUP BY 1),
+            tot AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM g),
+            x AS (SELECT token, a, b, na - a AS c, nb - b AS d
+                  FROM g, tot)
+            SELECT token,
+                   CASE WHEN (a+b)=0 OR (c+d)=0 OR (a+c)=0 OR (b+d)=0
+                        THEN 0
+                        ELSE CAST(((a+b+c+d) * (a*d - b*c)
+                                   * (a*d - b*c) * 1000000)
+                             // ((a+b)*(c+d)*(a+c)*(b+d)) AS BIGINT)
+                   END AS chi2_micro,
+                   CAST(a AS BIGINT) AS n_a, CAST(b AS BIGINT) AS n_b
+            FROM x
+            ORDER BY chi2_micro DESC, token LIMIT 50""",
         # top-k corpus bigrams; list_zip slices drop the row-boundary
         # pair exactly like the engine's offsets mask
         "top_bigrams": """

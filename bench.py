@@ -170,7 +170,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "token_frequencies", "topk_tokens_per_lang",
                  "vocab_coverage", "tfidf_top_terms",
                  "prefix_filter_pairs", "source_overlap",
-                 "dup_mapping", "top_bigrams",
+                 "dup_mapping", "top_bigrams", "vocab_divergence",
                  "incremental_dedup", "incremental_near_dedup",
                  "dup_cluster_stats",
                  "inverted_index", "bm25_topk",

@@ -1719,3 +1719,26 @@ def test_top_bigrams_no_cross_row_pairs(ray_session):
     got = [(r["bigram"], r["n"]) for r in top_bigrams(
         ray.data.from_items(rows).repartition(3), k=10).take_all()]
     assert got == [("a b", 3), ("b a", 1)]
+
+
+def test_vocab_divergence_exact_chi2(ray_session):
+    import ray.data
+
+    from webtext.functions.textstats import vocab_divergence
+
+    # side 0 = src0-9, side 1 = src10-19.  "only0" appears 3x on side
+    # 0 and never on side 1; "both" is balanced.
+    rows = [
+        {"source": "src1", "text": "only0 only0 both"},
+        {"source": "src2", "text": "only0 both"},
+        {"source": "src15", "text": "both both both"},
+    ]
+    got = {r["token"]: (r["chi2_micro"], r["n_a"], r["n_b"])
+           for r in vocab_divergence(
+               ray.data.from_items(rows).repartition(2),
+               k=10).take_all()}
+    # totals: na=5, nb=3; only0: a=3,b=0,c=2,d=3
+    # chi2 = 8*(3*3-0*2)^2*1e6 // ((a+b)(c+d)(a+c)(b+d) = 3*5*5*3)
+    assert got["only0"] == (8 * 81 * 1_000_000 // 225, 3, 0)
+    # both: a=2,b=3,c=3,d=0 — the complementary table, same chi2
+    assert got["both"] == (8 * 81 * 1_000_000 // 225, 2, 3)

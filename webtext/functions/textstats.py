@@ -1806,3 +1806,85 @@ def top_bigrams(ds, k: int = 50):
         lambda b: b.rename_columns(["bigram", "n"]),
         batch_format="pyarrow", zero_copy_batch=True)
     return summed.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def vocab_divergence(ds, k: int = 50, n_buckets: int = 256):
+    """(token, chi2_micro, n_a, n_b): the top-``k`` tokens that most
+    distinguish the two source halves (src0-9 vs src10-19) by the
+    exact 2×2 chi-square statistic — the corpus-comparison census a
+    curator reads to see what a new feed is adding (slang, spam
+    templates, another language) before mixing it in.
+
+    All arithmetic exact: per-(token, side) occurrence counts from one
+    combiner + native groupby(token).sum; side totals from a second
+    narrow scalar pass; χ² = N·(ad−bc)²·10⁶ // ((a+b)(c+d)(a+c)(b+d))
+    evaluated in Python big-ints per DISTINCT token (the vocab-bounded
+    distinct-table convention of `mode_by_type` — (ad−bc)² alone
+    overflows int64 at ~1e6-occurrence tokens; the SQL oracle's
+    HUGEINT matches to ~sf1, noted there).  Ranking = (χ² desc, token)
+    via the tiny sort+limit over the distinct-vocab table."""
+    import pandas as pd
+
+    def side_of(batch: pa.Table) -> np.ndarray:
+        src = pd.Series(batch.column("source").to_pandas())
+        return (src.str.slice(3).astype(np.int64) < 10) \
+            .to_numpy().astype(np.int64) ^ 1  # 0 = src0-9, 1 = rest
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        side = np.repeat(side_of(batch), lens)
+        flat = pc.list_flatten(toks)
+        codes, uniq = pd.factorize(pd.Series(flat.to_pandas()),
+                                   sort=False)
+        counts = np.bincount(codes * 2 + side,
+                             minlength=2 * len(uniq)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(uniq.to_numpy(dtype=object).astype(str),
+                      pa.string()),
+             pa.array(counts[0::2]), pa.array(counts[1::2])],
+            names=["token", "a", "b"])
+
+    summed = ds.select_columns(["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("token").sum(["a", "b"]) \
+        .map_batches(lambda t: t.rename_columns(["token", "a", "b"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        n = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        side = side_of(batch)
+        return pa.Table.from_arrays(
+            [pa.array([int(n[side == 0].sum())], pa.int64()),
+             pa.array([int(n[side == 1].sum())], pa.int64())],
+            names=["na", "nb"])
+
+    tot = ds.select_columns(["source", "text"]).map_batches(
+        tot_partial, batch_format="pyarrow",
+        zero_copy_batch=True).sum(["na", "nb"])
+    na, nb = int(tot["sum(na)"]), int(tot["sum(nb)"])
+
+    def chi2(batch: pa.Table) -> pa.Table:
+        a_arr = batch.column("a").to_numpy(zero_copy_only=False)
+        b_arr = batch.column("b").to_numpy(zero_copy_only=False)
+        out = np.empty(len(a_arr), dtype=np.int64)
+        for i in range(len(a_arr)):     # vocab-bounded distinct table
+            a, b = int(a_arr[i]), int(b_arr[i])
+            c, d = na - a, nb - b
+            den = (a + b) * (c + d) * (a + c) * (b + d)
+            out[i] = ((a + b + c + d) * (a * d - b * c) ** 2
+                      * 1_000_000 // den) if den else 0
+        return pa.Table.from_arrays(
+            [batch.column("token"), pa.array(out),
+             pa.array(a_arr), pa.array(b_arr)],
+            names=["token", "chi2_micro", "n_a", "n_b"])
+
+    return summed.map_batches(chi2, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .sort(["chi2_micro", "token"],
+              descending=[True, False]).limit(k)
