@@ -1646,6 +1646,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": links_q,
         "search_engine_links": search_links_q,
         "read_keywords": read_keywords_q,
+        # per-partition lineage metrics from the commit manifest
+        "lineage_report": lambda sf: __import__(
+            "webtext.pipelines.integrate",
+            fromlist=["lineage_report"]).lineage_report(
+                _committed_run(sf, seed=42)),
         "read_rejects": rejects_q,
         "integrate_outputs": integrate_q,
         "scan_output_for_errors": scan_errors_q,
@@ -2052,6 +2057,7 @@ def oracle_sql() -> dict[str, str]:
             "pagerank", "containment_pairs",
             "nb_classify", "bloom_dedup", "hits_scores",
             "dd_quantiles", "kcenter_select", "dup_mapping",
+            "lineage_report",
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs", "media_dedup_apply",
             "dedup_extracted", "dup_cluster_stats", "hll_users",

@@ -233,6 +233,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "extract_spans_jsonl",
                  "group_counts_csv", "media_features_real",
                  "lsh_nearest_neighbor", "integrate_outputs",
+                 "lineage_report",
                  "read_rejects", "scan_output_for_errors",
                  "timeout_ids"):
         _quiesce(num_cpus)

@@ -87,3 +87,27 @@ def test_job_cli_end_to_end(ray_session, small_corpus_dir, tmp_path):
     line2 = [ln for ln in proc2.stdout.splitlines()
              if ln.startswith("{")][-1]
     assert json.loads(line2) == totals
+
+
+def test_lineage_report_matches_output_files(out_dir):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from webtext.pipelines.integrate import lineage_report
+
+    rep = lineage_report(out_dir).to_pylist()
+    assert rep, "manifest must have committed shards"
+    # manifest metrics must equal a direct aggregate over the files
+    want: dict[str, dict] = {}
+    for f in glob.glob(f"{out_dir}/round-*/shard=*/*.parquet"):
+        shard = f.split("shard=")[1].split("/")[0]
+        t = pq.read_table(f, columns=["status", "n_chars_out"])
+        w = want.setdefault(shard, {"docs": 0, "n_chars_out": 0})
+        w["docs"] += t.num_rows
+        w["n_chars_out"] += sum(t.column("n_chars_out").to_pylist())
+    for r in rep:
+        assert r["docs"] == want[r["shard"]]["docs"]
+        assert r["n_chars_out"] == want[r["shard"]]["n_chars_out"]
+        assert r["docs"] == (r["ok"] + r["timeout"] + r["failed"]
+                             + r["error_pattern"])

@@ -675,6 +675,31 @@ def golden_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
         "dist_micro": pa.array([d for _, _, d in sel], pa.int64())})
 
 
+def golden_lineage(sf_dir: str) -> pa.Table:
+    """Per-shard lineage golden from the pure oracle: replicate the
+    committed run's corpus (seed 42, rows_per_file=40 chunking =
+    part-%05d shard names) and aggregate extract_document results —
+    independent of the engine's manifest collection entirely."""
+    n_fam = 16 if sf_dir.rstrip("/").endswith("0.1") else 8
+    res = oracle_results(n_fam, seed=42)
+    per = {}
+    for i in range(0, len(res), 40):
+        shard = f"part-{i // 40:05d}"
+        rec = per.setdefault(shard, {
+            "docs": 0, "ok": 0, "timeout": 0, "failed": 0,
+            "error_pattern": 0, "n_chars_out": 0})
+        for _doc, r in res[i:i + 40]:
+            rec["docs"] += 1
+            rec[r.status] += 1
+            rec["n_chars_out"] += sum(len(s["text"]) for s in r.spans)
+    shards = sorted(per)
+    return pa.table({
+        "shard": pa.array(shards, pa.string()),
+        **{k: pa.array([per[s][k] for s in shards], pa.int64())
+           for k in ("docs", "ok", "timeout", "failed",
+                     "error_pattern", "n_chars_out")}})
+
+
 def golden_dd_quantiles(sf_dir: str, sub: int = 32,
                         qs=(0.5, 0.95, 0.99)) -> pa.Table:
     """Independent single-process DDSketch-style quantiles per
@@ -1519,6 +1544,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["hits_scores"] = golden_hits(sf_dir)
     g["dd_quantiles"] = golden_dd_quantiles(sf_dir)
     g["kcenter_select"] = golden_kcenter(sf_dir)
+    g["lineage_report"] = golden_lineage(sf_dir)
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)
 
     return g

@@ -90,3 +90,41 @@ def sanitize_filename(name: str) -> str:
     for ch in '<>:"/\\|?*':
         name = name.replace(ch, "_")
     return name
+
+
+def lineage_report(output_dir: str):
+    """(shard, docs, ok, timeout, failed, error_pattern, n_chars_out):
+    the per-partition lineage/observability readout from a committed
+    run's manifest — the north-star's "every partition records lineage
+    + throughput metrics" surface as a queryable table (throughput
+    seconds are wall-clock and excluded so the result is deterministic
+    and golden-checkable against the pure extraction oracle).
+
+    Driver-side by design: the manifest is per-shard METADATA (one
+    JSON record per committed shard, written by `run_extraction`), so
+    this reads kilobytes at any corpus size — the per-document data is
+    never touched.  The golden is generated from the pure-Python
+    oracle over the same deterministic corpus, so a mismatch catches
+    both metric-collection bugs and extraction drift."""
+    import collections
+
+    import pyarrow as pa
+
+    from ..sources.manifest import CommitManifest
+
+    agg: dict[str, dict] = {}
+    for rec in CommitManifest(output_dir).records():
+        a = agg.setdefault(rec["shard"], collections.Counter())
+        for k in ("docs", "ok", "timeout", "failed", "error_pattern",
+                  "n_chars_out"):
+            a[k] += int(rec.get(k, 0))
+    shards = sorted(agg)
+    cols = {"shard": shards}
+    for k in ("docs", "ok", "timeout", "failed", "error_pattern",
+              "n_chars_out"):
+        cols[k] = [int(agg[s][k]) for s in shards]
+    return pa.table({
+        "shard": pa.array(cols["shard"], pa.string()),
+        **{k: pa.array(cols[k], pa.int64())
+           for k in ("docs", "ok", "timeout", "failed",
+                     "error_pattern", "n_chars_out")}})
