@@ -736,6 +736,15 @@ def _tpch_q2(sf_dir: str):
         columns=["l_partkey", "l_suppkey", "l_extendedprice"]))
 
 
+def _lineitem_id_gaps(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.relational import id_gaps
+
+    return id_gaps(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]))
+
+
 def _tpch_q16(sf_dir: str):
     import ray.data
 
@@ -1956,6 +1965,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_check": lambda sf: _tpch_q4(sf),
         "late_line_priority": lambda sf: _tpch_q12(sf),
         "important_parts": lambda sf: _tpch_q11(sf),
+        # sequence-completeness audit: order-id ranges with no lines
+        "id_gaps": lambda sf: _lineitem_id_gaps(sf),
         "cheapest_supplier": lambda sf: _tpch_q2(sf),
         "brand_supplier_counts": lambda sf: _tpch_q16(sf),
         "brand_size_revenue": lambda sf: _tpch_q19(sf),
@@ -3251,6 +3262,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.event_id, d.event_type, d.cents, d.dev_cents
             FROM dev d JOIN mad USING (event_type)
             WHERE d.dev_cents > 3 * mad.mad""",
+        # missing-id ranges between observed min and max
+        "id_gaps": """
+            WITH k AS (SELECT DISTINCT l_orderkey AS v FROM lineitem),
+            l AS (SELECT v, lead(v) OVER (ORDER BY v) AS nxt FROM k)
+            SELECT v + 1 AS gap_start, nxt - 1 AS gap_end
+            FROM l WHERE nxt > v + 1""",
         # Q16 shape: distinct suppliers per (brand, type)
         "brand_supplier_counts": """
             SELECT p_brand, p_type,

@@ -222,7 +222,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "waiting_suppliers",
                  "customers_with_orders", "customers_without_f_orders",
                  "price_qty_corr", "pareto_orders",
-                 "late_line_priority", "important_parts",
+                 "late_line_priority", "important_parts", "id_gaps",
                  "cheapest_supplier", "brand_supplier_counts",
                  "extract_spans",
                  "extract_links",

@@ -1742,3 +1742,18 @@ def test_vocab_divergence_exact_chi2(ray_session):
     assert got["only0"] == (8 * 81 * 1_000_000 // 225, 3, 0)
     # both: a=2,b=3,c=3,d=0 — the complementary table, same chi2
     assert got["both"] == (8 * 81 * 1_000_000 // 225, 2, 3)
+
+
+def test_id_gaps_cross_block_stitch(ray_session):
+    import ray.data
+
+    from webtext.pipelines.relational import id_gaps
+
+    # present: 1,2,5,6,10 (with dups) -> gaps (3,4) and (7,9)
+    rows = [{"l_orderkey": v} for v in (5, 1, 10, 2, 6, 5, 1, 10)]
+    for parts in (1, 3, 6):
+        got = sorted((r["gap_start"], r["gap_end"])
+                     for r in id_gaps(
+                         ray.data.from_items(rows)
+                         .repartition(parts)).take_all())
+        assert got == [(3, 4), (7, 9)], parts

@@ -863,3 +863,62 @@ def robust_outliers(ds, group_col: str = "event_type",
 
     return d_ds.map_batches(flag, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def id_gaps(ds, col: str = "l_orderkey"):
+    """(gap_start, gap_end): every maximal run of integers missing
+    from ``col`` between its observed min and max — the sequence-
+    completeness audit (dropped crawl batches, lost shards, unassigned
+    id ranges) run before trusting "we processed everything".
+
+    Gap detection needs VALUE adjacency, which hash bucketing destroys,
+    so this is the one family that uses Ray's range-partitioning sort
+    on purpose: blocks pre-distinct (combiner), one `Dataset.sort`
+    range-partitions the distinct keys, each sorted block emits its
+    in-block gaps plus ONE (min, max) boundary marker, and the
+    constant-size marker set (#blocks rows) is stitched in a final
+    single group for the cross-block gaps.  The sort's exchange
+    carries only DISTINCT ids; the stitch is metadata-sized."""
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        v = np.unique(batch.column(col).cast(pa.int64())
+                      .to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays([pa.array(v)], names=["v"])
+
+    def block_pass(batch: pa.Table) -> pa.Table:
+        v = np.unique(batch.column("v").to_numpy(zero_copy_only=False))
+        if not len(v):
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int8()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["is_marker", "gap_start", "gap_end"])
+        g = np.nonzero(v[1:] > v[:-1] + 1)[0]
+        return pa.Table.from_arrays(
+            [pa.array(np.append(np.zeros(len(g), dtype=np.int8), 1)),
+             pa.array(np.append(v[g] + 1, v[0])),
+             pa.array(np.append(v[g + 1] - 1, v[-1]))],
+            names=["is_marker", "gap_start", "gap_end"])
+
+    def finish(group: pa.Table) -> pa.Table:
+        if not group.num_rows:
+            return group.select(["gap_start", "gap_end"])
+        if int(group.column("is_marker")[0].as_py()) == 0:
+            return group.select(["gap_start", "gap_end"])
+        # markers: (block_min, block_max) rows, constant count — stitch
+        lo = group.column("gap_start").to_numpy(zero_copy_only=False)
+        hi = group.column("gap_end").to_numpy(zero_copy_only=False)
+        order = np.argsort(lo)
+        lo, hi = lo[order], hi[order]
+        run_max = np.maximum.accumulate(hi)
+        g = np.nonzero(lo[1:] > run_max[:-1] + 1)[0]
+        return pa.Table.from_arrays(
+            [pa.array(run_max[g] + 1), pa.array(lo[g + 1] - 1)],
+            names=["gap_start", "gap_end"])
+
+    return ds.select_columns([col]) \
+        .map_batches(distinct, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .sort("v") \
+        .map_batches(block_pass, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("is_marker").map_groups(finish, batch_format="pyarrow")
