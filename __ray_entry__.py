@@ -687,6 +687,15 @@ def _events_cooccurrence(sf_dir: str):
         columns=["user_id", "event_type"]))
 
 
+def _events_hll_windowed(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.sketches import hll_users_windowed
+
+    return hll_users_windowed(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]))
+
+
 def _events_user_paths(sf_dir: str):
     import ray.data
 
@@ -1917,6 +1926,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_outliers": lambda sf: _events_robust_outliers(sf),
         "ks_drift": lambda sf: _events_ks_drift(sf),
         "user_paths": lambda sf: _events_user_paths(sf),
+        # daily-active-users HLL (window x sketch composition)
+        "hll_users_windowed": lambda sf: _events_hll_windowed(sf),
         # semi-structured JSON props field extraction + aggregate
         "props_field_stats": lambda sf: _events_props(sf),
         "cms_token_estimates": lambda sf: _cms_estimates(sf),
@@ -2068,7 +2079,7 @@ def oracle_sql() -> dict[str, str]:
             "pagerank", "containment_pairs",
             "nb_classify", "bloom_dedup", "hits_scores",
             "dd_quantiles", "kcenter_select", "dup_mapping",
-            "lineage_report",
+            "lineage_report", "hll_users_windowed",
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs", "media_dedup_apply",
             "dedup_extracted", "dup_cluster_stats", "hll_users",

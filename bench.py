@@ -199,6 +199,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "robust_outliers", "ks_drift", "user_paths",
                  "user_growth",
                  "distinct_users", "pivot_events", "hll_users",
+                 "hll_users_windowed",
                  "cms_token_estimates",
                  "outlier_events", "label_centroids",
                  "centroid_classify",

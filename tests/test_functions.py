@@ -1757,3 +1757,23 @@ def test_id_gaps_cross_block_stitch(ray_session):
                          ray.data.from_items(rows)
                          .repartition(parts)).take_all())
         assert got == [(3, 4), (7, 9)], parts
+
+
+def test_hll_users_windowed_no_false_windows(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.sketches import hll_users_windowed
+
+    rows = [
+        {"ts": dt.datetime(2024, 1, 1, 5), "user_id": 1},
+        {"ts": dt.datetime(2024, 1, 1, 23), "user_id": 1},  # same user
+        {"ts": dt.datetime(2024, 1, 1, 9), "user_id": 2},
+        {"ts": dt.datetime(2024, 1, 3, 0), "user_id": 1},
+    ]
+    got = {r["g"]: r["n_approx"]
+           for r in hll_users_windowed(
+               ray.data.from_items(rows).repartition(2)).take_all()}
+    # tiny cardinalities: HLL linear counting is exact here
+    assert got == {"2024-01-01": 2, "2024-01-03": 1}

@@ -700,6 +700,44 @@ def golden_lineage(sf_dir: str) -> pa.Table:
                      "error_pattern", "n_chars_out")}})
 
 
+def golden_hll_users_windowed(sf_dir: str) -> pa.Table:
+    """Tumbling-1-day-window variant of golden_hll_users_by_type: one
+    independent scalar-python HLL per day over that day's distinct
+    user set — differential vs sketches.hll_users_windowed."""
+    P = 12
+    m = 1 << P
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["ts", "user_id"])
+    by_day: dict[str, set] = {}
+    for ts, uid in zip(t["ts"].to_pylist(), t["user_id"].to_pylist()):
+        by_day.setdefault(ts.strftime("%Y-%m-%d"), set()).add(int(uid))
+    MASK = (1 << 64) - 1
+    gs, ests = [], []
+    for day in sorted(by_day):
+        regs = np.zeros(m, dtype=np.int64)
+        for v in sorted(by_day[day]):
+            z = (v + 0x9E3779B97F4A7C15) & MASK
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK
+            z = z ^ (z >> 31)
+            reg = z & (m - 1)
+            w = z >> P
+            rho = (64 - P) + 1 if w == 0 \
+                else (64 - P) - (w.bit_length() - 1)
+            if rho > regs[reg]:
+                regs[reg] = rho
+        alpha = 0.7213 / (1 + 1.079 / m)
+        raw = alpha * m * m / np.sum(
+            np.power(2.0, -regs.astype(np.float64)))
+        zeros = int(np.sum(regs == 0))
+        est = m * np.log(m / zeros) if (raw <= 2.5 * m and zeros) \
+            else raw
+        gs.append(day)
+        ests.append(int(round(est)))
+    return pa.table({"g": pa.array(gs, pa.string()),
+                     "n_approx": pa.array(ests, pa.int64())})
+
+
 def golden_dd_quantiles(sf_dir: str, sub: int = 32,
                         qs=(0.5, 0.95, 0.99)) -> pa.Table:
     """Independent single-process DDSketch-style quantiles per
@@ -1545,6 +1583,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["dd_quantiles"] = golden_dd_quantiles(sf_dir)
     g["kcenter_select"] = golden_kcenter(sf_dir)
     g["lineage_report"] = golden_lineage(sf_dir)
+    g["hll_users_windowed"] = golden_hll_users_windowed(sf_dir)
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)
 
     return g

@@ -565,3 +565,26 @@ def dd_quantiles_by_group(ds, group_col: str = "event_type",
         .map_batches(lambda b: b.rename_columns(["grp", "key", "n"]),
                      batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("grp").map_groups(finalize, batch_format="pyarrow")
+
+
+def hll_users_windowed(events_ds, p: int = HLL_P):
+    """(g, n_approx): approximate distinct users per tumbling 1-DAY
+    window — the streaming-analytics composition of the window family
+    with the HLL register algebra (daily-active-users over a corpus
+    too large to count exactly per window).  Register semantics are
+    identical to `hll_distinct_by_group`; the window string is just a
+    derived low-cardinality group key, so the shuffle still carries at
+    most ``days × 2^p`` (g, register, rho) rows per block."""
+    import pyarrow.compute as pc
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        w = pc.strftime(
+            pc.floor_temporal(batch.column("ts"), unit="day")
+            .cast(pa.timestamp("s")), format="%Y-%m-%d")
+        return pa.Table.from_arrays(
+            [w, batch.column("user_id")], names=["g", "user_id"])
+
+    windowed = events_ds.select_columns(["ts", "user_id"]) \
+        .map_batches(add_window, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return hll_distinct_by_group(windowed, "g", "user_id", p)
