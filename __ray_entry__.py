@@ -687,6 +687,12 @@ def _events_cooccurrence(sf_dir: str):
         columns=["user_id", "event_type"]))
 
 
+def _lineage_report(sf_dir: str):
+    from webtext.pipelines.integrate import lineage_report
+
+    return lineage_report(_committed_run(sf_dir, seed=42))
+
+
 def _events_hll_windowed(sf_dir: str):
     import ray.data
 
@@ -1665,10 +1671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_engine_links": search_links_q,
         "read_keywords": read_keywords_q,
         # per-partition lineage metrics from the commit manifest
-        "lineage_report": lambda sf: __import__(
-            "webtext.pipelines.integrate",
-            fromlist=["lineage_report"]).lineage_report(
-                _committed_run(sf, seed=42)),
+        "lineage_report": lambda sf: _lineage_report(sf),
         "read_rejects": rejects_q,
         "integrate_outputs": integrate_q,
         "scan_output_for_errors": scan_errors_q,
