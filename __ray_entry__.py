@@ -1862,6 +1862,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact chi-square corpus comparison between source halves
         "vocab_divergence": lambda sf: textstats.vocab_divergence(
             _docs_cols(sf, ["source", "text"]), 50),
+        # Church-Gale dispersion: topical vs boilerplate vocabulary
+        "token_burstiness": lambda sf: textstats.token_burstiness(
+            _docs_cols(sf, ["doc_id", "text"]), 50),
         "incremental_dedup": lambda sf: _incremental_dedup(sf),
         "bloom_dedup": lambda sf: _bloom_dedup(sf),
         "nb_classify": lambda sf: lm.nb_classify(
@@ -3213,6 +3216,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(a AS BIGINT) AS n_a, CAST(b AS BIGINT) AS n_b
             FROM x
             ORDER BY chi2_micro DESC, token LIMIT 50""",
+        # exact dispersion index over per-doc counts (zeros contribute
+        # nothing to either sum); HUGEINT mirrors the Python big-ints
+        "token_burstiness": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(string_split(text, ' ')) AS t
+                          FROM documents),
+            tf AS (SELECT doc_id, t, count(*)::HUGEINT AS c
+                   FROM toks GROUP BY 1, 2),
+            agg AS (SELECT t, SUM(c) AS s1, SUM(c*c) AS s2
+                    FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::HUGEINT AS n FROM documents)
+            SELECT t AS token,
+                   CAST((n.n*s2 - s1*s1)*1000000 // (n.n*s1)
+                        AS BIGINT) AS disp_micro,
+                   CAST(s1 AS BIGINT) AS n_occ
+            FROM agg, n
+            ORDER BY disp_micro DESC, token LIMIT 50""",
         # top-k corpus bigrams; list_zip slices drop the row-boundary
         # pair exactly like the engine's offsets mask
         "top_bigrams": """

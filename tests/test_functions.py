@@ -1777,3 +1777,26 @@ def test_hll_users_windowed_no_false_windows(ray_session):
                ray.data.from_items(rows).repartition(2)).take_all()}
     # tiny cardinalities: HLL linear counting is exact here
     assert got == {"2024-01-01": 2, "2024-01-03": 1}
+
+
+def test_token_burstiness_dispersion(ray_session):
+    import ray.data
+
+    from webtext.functions.textstats import token_burstiness
+
+    # 4 docs.  "evn" once per doc: s1=4, s2=4, N=4
+    #   D = (4*4 - 16)*1e6 // 16 = 0 (perfectly even)
+    # "bur" 4x in one doc: s1=4, s2=16
+    #   D = (4*16 - 16)*1e6 // 16 = 3_000_000 (bursty)
+    rows = [
+        {"doc_id": 1, "text": "evn bur bur bur bur"},
+        {"doc_id": 2, "text": "evn x"},
+        {"doc_id": 3, "text": "evn y"},
+        {"doc_id": 4, "text": "evn z"},
+    ]
+    got = {r["token"]: (r["disp_micro"], r["n_occ"])
+           for r in token_burstiness(
+               ray.data.from_items(rows).repartition(3),
+               k=10).take_all()}
+    assert got["evn"] == (0, 4)
+    assert got["bur"] == (3_000_000, 4)

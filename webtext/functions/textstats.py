@@ -1888,3 +1888,74 @@ def vocab_divergence(ds, k: int = 50, n_buckets: int = 256):
                               zero_copy_batch=True) \
         .sort(["chi2_micro", "token"],
               descending=[True, False]).limit(k)
+
+
+def token_burstiness(ds, k: int = 50):
+    """(token, disp_micro, n_occ): the top-``k`` burstiest tokens by
+    the exact dispersion index D = Var(c)/Mean(c) over PER-DOCUMENT
+    counts (zeros included) — Church-Gale burstiness: content words
+    clump in few documents (D ≫ 1), function words spread evenly
+    (D ≈ 1), so the ranking separates topical vocabulary from
+    boilerplate without any stopword list.
+
+    Exact integers end-to-end: each block emits per-token (Σc, Σc²)
+    partials over ITS documents (a doc lives in one block, so per-doc
+    counts are block-complete), one native groupby(token).sum merges,
+    and D_micro = (N·Σc² − (Σc)²)·10⁶ // (N·Σc) is evaluated in Python
+    big-ints per DISTINCT token (the vocab-bounded distinct-table
+    convention; Σc² products wrap int64 on heavy tokens at scale) —
+    matching the oracle's HUGEINT floor division bit-for-bit.  Zero
+    docs need no rows: they contribute nothing to either sum, and N
+    comes from one scalar count pass."""
+    import pandas as pd
+
+    agg = ds.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pa.array([b.num_rows], pa.int64())], names=["n"]),
+        batch_format="pyarrow", zero_copy_batch=True).sum("n")
+    n_docs = int(agg)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        flat = pc.list_flatten(toks)
+        codes, uniq = pd.factorize(pd.Series(flat.to_pandas()),
+                                   sort=False)
+        packed, tf = np.unique(rows * len(uniq) + codes,
+                               return_counts=True)
+        tcode = packed % len(uniq)
+        s1 = np.bincount(tcode, weights=tf,
+                         minlength=len(uniq)).astype(np.int64)
+        s2 = np.bincount(tcode, weights=tf.astype(np.int64) ** 2,
+                         minlength=len(uniq)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(uniq.to_numpy(dtype=object).astype(str),
+                      pa.string()), pa.array(s1), pa.array(s2)],
+            names=["token", "s1", "s2"])
+
+    summed = ds.select_columns(["text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("token").sum(["s1", "s2"]) \
+        .map_batches(lambda t: t.rename_columns(["token", "s1", "s2"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+
+    def disp(batch: pa.Table) -> pa.Table:
+        s1a = batch.column("s1").to_numpy(zero_copy_only=False)
+        s2a = batch.column("s2").to_numpy(zero_copy_only=False)
+        out = np.empty(len(s1a), dtype=np.int64)
+        for i in range(len(s1a)):       # vocab-bounded distinct table
+            s1, s2 = int(s1a[i]), int(s2a[i])
+            out[i] = ((n_docs * s2 - s1 * s1) * 1_000_000
+                      // (n_docs * s1)) if s1 else 0
+        return pa.Table.from_arrays(
+            [batch.column("token"), pa.array(out), pa.array(s1a)],
+            names=["token", "disp_micro", "n_occ"])
+
+    return summed.map_batches(disp, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .sort(["disp_micro", "token"],
+              descending=[True, False]).limit(k)
