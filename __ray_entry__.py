@@ -1856,6 +1856,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exactly-k content-addressed sample (partial top-k)
         "exact_k_sample": lambda sf: textstats.exact_k_sample(
             _docs_cols(sf, ["doc_id"]), 100),
+        # exactly-k PER GROUP (balanced eval-set builder)
+        "stratified_k_sample": lambda sf: textstats.stratified_k_sample(
+            _docs_cols(sf, ["doc_id", "lang"]), "lang", 20),
         # corpus bigram census (collocation sibling of token_frequencies)
         "top_bigrams": lambda sf: textstats.top_bigrams(
             _docs_cols(sf, ["doc_id", "text"]), 50),
@@ -3257,6 +3260,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
             LIMIT 100""",
+        # exactly-k per group, same content-addressed key
+        "stratified_k_sample": """
+            SELECT doc_id, lang FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20""",
         # exact two-sample KS drift statistic in integer micros —
         # HUGEINT cross-multiplication mirrors the Python big-ints
         "ks_drift": """

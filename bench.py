@@ -153,7 +153,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "token_count_bpe", "bpe_merges", "bpe_token_count",
                  "winnow_fingerprint",
                  "containment_pairs", "sample_by_hash",
-                 "exact_k_sample",
+                 "exact_k_sample", "stratified_k_sample",
                  "pack_sequences", "chunk_documents",
                  "training_pipeline", "curation_pipeline",
                  "hash_embed_nn",

@@ -1800,3 +1800,28 @@ def test_token_burstiness_dispersion(ray_session):
                k=10).take_all()}
     assert got["evn"] == (0, 4)
     assert got["bur"] == (3_000_000, 4)
+
+
+def test_stratified_k_sample_exact_per_group(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from webtext.functions.textstats import stratified_k_sample
+
+    rows = ([{"doc_id": i, "lang": "en"} for i in range(20)]
+            + [{"doc_id": 100 + i, "lang": "fr"} for i in range(3)])
+    ds = ray.data.from_items(rows).repartition(4)
+    got = {}
+    for r in stratified_k_sample(ds, "lang", k=5).take_all():
+        got.setdefault(r["lang"], []).append(r["doc_id"])
+    # en: exactly 5; fr: all 3 (group smaller than k)
+    assert len(got["en"]) == 5 and sorted(got["fr"]) == [100, 101, 102]
+    want_en = sorted(range(20),
+                     key=lambda d: (hashlib.md5(str(d).encode())
+                                    .hexdigest(), d))[:5]
+    assert sorted(got["en"]) == sorted(want_en)
+    # blocking-invariant
+    got2 = sorted((r["lang"], r["doc_id"]) for r in stratified_k_sample(
+        ds.repartition(7), "lang", k=5).take_all())
+    assert got2 == sorted((g, d) for g, ds_ in got.items() for d in ds_)

@@ -1959,3 +1959,50 @@ def token_burstiness(ds, k: int = 50):
                               zero_copy_batch=True) \
         .sort(["disp_micro", "token"],
               descending=[True, False]).limit(k)
+
+
+def stratified_k_sample(ds, group_col: str = "lang", k: int = 20):
+    """(doc_id, group): EXACTLY min(k, |group|) documents per group —
+    the balanced-eval-set builder (equal-sized per-language slices)
+    that the expected-size samplers cannot give.  Selection = the k
+    smallest md5(str(doc_id)) keys within each group (ties to the
+    smaller doc_id), so membership is content-addressed: stable under
+    re-sharding, cluster size, and growth of OTHER groups.
+
+    Per-block partial top-k PER GROUP (one lexsort + run-rank kernel —
+    each block ships ≤ k rows per group it contains, never the
+    corpus), then one groupby(group) finishes with the same kernel."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        grp = np.asarray(batch.column(group_col).to_pylist(),
+                         dtype=object)
+        keys = np.asarray(
+            [hashlib.md5(str(d).encode()).hexdigest() for d in ids],
+            dtype=object)
+        order = np.lexsort((ids, keys, grp))
+        g = grp[order]
+        starts = np.nonzero(np.append(True, g[1:] != g[:-1]))[0]
+        rank = np.arange(len(g)) - np.repeat(
+            starts, np.diff(np.append(starts, len(g))))
+        keep = order[rank < k]
+        return pa.Table.from_arrays(
+            [pa.array(ids[keep]),
+             pa.array(grp[keep].astype(str), pa.string()),
+             pa.array(keys[keep].astype(str), pa.string())],
+            names=["doc_id", group_col, "key"])
+
+    def final(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = np.asarray(group.column("key").to_pylist(), dtype=object)
+        order = np.lexsort((ids, keys))[:k]
+        idx = pa.array(order)
+        return pa.Table.from_arrays(
+            [group.column("doc_id").take(idx),
+             group.column(group_col).take(idx)],
+            names=["doc_id", group_col])
+
+    return ds.select_columns(["doc_id", group_col]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(group_col).map_groups(final, batch_format="pyarrow")
