@@ -1758,6 +1758,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_decontaminate": lambda sf: ann.semantic_decontaminate(
             _emb_mod(sf, lt=10, invert=True),
             _emb_mod(sf, lt=10), threshold=0.4),
+        # exact per-dimension moments (feature-health audit)
+        "embedding_dim_stats": lambda sf: ann.embedding_dim_stats(
+            _emb(sf)),
         # text analysis
         "token_diversity": lambda sf: textstats.token_diversity(
             _docs_cols(sf, ["doc_id", "text"])),
@@ -2169,6 +2172,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS left_id, b.vec_id AS right_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+        # signed micros (round half away from zero); sum-of-squares as
+        # base-1e9 limbs so the output never overflows BIGINT
+        "embedding_dim_stats": """
+            WITH e AS (SELECT unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) AS d
+                       FROM embeddings),
+            q AS (SELECT d - 1 AS dim,
+                         CAST(round(CAST(v AS DOUBLE) * 1000000)
+                              AS BIGINT) AS q
+                  FROM e),
+            s AS (SELECT dim, count(*)::BIGINT AS n,
+                         SUM(q)::BIGINT AS sum_q,
+                         SUM(q::HUGEINT * q)::HUGEINT AS ss
+                  FROM q GROUP BY 1)
+            SELECT dim, n, sum_q,
+                   CAST(ss // 1000000000 AS BIGINT) AS sumsq_hi,
+                   CAST(ss % 1000000000 AS BIGINT) AS sumsq_lo
+            FROM s""",
         "semantic_decontaminate": """
             SELECT c.vec_id FROM embeddings c
             WHERE c.vec_id % 100 >= 10

@@ -1825,3 +1825,22 @@ def test_stratified_k_sample_exact_per_group(ray_session):
     got2 = sorted((r["lang"], r["doc_id"]) for r in stratified_k_sample(
         ds.repartition(7), "lang", k=5).take_all())
     assert got2 == sorted((g, d) for g, ds_ in got.items() for d in ds_)
+
+
+def test_embedding_dim_stats_limbs_and_signs(ray_session):
+    import ray.data
+
+    from webtext.functions.ann import embedding_dim_stats
+
+    rows = [
+        {"vec_id": 1, "embedding": [0.5, -0.5]},
+        {"vec_id": 2, "embedding": [1.0, -1.0]},
+        {"vec_id": 3, "embedding": [0.0, 2.0]},
+    ]
+    got = {r["dim"]: (r["n"], r["sum_q"], r["sumsq_hi"], r["sumsq_lo"])
+           for r in embedding_dim_stats(
+               ray.data.from_items(rows).repartition(2)).take_all()}
+    # dim 0: q = 5e5, 1e6, 0 -> sum 1.5e6; ss = 2.5e11 + 1e12 = 1.25e12
+    assert got[0] == (3, 1_500_000, 1250, 0)
+    # dim 1: q = -5e5, -1e6, 2e6 -> sum 5e5; ss = 1.25e12 + 4e12
+    assert got[1] == (3, 500_000, 5250, 0)

@@ -1443,3 +1443,63 @@ def semantic_decontaminate(corpus_ds, bench_ds, threshold: float = 0.95):
 
     return corpus_ds.select_columns(["vec_id", "embedding"]) \
         .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_dim_stats(ds):
+    """(dim, n, sum_q, sumsq_hi, sumsq_lo): exact per-dimension first
+    and second moments of the embedding matrix in integer micros — the
+    feature-health audit (a collapsed dimension shows var≈0, a scale
+    bug shows runaway Σq²) run before trusting any ANN structure built
+    on the vectors.
+
+    Exactness posture: values quantize to micros with DuckDB's
+    half-away-from-zero round (embeddings are signed); Σq² is carried
+    as base-1e9 (hi, lo) limbs like `corr_by_group`'s moment sums —
+    one row's q² reaches 1e12, so a naive int64 corpus sum wraps near
+    1e7 rows/dim while the limbs hold to ~1e13 — and the OUTPUT is the
+    limb pair too, so the query result itself never overflows int64 at
+    any corpus size.  Combiner shape: each block emits exactly
+    `dim` rows; one constant-size groupby.sum; a final map reassembles
+    the limbs in Python big-ints."""
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch)
+        if x.shape[0] == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 5,
+                names=["dim", "n", "sum_q", "hi", "lo"])
+        y = x * 1_000_000.0
+        q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+        n = np.full(q.shape[1], q.shape[0], dtype=np.int64)
+        s1 = q.sum(axis=0)
+        ss = (q * q).sum(axis=0)      # ≤ 1e12 · block rows: int64-safe
+        return pa.Table.from_arrays(
+            [pa.array(np.arange(q.shape[1], dtype=np.int64)),
+             pa.array(n), pa.array(s1),
+             pa.array(ss // 1_000_000_000),
+             pa.array(ss % 1_000_000_000)],
+            names=["dim", "n", "sum_q", "hi", "lo"])
+
+    summed = ds.select_columns(["embedding"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("dim").sum(["n", "sum_q", "hi", "lo"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["dim", "n", "sum_q", "hi", "lo"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        hi = batch.column("hi").to_numpy(zero_copy_only=False)
+        lo = batch.column("lo").to_numpy(zero_copy_only=False)
+        out_hi = np.empty(len(hi), dtype=np.int64)
+        out_lo = np.empty(len(hi), dtype=np.int64)
+        for i in range(len(hi)):        # dim-bounded (constant) table
+            s = int(hi[i]) * 1_000_000_000 + int(lo[i])
+            out_hi[i], out_lo[i] = s // 1_000_000_000, s % 1_000_000_000
+        return pa.Table.from_arrays(
+            [batch.column("dim"), batch.column("n"),
+             batch.column("sum_q"), pa.array(out_hi),
+             pa.array(out_lo)],
+            names=["dim", "n", "sum_q", "sumsq_hi", "sumsq_lo"])
+
+    return summed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
