@@ -712,6 +712,15 @@ def _events_user_paths(sf_dir: str):
         columns=["user_id", "ts", "event_id", "event_type"]))
 
 
+def _events_ks_by_type(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import ks_by_type
+
+    return ks_by_type(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]))
+
+
 def _events_ks_drift(sf_dir: str):
     import ray.data
 
@@ -1937,6 +1946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_cooccurrence": lambda sf: _events_cooccurrence(sf),
         "robust_outliers": lambda sf: _events_robust_outliers(sf),
         "ks_drift": lambda sf: _events_ks_drift(sf),
+        "ks_by_type": lambda sf: _events_ks_by_type(sf),
         "user_paths": lambda sf: _events_user_paths(sf),
         # daily-active-users HLL (window x sketch composition)
         "hll_users_windowed": lambda sf: _events_hll_windowed(sf),
@@ -3287,6 +3297,36 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY lang
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20""",
+        # per-type KS vs the rest of the corpus on the global grid
+        "ks_by_type": """
+            WITH c AS (SELECT event_type AS g,
+                              CAST(round(value*100) AS BIGINT) AS v
+                       FROM events),
+            gcnt AS (SELECT g, v, count(*)::BIGINT AS n
+                     FROM c GROUP BY 1, 2),
+            tot AS (SELECT v, SUM(n)::BIGINT AS nt
+                    FROM gcnt GROUP BY 1),
+            grid AS (SELECT gg.g, t.v, t.nt
+                     FROM (SELECT DISTINCT g FROM gcnt) gg
+                     CROSS JOIN tot t),
+            j AS (SELECT grid.g, grid.v,
+                         COALESCE(gcnt.n, 0)::BIGINT AS n, grid.nt
+                  FROM grid LEFT JOIN gcnt
+                    ON gcnt.g = grid.g AND gcnt.v = grid.v),
+            cum AS (SELECT g, v,
+                           SUM(n) OVER (PARTITION BY g
+                                        ORDER BY v) AS fg,
+                           SUM(nt - n) OVER (PARTITION BY g
+                                             ORDER BY v) AS fr
+                    FROM j),
+            sz AS (SELECT g, SUM(n)::HUGEINT AS ng,
+                          SUM(nt - n)::HUGEINT AS nr
+                   FROM j GROUP BY 1)
+            SELECT cum.g AS event_type,
+                   CAST(max(abs(fg::HUGEINT * nr - fr::HUGEINT * ng))
+                        * 1000000 // (ng * nr) AS BIGINT) AS d_micro
+            FROM cum JOIN sz USING (g)
+            GROUP BY cum.g, ng, nr""",
         # exact two-sample KS drift statistic in integer micros —
         # HUGEINT cross-multiplication mirrors the Python big-ints
         "ks_drift": """

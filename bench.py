@@ -198,7 +198,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "percent_rank_events", "active_spans",
                  "winsorize_events", "mode_by_type", "mad_by_type",
                  "dd_quantiles", "latest_events", "event_cooccurrence",
-                 "robust_outliers", "ks_drift", "user_paths",
+                 "robust_outliers", "ks_drift", "ks_by_type",
+                 "user_paths",
                  "user_growth",
                  "distinct_users", "pivot_events", "hll_users",
                  "hll_users_windowed",

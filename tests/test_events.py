@@ -882,3 +882,21 @@ def test_user_paths_order_and_ties(ray_session):
            for r in user_paths(
                ray.data.from_items(rows).repartition(3)).take_all()}
     assert got == {1: "a>c>b", 2: "z"}
+
+
+def test_ks_by_type_vs_rest(ray_session):
+    import ray.data
+
+    from webtext.functions.events import ks_by_type
+
+    # type a: values 1,2; rest (b): 3,4 -> disjoint supports, D = 1
+    rows = [
+        {"event_type": "a", "value": 0.01},
+        {"event_type": "a", "value": 0.02},
+        {"event_type": "b", "value": 0.03},
+        {"event_type": "b", "value": 0.04},
+    ]
+    got = {r["event_type"]: r["d_micro"]
+           for r in ks_by_type(
+               ray.data.from_items(rows).repartition(3)).to_pylist()}
+    assert got == {"a": 1_000_000, "b": 1_000_000}

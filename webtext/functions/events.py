@@ -1420,3 +1420,66 @@ def user_paths(ds, n_buckets: int = 256):
                      zero_copy_batch=True) \
         .groupby("bucket").map_groups(join_cell,
                                       batch_format="pyarrow")
+
+
+def ks_by_type(ds, n_buckets: int = 256):
+    """(event_type, d_micro): per-type exact Kolmogorov-Smirnov
+    statistic of that type's value distribution against the REST of
+    the corpus — `ks_drift`'s per-segment companion (which feed's
+    values drifted, not just whether anything did).
+
+    Same reduction posture as ks_drift: per-batch (type, cents) count
+    partials (combiner) → one native groupby — the result has one row
+    per DISTINCT (type, cents) pair, bounded by |types| × the value
+    domain, never corpus size — then a driver finish walks the global
+    sorted grid once per type with Python big-int cross-products (the
+    oracle's HUGEINT arithmetic exactly)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column("value")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        types = np.asarray(batch.column("event_type").to_pylist(),
+                           dtype=object)
+        order = np.lexsort((cents, types))
+        t, v = types[order], cents[order]
+        new = np.append(True, (t[1:] != t[:-1]) | (v[1:] != v[:-1]))
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.append(starts, len(v)))
+        return pa.Table.from_arrays(
+            [pa.array(t[starts].astype(str), pa.string()),
+             pa.array(v[starts]),
+             pa.array(counts.astype(np.int64))],
+            names=["g", "v", "n"])
+
+    rows = ds.select_columns(["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["g", "v"]).sum("n").take_all()
+    # distinct (type, cents) table — constant-bounded driver finish
+    from collections import defaultdict
+    per_gv: dict[str, dict[int, int]] = defaultdict(dict)
+    tot_v: dict[int, int] = defaultdict(int)
+    for r in rows:
+        g, v, n = r["g"], int(r["v"]), int(r["sum(n)"])
+        per_gv[g][v] = per_gv[g].get(v, 0) + n
+        tot_v[v] += n
+    grid = sorted(tot_v)
+    total = sum(tot_v.values())
+    out_g, out_d = [], []
+    for g in sorted(per_gv):
+        ng = sum(per_gv[g].values())
+        nr = total - ng
+        if ng == 0 or nr == 0:
+            out_g.append(g)
+            out_d.append(0)
+            continue
+        fg = fr = best = 0
+        for v in grid:
+            n = per_gv[g].get(v, 0)
+            fg += n
+            fr += tot_v[v] - n
+            best = max(best, abs(fg * nr - fr * ng))
+        out_g.append(g)
+        out_d.append(best * 1_000_000 // (ng * nr))
+    return pa.table({"event_type": pa.array(out_g, pa.string()),
+                     "d_micro": pa.array(out_d, pa.int64())})
