@@ -1880,6 +1880,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Church-Gale dispersion: topical vs boilerplate vocabulary
         "token_burstiness": lambda sf: textstats.token_burstiness(
             _docs_cols(sf, ["doc_id", "text"]), 50),
+        # per-source length-concentration (Gini) audit
+        "gini_by_source": lambda sf: textstats.gini_by_source(
+            _docs_cols(sf, ["source", "n_chars", "doc_id"])),
         "incremental_dedup": lambda sf: _incremental_dedup(sf),
         "bloom_dedup": lambda sf: _bloom_dedup(sf),
         "nb_classify": lambda sf: lm.nb_classify(
@@ -3250,6 +3253,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(a AS BIGINT) AS n_a, CAST(b AS BIGINT) AS n_b
             FROM x
             ORDER BY chi2_micro DESC, token LIMIT 50""",
+        # rank-formula Gini; ties order-invariant, HUGEINT floor div
+        "gini_by_source": """
+            WITH x AS (SELECT source, n_chars,
+                              row_number() OVER (
+                                PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS i
+                       FROM documents),
+            s AS (SELECT source, count(*)::HUGEINT AS n,
+                         SUM(n_chars)::HUGEINT AS sx,
+                         SUM(i::HUGEINT * n_chars)::HUGEINT AS six
+                  FROM x GROUP BY 1)
+            SELECT source,
+                   CAST((2*six - (n+1)*sx) * 1000000 // (n*sx)
+                        AS BIGINT) AS gini_micro
+            FROM s""",
         # exact dispersion index over per-doc counts (zeros contribute
         # nothing to either sum); HUGEINT mirrors the Python big-ints
         "token_burstiness": """

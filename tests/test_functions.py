@@ -1844,3 +1844,24 @@ def test_embedding_dim_stats_limbs_and_signs(ray_session):
     assert got[0] == (3, 1_500_000, 1250, 0)
     # dim 1: q = -5e5, -1e6, 2e6 -> sum 5e5; ss = 1.25e12 + 4e12
     assert got[1] == (3, 500_000, 5250, 0)
+
+
+def test_gini_by_source_extremes(ray_session):
+    import ray.data
+
+    from webtext.functions.textstats import gini_by_source
+
+    rows = (
+        # src e: perfectly even lengths -> G = (2*six-(n+1)*sx)/(n*sx)
+        #   six = 10*(1+2+3) = 60, sx = 30, n = 3 -> (120-120)/90 = 0
+        [{"source": "e", "n_chars": 10, "doc_id": i} for i in range(3)]
+        # src u: one doc holds everything -> near-max concentration
+        + [{"source": "u", "n_chars": 0, "doc_id": 10},
+           {"source": "u", "n_chars": 0, "doc_id": 11},
+           {"source": "u", "n_chars": 90, "doc_id": 12}]
+    )
+    got = {r["source"]: r["gini_micro"]
+           for r in gini_by_source(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    # u: six = 3*90 = 270 -> (540 - 4*90)*1e6 // (3*90) = 666666
+    assert got == {"e": 0, "u": 666_666}

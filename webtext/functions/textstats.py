@@ -2006,3 +2006,65 @@ def stratified_k_sample(ds, group_col: str = "lang", k: int = 20):
         .map_batches(partial, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .groupby(group_col).map_groups(final, batch_format="pyarrow")
+
+
+def gini_by_source(ds, n_buckets: int = 256):
+    """(source, gini_micro): the Gini coefficient of document lengths
+    per source — the concentration audit (a feed where a handful of
+    giant pages carry most of the bytes behaves very differently under
+    sampling and dedup than an even one).  Exact integer micros via
+    the rank formula G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over
+    ascending-sorted lengths; ties contribute identically under any
+    tie order, so the statistic is deterministic.
+
+    One (source, n_chars, doc_id) exchange bucketed by hash(source) —
+    ranks need a source's values TOGETHER and sorted, the
+    group_quantiles posture; in-bucket one lexsort + segment
+    `reduceat` per run computes Σx and Σi·x with the i·x products
+    split into base-1e9 limbs (corr_by_group's trick: a single
+    product reaches ~1e14, so naive int64 segment sums wrap near 1e4
+    such rows; limbs hold to ~1e13 rows per source) and the final
+    division runs in Python big-ints — the oracle's HUGEINT floor
+    division exactly."""
+    def emit(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source").to_pylist(),
+                         dtype=object)
+        return pa.Table.from_arrays(
+            [pa.array(_sbucket(src, n_buckets)),
+             pa.array(src.astype(str), pa.string()),
+             batch.column("n_chars").cast(pa.int64()),
+             batch.column("doc_id").cast(pa.int64())],
+            names=["bucket", "source", "n_chars", "doc_id"])
+
+    def gini_cell(group: pa.Table) -> pa.Table:
+        src = np.asarray(group.column("source").to_pylist(),
+                         dtype=object)
+        x = group.column("n_chars").to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, x, src))
+        s, xs = src[order], x[order]
+        starts = np.nonzero(np.append(True, s[1:] != s[:-1]))[0]
+        lens = np.diff(np.append(starts, len(s)))
+        i = np.arange(len(s), dtype=np.int64) - np.repeat(
+            starts, lens) + 1               # 1-based rank within source
+        ix = i * xs
+        sx = np.add.reduceat(xs, starts)
+        hi = np.add.reduceat(ix // 1_000_000_000, starts)
+        lo = np.add.reduceat(ix % 1_000_000_000, starts)
+        out = []
+        for j in range(len(starts)):        # per-SOURCE loop (tiny)
+            n = int(lens[j])
+            sxx = int(sx[j])
+            six = int(hi[j]) * 1_000_000_000 + int(lo[j])
+            out.append((2 * six - (n + 1) * sxx) * 1_000_000
+                       // (n * sxx) if sxx else 0)
+        return pa.Table.from_arrays(
+            [pa.array([str(s[k]) for k in starts], pa.string()),
+             pa.array(out, pa.int64())],
+            names=["source", "gini_micro"])
+
+    return ds.select_columns(["source", "n_chars", "doc_id"]) \
+        .map_batches(emit, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(gini_cell,
+                                      batch_format="pyarrow")
