@@ -712,6 +712,16 @@ def _events_user_paths(sf_dir: str):
         columns=["user_id", "ts", "event_id", "event_type"]))
 
 
+def _events_conversion(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import conversion_latency
+
+    return conversion_latency(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"]))
+
+
 def _events_ks_by_type(sf_dir: str):
     import ray.data
 
@@ -1950,6 +1960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_outliers": lambda sf: _events_robust_outliers(sf),
         "ks_drift": lambda sf: _events_ks_drift(sf),
         "ks_by_type": lambda sf: _events_ks_by_type(sf),
+        "conversion_latency": lambda sf: _events_conversion(sf),
         "user_paths": lambda sf: _events_user_paths(sf),
         # daily-active-users HLL (window x sketch composition)
         "hll_users_windowed": lambda sf: _events_hll_windowed(sf),
@@ -3315,6 +3326,18 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY lang
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20""",
+        # first signup -> first purchase at-or-after it, per user
+        "conversion_latency": """
+            WITH s AS (SELECT user_id, min(ts) AS st FROM events
+                       WHERE event_type = 'signup' GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS pt
+                  FROM events e JOIN s USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts >= s.st
+                  GROUP BY 1)
+            SELECT s.user_id,
+                   CAST(date_diff('microsecond', s.st, p.pt)
+                        AS BIGINT) AS latency_us
+            FROM s JOIN p USING (user_id)""",
         # per-type KS vs the rest of the corpus on the global grid
         "ks_by_type": """
             WITH c AS (SELECT event_type AS g,

@@ -199,7 +199,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "winsorize_events", "mode_by_type", "mad_by_type",
                  "dd_quantiles", "latest_events", "event_cooccurrence",
                  "robust_outliers", "ks_drift", "ks_by_type",
-                 "user_paths",
+                 "user_paths", "conversion_latency",
                  "user_growth",
                  "distinct_users", "pivot_events", "hll_users",
                  "hll_users_windowed",

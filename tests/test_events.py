@@ -900,3 +900,30 @@ def test_ks_by_type_vs_rest(ray_session):
            for r in ks_by_type(
                ray.data.from_items(rows).repartition(3)).to_pylist()}
     assert got == {"a": 1_000_000, "b": 1_000_000}
+
+
+def test_conversion_latency_at_or_after(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import conversion_latency
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: purchase BEFORE signup ignored; next one counts
+        {"user_id": 1, "ts": T(1), "event_type": "purchase"},
+        {"user_id": 1, "ts": T(5), "event_type": "signup"},
+        {"user_id": 1, "ts": T(9), "event_type": "purchase"},
+        # user 2: signup but never purchases -> absent
+        {"user_id": 2, "ts": T(3), "event_type": "signup"},
+        # user 3: purchase exactly AT signup ts -> latency 0
+        {"user_id": 3, "ts": T(4), "event_type": "signup"},
+        {"user_id": 3, "ts": T(4), "event_type": "purchase"},
+        # user 4: purchases but never signs up -> absent
+        {"user_id": 4, "ts": T(2), "event_type": "purchase"},
+    ]
+    got = {r["user_id"]: r["latency_us"]
+           for r in conversion_latency(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {1: 4_000_000, 3: 0}

@@ -1483,3 +1483,61 @@ def ks_by_type(ds, n_buckets: int = 256):
         out_d.append(best * 1_000_000 // (ng * nr))
     return pa.table({"event_type": pa.array(out_g, pa.string()),
                      "d_micro": pa.array(out_d, pa.int64())})
+
+
+def conversion_latency(ds, from_type: str = "signup",
+                       to_type: str = "purchase",
+                       n_buckets: int = 256):
+    """(user_id, latency_us): time from a user's FIRST ``from_type``
+    event to their first ``to_type`` event AT OR AFTER it — the
+    conversion-latency table behind funnel timing distributions; users
+    who never complete the pair are absent (inner semantics).
+
+    One hash(user) exchange of only the two relevant event types
+    (filtered at the combiner, so the shuffle ships a fraction of the
+    corpus); each cell lexsorts once by (user, ts) and resolves both
+    "first X" and "first Y ≥ first X" with vectorized segment scans —
+    no per-user groups, no window function emulation row by row."""
+    def emit(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type")
+        keep = pc.is_in(types, value_set=pa.array(
+            [from_type, to_type]))
+        b = batch.filter(keep)
+        uid = b.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        is_from = pc.equal(b.column("event_type"),
+                           from_type).to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(uid, n_buckets)), pa.array(uid),
+             b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+             pa.array(is_from.astype(np.int8))],
+            names=["bucket", "user_id", "ts_us", "is_from"])
+
+    def resolve(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        isf = group.column("is_from").to_numpy(
+            zero_copy_only=False).astype(bool)
+        order = np.lexsort((ts, uid))
+        u, t, f = uid[order], ts[order], isf[order]
+        uniq, starts = np.unique(u, return_index=True)
+        ends = np.append(starts[1:], len(u))
+        # first from_type ts per user (inf when absent)
+        big = np.int64(2**62)
+        tf = np.where(f, t, big)
+        first_from = np.minimum.reduceat(tf, starts)
+        # first to_type ts >= first_from per user
+        tt = np.where(~f, t, big)
+        tt = np.where(tt >= np.repeat(first_from,
+                                      ends - starts), tt, big)
+        first_to = np.minimum.reduceat(tt, starts)
+        ok = (first_from < big) & (first_to < big)
+        return pa.Table.from_arrays(
+            [pa.array(uniq[ok]),
+             pa.array(first_to[ok] - first_from[ok])],
+            names=["user_id", "latency_us"])
+
+    return ds.select_columns(["user_id", "ts", "event_type"]) \
+        .map_batches(emit, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(resolve, batch_format="pyarrow")
