@@ -1893,6 +1893,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source length-concentration (Gini) audit
         "gini_by_source": lambda sf: textstats.gini_by_source(
             _docs_cols(sf, ["source", "n_chars", "doc_id"])),
+        # Heaps'-law vocabulary growth curve
+        "vocab_growth": lambda sf: textstats.vocab_growth(
+            _docs_cols(sf, ["doc_id", "text"])),
         "incremental_dedup": lambda sf: _incremental_dedup(sf),
         "bloom_dedup": lambda sf: _bloom_dedup(sf),
         "nb_classify": lambda sf: lm.nb_classify(
@@ -3264,6 +3267,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(a AS BIGINT) AS n_a, CAST(b AS BIGINT) AS n_b
             FROM x
             ORDER BY chi2_micro DESC, token LIMIT 50""",
+        # first-occurrence binning; integer-ceiling prefix thresholds
+        "vocab_growth": """
+            WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            f AS (SELECT t, min(doc_id) AS fd FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS t
+                    FROM documents) GROUP BY 1)
+            SELECT p.pct::BIGINT AS pct,
+                   (SELECT count(*) FROM f, n
+                    WHERE fd < (n.n * p.pct + 99) // 100)::BIGINT
+                     AS n_distinct
+            FROM (VALUES (1), (2), (5), (10), (25), (50), (100))
+              AS p(pct)""",
         # rank-formula Gini; ties order-invariant, HUGEINT floor div
         "gini_by_source": """
             WITH x AS (SELECT source, n_chars,

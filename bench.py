@@ -170,7 +170,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "dup_doc_filter", "dedup_substrings",
                  "token_frequencies", "topk_tokens_per_lang",
                  "vocab_coverage", "tfidf_top_terms",
-                 "token_burstiness", "gini_by_source",
+                 "token_burstiness", "gini_by_source", "vocab_growth",
                  "prefix_filter_pairs", "source_overlap",
                  "dup_mapping", "top_bigrams", "vocab_divergence",
                  "incremental_dedup", "incremental_near_dedup",

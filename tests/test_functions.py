@@ -1865,3 +1865,24 @@ def test_gini_by_source_extremes(ray_session):
                ray.data.from_items(rows).repartition(3)).take_all()}
     # u: six = 3*90 = 270 -> (540 - 4*90)*1e6 // (3*90) = 666666
     assert got == {"e": 0, "u": 666_666}
+
+
+def test_vocab_growth_first_occurrence(ray_session):
+    import ray.data
+
+    from webtext.functions.textstats import vocab_growth
+
+    # 4 docs; "a" first in doc 0, "b" in doc 1, "c"/"d" in doc 3
+    rows = [
+        {"doc_id": 0, "text": "a a"},
+        {"doc_id": 1, "text": "a b"},
+        {"doc_id": 2, "text": "b a"},
+        {"doc_id": 3, "text": "c d a"},
+    ]
+    got = {r["pct"]: r["n_distinct"]
+           for r in vocab_growth(
+               ray.data.from_items(rows).repartition(3),
+               pcts=(25, 50, 100)).take_all()}
+    # thr(25) = (4*25+99)//100 = 1 -> docs {0}: {a}
+    # thr(50) = 2 -> docs {0,1}: {a,b}; thr(100) = 4 -> all: {a,b,c,d}
+    assert got == {25: 1, 50: 2, 100: 4}

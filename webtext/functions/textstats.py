@@ -2068,3 +2068,70 @@ def gini_by_source(ds, n_buckets: int = 256):
                      zero_copy_batch=True) \
         .groupby("bucket").map_groups(gini_cell,
                                       batch_format="pyarrow")
+
+
+def vocab_growth(ds, pcts: tuple[int, ...] = (1, 2, 5, 10, 25, 50,
+                                              100)):
+    """(pct, n_distinct): how many distinct tokens the first ``pct``
+    percent of the corpus (by doc_id order) contains — the Heaps'-law
+    growth curve that tells a curator whether more data still buys new
+    vocabulary or only repeats it.
+
+    No prefix is ever re-scanned: a token's contribution is decided by
+    its FIRST document alone, so one token-keyed combiner + native
+    groupby(token).min gives the first-occurrence table, a second
+    combiner bins each token into the smallest prefix containing it
+    (count partials per pct — constant width), and the cumulative sum
+    over |pcts| rows runs on the driver.  Thresholds use integer
+    ceiling ((N·pct + 99) // 100), exact on both engines."""
+    import pandas as pd
+
+    agg = ds.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pa.array([b.num_rows], pa.int64())], names=["n"]),
+        batch_format="pyarrow", zero_copy_batch=True).sum("n")
+    n_docs = int(agg)
+    thrs = np.array([(n_docs * p + 99) // 100 for p in pcts],
+                    dtype=np.int64)
+
+    def first_doc(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        flat = pc.list_flatten(toks)
+        codes, uniq = pd.factorize(pd.Series(flat.to_pandas()),
+                                   sort=False)
+        docs = batch.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[rows]
+        order = np.lexsort((docs, codes))
+        c, d = codes[order], docs[order]
+        starts = np.nonzero(np.append(True, c[1:] != c[:-1]))[0]
+        return pa.Table.from_arrays(
+            [pa.array(uniq.to_numpy(dtype=object)[c[starts]]
+                      .astype(str), pa.string()),
+             pa.array(d[starts])],
+            names=["token", "fd"])
+
+    firsts = ds.select_columns(["doc_id", "text"]) \
+        .map_batches(first_doc, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("token").min("fd")
+
+    def bin_partial(batch: pa.Table) -> pa.Table:
+        fd = batch.column("min(fd)" if "min(fd)" in batch.column_names
+                          else "fd").to_numpy(zero_copy_only=False)
+        counts = np.array([(fd < t).sum() for t in thrs],
+                          dtype=np.int64)   # |pcts| comparisons, tiny
+        return pa.Table.from_arrays(
+            [pa.array(np.array(pcts, dtype=np.int64)),
+             pa.array(counts)],
+            names=["pct", "n_distinct"])
+
+    summed = firsts.map_batches(bin_partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby("pct").sum("n_distinct")
+    return summed.map_batches(
+        lambda b: b.rename_columns(["pct", "n_distinct"]),
+        batch_format="pyarrow", zero_copy_batch=True)
