@@ -558,6 +558,45 @@ def _tpch_q15(sf_dir: str):
                                        "l_discount"]))
 
 
+def _tpch_q9(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import nation_profit
+
+    return nation_profit(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_partkey",
+                                       "l_suppkey", "l_quantity",
+                                       "l_extendedprice",
+                                       "l_discount"]),
+        ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_name",
+                                       "p_retailprice"]),
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"]),
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderdate"]),
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"]))
+
+
+def _tpch_q20(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import promo_part_suppliers
+
+    return promo_part_suppliers(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_suppkey",
+                                       "l_quantity", "l_shipdate"]),
+        ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_name"]),
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"]),
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"]))
+
+
 def _tpch_q22(sf_dir: str):
     import ray.data
 
@@ -2021,6 +2060,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_supplier_counts": lambda sf: _tpch_q16(sf),
         "brand_size_revenue": lambda sf: _tpch_q19(sf),
         "waiting_suppliers": lambda sf: _tpch_q21(sf),
+        # Q9 shape: 5-table profit rollup per (nation, order-year)
+        "nation_profit": lambda sf: _tpch_q9(sf),
+        # Q20 shape: prefix-part windowed supplier volume threshold
+        "promo_part_suppliers": lambda sf: _tpch_q20(sf),
         "sample_stratified": lambda sf: textstats.sample_stratified(
             _docs_cols(sf, ["doc_id", "lang"])),
         # deterministic per-epoch sharded shuffle (training data order)
@@ -3540,6 +3583,36 @@ def oracle_sql() -> dict[str, str]:
                 ON o.o_custkey = c.c_custkey
               GROUP BY 1)
             GROUP BY 1""",
+        "nation_profit": """
+            SELECT n.n_name,
+                   EXTRACT(year FROM o.o_orderdate)::BIGINT AS o_year,
+                   CAST(SUM(
+                     CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                       * 100) AS BIGINT)
+                     - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                       * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                     AS profit_cents
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE p.p_name LIKE '%widget%'
+            GROUP BY n.n_name, o_year""",
+        "promo_part_suppliers": """
+            SELECT t.l_suppkey AS s_suppkey, n.n_name, t.sum_qty
+            FROM (SELECT l.l_suppkey,
+                         CAST(SUM(CAST(l.l_quantity AS BIGINT))
+                           AS BIGINT) AS sum_qty
+                  FROM lineitem l
+                  JOIN part p ON p.p_partkey = l.l_partkey
+                  WHERE p.p_name LIKE 'small%'
+                    AND l.l_shipdate >= TIMESTAMP '2000-01-01'
+                    AND l.l_shipdate < TIMESTAMP '2001-01-01'
+                  GROUP BY l.l_suppkey
+                  HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 50) t
+            JOIN supplier s ON s.s_suppkey = t.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey""",
         "top_supplier": """
             WITH r AS (
               SELECT l_suppkey AS s_suppkey,

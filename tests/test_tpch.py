@@ -1244,3 +1244,93 @@ def test_brand_supplier_counts_distinct_across_blocks(ray_session):
     got = {(r["p_brand"], r["p_type"]): r["n_supp"]
            for r in brand_supplier_counts(lineitem, part).take_all()}
     assert got == {("B1", "T1"): 2, ("B2", "T2"): 1}
+
+
+def test_nation_profit_five_table_join(ray_session):
+    """Q9 shape: substring part filter, per-line profit = revenue −
+    retail·qty, rolled up per (nation, order-year); non-matching parts
+    and dangling keys drop (inner semantics)."""
+    import ray.data
+
+    from webtext.pipelines.tpch import nation_profit
+
+    lineitem = ray.data.from_items([
+        # part 1 matches 'widget': rev = round(100.00*(1-0.1)*100)
+        # = 9000, cost = 500 * 2 = 1000 → profit 8000 (order 1, 1997)
+        {"l_orderkey": 1, "l_partkey": 1, "l_suppkey": 1,
+         "l_quantity": 2.0, "l_extendedprice": 100.0,
+         "l_discount": 0.1},
+        # same (order, part, supp) triple — combiner folds them:
+        # rev 5000, cost 500 → profit 4500
+        {"l_orderkey": 1, "l_partkey": 1, "l_suppkey": 1,
+         "l_quantity": 1.0, "l_extendedprice": 50.0,
+         "l_discount": 0.0},
+        # part 2 does NOT match → dropped
+        {"l_orderkey": 1, "l_partkey": 2, "l_suppkey": 1,
+         "l_quantity": 1.0, "l_extendedprice": 999.0,
+         "l_discount": 0.0},
+        # order 2 (1998), supplier 2 → nation 1
+        {"l_orderkey": 2, "l_partkey": 1, "l_suppkey": 2,
+         "l_quantity": 4.0, "l_extendedprice": 30.0,
+         "l_discount": 0.5},
+    ])
+    part = ray.data.from_items([
+        {"p_partkey": 1, "p_name": "small widget", "p_retailprice": 5.0},
+        {"p_partkey": 2, "p_name": "large bolt", "p_retailprice": 1.0},
+    ])
+    supplier = ray.data.from_items([
+        {"s_suppkey": 1, "s_nationkey": 0},
+        {"s_suppkey": 2, "s_nationkey": 1},
+    ])
+    orders = ray.data.from_items([
+        {"o_orderkey": 1,
+         "o_orderdate": np.datetime64("1997-06-01", "us")},
+        {"o_orderkey": 2,
+         "o_orderdate": np.datetime64("1998-01-15", "us")},
+    ])
+    nation = ray.data.from_items([
+        {"n_nationkey": 0, "n_name": "ALPHA"},
+        {"n_nationkey": 1, "n_name": "BETA"},
+    ])
+    got = {(r["n_name"], r["o_year"]): r["profit_cents"] for r in
+           nation_profit(lineitem, part, supplier, orders,
+                         nation).take_all()}
+    # order 2: rev = round(30*(1-0.5)*100) = 1500, cost = 500*4 = 2000
+    # → profit −500
+    assert got == {("ALPHA", 1997): 12500, ("BETA", 1998): -500}
+
+
+def test_promo_part_suppliers_threshold_and_window(ray_session):
+    """Q20 shape: prefix part filter, ship-date window, strict
+    > threshold, nation attach."""
+    import ray.data
+
+    from webtext.pipelines.tpch import promo_part_suppliers
+
+    lineitem = ray.data.from_items([
+        # supplier 1: 40 + 20 = 60 units of prefix parts in-window
+        {"l_partkey": 1, "l_suppkey": 1, "l_quantity": 40.0,
+         "l_shipdate": np.datetime64("2000-03-01", "us")},
+        {"l_partkey": 1, "l_suppkey": 1, "l_quantity": 20.0,
+         "l_shipdate": np.datetime64("2000-07-01", "us")},
+        # supplier 2: exactly 50 → NOT > 50 → dropped
+        {"l_partkey": 1, "l_suppkey": 2, "l_quantity": 50.0,
+         "l_shipdate": np.datetime64("2000-03-01", "us")},
+        # supplier 3: 100 units but OUT of window → dropped
+        {"l_partkey": 1, "l_suppkey": 3, "l_quantity": 100.0,
+         "l_shipdate": np.datetime64("1999-12-31", "us")},
+        # supplier 4: 100 units of a NON-prefix part → dropped
+        {"l_partkey": 2, "l_suppkey": 4, "l_quantity": 100.0,
+         "l_shipdate": np.datetime64("2000-03-01", "us")},
+    ])
+    part = ray.data.from_items([
+        {"p_partkey": 1, "p_name": "small widget"},
+        {"p_partkey": 2, "p_name": "large widget"},
+    ])
+    supplier = ray.data.from_items([
+        {"s_suppkey": k, "s_nationkey": 0} for k in (1, 2, 3, 4)])
+    nation = ray.data.from_items([{"n_nationkey": 0, "n_name": "ALPHA"}])
+    got = [(r["s_suppkey"], r["n_name"], r["sum_qty"]) for r in
+           promo_part_suppliers(lineitem, part, supplier,
+                                nation).take_all()]
+    assert got == [(1, "ALPHA", 60)]

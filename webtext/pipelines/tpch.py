@@ -2504,3 +2504,239 @@ def brand_supplier_counts(lineitem, part):
         .map_batches(lambda b: b.rename_columns(
             ["p_brand", "p_type", "n_supp"]),
             batch_format="pyarrow", zero_copy_batch=True)
+
+
+def nation_profit(lineitem, part, supplier, orders, nation,
+                  name_substr: str = "widget"):
+    """TPC-H Q9 shape: profit per (nation, order-year) from lineitems
+    whose part name contains ``name_substr``.  Profit per line is
+    revenue minus a retail-price cost proxy (the driver tables carry
+    no partsupp/ps_supplycost; p_retailprice·quantity plays its role —
+    reference Q9 semantics are the 5-table join + substring filter +
+    (nation, year) rollup, all preserved).  Output
+    (n_name, o_year, profit_cents), exact integer cents.
+
+    Scale shape (the deepest join chain in the suite, same posture as
+    local_supplier_volume, tpch.py:852): lineitem pre-combines per
+    (orderkey, partkey, suppkey) inside map_batches, then THREE chained
+    bucketed dimension attaches on DIFFERENT keys — part (name-filtered
+    BEFORE the shuffle, so non-matching parts never ship) → supplier →
+    orders — each a constant-fan-out hash(key)%256 emit-union groupby;
+    only the 25-row nation name table broadcasts.  The (nat, year)
+    rollup is a per-batch combiner + one tiny native groupby."""
+    import ray
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        okey = batch.column("l_orderkey").cast(pa.int64())
+        pkey = batch.column("l_partkey").cast(pa.int64())
+        skey = batch.column("l_suppkey").cast(pa.int64())
+        rev = _rev_cents(
+            batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False),
+            batch.column("l_discount").to_numpy(zero_copy_only=False))
+        qty = _qty_i64(batch.column("l_quantity").to_numpy(
+            zero_copy_only=False))
+        t = pa.Table.from_arrays(
+            [okey, pkey, skey, pa.array(rev), pa.array(qty)],
+            names=["okey", "pkey", "skey", "rev", "qty"])
+        agg = t.group_by(["okey", "pkey", "skey"]).aggregate(
+            [("rev", "sum"), ("qty", "sum")])
+        return agg.rename_columns(["okey", "pkey", "skey", "rev",
+                                   "qty"])
+
+    lines = lineitem.select_columns(
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"]) \
+        .map_batches(line_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def part_emit(batch: pa.Table, *, _sub=name_substr) -> pa.Table:
+        keep = pc.match_substring(batch.column("p_name"), _sub)
+        kept = batch.filter(keep)
+        retail = _cents(kept.column("p_retailprice").to_numpy(
+            zero_copy_only=False))
+        return pa.Table.from_arrays(
+            [kept.column("p_partkey").cast(pa.int64()),
+             pa.array(retail)],
+            names=["pkey", "retail"])
+
+    with_retail = _bucket_attach(
+        lines, part.select_columns(["p_partkey", "p_name",
+                                    "p_retailprice"])
+        .map_batches(part_emit, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        "pkey", "retail", ("okey", "skey", "rev", "qty"))
+
+    def profit_fold(batch: pa.Table) -> pa.Table:
+        rev = batch.column("rev").to_numpy(zero_copy_only=False)
+        qty = batch.column("qty").to_numpy(zero_copy_only=False)
+        retail = batch.column("retail").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [batch.column("okey"), batch.column("skey"),
+             pa.array(rev - retail * qty)],
+            names=["okey", "skey", "profit"])
+
+    folded = with_retail.map_batches(profit_fold,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    with_nat = _bucket_attach(
+        folded, supplier.select_columns(["s_suppkey", "s_nationkey"])
+        .map_batches(lambda b: b.rename_columns(["skey", "s_nat"]),
+                     batch_format="pyarrow", zero_copy_batch=True),
+        "skey", "s_nat", ("okey", "profit"))
+
+    def orders_emit(batch: pa.Table) -> pa.Table:
+        dt = batch.column("o_orderdate").cast(pa.timestamp("us"))
+        years = pc.year(dt).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("o_orderkey").cast(pa.int64()), years],
+            names=["okey", "o_year"])
+
+    with_year = _bucket_attach(
+        with_nat, orders.select_columns(["o_orderkey", "o_orderdate"])
+        .map_batches(orders_emit, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        "okey", "o_year", ("s_nat", "profit"))
+
+    def rollup_partial(batch: pa.Table) -> pa.Table:
+        nat = batch.column("s_nat").to_numpy(zero_copy_only=False)
+        yr = batch.column("o_year").to_numpy(zero_copy_only=False)
+        t = pa.Table.from_arrays(
+            [pa.array(nat * 10000 + yr), batch.column("profit")],
+            names=["ny", "profit"])
+        agg = t.group_by("ny").aggregate([("profit", "sum")])
+        return agg.rename_columns(["ny", "profit_cents"])
+
+    summed = with_year.map_batches(
+        rollup_partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("ny").sum("profit_cents")
+
+    names = {r["n_nationkey"]: r["n_name"] for r in
+             nation.select_columns(["n_nationkey", "n_name"]).take_all()}
+    ref = ray.put(names)
+
+    def attach_name(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        m = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        batch = batch.rename_columns(["ny", "profit_cents"])
+        ny = batch.column("ny").to_numpy(zero_copy_only=False)
+        nm = [m.get(int(n) // 10000) for n in ny]
+        keep = pa.array([x is not None for x in nm])
+        return pa.Table.from_arrays(
+            [pa.array([x or "" for x in nm], pa.string()),
+             pa.array(ny % 10000),
+             batch.column("profit_cents")],
+            names=["n_name", "o_year", "profit_cents"]).filter(keep)
+
+    return summed.map_batches(attach_name, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def promo_part_suppliers(lineitem, part, supplier, nation,
+                         name_prefix: str = "small",
+                         date_from: str = "2000-01-01",
+                         date_to: str = "2001-01-01",
+                         min_qty: int = 50):
+    """TPC-H Q20 shape: suppliers who shipped more than ``min_qty``
+    units of parts whose name starts with ``name_prefix`` inside a
+    date window (the driver tables carry no partsupp availqty; the
+    HAVING threshold plays the availability-excess role — the Q20
+    semantics preserved are prefix-filtered part semi-join + windowed
+    per-supplier volume + threshold + nation enrichment).  Output
+    (s_suppkey, n_name, sum_qty).
+
+    Scale shape: lineitem date-filters and pre-combines per
+    (partkey, suppkey) inside map_batches; the prefix-filtered part
+    keys attach via one bucketed hash(partkey)%256 emit-union groupby
+    (filter BEFORE the shuffle — non-matching parts never ship); the
+    per-supplier rollup is a combiner + native groupby + vectorized
+    threshold; supplier→nation attaches bucketed (supplier is
+    sf-proportional, never broadcast) and only the 25-row nation name
+    table broadcasts."""
+    import ray
+
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ship >= lo) & (ship < hi)
+        kept = batch.filter(pa.array(keep))
+        qty = _qty_i64(kept.column("l_quantity").to_numpy(
+            zero_copy_only=False))
+        t = pa.Table.from_arrays(
+            [kept.column("l_partkey").cast(pa.int64()),
+             kept.column("l_suppkey").cast(pa.int64()),
+             pa.array(qty)],
+            names=["pkey", "skey", "qty"])
+        agg = t.group_by(["pkey", "skey"]).aggregate([("qty", "sum")])
+        return agg.rename_columns(["pkey", "skey", "qty"])
+
+    lines = lineitem.select_columns(
+        ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]) \
+        .map_batches(line_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def part_emit(batch: pa.Table, *, _pre=name_prefix) -> pa.Table:
+        keep = pc.starts_with(batch.column("p_name"), _pre)
+        kept = batch.filter(keep)
+        k = kept.column("p_partkey").cast(pa.int64())
+        return pa.Table.from_arrays(
+            [k, pa.array(np.ones(len(k), dtype=np.int64))],
+            names=["pkey", "is_promo"])
+
+    matched = _bucket_attach(
+        lines, part.select_columns(["p_partkey", "p_name"])
+        .map_batches(part_emit, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        "pkey", "is_promo", ("skey", "qty"))
+
+    def supp_partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [batch.column("skey"), batch.column("qty")],
+            names=["skey", "qty"])
+        agg = t.group_by("skey").aggregate([("qty", "sum")])
+        return agg.rename_columns(["skey", "sum_qty"])
+
+    per_supp = matched.map_batches(supp_partial,
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+        .groupby("skey").sum("sum_qty")
+
+    def threshold(batch: pa.Table, *, _min=min_qty) -> pa.Table:
+        batch = batch.rename_columns(["skey", "sum_qty"])
+        return batch.filter(pc.greater(batch.column("sum_qty"),
+                                       pa.scalar(_min, pa.int64())))
+
+    big = per_supp.map_batches(threshold, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    names = {r["n_nationkey"]: r["n_name"] for r in
+             nation.select_columns(["n_nationkey", "n_name"]).take_all()}
+    ref = ray.put(names)
+
+    # _bucket_attach's output carries only (attach, carry) columns, so
+    # the suppkey rides along as an explicit duplicate carry column
+    with_nat = _bucket_attach(
+        big.map_batches(lambda b: pa.Table.from_arrays(
+            [b.column("skey"), b.column("skey"), b.column("sum_qty")],
+            names=["skey", "s_suppkey", "sum_qty"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        supplier.select_columns(["s_suppkey", "s_nationkey"])
+        .map_batches(lambda b: b.rename_columns(["skey", "s_nat"]),
+                     batch_format="pyarrow", zero_copy_batch=True),
+        "skey", "s_nat", ("s_suppkey", "sum_qty"))
+
+    def attach_name(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        m = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        nat = batch.column("s_nat").to_numpy(zero_copy_only=False)
+        nm = [m.get(int(n)) for n in nat]
+        keep = pa.array([x is not None for x in nm])
+        return pa.Table.from_arrays(
+            [batch.column("s_suppkey"),
+             pa.array([x or "" for x in nm], pa.string()),
+             batch.column("sum_qty")],
+            names=["s_suppkey", "n_name", "sum_qty"]).filter(keep)
+
+    return with_nat.map_batches(attach_name, batch_format="pyarrow",
+                                zero_copy_batch=True)
