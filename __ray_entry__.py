@@ -597,6 +597,23 @@ def _tpch_q20(sf_dir: str):
                               columns=["n_nationkey", "n_name"]))
 
 
+def _order_gaps(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import customer_order_gaps
+
+    return customer_order_gaps(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderdate",
+                                       "o_orderkey"]))
+
+
+def _graph_butterflies(sf_dir: str):
+    from webtext.functions.graph import butterfly_count
+
+    return butterfly_count(_graph_edges(sf_dir))
+
+
 def _tpch_q22(sf_dir: str):
     import ray.data
 
@@ -2015,6 +2032,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": lambda sf: _events_range_join(sf),
         # graph ops over the lineitem part->supplier digraph
         "graph_degrees": lambda sf: graph.degrees(_graph_edges(sf)),
+        # exact bipartite butterfly (2x2 biclique) motif census
+        "butterfly_count": lambda sf: _graph_butterflies(sf),
+        # per-customer repeat-purchase cadence (relational LAG rollup)
+        "customer_order_gaps": lambda sf: _order_gaps(sf),
         "pagerank": lambda sf: graph.pagerank(_graph_edges(sf)),
         "hits_scores": lambda sf: graph.hits(_graph_edges(sf)),
         "group_quantiles": lambda sf: _events_quantiles(sf),
@@ -3798,6 +3819,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT node::BIGINT AS node, SUM(o)::BIGINT AS out_deg,
                    SUM(i)::BIGINT AS in_deg
             FROM n GROUP BY node""",
+        "butterfly_count": """
+            WITH e AS (SELECT DISTINCT l_partkey * 2 AS p,
+                                       l_suppkey * 2 + 1 AS s
+                       FROM lineitem),
+            pairs AS (SELECT e1.s AS lo, e2.s AS hi,
+                             count(*)::BIGINT AS c
+                      FROM e e1 JOIN e e2
+                        ON e1.p = e2.p AND e1.s < e2.s
+                      GROUP BY 1, 2)
+            SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
+                     AS butterflies,
+                   CAST(COALESCE(SUM(c), 0) AS BIGINT) AS wedges
+            FROM pairs""",
+        "customer_order_gaps": """
+            WITH g AS (
+              SELECT o_custkey,
+                     DATE_DIFF('day',
+                       lag(o_orderdate) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap
+              FROM orders)
+            SELECT o_custkey, count(*)::BIGINT AS n_orders,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap_days,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_days
+            FROM g GROUP BY o_custkey
+            HAVING count(*) >= 2""",
         "range_join": """
             SELECT a.event_id AS view_id, a.user_id AS user_id,
                    b.event_id AS purchase_id,

@@ -125,3 +125,32 @@ def test_hits_bipartite_ordering_and_invariance(ray_session):
             for r in hits(ray.data.from_items(edges).repartition(4))
             .take_all()}
     assert out2 == out
+
+
+def test_butterfly_count_known_motifs(ray_session):
+    """K_{2,2} has exactly 1 butterfly; adding a third part on both
+    suppliers makes C(3,2)=3; multi-edges must not inflate counts."""
+    import ray.data
+
+    from webtext.functions.graph import butterfly_count
+
+    # parts 2,4,6 (even ids) each connected to suppliers 1,3 (odd ids)
+    edges = [{"src": p, "dst": s, "w": 1}
+             for p in (2, 4, 6) for s in (1, 3)]
+    # a multi-edge duplicate (same src, dst) — must be ignored
+    edges.append({"src": 2, "dst": 1, "w": 5})
+    # a dangling extra edge that makes no new wedge pair
+    edges.append({"src": 8, "dst": 1, "w": 1})
+    got = butterfly_count(ray.data.from_items(edges)).to_pylist()[0]
+    # wedges: parts 2,4,6 each contribute pair (1,3) → c=3 → C(3,2)=3
+    assert got == {"butterflies": 3, "wedges": 3}
+
+
+def test_butterfly_count_no_wedges(ray_session):
+    import ray.data
+
+    from webtext.functions.graph import butterfly_count
+
+    edges = [{"src": 2, "dst": 1, "w": 1}, {"src": 4, "dst": 3, "w": 1}]
+    got = butterfly_count(ray.data.from_items(edges)).to_pylist()[0]
+    assert got == {"butterflies": 0, "wedges": 0}

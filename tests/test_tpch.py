@@ -1334,3 +1334,32 @@ def test_promo_part_suppliers_threshold_and_window(ray_session):
            promo_part_suppliers(lineitem, part, supplier,
                                 nation).take_all()]
     assert got == [(1, "ALPHA", 60)]
+
+
+def test_customer_order_gaps_lag_semantics(ray_session):
+    """Single-order customers drop; gaps are whole-day deltas in
+    (date, orderkey) order; same-day orders contribute zero gaps."""
+    import ray.data
+
+    from webtext.pipelines.tpch import customer_order_gaps
+
+    orders = ray.data.from_items([
+        {"o_custkey": 1, "o_orderkey": 10,
+         "o_orderdate": np.datetime64("2000-01-01", "us")},
+        {"o_custkey": 1, "o_orderkey": 11,
+         "o_orderdate": np.datetime64("2000-01-04", "us")},
+        {"o_custkey": 1, "o_orderkey": 12,
+         "o_orderdate": np.datetime64("2000-01-14", "us")},
+        # customer 2: one order → dropped
+        {"o_custkey": 2, "o_orderkey": 13,
+         "o_orderdate": np.datetime64("2000-05-01", "us")},
+        # customer 3: two same-day orders → gap 0
+        {"o_custkey": 3, "o_orderkey": 14,
+         "o_orderdate": np.datetime64("2000-06-01", "us")},
+        {"o_custkey": 3, "o_orderkey": 15,
+         "o_orderdate": np.datetime64("2000-06-01", "us")},
+    ])
+    got = {r["o_custkey"]: (r["n_orders"], r["sum_gap_days"],
+                            r["max_gap_days"])
+           for r in customer_order_gaps(orders).take_all()}
+    assert got == {1: (3, 13, 10), 3: (2, 0, 0)}

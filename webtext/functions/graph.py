@@ -389,3 +389,99 @@ def hits(edges, iters: int = HITS_ITERS, scale: int = HITS_SCALE,
     return merged.map_batches(
         lambda b: b.rename_columns(["node", "hub", "auth"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def butterfly_count(edges):
+    """Exact butterfly (2×2 biclique) count of the bipartite
+    part↔supplier graph — the bipartite analogue of triangle counting
+    (a bipartite graph has no triangles; butterflies are its smallest
+    cohesion motif and the standard clustering signal for two-mode
+    networks).  Input: the (src, dst, w) edge table of lineitem_edges
+    (weights ignored — motif counting is over DISTINCT edges).  Output
+    one row: (butterflies: int64, wedges: int64), where a wedge is a
+    supplier–part–supplier path (PART-centered; see below).
+
+    Algorithm: wedge counting from the side with the smaller
+    Σ deg² — every exact butterfly algorithm's cost is the wedge
+    count, so wedges are centered on parts (the driver graph has ~20×
+    more parts than suppliers, making part degrees low): for every
+    part, each unordered pair of its distinct supplier-neighbours is
+    one wedge; butterflies = Σ_pairs C(c, 2) over supplier pairs with
+    c common parts.  Scale shape: wedges are generated inside
+    hash(part) % 256 bucket groups (vectorized pair enumeration per
+    degree-run, no per-row Python), partial pair counts collapse
+    in-cell via np.unique BEFORE the pair shuffle, per-pair totals come
+    from ONE native groupby(pair).sum, and the Σ C(c,2) fold is a
+    per-block combiner + a constant-size final reduce.  At 100 TB a
+    user centers on the lower-Σdeg² side (as here), caps hub degrees,
+    or samples wedges — the operator documents the exact-count
+    contract, so no silent cap is applied.
+    """
+
+    def part_emit(batch: pa.Table) -> pa.Table:
+        p = _col_i64(batch, "src")
+        s = _col_i64(batch, "dst")
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(p)), pa.array(p), pa.array(s)],
+            names=["bucket", "p", "s"])
+
+    def wedges_cell(group: pa.Table) -> pa.Table:
+        """Per part: every unordered distinct-supplier pair as a packed
+        int64 key (supplier node ids are 2·suppkey+1 ≤ 2^31 in the
+        driver graph; the pack asserts the bound), partial-counted
+        in-cell."""
+        p = group.column("p").to_numpy(zero_copy_only=False)
+        s = group.column("s").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, p))
+        p, s = p[order], s[order]
+        # distinct (p, s) — lineitem_edges already collapses, but the
+        # contract is per-distinct-edge regardless of input multiplicity
+        keep = np.ones(len(p), dtype=bool)
+        keep[1:] = (p[1:] != p[:-1]) | (s[1:] != s[:-1])
+        p, s = p[keep], s[keep]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["pair", "c"])
+        if len(p) == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        ends = np.r_[starts[1:], len(p)]
+        pairs = []
+        for st, en in zip(starts, ends):   # per-PART runs (entities,
+            d = en - st                    # not rows) in this bucket
+            if d < 2:
+                continue
+            iu = np.triu_indices(d, k=1)
+            # within a run s is ascending → lo < hi by construction
+            pairs.append((s[st + iu[0]] << 32) | s[st + iu[1]])
+        if not pairs:
+            return empty
+        allp = np.concatenate(pairs)
+        assert int(s.max()) < (1 << 31), "pair pack needs ids < 2^31"
+        uniq, cnt = np.unique(allp, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(uniq), pa.array(cnt.astype(np.int64))],
+            names=["pair", "c"])
+
+    totals = edges.map_batches(
+        part_emit, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("bucket").map_groups(wedges_cell,
+                                      batch_format="pyarrow") \
+        .groupby("pair").sum("c")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["pair", "c"])
+        c = batch.column("c").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array([int((c * (c - 1) // 2).sum())], pa.int64()),
+             pa.array([int(c.sum())], pa.int64())],
+            names=["butterflies", "wedges"])
+
+    parts = totals.map_batches(fold, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    bf = sum(r["butterflies"] for r in parts)
+    wd = sum(r["wedges"] for r in parts)
+    return pa.Table.from_arrays(
+        [pa.array([bf], pa.int64()), pa.array([wd], pa.int64())],
+        names=["butterflies", "wedges"])

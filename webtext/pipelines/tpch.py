@@ -2740,3 +2740,77 @@ def promo_part_suppliers(lineitem, part, supplier, nation,
 
     return with_nat.map_batches(attach_name, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+def customer_order_gaps(orders, n_buckets: int = 256):
+    """Per-customer inter-order cadence: for every customer with ≥ 2
+    orders, (o_custkey, n_orders, sum_gap_days, max_gap_days) where a
+    gap is the whole-day delta between consecutive orders in
+    (o_orderdate, o_orderkey) order — the repeat-purchase-latency twin
+    of events.lag_deltas/conversion_latency over the relational side.
+
+    Scale shape: ONE shuffle by hash(custkey) % n_buckets, then one
+    lexsort + np.diff pass per bucket vectorized across every customer
+    in the bucket (no per-customer Python groups); each customer lands
+    wholly in one bucket, so the in-cell Arrow group_by aggregate is
+    final — nothing re-shuffles."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dt = batch.column("o_orderdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ok = batch.column("o_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ck, n_buckets)), pa.array(ck),
+             pa.array(dt), pa.array(ok)],
+            names=["bucket", "cust", "dt_us", "okey"])
+
+    US_PER_DAY = 86_400_000_000
+
+    def gaps_cell(group: pa.Table) -> pa.Table:
+        cust = group.column("cust").to_numpy(zero_copy_only=False)
+        dt = group.column("dt_us").to_numpy(zero_copy_only=False)
+        ok = group.column("okey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, dt, cust))
+        cust, dt = cust[order], dt[order]
+        same = np.concatenate([[False], cust[1:] == cust[:-1]])
+        gap = np.empty(len(dt), dtype=np.int64)
+        gap[1:] = (dt[1:] - dt[:-1]) // US_PER_DAY
+        # per-customer totals (vectorized across the bucket)
+        t_all = pa.Table.from_arrays([pa.array(cust)], names=["cust"])
+        n_ord = t_all.group_by("cust").aggregate([("cust", "count")]) \
+            .rename_columns(["cust", "n_orders"])
+        if not same.any():
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["o_custkey", "n_orders", "sum_gap_days",
+                       "max_gap_days"])
+        t_gap = pa.Table.from_arrays(
+            [pa.array(cust[same]), pa.array(gap[same])],
+            names=["cust", "gap"])
+        agg = t_gap.group_by("cust").aggregate(
+            [("gap", "sum"), ("gap", "max")]) \
+            .rename_columns(["cust", "sum_gap_days", "max_gap_days"])
+        # inner attach n_orders (every cust in agg has ≥2 orders and
+        # is present in n_ord by construction)
+        a_cust = agg.column("cust").to_numpy(zero_copy_only=False)
+        n_cust = n_ord.column("cust").to_numpy(zero_copy_only=False)
+        n_val = n_ord.column("n_orders").to_numpy(zero_copy_only=False)
+        o2 = np.argsort(n_cust)
+        pos = np.searchsorted(n_cust[o2], a_cust)
+        return pa.Table.from_arrays(
+            [pa.array(a_cust),
+             pa.array(n_val[o2][pos].astype(np.int64)),
+             agg.column("sum_gap_days").cast(pa.int64()),
+             agg.column("max_gap_days").cast(pa.int64())],
+            names=["o_custkey", "n_orders", "sum_gap_days",
+                   "max_gap_days"])
+
+    return orders.select_columns(
+        ["o_custkey", "o_orderdate", "o_orderkey"]) \
+        .map_batches(add_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(gaps_cell, batch_format="pyarrow")
