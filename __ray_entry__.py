@@ -248,6 +248,15 @@ def _events_mad(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]))
 
 
+def _events_kmv(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.sketches import kmv_distinct
+
+    return kmv_distinct(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]), "user_id")
+
+
 def _events_hll(sf_dir: str):
     import ray.data
 
@@ -1952,6 +1961,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Heaps'-law vocabulary growth curve
         "vocab_growth": lambda sf: textstats.vocab_growth(
             _docs_cols(sf, ["doc_id", "text"])),
+        # per-source hapax-legomena / vocabulary long-tail audit
+        "hapax_stats": lambda sf: textstats.hapax_stats(
+            _docs_cols(sf, ["source", "text"])),
         "incremental_dedup": lambda sf: _incremental_dedup(sf),
         "bloom_dedup": lambda sf: _bloom_dedup(sf),
         "nb_classify": lambda sf: lm.nb_classify(
@@ -1988,6 +2000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_classify": lambda sf: ann.centroid_classify(_emb(sf)),
         "quantize_embeddings": lambda sf: ann.quantize_embeddings(
             _emb(sf)),
+        # exact-Gram top principal direction (limb-encoded partials)
+        "pca_top_component": lambda sf: ann.pca_top_component(_emb(sf)),
         # event-stream windows (beyond the reference: time-windowed ops)
         "windowed_events": lambda sf: _events_windowed(sf),
         "hopping_events": lambda sf: _events_hopping(sf),
@@ -2007,6 +2021,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": lambda sf: _events_pivot(sf),
         # sketch: no SQL can replicate HLL registers → rows-only check
         "hll_users": lambda sf: _events_hll(sf),
+        # K-minimum-values cardinality sketch (differential golden)
+        "kmv_distinct": lambda sf: _events_kmv(sf),
         "dd_quantiles": lambda sf: _events_dd_quantiles(sf),
         "mode_by_type": lambda sf: _events_mode(sf),
         "mad_by_type": lambda sf: _events_mad(sf),
@@ -2186,7 +2202,8 @@ def oracle_sql() -> dict[str, str]:
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs", "media_dedup_apply",
             "dedup_extracted", "dup_cluster_stats", "hll_users",
-            "hll_users_by_type", "incremental_near_dedup")
+            "hll_users_by_type", "incremental_near_dedup",
+            "pca_top_component", "kmv_distinct")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table
@@ -2560,6 +2577,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unnest(string_split(text, ' ')) AS token "
             "FROM documents) t GROUP BY token "
             "ORDER BY n DESC, token LIMIT 50",
+        "hapax_stats": """
+            WITH tf AS (
+              SELECT source, token, count(*)::BIGINT AS c FROM (
+                SELECT source,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents) t
+              GROUP BY source, token)
+            SELECT source, count(*)::BIGINT AS vocab_size,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_hapax,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens
+            FROM tf GROUP BY source""",
         "inverted_index":
             "SELECT token, doc_id, count(*)::BIGINT AS tf FROM ("
             "SELECT doc_id, unnest(string_split(text, ' ')) AS token "

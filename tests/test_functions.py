@@ -1886,3 +1886,71 @@ def test_vocab_growth_first_occurrence(ray_session):
     # thr(25) = (4*25+99)//100 = 1 -> docs {0}: {a}
     # thr(50) = 2 -> docs {0,1}: {a,b}; thr(100) = 4 -> all: {a,b,c,d}
     assert got == {25: 1, 50: 2, 100: 4}
+
+
+def test_hapax_stats_counts(ray_session):
+    """Per-source vocab/hapax/token counts; hapax is per-source (a
+    token repeated only across sources stays hapax in each)."""
+    import ray.data
+
+    from webtext.functions.textstats import hapax_stats
+
+    docs = ray.data.from_items([
+        {"source": "a", "text": "x x y"},
+        {"source": "a", "text": "z"},
+        {"source": "b", "text": "x q"},
+    ]).repartition(3)
+    got = {r["source"]: (r["vocab_size"], r["n_hapax"], r["n_tokens"])
+           for r in hapax_stats(docs).take_all()}
+    # source a: tokens x,x,y,z → vocab 3, hapax {y,z}=2, n=4
+    # source b: tokens x,q → vocab 2, hapax {x,q}=2, n=2
+    assert got == {"a": (3, 2, 4), "b": (2, 2, 2)}
+
+
+def test_pca_top_component_axis_dominant(ray_session):
+    """Vectors concentrated on one axis → that axis dominates the top
+    direction; result is invariant under re-blocking (limb-exact Gram)."""
+    import ray.data
+
+    from webtext.functions.ann import pca_top_component
+
+    rows = [{"vec_id": i, "embedding": [float(3 + (i % 2)), 0.001, 0.0]}
+            for i in range(8)]
+    rows += [{"vec_id": 100 + i,
+              "embedding": [0.0, 0.5, 0.25]} for i in range(2)]
+    a = pca_top_component(ray.data.from_items(rows).repartition(1))
+    b = pca_top_component(ray.data.from_items(rows).repartition(5))
+    assert a.to_pylist() == b.to_pylist()
+    got = a.to_pylist()
+    assert got[0]["dim"] == 0
+    lm = [r["loading_micro"] for r in got]
+    assert lm[0] > 900_000           # axis-0 dominant, positive sign
+    assert abs(lm[1]) < 200_000 and abs(lm[2]) < 200_000
+
+
+def test_kmv_distinct_exact_below_capacity_and_invariant(ray_session):
+    import ray.data
+
+    from webtext.functions.sketches import kmv_distinct
+
+    rows = [{"user_id": i % 37} for i in range(400)]
+    a = kmv_distinct(ray.data.from_items(rows).repartition(1),
+                     "user_id", k=256)
+    b = kmv_distinct(ray.data.from_items(rows).repartition(7),
+                     "user_id", k=256)
+    assert a.to_pylist() == b.to_pylist()
+    r = a.to_pylist()[0]
+    assert r["est_distinct"] == 37 and r["k_used"] == 37
+
+
+def test_kmv_distinct_estimate_at_capacity(ray_session):
+    import ray.data
+
+    from webtext.functions.sketches import kmv_distinct
+
+    rows = [{"user_id": i} for i in range(5000)]
+    r = kmv_distinct(ray.data.from_items(rows).repartition(4),
+                     "user_id", k=64).to_pylist()[0]
+    assert r["k_used"] == 64
+    # RSE ~ 1/sqrt(62) ≈ 13%; allow 4σ
+    assert 2500 < r["est_distinct"] < 7500

@@ -907,6 +907,62 @@ def golden_nb_classify(sf_dir: str, n_feats: int = 4096,
          ("pred", pa.string())]))
 
 
+def golden_pca_top_component(sf_dir: str, iters: int = 100) -> pa.Table:
+    """Independent single-process PCA top direction: exact integer
+    Gram (python big-int accumulation via object dtype) over the
+    identically-quantized micro embeddings, then the same
+    fixed-iteration float64 power recurrence as
+    webtext/functions/ann.py pca_top_component — a differential oracle
+    (dense numpy vs limb-encoded distributed partials)."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["embedding"])
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    y = x * 1_000_000.0
+    q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+    G_exact = q.astype(object).T @ q.astype(object)   # exact big-ints
+    d = G_exact.shape[0]
+    G = np.array([[float(G_exact[i, j]) for j in range(d)]
+                  for i in range(d)], dtype=np.float64)
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        w = G @ v
+        nrm = float(np.sqrt(np.dot(w, w)))
+        if nrm == 0.0:
+            break
+        v = w / nrm
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    lm = np.copysign(np.floor(np.abs(v * 1_000_000.0) + 0.5), v) \
+        .astype(np.int64)
+    return pa.table({"dim": pa.array(np.arange(d, dtype=np.int64)),
+                     "loading_micro": pa.array(lm)})
+
+
+def golden_kmv_distinct(sf_dir: str, k: int = 256) -> pa.Table:
+    """Independent KMV distinct estimate of events.user_id: the same
+    splitmix64 finalizer (re-stated here, not imported) over the full
+    column at once — no blocking, no partial merge — so agreement with
+    the distributed block-partial implementation proves
+    blocking-invariance of the sketch."""
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    data = t.column("user_id").to_numpy().astype(np.uint64)
+    z = data + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    merged = np.unique(z)[:k]
+    kth = int(merged[-1])
+    if len(merged) < k:
+        est = len(merged)
+    else:
+        est = int((k - 1) * 18446744073709551616.0 / float(kth))
+    return pa.table({
+        "est_distinct": pa.array([est], pa.int64()),
+        "k_used": pa.array([int(len(merged))], pa.int64()),
+        "kth_hash": pa.array([int(merged[-1:].astype(np.int64)[0])],
+                             pa.int64())})
+
+
 def golden_bloom_dedup(sf_dir: str, m: int = 1 << 20,
                        k: int = 4) -> pa.Table:
     """Independent Bloom-filter incremental dedup: Python-int double
@@ -1585,6 +1641,8 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["lineage_report"] = golden_lineage(sf_dir)
     g["hll_users_windowed"] = golden_hll_users_windowed(sf_dir)
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)
+    g["pca_top_component"] = golden_pca_top_component(sf_dir)
+    g["kmv_distinct"] = golden_kmv_distinct(sf_dir)
 
     return g
 

@@ -1503,3 +1503,72 @@ def embedding_dim_stats(ds):
 
     return summed.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def pca_top_component(ds, iters: int = 100):
+    """(dim, loading_micro): the top principal direction of the
+    (uncentered) embedding second-moment matrix — the one-line health
+    check before any ANN/quantization work (a single dominant
+    direction means the vectors need centering/whitening; IVF and PQ
+    both degrade on anisotropic inputs).
+
+    Exactness posture (the embedding_dim_stats pattern generalized to
+    cross-moments): embeddings quantize to integer micros with the
+    signed half-away-from-zero round; each block emits its EXACT d×d
+    Gram partial q·qᵀ as base-1e9 (hi, lo) limb rows keyed by the
+    packed upper-triangle index (d(d+1)/2 constant-size rows per
+    block), one native groupby sum reduces, and the driver reassembles
+    the exact integer Gram in Python big-ints — order-invariant,
+    bit-identical under any blocking.  The eigenvector then comes from
+    a FIXED-ITERATION power iteration in float64 on the driver
+    (deterministic elementwise arithmetic on an exact input — the
+    differential golden runs the identical recurrence, so equality is
+    bit-level, not approximate).  Sign convention: the largest-|.|
+    loading is positive.  Output loadings in rounded micros."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch)
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64())] * 3, names=["ij", "hi", "lo"])
+        if x.shape[0] == 0:
+            return empty
+        y = x * 1_000_000.0
+        q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+        g = q.T @ q          # ≤ 1e12 · block rows per entry: int64-safe
+        d = g.shape[0]
+        iu = np.triu_indices(d)
+        v = g[iu]
+        hi = v // 1_000_000_000
+        lo = v - hi * 1_000_000_000          # lo ∈ [0, 1e9) always
+        return pa.Table.from_arrays(
+            [pa.array(iu[0] * d + iu[1]), pa.array(hi), pa.array(lo)],
+            names=["ij", "hi", "lo"])
+
+    rows = ds.select_columns(["embedding"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("ij").sum(["hi", "lo"]).take_all()
+    if not rows:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "loading_micro": pa.array([], pa.int64())})
+    # constant-size driver finish: d(d+1)/2 rows regardless of corpus
+    max_ij = max(r["ij"] for r in rows)
+    d = int(np.sqrt(max_ij)) + 1
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        i, j = divmod(int(r["ij"]), d)
+        exact = int(r["sum(hi)"]) * 1_000_000_000 + int(r["sum(lo)"])
+        G[i, j] = G[j, i] = float(exact)
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        w = G @ v
+        nrm = float(np.sqrt(np.dot(w, w)))
+        if nrm == 0.0:
+            break
+        v = w / nrm
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    lm = np.copysign(np.floor(np.abs(v * 1_000_000.0) + 0.5), v) \
+        .astype(np.int64)
+    return pa.table({"dim": pa.array(np.arange(d, dtype=np.int64)),
+                     "loading_micro": pa.array(lm)})

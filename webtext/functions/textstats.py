@@ -2135,3 +2135,57 @@ def vocab_growth(ds, pcts: tuple[int, ...] = (1, 2, 5, 10, 25, 50,
     return summed.map_batches(
         lambda b: b.rename_columns(["pct", "n_distinct"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hapax_stats(ds):
+    """(source, vocab_size, n_hapax, n_tokens): per-source lexical
+    long-tail audit — vocabulary size, hapax legomena count (tokens
+    occurring exactly once within the source) and total token count.
+    The hapax share is the classic OCR-noise / boilerplate detector: a
+    clean natural-language source runs ~40-60% hapax; machine-generated
+    or template text collapses far below.
+
+    Scale shape: per-batch Arrow group_by((source, token)) partial
+    counts (the shuffle ships one row per (batch, source, token),
+    never tokens), ONE native groupby sum settles true per-source
+    token frequencies, then a second combiner + constant-size
+    groupby(source) folds vocab/hapax/token counts."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        flat_src = pa.array(np.repeat(src, lengths))
+        t = pa.Table.from_arrays(
+            [flat_src, pc.list_flatten(toks)], names=["source", "token"])
+        agg = t.group_by(["source", "token"]).aggregate(
+            [("token", "count")])
+        return agg.rename_columns(["source", "token", "c"])
+
+    freqs = ds.select_columns(["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["source", "token"]).sum("c")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["source", "token", "c"])
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        t = pa.Table.from_arrays(
+            [batch.column("source"),
+             pa.array(np.ones(len(c), dtype=np.int64)),
+             pa.array((c == 1).astype(np.int64)), pa.array(c)],
+            names=["source", "v", "h", "n"])
+        agg = t.group_by("source").aggregate(
+            [("v", "sum"), ("h", "sum"), ("n", "sum")])
+        return agg.rename_columns(["source", "vocab_size", "n_hapax",
+                                   "n_tokens"])
+
+    return freqs.map_batches(fold, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("source").sum(["vocab_size", "n_hapax", "n_tokens"]) \
+        .map_batches(lambda b: b.rename_columns(
+            ["source", "vocab_size", "n_hapax", "n_tokens"]),
+            batch_format="pyarrow", zero_copy_batch=True)
