@@ -106,3 +106,40 @@ def test_task_death_in_shuffle_stage_recovers(ray_session, tmp_path):
             for b in range(7)}
     assert os.path.exists(flag), "the crash injection never fired"
     assert got == want
+
+
+def test_compact_output_row_preserving(ray_session, small_corpus_dir,
+                                       tmp_path):
+    """Compaction rewrites many small round files into few big ones:
+    every row of every status survives, shard lineage records are
+    rebuilt, totals match, and a second run into the same dst refuses."""
+    import glob
+
+    import pytest
+
+    from webtext.jobs.compact import compact_output
+    from webtext.pipelines import read_output, run_extraction
+    from webtext.pipelines.extract_pipeline import CommitManifest
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    # shards_per_round=1 → one round dir per shard: the small-files case
+    run_extraction(small_corpus_dir, src, shards_per_round=1)
+    compact_output(src, dst, target_rows_per_file=1_000_000)
+
+    src_files = glob.glob(f"{src}/round-*/**/*.parquet", recursive=True)
+    dst_files = glob.glob(f"{dst}/round-*/**/*.parquet", recursive=True)
+    assert len(dst_files) < len(src_files)
+
+    key = lambda r: (r["doc_id"], r["status"])  # noqa: E731
+    a = sorted(map(key, read_output(src).take_all()))
+    b = sorted(map(key, read_output(dst).take_all()))
+    assert a == b
+
+    st, dt = CommitManifest(src).totals(), CommitManifest(dst).totals()
+    for k in ("docs", "ok", "timeout", "failed", "error_pattern",
+              "n_chars_out", "shards"):
+        assert st[k] == dt[k], k
+
+    with pytest.raises(FileExistsError):
+        compact_output(src, dst)
