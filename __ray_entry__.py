@@ -2002,6 +2002,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf)),
         # exact-Gram top principal direction (limb-encoded partials)
         "pca_top_component": lambda sf: ann.pca_top_component(_emb(sf)),
+        # eigensolve-free exact spectral effective rank (trace ratio)
+        "effective_rank": lambda sf: ann.effective_rank(_emb(sf)),
         # event-stream windows (beyond the reference: time-windowed ops)
         "windowed_events": lambda sf: _events_windowed(sf),
         "hopping_events": lambda sf: _events_hopping(sf),
@@ -2203,7 +2205,8 @@ def oracle_sql() -> dict[str, str]:
             "media_phash_pairs", "media_dedup_apply",
             "dedup_extracted", "dup_cluster_stats", "hll_users",
             "hll_users_by_type", "incremental_near_dedup",
-            "pca_top_component", "kmv_distinct")
+            "pca_top_component", "kmv_distinct",
+            "effective_rank")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

@@ -1954,3 +1954,24 @@ def test_kmv_distinct_estimate_at_capacity(ray_session):
     assert r["k_used"] == 64
     # RSE ~ 1/sqrt(62) ≈ 13%; allow 4σ
     assert 2500 < r["est_distinct"] < 7500
+
+
+def test_effective_rank_extremes(ray_session):
+    """Isotropic axis-aligned vectors → er = d exactly; a single
+    repeated vector → er = 1; invariant under re-blocking."""
+    import ray.data
+
+    from webtext.functions.ann import effective_rank
+
+    iso = [{"vec_id": i, "embedding": [1.0 if j == i % 3 else 0.0
+                                       for j in range(3)]}
+           for i in range(9)]
+    r = effective_rank(ray.data.from_items(iso)).to_pylist()[0]
+    assert r == {"dim": 3, "er_micro": 3_000_000}
+
+    one = [{"vec_id": i, "embedding": [0.5, 0.25, 0.125]}
+           for i in range(4)]
+    a = effective_rank(ray.data.from_items(one).repartition(1))
+    b = effective_rank(ray.data.from_items(one).repartition(3))
+    assert a.to_pylist() == b.to_pylist()
+    assert a.to_pylist()[0]["er_micro"] == 1_000_000

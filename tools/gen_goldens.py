@@ -938,6 +938,24 @@ def golden_pca_top_component(sf_dir: str, iters: int = 100) -> pa.Table:
                      "loading_micro": pa.array(lm)})
 
 
+def golden_effective_rank(sf_dir: str) -> pa.Table:
+    """Independent exact participation-ratio effective rank: big-int
+    Gram trace and Frobenius-squared over the identically-quantized
+    micro embeddings — pure object-dtype numpy, no limbs."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["embedding"])
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    y = x * 1_000_000.0
+    q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+    G = q.astype(object).T @ q.astype(object)
+    d = G.shape[0]
+    tr = sum(int(G[i, i]) for i in range(d))
+    tr2 = sum(int(G[i, j]) ** 2 for i in range(d) for j in range(d))
+    er_micro = (1_000_000 * tr * tr) // tr2 if tr2 else 0
+    return pa.table({"dim": pa.array([d], pa.int64()),
+                     "er_micro": pa.array([er_micro], pa.int64())})
+
+
 def golden_kmv_distinct(sf_dir: str, k: int = 256) -> pa.Table:
     """Independent KMV distinct estimate of events.user_id: the same
     splitmix64 finalizer (re-stated here, not imported) over the full
@@ -1643,6 +1661,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)
     g["pca_top_component"] = golden_pca_top_component(sf_dir)
     g["kmv_distinct"] = golden_kmv_distinct(sf_dir)
+    g["effective_rank"] = golden_effective_rank(sf_dir)
 
     return g
 

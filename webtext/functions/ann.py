@@ -1505,6 +1505,48 @@ def embedding_dim_stats(ds):
                               zero_copy_batch=True)
 
 
+def _gram_limb_rows(ds):
+    """Shared exact-Gram stage: per-block q·qᵀ partials of the
+    micro-quantized embeddings, limb-encoded (hi, lo) per packed
+    upper-triangle cell, reduced by one constant-size groupby.sum —
+    returns the collected rows (d(d+1)/2, corpus-size-independent)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch)
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64())] * 3, names=["ij", "hi", "lo"])
+        if x.shape[0] == 0:
+            return empty
+        y = x * 1_000_000.0
+        q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+        g = q.T @ q          # ≤ 1e12 · block rows per entry: int64-safe
+        d = g.shape[0]
+        iu = np.triu_indices(d)
+        v = g[iu]
+        hi = v // 1_000_000_000
+        lo = v - hi * 1_000_000_000          # lo ∈ [0, 1e9) always
+        return pa.Table.from_arrays(
+            [pa.array(iu[0] * d + iu[1]), pa.array(hi), pa.array(lo)],
+            names=["ij", "hi", "lo"])
+
+    return ds.select_columns(["embedding"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("ij").sum(["hi", "lo"]).take_all()
+
+
+def _gram_exact(rows):
+    """(d, dict[(i, j)] -> exact python-int Gram entry) from the
+    reduced limb rows (upper triangle)."""
+    max_ij = max(r["ij"] for r in rows)
+    d = int(np.sqrt(max_ij)) + 1
+    g = {}
+    for r in rows:
+        i, j = divmod(int(r["ij"]), d)
+        g[(i, j)] = int(r["sum(hi)"]) * 1_000_000_000 + int(r["sum(lo)"])
+    return d, g
+
+
 def pca_top_component(ds, iters: int = 100):
     """(dim, loading_micro): the top principal direction of the
     (uncentered) embedding second-moment matrix — the one-line health
@@ -1526,38 +1568,14 @@ def pca_top_component(ds, iters: int = 100):
     bit-level, not approximate).  Sign convention: the largest-|.|
     loading is positive.  Output loadings in rounded micros."""
 
-    def partial(batch: pa.Table) -> pa.Table:
-        x = _matrix(batch)
-        empty = pa.Table.from_arrays(
-            [pa.array([], pa.int64())] * 3, names=["ij", "hi", "lo"])
-        if x.shape[0] == 0:
-            return empty
-        y = x * 1_000_000.0
-        q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
-        g = q.T @ q          # ≤ 1e12 · block rows per entry: int64-safe
-        d = g.shape[0]
-        iu = np.triu_indices(d)
-        v = g[iu]
-        hi = v // 1_000_000_000
-        lo = v - hi * 1_000_000_000          # lo ∈ [0, 1e9) always
-        return pa.Table.from_arrays(
-            [pa.array(iu[0] * d + iu[1]), pa.array(hi), pa.array(lo)],
-            names=["ij", "hi", "lo"])
-
-    rows = ds.select_columns(["embedding"]) \
-        .map_batches(partial, batch_format="pyarrow",
-                     zero_copy_batch=True) \
-        .groupby("ij").sum(["hi", "lo"]).take_all()
+    rows = _gram_limb_rows(ds)
     if not rows:
         return pa.table({"dim": pa.array([], pa.int64()),
                          "loading_micro": pa.array([], pa.int64())})
     # constant-size driver finish: d(d+1)/2 rows regardless of corpus
-    max_ij = max(r["ij"] for r in rows)
-    d = int(np.sqrt(max_ij)) + 1
+    d, g = _gram_exact(rows)
     G = np.zeros((d, d), dtype=np.float64)
-    for r in rows:
-        i, j = divmod(int(r["ij"]), d)
-        exact = int(r["sum(hi)"]) * 1_000_000_000 + int(r["sum(lo)"])
+    for (i, j), exact in g.items():
         G[i, j] = G[j, i] = float(exact)
     v = np.full(d, 1.0 / np.sqrt(d))
     for _ in range(iters):
@@ -1572,3 +1590,28 @@ def pca_top_component(ds, iters: int = 100):
         .astype(np.int64)
     return pa.table({"dim": pa.array(np.arange(d, dtype=np.int64)),
                      "loading_micro": pa.array(lm)})
+
+
+def effective_rank(ds):
+    """One-row (dim, er_micro): the participation-ratio effective rank
+    of the embedding second-moment spectrum, tr(G)² / tr(G²), in exact
+    rounded-down micros — WITHOUT any eigensolve: tr(G) = Σλ is the
+    exact integer Gram trace and tr(G²) = Σλ² = Σᵢⱼ G[i,j]² is an exact
+    integer sum of squares, so the ratio is a rational of big-ints and
+    the distributed part is the same constant-size limb-encoded Gram
+    reduction as pca_top_component.  er ≈ d means isotropic embeddings;
+    er ≈ 1 means one direction carries everything (quantize/IVF will
+    degrade).  Floor division matches the golden's big-int arithmetic
+    bit-for-bit at any corpus size."""
+    rows = _gram_limb_rows(ds)
+    if not rows:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "er_micro": pa.array([], pa.int64())})
+    d, g = _gram_exact(rows)
+    tr = sum(g[(i, i)] for i in range(d))
+    tr2 = 0
+    for (i, j), v in g.items():
+        tr2 += v * v if i == j else 2 * v * v
+    er_micro = (1_000_000 * tr * tr) // tr2 if tr2 else 0
+    return pa.table({"dim": pa.array([d], pa.int64()),
+                     "er_micro": pa.array([er_micro], pa.int64())})
