@@ -401,21 +401,23 @@ def butterfly_count(edges):
     one row: (butterflies: int64, wedges: int64), where a wedge is a
     supplier–part–supplier path (PART-centered; see below).
 
-    Algorithm: wedge counting from the side with the smaller
-    Σ deg² — every exact butterfly algorithm's cost is the wedge
-    count, so wedges are centered on parts (the driver graph has ~20×
-    more parts than suppliers, making part degrees low): for every
-    part, each unordered pair of its distinct supplier-neighbours is
-    one wedge; butterflies = Σ_pairs C(c, 2) over supplier pairs with
-    c common parts.  Scale shape: wedges are generated inside
-    hash(part) % 256 bucket groups (vectorized pair enumeration per
-    degree-run, no per-row Python), partial pair counts collapse
-    in-cell via np.unique BEFORE the pair shuffle, per-pair totals come
-    from ONE native groupby(pair).sum, and the Σ C(c,2) fold is a
-    per-block combiner + a constant-size final reduce.  At 100 TB a
-    user centers on the lower-Σdeg² side (as here), caps hub degrees,
-    or samples wedges — the operator documents the exact-count
-    contract, so no silent cap is applied.
+    Algorithm: wedge counting from the side with the smaller Σ deg² —
+    every exact butterfly algorithm's cost is the wedge count, so
+    wedges center on parts (the driver graph has ~20× more parts than
+    suppliers, keeping part degrees low): for every part, each
+    unordered pair of its distinct supplier-neighbours is one wedge;
+    butterflies = Σ_pairs C(c, 2) over supplier pairs with c common
+    parts.  Scale shape: TWO constant-fan-out exchanges and nothing
+    else — (1) edges bucket by hash(part) % 256; each cell enumerates
+    its wedge pairs FULLY vectorized (repeat/cumsum run expansion — no
+    per-part Python) and collapses them to (pair, partial_c) via
+    np.unique; (2) pair partials bucket by hash(pair) % 256, so every
+    pair's global count settles inside one cell, which folds directly
+    to a single (butterflies, wedges) partial row — the driver sums
+    256 scalars.  No high-cardinality native groupby anywhere.  At
+    100 TB a user centers on the lower-Σdeg² side (as here), caps hub
+    degrees, or samples wedges — the operator documents the
+    exact-count contract, so no silent cap is applied.
     """
 
     def part_emit(batch: pa.Table) -> pa.Table:
@@ -426,10 +428,8 @@ def butterfly_count(edges):
             names=["bucket", "p", "s"])
 
     def wedges_cell(group: pa.Table) -> pa.Table:
-        """Per part: every unordered distinct-supplier pair as a packed
-        int64 key (supplier node ids are 2·suppkey+1 ≤ 2^31 in the
-        driver graph; the pack asserts the bound), partial-counted
-        in-cell."""
+        """Per part-bucket: all unordered distinct-supplier pairs as
+        packed int64 keys, partial-counted, re-bucketed by pair."""
         p = group.column("p").to_numpy(zero_copy_only=False)
         s = group.column("s").to_numpy(zero_copy_only=False)
         order = np.lexsort((s, p))
@@ -440,46 +440,55 @@ def butterfly_count(edges):
         keep[1:] = (p[1:] != p[:-1]) | (s[1:] != s[:-1])
         p, s = p[keep], s[keep]
         empty = pa.Table.from_arrays(
-            [pa.array([], pa.int64()), pa.array([], pa.int64())],
-            names=["pair", "c"])
-        if len(p) == 0:
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())], names=["bucket2", "pair", "c"])
+        n = len(p)
+        if n == 0:
             return empty
+        # vectorized within-run pair enumeration: position t (0-based
+        # in its run, run end e_t) pairs with the (e_t - t - 1)
+        # positions after it — enumerate all of them with one
+        # repeat + cumsum, no per-part loop
         starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
-        ends = np.r_[starts[1:], len(p)]
-        pairs = []
-        for st, en in zip(starts, ends):   # per-PART runs (entities,
-            d = en - st                    # not rows) in this bucket
-            if d < 2:
-                continue
-            iu = np.triu_indices(d, k=1)
-            # within a run s is ascending → lo < hi by construction
-            pairs.append((s[st + iu[0]] << 32) | s[st + iu[1]])
-        if not pairs:
+        run_id = np.cumsum(np.r_[True, p[1:] != p[:-1]]) - 1
+        ends = np.r_[starts[1:], n][run_id]        # run end per position
+        counts = ends - np.arange(n) - 1            # pairs led by t
+        total = int(counts.sum())
+        if total == 0:
             return empty
-        allp = np.concatenate(pairs)
+        lo_idx = np.repeat(np.arange(n), counts)
+        excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        seq = np.arange(total) - np.repeat(excl, counts)
+        hi_idx = lo_idx + 1 + seq
+        # within a run s is strictly ascending → s[lo] < s[hi]
+        pairs = (s[lo_idx] << 32) | s[hi_idx]
         assert int(s.max()) < (1 << 31), "pair pack needs ids < 2^31"
-        uniq, cnt = np.unique(allp, return_counts=True)
+        uniq, cnt = np.unique(pairs, return_counts=True)
         return pa.Table.from_arrays(
-            [pa.array(uniq), pa.array(cnt.astype(np.int64))],
-            names=["pair", "c"])
+            [pa.array(_ibucket(uniq)), pa.array(uniq),
+             pa.array(cnt.astype(np.int64))],
+            names=["bucket2", "pair", "c"])
 
-    totals = edges.map_batches(
+    def fold_cell(group: pa.Table) -> pa.Table:
+        """All partials of every pair in this cell are here: settle
+        per-pair totals with one sort+reduceat, fold to one row."""
+        pair = group.column("pair").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(pair, kind="stable")
+        pair, c = pair[order], c[order]
+        starts = np.flatnonzero(np.r_[True, pair[1:] != pair[:-1]])
+        tot = np.add.reduceat(c, starts)
+        return pa.Table.from_arrays(
+            [pa.array([int((tot * (tot - 1) // 2).sum())], pa.int64()),
+             pa.array([int(tot.sum())], pa.int64())],
+            names=["butterflies", "wedges"])
+
+    parts = edges.map_batches(
         part_emit, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("bucket").map_groups(wedges_cell,
                                       batch_format="pyarrow") \
-        .groupby("pair").sum("c")
-
-    def fold(batch: pa.Table) -> pa.Table:
-        batch = batch.rename_columns(["pair", "c"])
-        c = batch.column("c").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        return pa.Table.from_arrays(
-            [pa.array([int((c * (c - 1) // 2).sum())], pa.int64()),
-             pa.array([int(c.sum())], pa.int64())],
-            names=["butterflies", "wedges"])
-
-    parts = totals.map_batches(fold, batch_format="pyarrow",
-                               zero_copy_batch=True).take_all()
+        .groupby("bucket2").map_groups(fold_cell,
+                                       batch_format="pyarrow").take_all()
     bf = sum(r["butterflies"] for r in parts)
     wd = sum(r["wedges"] for r in parts)
     return pa.Table.from_arrays(
