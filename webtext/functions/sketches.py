@@ -601,23 +601,37 @@ def kmv_distinct(ds, col: str = "user_id", k: int = 256):
 
     Scale shape: each block emits its ≤ k smallest DISTINCT hashes
     (np.unique partial — the sketch is the block state, never rows);
-    the constant-size partials (≤ k · blocks) reduce on the driver by
-    one merged unique+head — the same merge any tree topology would
+    block partials merge through ONE hash(h) % 256 bucketed exchange
+    (each cell keeps its own k smallest distinct, which provably
+    contains every member of the global k-min set), so the driver
+    reads ≤ 256·k rows at ANY corpus size, not k·blocks.  The final
+    merged unique+head is the same merge any tree topology would
     produce, so the result is blocking-invariant.  Fewer than k
     distinct values ⇒ the exact count is returned (kth_hash = max)."""
+    from .dedup import _ibucket
 
     def partial(batch: pa.Table) -> pa.Table:
         h = _hash64(batch.column(col).combine_chunks()
                     if isinstance(batch.column(col), pa.ChunkedArray)
                     else batch.column(col))
-        u = np.unique(h)             # sorted ascending
-        u = u[:k]
+        u = np.unique(h)[:k]         # sorted ascending
+        ui = u.astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ui)), pa.array(ui)],
+            names=["bucket", "h"])
+
+    def cell_kmin(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        u = np.unique(h)[:k]
         return pa.Table.from_arrays(
             [pa.array(u.astype(np.int64))], names=["h"])
 
     parts = ds.select_columns([col]) \
         .map_batches(partial, batch_format="pyarrow",
-                     zero_copy_batch=True).take_all()
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(cell_kmin,
+                                      batch_format="pyarrow").take_all()
     merged = np.unique(np.array([r["h"] for r in parts],
                                 dtype=np.int64).astype(np.uint64))
     merged = merged[:k]
