@@ -617,6 +617,33 @@ def _order_gaps(sf_dir: str):
                                        "o_orderkey"]))
 
 
+def _pagerank_weighted(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.graph import pagerank_personalized
+
+    def part_weights(sf):
+        import numpy as np
+        import pyarrow as pa
+
+        def emit(batch: pa.Table) -> pa.Table:
+            node = batch.column("p_partkey").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False) * 2
+            cents = np.floor(batch.column("p_retailprice")
+                             .to_numpy(zero_copy_only=False) * 100.0
+                             + 0.5).astype(np.int64)
+            return pa.Table.from_arrays(
+                [pa.array(node), pa.array(cents)], names=["node", "w"])
+
+        return ray.data.read_parquet(
+            f"{sf}/part.parquet",
+            columns=["p_partkey", "p_retailprice"]).map_batches(
+            emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    return pagerank_personalized(_graph_edges(sf_dir),
+                                 part_weights(sf_dir))
+
+
 def _graph_butterflies(sf_dir: str):
     from webtext.functions.graph import butterfly_count
 
@@ -2055,6 +2082,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-customer repeat-purchase cadence (relational LAG rollup)
         "customer_order_gaps": lambda sf: _order_gaps(sf),
         "pagerank": lambda sf: graph.pagerank(_graph_edges(sf)),
+        # quality-weighted teleport (personalized) authority pass
+        "pagerank_weighted": lambda sf: _pagerank_weighted(sf),
         "hits_scores": lambda sf: graph.hits(_graph_edges(sf)),
         "group_quantiles": lambda sf: _events_quantiles(sf),
         # corpus-wide exact quantiles with ZERO all-to-all (iterative
@@ -2206,7 +2235,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_extracted", "dup_cluster_stats", "hll_users",
             "hll_users_by_type", "incremental_near_dedup",
             "pca_top_component", "kmv_distinct",
-            "effective_rank")
+            "effective_rank", "pagerank_weighted")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

@@ -171,6 +171,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "token_frequencies", "topk_tokens_per_lang",
                  "vocab_coverage", "tfidf_top_terms",
                  "token_burstiness", "gini_by_source", "vocab_growth",
+                 "hapax_stats",
                  "prefix_filter_pairs", "source_overlap",
                  "dup_mapping", "top_bigrams", "vocab_divergence",
                  "incremental_dedup", "incremental_near_dedup",
@@ -203,13 +204,15 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "user_growth",
                  "distinct_users", "pivot_events", "hll_users",
                  "hll_users_windowed",
-                 "cms_token_estimates",
+                 "cms_token_estimates", "kmv_distinct",
                  "outlier_events", "label_centroids",
                  "centroid_classify",
                  "quantize_embeddings",
+                 "pca_top_component", "effective_rank",
                  "asof_join", "range_join", "group_quantiles",
                  "global_quantiles",
                  "graph_degrees", "pagerank", "hits_scores",
+                 "pagerank_weighted", "butterfly_count",
                  "sample_stratified", "pricing_summary",
                  "order_line_join", "region_customers",
                  "supplier_shipments", "brand_volume",
@@ -224,6 +227,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "volume_shipping", "market_share", "knn_pq",
                  "order_priority_check", "brand_size_revenue",
                  "waiting_suppliers",
+                 "nation_profit", "promo_part_suppliers",
+                 "customer_order_gaps",
                  "customers_with_orders", "customers_without_f_orders",
                  "price_qty_corr", "pareto_orders",
                  "late_line_priority", "important_parts", "id_gaps",

@@ -154,3 +154,47 @@ def test_butterfly_count_no_wedges(ray_session):
     edges = [{"src": 2, "dst": 1, "w": 1}, {"src": 4, "dst": 3, "w": 1}]
     got = butterfly_count(ray.data.from_items(edges)).to_pylist()[0]
     assert got == {"butterflies": 0, "wedges": 0}
+
+
+def test_pagerank_personalized_uniform_equals_plain(ray_session):
+    """Uniform teleport weights reproduce the plain pagerank
+    bit-for-bit (p_v = scale//n exactly when all w equal... only when
+    scale//W*w matches scale//n — true for w=1, W=n)."""
+    import ray.data
+
+    from webtext.functions.graph import pagerank, pagerank_personalized
+
+    edges = [{"src": 2, "dst": 1, "w": 2}, {"src": 4, "dst": 1, "w": 1},
+             {"src": 4, "dst": 3, "w": 1}, {"src": 6, "dst": 3, "w": 3}]
+    eds = ray.data.from_items(edges)
+    nodes = sorted({e["src"] for e in edges} | {e["dst"] for e in edges})
+    wds = ray.data.from_items([{"node": n, "w": 1} for n in nodes])
+    plain = {r["node"]: r["rank"]
+             for r in pagerank(ray.data.from_items(edges)).take_all()}
+    pers = {r["node"]: r["rank"]
+            for r in pagerank_personalized(eds, wds).take_all()}
+    assert plain == pers
+
+
+def test_pagerank_personalized_concentrates_on_seed(ray_session):
+    """All teleport mass on one source node → that node's neighborhood
+    outranks the rest; nodes absent from weights still rank via
+    inflow; weight rows for non-graph nodes are ignored."""
+    import ray.data
+
+    from webtext.functions.graph import pagerank_personalized
+
+    edges = ray.data.from_items([
+        {"src": 2, "dst": 1, "w": 1},
+        {"src": 4, "dst": 3, "w": 1},
+    ])
+    weights = ray.data.from_items([
+        {"node": 2, "w": 100},      # all teleport mass here
+        {"node": 999, "w": 500},    # not in graph → ignored
+    ])
+    got = {r["node"]: r["rank"]
+           for r in pagerank_personalized(edges, weights).take_all()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2] > got[4]          # seed beats unseeded source
+    assert got[1] > got[3]          # seed's sink beats unseeded sink
+    assert got[4] == 0 and got[3] == 0

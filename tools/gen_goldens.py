@@ -614,6 +614,50 @@ def golden_pagerank(sf_dir: str) -> pa.Table:
                      "rank": pa.array(rank, pa.int64())})
 
 
+def golden_pagerank_weighted(sf_dir: str) -> pa.Table:
+    """Dense single-process PERSONALIZED fixed-point PageRank:
+    teleport mass proportional to each part node's integer retail
+    cents (supplier nodes weight 0) — differential oracle for
+    webtext/functions/graph.py pagerank_personalized.  Same integer
+    recurrence, dense np.add.at execution; p_v computed with exact
+    python big-ints (the distributed side's split multiply is an exact
+    identity for the same value)."""
+    SCALE, ITERS, D_NUM, D_DEN = 10**12, 8, 17, 20
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey"])
+    src = li["l_partkey"].to_numpy().astype(np.int64) * 2
+    dst = li["l_suppkey"].to_numpy().astype(np.int64) * 2 + 1
+    pairs = np.stack([src, dst], axis=1)
+    uniq, w = np.unique(pairs, axis=0, return_counts=True)
+    esrc, edst, ew = uniq[:, 0], uniq[:, 1], w.astype(np.int64)
+    nodes = np.unique(np.concatenate([esrc, edst]))
+    si = np.searchsorted(nodes, esrc)
+    di = np.searchsorted(nodes, edst)
+    outdeg = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(outdeg, si, ew)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_retailprice"])
+    pnode = part["p_partkey"].to_numpy().astype(np.int64) * 2
+    pcents = np.floor(part["p_retailprice"].to_numpy() * 100.0
+                      + 0.5).astype(np.int64)
+    wmap = dict(zip(pnode.tolist(), pcents.tolist()))
+    wv = np.array([wmap.get(int(n), 0) for n in nodes],
+                  dtype=np.int64)
+    W = int(wv.sum())
+    p = np.array([(SCALE * int(x)) // W for x in wv], dtype=np.int64)
+    base_next = (np.int64(3) * p) // np.int64(D_DEN)
+    rank = p.copy()
+    for _ in range(ITERS):
+        share = np.where(outdeg > 0,
+                         rank // np.maximum(outdeg, 1), np.int64(0))
+        inflow = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(inflow, di, share[si] * ew)
+        rank = base_next + (np.int64(D_NUM) * inflow) // np.int64(D_DEN)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "rank": pa.array(rank, pa.int64())})
+
+
 def golden_hits(sf_dir: str) -> pa.Table:
     """Dense single-process HITS over the same lineitem part->supplier
     digraph — differential oracle for webtext/functions/graph.py hits:
@@ -1648,6 +1692,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
                                 ("pattern", pa.string())]))
 
     g["pagerank"] = golden_pagerank(sf_dir)
+    g["pagerank_weighted"] = golden_pagerank_weighted(sf_dir)
 
     g["hll_users"] = golden_hll_users(sf_dir)
     g["hll_users_by_type"] = golden_hll_users_by_type(sf_dir)

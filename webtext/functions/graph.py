@@ -113,12 +113,20 @@ def _pr_bucket_join(group: pa.Table) -> pa.Table:
     dst = _col_i64(group, "dst")
     w = _col_i64(group, "w")
     share = _col_i64(group, "share")
+    # optional per-node teleport column (personalized variant): rank
+    # rows carry their node's base_next, contribution rows carry 0
+    has_base = "base" in group.column_names
+    base = _col_i64(group, "base") if has_base else None
     is_rank = dst == -1
     rsrc, rshare, rdeg = src[is_rank], share[is_rank], w[is_rank]
+    rbase = base[is_rank] if has_base else None
     order = np.argsort(rsrc, kind="stable")
     rsrc, rshare, rdeg = rsrc[order], rshare[order], rdeg[order]
+    if has_base:
+        rbase = rbase[order]
     esrc, edst, ew = src[~is_rank], dst[~is_rank], w[~is_rank]
     node_rows = [rsrc, np.zeros(len(rsrc), dtype=np.int64), rdeg]
+    base_rows = [rbase] if has_base else None
     if len(esrc) and len(rsrc):
         pos = np.searchsorted(rsrc, esrc)
         # every edge src has a rank row in this bucket by construction
@@ -133,10 +141,16 @@ def _pr_bucket_join(group: pa.Table) -> pa.Table:
                      np.concatenate([node_rows[1], cc]),
                      np.concatenate([node_rows[2],
                                      np.zeros(len(cn), dtype=np.int64)])]
-    return pa.Table.from_arrays(
-        [pa.array(node_rows[0]), pa.array(node_rows[1]),
-         pa.array(node_rows[2])],
-        names=["node", "contrib", "outdeg"])
+        if has_base:
+            base_rows = [np.concatenate(
+                [base_rows[0], np.zeros(len(cn), dtype=np.int64)])]
+    cols = [pa.array(node_rows[0]), pa.array(node_rows[1]),
+            pa.array(node_rows[2])]
+    names = ["node", "contrib", "outdeg"]
+    if has_base:
+        cols.append(pa.array(base_rows[0]))
+        names.append("base")
+    return pa.Table.from_arrays(cols, names=names)
 
 
 def pagerank(edges, iters: int = PAGERANK_ITERS,
@@ -222,6 +236,152 @@ def pagerank(edges, iters: int = PAGERANK_ITERS,
             lambda b: _pr_next_ranks(base_next, b),
             batch_format="pyarrow", zero_copy_batch=True) \
             .repartition(STATE_BLOCKS).materialize()
+
+    return ranks.select_columns(["node", "rank"])
+
+
+def _split_mul_div(a: int, w: np.ndarray, m: int) -> np.ndarray:
+    """floor(a·w / m) element-wise WITHOUT forming a·w (which overflows
+    int64 once a·max(w) passes 2^63): the exact identity
+    floor(a·w/m) = (a//m)·w + floor((a%m)·w / m), safe while
+    (a % m)·max(w) < 2^63."""
+    q, r = a // m, a % m
+    return np.int64(q) * w + (np.int64(r) * w) // np.int64(m)
+
+
+def pagerank_personalized(edges, weights,
+                          iters: int = PAGERANK_ITERS,
+                          scale: int = PAGERANK_SCALE,
+                          n_buckets: int = N_SHUFFLE_BUCKETS):
+    """Personalized (weighted-teleport) PageRank — the quality-weighted
+    authority pass of the north-star framing: teleport mass lands on
+    node v proportional to its integer weight w_v (a quality score,
+    retail value, …) instead of uniformly, so authority concentrates
+    around the high-quality seed set:
+
+        rank'_v = (3 · p_v) // 20  +  (17 · inflow_v) // 20
+        p_v = floor(scale · w_v / W),  W = Σ w over graph nodes
+
+    ``weights``: Dataset (node, w) of int64 weights; graph nodes
+    absent from it teleport nothing (w = 0), weight rows whose node is
+    not in the graph are ignored (their mass vanishes, the standard
+    restriction-to-graph convention).  All arithmetic is int64 with the
+    split multiply (`_split_mul_div`) so p_v is exact wherever
+    (scale mod W)·max(w) < 2^63 — w up to ~9·10⁶ at the default scale.
+    Same per-round shape as `pagerank` (rank state consumed once, one
+    bucketed map_groups + one native groupby per round) with the
+    per-node teleport riding the state as one extra int64 column; the
+    weight attach is a bucketed emit-union join (weights are
+    sf-proportional — never broadcast).  Uniform weights reproduce
+    `pagerank` bit-for-bit (pinned by test)."""
+    import ray.data  # noqa: F401
+
+    deg = degrees(edges).materialize()
+
+    # bucketed left attach of w onto the degree table (default 0)
+    def deg_emit(batch: pa.Table) -> pa.Table:
+        node = _col_i64(batch, "node")
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(node, n_buckets)), pa.array(node),
+             pa.array(np.zeros(len(node), dtype=np.int8)),
+             batch.column("out_deg").cast(pa.int64()),
+             pa.array(np.zeros(len(node), dtype=np.int64))],
+            names=["bucket", "node", "is_w", "outdeg", "w"])
+
+    def w_emit(batch: pa.Table) -> pa.Table:
+        node = _col_i64(batch, "node")
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(node, n_buckets)), pa.array(node),
+             pa.array(np.ones(len(node), dtype=np.int8)),
+             pa.array(np.zeros(len(node), dtype=np.int64)),
+             batch.column("w").cast(pa.int64())],
+            names=["bucket", "node", "is_w", "outdeg", "w"])
+
+    def attach(group: pa.Table) -> pa.Table:
+        is_w = group.column("is_w").to_numpy(
+            zero_copy_only=False).astype(bool)
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        outdeg = group.column("outdeg").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        wn, wv = node[is_w], w[is_w]
+        order = np.argsort(wn)
+        wn, wv = wn[order], wv[order]
+        gn, gd = node[~is_w], outdeg[~is_w]
+        gw = np.zeros(len(gn), dtype=np.int64)
+        if len(wn) and len(gn):
+            pos = np.clip(np.searchsorted(wn, gn), 0, len(wn) - 1)
+            hit = wn[pos] == gn
+            gw[hit] = wv[pos[hit]]
+        return pa.Table.from_arrays(
+            [pa.array(gn), pa.array(gd), pa.array(gw)],
+            names=["node", "outdeg", "w"])
+
+    state0 = deg.map_batches(deg_emit, batch_format="pyarrow",
+                             zero_copy_batch=True).union(
+        weights.select_columns(["node", "w"]).map_batches(
+            w_emit, batch_format="pyarrow", zero_copy_batch=True))         .groupby("bucket").map_groups(attach, batch_format="pyarrow")         .materialize()
+    total_w = state0.sum("w") or 0
+    if total_w <= 0:
+        raise ValueError("personalized pagerank needs positive total "
+                         "teleport weight on graph nodes")
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").cast(pa.int64())             .to_numpy(zero_copy_only=False)
+        p = _split_mul_div(scale, w, total_w)
+        base_next = (np.int64(3) * p) // np.int64(PR_D_DEN)
+        return pa.Table.from_arrays(
+            [batch.column("node").cast(pa.int64()), pa.array(p),
+             batch.column("outdeg").cast(pa.int64()),
+             pa.array(base_next)],
+            names=["node", "rank", "outdeg", "base"])
+
+    ranks = state0.map_batches(init_rank, batch_format="pyarrow",
+                               zero_copy_batch=True)         .repartition(STATE_BLOCKS).materialize()
+
+    def ranks_emit(batch: pa.Table) -> pa.Table:
+        node = _col_i64(batch, "node")
+        rank = _col_i64(batch, "rank")
+        outdeg = _col_i64(batch, "outdeg")
+        base = _col_i64(batch, "base")
+        share = np.where(outdeg > 0, rank // np.maximum(outdeg, 1),
+                         np.int64(0))
+        neg = np.full(len(node), -1, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(node, n_buckets)), pa.array(node),
+             pa.array(neg), pa.array(outdeg), pa.array(share),
+             pa.array(base)],
+            names=["bucket", "src", "dst", "w", "share", "base"])
+
+    def edges_emit(batch: pa.Table) -> pa.Table:
+        src = _col_i64(batch, "src")
+        z = np.zeros(len(src), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(src, n_buckets)), pa.array(src),
+             batch.column("dst").cast(pa.int64()),
+             batch.column("w").cast(pa.int64()),
+             pa.array(z), pa.array(z)],
+            names=["bucket", "src", "dst", "w", "share", "base"])
+
+    ebatches = edges.map_batches(edges_emit, batch_format="pyarrow",
+                                 zero_copy_batch=True)         .repartition(STATE_BLOCKS).materialize()
+
+    def next_ranks(out: pa.Table) -> pa.Table:
+        inflow = _col_i64(out, "sum(contrib)")
+        base = _col_i64(out, "sum(base)")
+        rank = base + (np.int64(PR_D_NUM) * inflow)             // np.int64(PR_D_DEN)
+        return pa.Table.from_arrays(
+            [out.column("node").cast(pa.int64()), pa.array(rank),
+             out.column("sum(outdeg)").cast(pa.int64()),
+             pa.array(base)],
+            names=["node", "rank", "outdeg", "base"])
+
+    for _ in range(iters):
+        joined = ranks.map_batches(ranks_emit, batch_format="pyarrow",
+                                   zero_copy_batch=True).union(ebatches)
+        merged = joined.groupby("bucket").map_groups(
+            _pr_bucket_join, batch_format="pyarrow")             .groupby("node").sum(["contrib", "outdeg", "base"])
+        ranks = merged.map_batches(next_ranks, batch_format="pyarrow",
+                                   zero_copy_batch=True)             .repartition(STATE_BLOCKS).materialize()
 
     return ranks.select_columns(["node", "rank"])
 
