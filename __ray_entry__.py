@@ -606,6 +606,21 @@ def _tpch_q20(sf_dir: str):
                               columns=["n_nationkey", "n_name"]))
 
 
+def _join_pps(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.tpch import join_pps_sample
+
+    return join_pps_sample(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey",
+                                       "o_orderpriority"]),
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_linenumber",
+                                       "l_extendedprice",
+                                       "l_discount"]))
+
+
 def _order_gaps(sf_dir: str):
     import ray.data
 
@@ -2081,6 +2096,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "butterfly_count": lambda sf: _graph_butterflies(sf),
         # per-customer repeat-purchase cadence (relational LAG rollup)
         "customer_order_gaps": lambda sf: _order_gaps(sf),
+        # weighted sampling over a JOIN (weight exists only post-join)
+        "join_pps_sample": lambda sf: _join_pps(sf),
         "pagerank": lambda sf: graph.pagerank(_graph_edges(sf)),
         # quality-weighted teleport (personalized) authority pass
         "pagerank_weighted": lambda sf: _pagerank_weighted(sf),
@@ -3893,6 +3910,26 @@ def oracle_sql() -> dict[str, str]:
                      AS butterflies,
                    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS wedges
             FROM pairs""",
+        "join_pps_sample": """
+            WITH j AS (
+              SELECT l.l_orderkey, l.l_linenumber,
+                     CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                       * 100) AS BIGINT) AS rev_cents,
+                     (6 - CAST(substr(o.o_orderpriority, 1, 1)
+                       AS BIGINT)) AS prio_mult
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey),
+            w AS (SELECT CAST(SUM(rev_cents * prio_mult) AS DOUBLE)
+                    AS total FROM j)
+            SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+                   prio_mult, rev_cents
+            FROM j, w
+            WHERE CAST(md5_number_upper(
+                    CAST(l_orderkey AS VARCHAR) || ':' ||
+                    CAST(l_linenumber AS VARCHAR) || 'jpps')
+                    & 9223372036854775807 AS DOUBLE)
+                < CAST(rev_cents * prio_mult AS DOUBLE) * 200.0
+                  / w.total * 9223372036854775808.0""",
         "customer_order_gaps": """
             WITH g AS (
               SELECT o_custkey,

@@ -1363,3 +1363,42 @@ def test_customer_order_gaps_lag_semantics(ray_session):
                             r["max_gap_days"])
            for r in customer_order_gaps(orders).take_all()}
     assert got == {1: (3, 13, 10), 3: (2, 0, 0)}
+
+
+def test_join_pps_sample_weight_needs_join(ray_session):
+    """Zero-weight rows never survive; a saturating weight always
+    does; blocking-invariant (content-addressed membership)."""
+    import ray.data
+
+    from webtext.pipelines.tpch import join_pps_sample
+
+    orders = ray.data.from_items([
+        {"o_orderkey": 1, "o_orderpriority": "1-URGENT"},   # mult 5
+        {"o_orderkey": 2, "o_orderpriority": "5-LOW"},      # mult 1
+    ])
+    lines = ray.data.from_items([
+        # rev 0 → weight 0 → can never be kept
+        {"l_orderkey": 1, "l_linenumber": 1,
+         "l_extendedprice": 0.0, "l_discount": 0.0},
+        # dominant weight with k=2 → bound > 2^63 → always kept
+        {"l_orderkey": 1, "l_linenumber": 2,
+         "l_extendedprice": 1000.0, "l_discount": 0.0},
+        {"l_orderkey": 2, "l_linenumber": 1,
+         "l_extendedprice": 10.0, "l_discount": 0.0},
+        # dangling order key → dropped by the inner attach
+        {"l_orderkey": 99, "l_linenumber": 1,
+         "l_extendedprice": 500.0, "l_discount": 0.0},
+    ])
+    a = sorted((r["l_orderkey"], r["l_linenumber"], r["prio_mult"],
+                r["rev_cents"])
+               for r in join_pps_sample(orders, lines, k=2).take_all())
+    b = sorted((r["l_orderkey"], r["l_linenumber"], r["prio_mult"],
+                r["rev_cents"])
+               for r in join_pps_sample(
+                   orders.repartition(2), lines.repartition(3),
+                   k=2).take_all())
+    assert a == b
+    kept = {(o, n) for o, n, _, _ in a}
+    assert (1, 2) in kept           # saturating weight always kept
+    assert (1, 1) not in kept       # zero weight never kept
+    assert (99, 1) not in kept      # dangling key dropped by the join

@@ -2814,3 +2814,91 @@ def customer_order_gaps(orders, n_buckets: int = 256):
         .map_batches(add_bucket, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .groupby("bucket").map_groups(gaps_cell, batch_format="pyarrow")
+
+
+def join_pps_sample(orders, lineitem, k: int = 200,
+                    salt: str = "jpps"):
+    """Deterministic PPS sample over a JOIN result — the streaming
+    weighted-sampling-over-joins shape: keep each (order ⋈ line) row
+    with probability min(1, k·wᵢ/W) where the weight
+    w = rev_cents · prio_mult only exists AFTER the join (prio_mult =
+    6 − priority digit from orders, rev from lineitem), so naive
+    sampling of either input alone cannot produce it.  Output
+    (l_orderkey, l_linenumber, prio_mult, rev_cents);
+    E[sample size] = k when no weight saturates.
+
+    Scale shape: the join ships ONLY (orderkey, linenumber, rev)
+    triples through one bucketed hash(orderkey)%256 attach (payload
+    columns never ride the exchange); the joined weight table is
+    materialized ONCE (two consumers: the exact int64 ΣW scalar and
+    the membership filter); membership is content-addressed —
+    h = md5-u63(orderkey:linenumber‖salt) < (w·k/W)·2^63 with the
+    float bound evaluated in the same left-to-right IEEE order as the
+    SQL oracle — no RNG, reproducible under any blocking."""
+    from ..functions.curation import _did63
+
+    def line_emit(batch: pa.Table) -> pa.Table:
+        rev = _rev_cents(
+            batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False),
+            batch.column("l_discount").to_numpy(zero_copy_only=False))
+        okey = batch.column("l_orderkey").cast(pa.int64())
+        # _bucket_attach's output carries only (attach, carry) columns
+        # — the sample key needs the orderkey, so it rides twice
+        return pa.Table.from_arrays(
+            [okey, okey,
+             batch.column("l_linenumber").cast(pa.int64()),
+             pa.array(rev)],
+            names=["okey", "okey_c", "ln", "rev"])
+
+    def orders_emit(batch: pa.Table) -> pa.Table:
+        digit = pc.utf8_slice_codeunits(
+            batch.column("o_orderpriority"), 0, 1)
+        mult = pc.subtract(pa.scalar(6, pa.int64()),
+                           digit.cast(pa.int64()))
+        return pa.Table.from_arrays(
+            [batch.column("o_orderkey").cast(pa.int64()), mult],
+            names=["okey", "prio_mult"])
+
+    joined = _bucket_attach(
+        lineitem.select_columns(["l_orderkey", "l_linenumber",
+                                 "l_extendedprice", "l_discount"])
+        .map_batches(line_emit, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        orders.select_columns(["o_orderkey", "o_orderpriority"])
+        .map_batches(orders_emit, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        "okey", "prio_mult", ("okey_c", "ln", "rev")).materialize()
+
+    def w_partial(batch: pa.Table) -> pa.Table:
+        w = batch.column("rev").to_numpy(zero_copy_only=False) \
+            * batch.column("prio_mult").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array([int(w.sum())], pa.int64())], names=["w"])
+
+    parts = joined.map_batches(w_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    total = sum(r["w"] for r in parts)    # exact python-int fold
+    if total <= 0:
+        return joined.limit(0)
+    w_double = float(total)
+    k_double = float(k)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        okey = batch.column("okey_c").to_numpy(zero_copy_only=False)
+        ln = batch.column("ln").to_numpy(zero_copy_only=False)
+        keys = [f"{o}:{n}{salt}" for o, n in zip(okey, ln)]
+        h = _did63(keys).astype(np.float64)
+        w = (batch.column("rev").to_numpy(zero_copy_only=False)
+             * batch.column("prio_mult").to_numpy(
+                 zero_copy_only=False)).astype(np.float64)
+        bound = w * k_double / w_double * 9223372036854775808.0
+        kept = batch.filter(pa.array(h < bound))
+        return pa.Table.from_arrays(
+            [kept.column("okey_c"), kept.column("ln"),
+             kept.column("prio_mult"), kept.column("rev")],
+            names=["l_orderkey", "l_linenumber", "prio_mult",
+                   "rev_cents"])
+
+    return joined.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
