@@ -2046,6 +2046,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_top_component": lambda sf: ann.pca_top_component(_emb(sf)),
         # eigensolve-free exact spectral effective rank (trace ratio)
         "effective_rank": lambda sf: ann.effective_rank(_emb(sf)),
+        # ZCA whitening (exact Gram + Newton-Schulz inverse sqrt)
+        "whiten_embeddings": lambda sf: ann.whiten_embeddings(
+            _emb(sf)),
         # event-stream windows (beyond the reference: time-windowed ops)
         "windowed_events": lambda sf: _events_windowed(sf),
         "hopping_events": lambda sf: _events_hopping(sf),
@@ -2252,7 +2255,8 @@ def oracle_sql() -> dict[str, str]:
             "dedup_extracted", "dup_cluster_stats", "hll_users",
             "hll_users_by_type", "incremental_near_dedup",
             "pca_top_component", "kmv_distinct",
-            "effective_rank", "pagerank_weighted")
+            "effective_rank", "pagerank_weighted",
+            "whiten_embeddings")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

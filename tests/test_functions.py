@@ -1975,3 +1975,31 @@ def test_effective_rank_extremes(ray_session):
     b = effective_rank(ray.data.from_items(one).repartition(3))
     assert a.to_pylist() == b.to_pylist()
     assert a.to_pylist()[0]["er_micro"] == 1_000_000
+
+
+def test_whiten_embeddings_whitens(ray_session):
+    """After whitening, the sample second-moment matrix is ~identity
+    (scaled micros): diagonal near 1e6·1e6... checked in float; also
+    blocking-invariant bit-for-bit."""
+    import ray.data
+
+    from webtext.functions.ann import whiten_embeddings
+
+    rng_rows = []
+    # deterministic anisotropic cloud: dim0 stretched 10x
+    for i in range(64):
+        a = ((i * 37) % 13 - 6) / 3.0
+        b = ((i * 11) % 7 - 3) / 3.0
+        rng_rows.append({"vec_id": i, "embedding": [10.0 * a, b]})
+    a1 = whiten_embeddings(ray.data.from_items(rng_rows)
+                           .repartition(1)).to_pandas()
+    a5 = whiten_embeddings(ray.data.from_items(rng_rows)
+                           .repartition(5)).to_pandas()
+    key = ["vec_id", "dim"]
+    assert a1.sort_values(key).reset_index(drop=True).equals(
+        a5.sort_values(key).reset_index(drop=True))
+    w = a1.pivot(index="vec_id", columns="dim",
+                 values="w_micro").to_numpy() / 1e6
+    C = (w.T @ w) / len(w)
+    import numpy as np
+    assert np.allclose(C, np.eye(2), atol=0.05)

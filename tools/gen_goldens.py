@@ -1000,6 +1000,41 @@ def golden_effective_rank(sf_dir: str) -> pa.Table:
                      "er_micro": pa.array([er_micro], pa.int64())})
 
 
+def golden_whiten_embeddings(sf_dir: str, iters: int = 30,
+                             eps_micro: int = 1000) -> pa.Table:
+    """Independent ZCA whitening: exact big-int Gram over the
+    identically-quantized micro embeddings, the same fixed-iteration
+    Newton-Schulz recurrence (re-stated here), one dense transform."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    vid = t.column("vec_id").to_numpy().astype(np.int64)
+    y = x * 1_000_000.0
+    q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+    G = q.astype(object).T @ q.astype(object)
+    d = G.shape[0]
+    n = len(vid)
+    C = np.array([[float(G[i, j]) / (1e12 * float(n))
+                   for j in range(d)] for i in range(d)])
+    C = C + (float(eps_micro) / 1e6) * np.eye(d)
+    c = float(np.trace(C))
+    A = C / c
+    eye = np.eye(d)
+    Y, Z = A.copy(), eye.copy()
+    for _ in range(iters):
+        T = 0.5 * (3.0 * eye - Z @ Y)
+        Y = Y @ T
+        Z = T @ Z
+    W = Z / np.sqrt(c)
+    out = x @ W
+    qq = np.copysign(np.floor(np.abs(out * 1e6) + 0.5), out) \
+        .astype(np.int64)
+    return pa.table({
+        "vec_id": pa.array(np.repeat(vid, d)),
+        "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+        "w_micro": pa.array(qq.reshape(-1))})
+
+
 def golden_kmv_distinct(sf_dir: str, k: int = 256) -> pa.Table:
     """Independent KMV distinct estimate of events.user_id: the same
     splitmix64 finalizer (re-stated here, not imported) over the full
@@ -1707,6 +1742,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["pca_top_component"] = golden_pca_top_component(sf_dir)
     g["kmv_distinct"] = golden_kmv_distinct(sf_dir)
     g["effective_rank"] = golden_effective_rank(sf_dir)
+    g["whiten_embeddings"] = golden_whiten_embeddings(sf_dir)
 
     return g
 

@@ -1615,3 +1615,81 @@ def effective_rank(ds):
     er_micro = (1_000_000 * tr * tr) // tr2 if tr2 else 0
     return pa.table({"dim": pa.array([d], pa.int64()),
                      "er_micro": pa.array([er_micro], pa.int64())})
+
+
+def whiten_embeddings(ds, iters: int = 30, eps_micro: int = 1000):
+    """(vec_id, dim, w_micro): ZCA-whitened embeddings — the standard
+    preprocessing before quantization/IVF on anisotropic vectors
+    (PQ/IVF assume roughly isotropic cells; see effective_rank for the
+    diagnosis this fixes).  w = x · C^(-1/2) with C the (uncentered)
+    second-moment matrix E[xxᵀ] + ε·I.
+
+    Determinism posture: C comes from the EXACT limb-encoded integer
+    Gram (same constant-size reduction as pca_top_component) divided
+    by the exact row count, so every process sees bit-identical
+    float64 inputs; C^(-1/2) is computed on the driver by a FIXED
+    ``iters``-round Newton–Schulz recurrence (elementwise float64
+    matmuls, no LAPACK eigensolve — deterministic across processes),
+    and the per-row transform is one (block × d)·(d × d) matmul whose
+    per-element reduction is blocking-independent.  The differential
+    golden runs the identical recurrence, so equality is bit-level.
+    Output quantized to rounded micros, long format (one row per
+    (vector, dimension))."""
+    import ray
+
+    rows = _gram_limb_rows(ds)
+    if not rows:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "dim": pa.array([], pa.int64()),
+                         "w_micro": pa.array([], pa.int64())})
+    d, g = _gram_exact(rows)
+    n = ds.count()
+    # C in (micro²)-units per row; scale back to unit² floats
+    C = np.zeros((d, d), dtype=np.float64)
+    for (i, j), exact in g.items():
+        C[i, j] = C[j, i] = float(exact) / (1e12 * float(n))
+    C = C + (float(eps_micro) / 1e6) * np.eye(d)
+    W = _invsqrt_newton_schulz(C, iters)
+    ref = ray.put(W)
+
+    def transform(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        w = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        x = _matrix(batch)
+        if x.shape[0] == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "w_micro": pa.array([], pa.int64())})
+        y = x @ w
+        q = np.copysign(np.floor(np.abs(y * 1e6) + 0.5), y) \
+            .astype(np.int64)
+        vid = batch.column("vec_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dd = q.shape[1]
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(vid, dd)),
+             pa.array(np.tile(np.arange(dd, dtype=np.int64),
+                              len(vid))),
+             pa.array(q.reshape(-1))],
+            names=["vec_id", "dim", "w_micro"])
+
+    return ds.select_columns(["vec_id", "embedding"]) \
+        .map_batches(transform, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+
+def _invsqrt_newton_schulz(C: np.ndarray, iters: int) -> np.ndarray:
+    """Deterministic fixed-iteration Newton–Schulz inverse square root:
+    scale A = C/c with c = trace(C) (so ||I − A|| < 1 for any PSD C),
+    iterate Y ← Y(3I − ZY)/2, Z ← (3I − ZY)Z/2; then
+    C^(-1/2) = Z/√c.  Pure float64 numpy — no LAPACK, same bits in
+    every process for the same C."""
+    d = C.shape[0]
+    c = float(np.trace(C))
+    A = C / c
+    eye = np.eye(d)
+    Y, Z = A.copy(), eye.copy()
+    for _ in range(iters):
+        T = 0.5 * (3.0 * eye - Z @ Y)
+        Y = Y @ T
+        Z = T @ Z
+    return Z / np.sqrt(c)
