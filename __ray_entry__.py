@@ -632,6 +632,15 @@ def _order_gaps(sf_dir: str):
                                        "o_orderkey"]))
 
 
+def _ivf_recall(sf_dir: str):
+    from webtext.functions import ann
+
+    path = _ivf_index_path(sf_dir)
+    if not os.path.exists(path):
+        ann.ivf_build_index(_emb(sf_dir), path, nlist=16)
+    return ann.ivf_recall_audit(_emb(sf_dir), index_path=path)
+
+
 def _pagerank_weighted(sf_dir: str):
     import ray.data
 
@@ -2049,6 +2058,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ZCA whitening (exact Gram + Newton-Schulz inverse sqrt)
         "whiten_embeddings": lambda sf: ann.whiten_embeddings(
             _emb(sf)),
+        # measured recall@k of the IVF probe path vs exact (self-audit)
+        "ivf_recall_audit": lambda sf: _ivf_recall(sf),
         # event-stream windows (beyond the reference: time-windowed ops)
         "windowed_events": lambda sf: _events_windowed(sf),
         "hopping_events": lambda sf: _events_hopping(sf),
@@ -2256,7 +2267,7 @@ def oracle_sql() -> dict[str, str]:
             "hll_users_by_type", "incremental_near_dedup",
             "pca_top_component", "kmv_distinct",
             "effective_rank", "pagerank_weighted",
-            "whiten_embeddings")
+            "whiten_embeddings", "ivf_recall_audit")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

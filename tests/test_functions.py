@@ -2003,3 +2003,22 @@ def test_whiten_embeddings_whitens(ray_session):
     C = (w.T @ w) / len(w)
     import numpy as np
     assert np.allclose(C, np.eye(2), atol=0.05)
+
+
+def test_ivf_recall_audit_full_probe_is_exact(ray_session):
+    """Probing every list makes IVF ≡ exact → recall 1.0 for every
+    query; blocking-invariant."""
+    import ray.data
+
+    from webtext.functions.ann import ivf_recall_audit
+
+    rows = [{"vec_id": i, "label": 0,
+             "embedding": [((i * 13) % 7) / 7.0,
+                           ((i * 29) % 11) / 11.0]}
+            for i in range(40)]
+    a = ivf_recall_audit(ray.data.from_items(rows).repartition(1),
+                         n_queries=4, k=5, nlist=4, nprobe=4)
+    b = ivf_recall_audit(ray.data.from_items(rows).repartition(6),
+                         n_queries=4, k=5, nlist=4, nprobe=4)
+    assert a.to_pylist() == b.to_pylist()
+    assert all(r["recall_micro"] == 1_000_000 for r in a.to_pylist())

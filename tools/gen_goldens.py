@@ -207,6 +207,51 @@ def golden_knn_ivf(sf_dir, k=10, nlist=16, nprobe=4, iters=5):
     return kids[order], klabels[order]
 
 
+def golden_ivf_recall_audit(sf_dir, n_queries=16, k=10, nlist=16,
+                            nprobe=4, iters=5):
+    """Independent dense recall@k audit: the same spec-constant k-means
+    (linspace seeds, fixed-point int64 partial sums), per-query exact
+    and probed top-k with the lexsort((id, -sim)) tie rule, recall in
+    floor micros."""
+    ids, labels, mat = emb_matrix(sf_dir)
+    seed_ids = sorted(set(int(i) for i in
+                          np.linspace(0, ids.max(), nlist).astype(int)))
+    cents = np.stack([mat[ids == s][0] for s in seed_ids])
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        q = np.rint(mat * KMEANS_SCALE).astype(np.int64)
+        tot = np.zeros((len(cents), mat.shape[1]), dtype=np.int64)
+        np.add.at(tot, assign, q)
+        cnt = np.bincount(assign, minlength=len(cents)).astype(np.int64)
+        new = cents.copy()
+        nz = cnt > 0
+        new[nz] = (tot[nz] / KMEANS_SCALE) / cnt[nz, None]
+        cents = new
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    out_q, out_h, out_r = [], [], []
+    for qi in range(n_queries):
+        query = mat[ids == qi][0]
+        keep = ids != qi
+        sims = cos(mat[keep], query)
+        kids = ids[keep]
+        exact = set(kids[np.lexsort((kids, -sims))[:k]].tolist())
+        probe = set(np.argsort(((cents - query) ** 2).sum(axis=1))
+                    [:nprobe].tolist())
+        keep2 = keep & np.isin(assign, list(probe))
+        sims2 = cos(mat[keep2], query)
+        kids2 = ids[keep2]
+        approx = set(kids2[np.lexsort((kids2, -sims2))[:k]].tolist())
+        hits = len(exact & approx)
+        out_q.append(qi)
+        out_h.append(hits)
+        out_r.append((1_000_000 * hits) // max(1, len(exact)))
+    return pa.table({"qid": pa.array(out_q, pa.int64()),
+                     "n_hits": pa.array(out_h, pa.int64()),
+                     "recall_micro": pa.array(out_r, pa.int64())})
+
+
 def golden_knn_pq(sf_dir, k=10, m=8, ksub=16, iters=5):
     """Independent reimplementation of ann.knn_pq: per-subspace k-means
     with deterministic linspace seeds and fixed-point int64 partial
@@ -1743,6 +1788,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["kmv_distinct"] = golden_kmv_distinct(sf_dir)
     g["effective_rank"] = golden_effective_rank(sf_dir)
     g["whiten_embeddings"] = golden_whiten_embeddings(sf_dir)
+    g["ivf_recall_audit"] = golden_ivf_recall_audit(sf_dir)
 
     return g
 

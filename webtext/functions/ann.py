@@ -1693,3 +1693,106 @@ def _invsqrt_newton_schulz(C: np.ndarray, iters: int) -> np.ndarray:
         Y = Y @ T
         Z = T @ Z
     return Z / np.sqrt(c)
+
+
+def ivf_recall_audit(ds, n_queries: int = 16, k: int = 10,
+                     nlist: int = 16, nprobe: int = 4,
+                     index_path: str | None = None):
+    """(qid, n_hits, recall_micro): measured recall@k of the IVF probe
+    path against exact brute force, per query — the self-audit every
+    ANN deployment runs before trusting an approximate index (VERDICT
+    r2's exact/LSH routing made approximation explicit; this measures
+    what the approximation costs).  Queries are the vectors with
+    vec_id < n_queries (deterministic, no sampling).
+
+    Scale shape: BOTH passes are one streaming corpus scan with the
+    (n_queries × d) query matrix broadcast once — per block a single
+    (block × queries) matmul, a per-query local top-k partial, and one
+    constant-cardinality groupby(qid) final merge (n_queries groups of
+    ≤ k·blocks rows); the IVF pass additionally drops rows outside
+    each query's nprobe lists before scoring (the probe-filter saving
+    this audit quantifies).  Tie rule everywhere: lexsort((vec_id,
+    −sim)) — identical to knn_cosine/knn_ivf, so the golden's dense
+    reimplementation is bit-equal."""
+    import ray
+
+    q_rows = ds.filter(expr=f"vec_id < {int(n_queries)}") \
+        .select_columns(["vec_id", "embedding"]).take_all()
+    q_rows.sort(key=lambda r: int(r["vec_id"]))
+    qids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    if index_path is not None:
+        cents = ivf_load_index(index_path)
+    else:
+        cents = kmeans_fit_distributed(ds, nlist)
+    probes = np.argsort(((cents[None, :, :] - Q[:, None, :]) ** 2)
+                        .sum(axis=2), axis=1)[:, :nprobe]
+    ref = ray.put((qids, Q, cents, probes))
+
+    def partials(restrict_probe: bool):
+        def f(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            qid, qm, cc, pr = (_ref if isinstance(_ref, tuple)
+                               else ray.get(_ref))
+            mat = _matrix(batch)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            out_q, out_i, out_s = [], [], []
+            assign = _assign_clusters(mat, cc) if restrict_probe \
+                else None
+            for qi in range(len(qid)):
+                keep = ids != qid[qi]          # exclude the query row
+                if restrict_probe:
+                    keep &= np.isin(assign, pr[qi])
+                m, di = mat[keep], ids[keep]
+                if not len(di):
+                    continue
+                sims = _cos(m, qm[qi])
+                order = np.lexsort((di, -sims))[:k]
+                out_q.append(np.full(len(order), qid[qi],
+                                     dtype=np.int64))
+                out_i.append(di[order])
+                out_s.append(sims[order])
+            if not out_q:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                     pa.array([], pa.float64())],
+                    names=["qid", "vec_id", "sim"])
+            return pa.Table.from_arrays(
+                [pa.array(np.concatenate(out_q)),
+                 pa.array(np.concatenate(out_i)),
+                 pa.array(np.concatenate(out_s))],
+                names=["qid", "vec_id", "sim"])
+        return f
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = group.column("sim").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.Table.from_arrays(
+            [group.column("qid").take(pa.array(order)),
+             pa.array(ids[order])],
+            names=["qid", "vec_id"])
+
+    def topk(restrict_probe: bool):
+        return ds.select_columns(["vec_id", "embedding"]) \
+            .map_batches(partials(restrict_probe),
+                         batch_format="pyarrow", zero_copy_batch=True) \
+            .groupby("qid").map_groups(final_topk,
+                                       batch_format="pyarrow") \
+            .take_all()                 # ≤ n_queries·k rows, constant
+
+    exact = {}
+    for r in topk(False):
+        exact.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    approx = {}
+    for r in topk(True):
+        approx.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    out_q, out_h, out_r = [], [], []
+    for qi in qids.tolist():
+        e = exact.get(qi, set())
+        hits = len(e & approx.get(qi, set()))
+        out_q.append(qi)
+        out_h.append(hits)
+        out_r.append((1_000_000 * hits) // max(1, len(e)))
+    return pa.table({"qid": pa.array(out_q, pa.int64()),
+                     "n_hits": pa.array(out_h, pa.int64()),
+                     "recall_micro": pa.array(out_r, pa.int64())})
