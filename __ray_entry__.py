@@ -1835,6 +1835,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_cols(sf, ["doc_id", "text"])),
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(
             _docs_cols(sf, ["doc_id", "text"])),
+        # measured banding recall vs the exact prefix-filter join
+        "minhash_recall_audit": lambda sf: dedup.minhash_recall_audit(
+            _docs_mod10(sf), threshold=0.9),
         "simhash": lambda sf: dedup.simhash(
             _docs_cols(sf, ["doc_id", "text"])),
         "simhash_dup_pairs": lambda sf: dedup.simhash_dup_pairs(
@@ -2267,7 +2270,8 @@ def oracle_sql() -> dict[str, str]:
             "hll_users_by_type", "incremental_near_dedup",
             "pca_top_component", "kmv_distinct",
             "effective_rank", "pagerank_weighted",
-            "whiten_embeddings", "ivf_recall_audit")
+            "whiten_embeddings", "ivf_recall_audit",
+            "minhash_recall_audit")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

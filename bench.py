@@ -229,7 +229,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "order_priority_check", "brand_size_revenue",
                  "waiting_suppliers",
                  "nation_profit", "promo_part_suppliers",
-                 "join_pps_sample",
+                 "join_pps_sample", "minhash_recall_audit",
                  "customer_order_gaps",
                  "customers_with_orders", "customers_without_f_orders",
                  "price_qty_corr", "pareto_orders",

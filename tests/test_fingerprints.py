@@ -78,3 +78,28 @@ def test_lsh_pairs_subset_of_exact(ray_session):
     assert exact, "fixture should contain pairs"
     recall = len(approx) / len(exact)
     assert recall >= 0.3, f"LSH recall {recall:.2f} too low"
+
+
+def test_minhash_recall_audit_verbatim_dups(ray_session):
+    """Verbatim duplicates are both word-similar and shingle-similar →
+    the audit reports full recall on them; a reordered pair is
+    word-similar only → counted in n_exact, missed by LSH."""
+    import ray.data
+
+    from webtext.functions.dedup import minhash_recall_audit
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " \
+           "iota kappa lambda mu"
+    reordered = " ".join(reversed(base.split(" ")))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},           # verbatim dup of 1
+        {"doc_id": 3, "text": reordered},      # word-set dup, no order
+        {"doc_id": 4, "text": "totally different words here now"},
+    ]
+    got = minhash_recall_audit(ray.data.from_items(rows),
+                               threshold=0.9).to_pylist()[0]
+    # exact pairs: (1,2), (1,3), (2,3); LSH finds only the verbatim one
+    assert got["n_exact"] == 3
+    assert got["n_lsh"] == 1 and got["n_hits"] == 1
+    assert got["recall_micro"] == 333333

@@ -1045,6 +1045,35 @@ def golden_effective_rank(sf_dir: str) -> pa.Table:
                      "er_micro": pa.array([er_micro], pa.int64())})
 
 
+def golden_minhash_recall_audit(sf_dir, threshold=0.9) -> pa.Table:
+    """Independent recall audit on the doc_id%10==0 slice: exact pairs
+    by dense all-pairs word-Jaccard, LSH pairs by the dense
+    spec-constant banding reimpl (golden_minhash_pairs)."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy().astype(np.int64)
+    texts = t.column("text").to_pylist()
+    keep = ids % 10 == 0
+    ids = ids[keep].tolist()
+    texts = [x for x, k in zip(texts, keep) if k]
+    exact = set()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    for a in range(len(order)):
+        for b in range(a + 1, len(order)):
+            i, j = order[a], order[b]
+            inter, union = word_jaccard(texts[i], texts[j])
+            if union and inter / union >= threshold:
+                exact.add((ids[i], ids[j]))
+    lsh = set(golden_minhash_pairs(ids, texts, threshold))
+    hits = len(exact & lsh)
+    return pa.table({
+        "n_exact": pa.array([len(exact)], pa.int64()),
+        "n_lsh": pa.array([len(lsh)], pa.int64()),
+        "n_hits": pa.array([hits], pa.int64()),
+        "recall_micro": pa.array(
+            [(1_000_000 * hits) // max(1, len(exact))], pa.int64())})
+
+
 def golden_whiten_embeddings(sf_dir: str, iters: int = 30,
                              eps_micro: int = 1000) -> pa.Table:
     """Independent ZCA whitening: exact big-int Gram over the
@@ -1789,6 +1818,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["effective_rank"] = golden_effective_rank(sf_dir)
     g["whiten_embeddings"] = golden_whiten_embeddings(sf_dir)
     g["ivf_recall_audit"] = golden_ivf_recall_audit(sf_dir)
+    g["minhash_recall_audit"] = golden_minhash_recall_audit(sf_dir)
 
     return g
 

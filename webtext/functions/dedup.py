@@ -1382,3 +1382,81 @@ def dup_mapping(ds, threshold: float = 0.5):
 
     return labels.map_batches(nonrep, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def minhash_recall_audit(ds, threshold: float = 0.5):
+    """One row (n_exact, n_lsh, n_hits, recall_micro): measured recall
+    of the MinHash-LSH banding path against the EXACT prefix-filter
+    similarity self-join at the same Jaccard threshold — the dedup
+    twin of ann.ivf_recall_audit (banding trades recall for never
+    touching the all-pairs space; this measures what that trade
+    costs on real data — the false-negative rate of 16-band/8-row
+    signatures at the given threshold).  Both sides verify with the
+    same word-Jaccard, so LSH pairs ⊆ exact pairs; n_hits counts the
+    intersection anyway (a non-containment would flag a banding bug).
+
+    Reading the number: the LSH pipeline BANDS on 3-word-shingle
+    signatures but VERIFIES on word-set Jaccard, so recall is the
+    probability that a word-similar pair is also shingle-similar.  On
+    corpora whose similar pairs share vocabulary but not word ORDER
+    (the synthetic driver tables are the extreme case), recall
+    collapses toward zero — precisely the diagnostic to run before
+    trusting shingle-LSH dedup on a new corpus: a low number says
+    "your near-dups are reordered bags of words; use word-set
+    candidates (prefix_filter_pairs) or smaller shingles", not that
+    banding is broken (the planted verbatim near-dup families ARE
+    found by the same pipeline at full-corpus scope, see
+    minhash_lsh_pairs' golden).
+
+    Scale shape: both pair sets come from their own documented
+    pipelines; the comparison is ONE hash(pair)%256 bucketed exchange
+    of packed (lo<<32|hi) keys with an in-cell sorted intersection —
+    per-cell output is a single 3-int partial, the driver sums 256 of
+    them."""
+
+    exact = prefix_filter_pairs(ds, threshold)
+    lsh = minhash_lsh_pairs(ds, threshold)
+
+    def emit(flag: int):
+        def f(batch: pa.Table) -> pa.Table:
+            le = _col_i64(batch, "left_id")
+            r = _col_i64(batch, "right_id")
+            lo = np.minimum(le, r)
+            hi = np.maximum(le, r)
+            if len(hi):
+                assert int(hi.max()) < (1 << 31), \
+                    "pair pack needs ids < 2^31"
+            key = (lo << 32) | hi
+            return pa.Table.from_arrays(
+                [pa.array(_ibucket(key)), pa.array(key),
+                 pa.array(np.full(len(key), flag, dtype=np.int8))],
+                names=["bucket", "key", "is_exact"])
+        return f
+
+    def cell(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        fl = group.column("is_exact").to_numpy(zero_copy_only=False)
+        ek = np.unique(key[fl == 1])
+        lk = np.unique(key[fl == 0])
+        hits = len(np.intersect1d(ek, lk, assume_unique=True))
+        return pa.Table.from_arrays(
+            [pa.array([len(ek)], pa.int64()),
+             pa.array([len(lk)], pa.int64()),
+             pa.array([hits], pa.int64())],
+            names=["n_exact", "n_lsh", "n_hits"])
+
+    u = exact.map_batches(emit(1), batch_format="pyarrow",
+                          zero_copy_batch=True).union(
+        lsh.map_batches(emit(0), batch_format="pyarrow",
+                        zero_copy_batch=True))
+    parts = u.groupby("bucket").map_groups(
+        cell, batch_format="pyarrow").take_all()
+    ne = sum(r["n_exact"] for r in parts)
+    nl = sum(r["n_lsh"] for r in parts)
+    nh = sum(r["n_hits"] for r in parts)
+    return pa.table({
+        "n_exact": pa.array([ne], pa.int64()),
+        "n_lsh": pa.array([nl], pa.int64()),
+        "n_hits": pa.array([nh], pa.int64()),
+        "recall_micro": pa.array([(1_000_000 * nh) // max(1, ne)],
+                                 pa.int64())})
