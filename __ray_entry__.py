@@ -257,6 +257,31 @@ def _events_kmv(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id"]), "user_id")
 
 
+def _events_hll_audit(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.sketches import hll_error_audit
+
+    return hll_error_audit(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]), "user_id")
+
+
+def _cms_audit(sf_dir: str):
+    from webtext.functions.sketches import cms_error_audit
+
+    return cms_error_audit(_docs_cols(sf_dir, ["text"]))
+
+
+def _bloom_audit(sf_dir: str):
+    from webtext.functions.curation import split_by_mod
+    from webtext.functions.sketches import bloom_fp_audit
+
+    docs = _docs_cols(sf_dir, ["doc_id", "text"])
+    return bloom_fp_audit(split_by_mod(docs, mod=100, lt=50),
+                          split_by_mod(docs, mod=100, lt=50,
+                                       invert=True))
+
+
 def _events_hll(sf_dir: str):
     import ray.data
 
@@ -2084,6 +2109,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": lambda sf: _events_hll(sf),
         # K-minimum-values cardinality sketch (differential golden)
         "kmv_distinct": lambda sf: _events_kmv(sf),
+        # sketch-error audits: measured HLL error / CMS overestimate /
+        # Bloom false-positive rate vs exact ground truth
+        "hll_error_audit": lambda sf: _events_hll_audit(sf),
+        "cms_error_audit": lambda sf: _cms_audit(sf),
+        "bloom_fp_audit": lambda sf: _bloom_audit(sf),
         "dd_quantiles": lambda sf: _events_dd_quantiles(sf),
         "mode_by_type": lambda sf: _events_mode(sf),
         "mad_by_type": lambda sf: _events_mad(sf),
@@ -2271,7 +2301,8 @@ def oracle_sql() -> dict[str, str]:
             "pca_top_component", "kmv_distinct",
             "effective_rank", "pagerank_weighted",
             "whiten_embeddings", "ivf_recall_audit",
-            "minhash_recall_audit")
+            "minhash_recall_audit", "hll_error_audit",
+            "cms_error_audit", "bloom_fp_audit")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

@@ -2022,3 +2022,48 @@ def test_ivf_recall_audit_full_probe_is_exact(ray_session):
                          n_queries=4, k=5, nlist=4, nprobe=4)
     assert a.to_pylist() == b.to_pylist()
     assert all(r["recall_micro"] == 1_000_000 for r in a.to_pylist())
+
+
+def test_bloom_fp_audit_forced_fp(ray_session):
+    """A tiny m forces false positives: bloom hits ≥ true hits, FP rate
+    measured over truly-new probes only; true dups never count as FP."""
+    import ray.data
+
+    from webtext.functions.sketches import bloom_fp_audit
+
+    seen = ray.data.from_items(
+        [{"doc_id": i, "text": f"seen document {i}"} for i in range(40)])
+    probe_rows = [{"doc_id": 100 + i, "text": f"new document {i}"}
+                  for i in range(30)]
+    probe_rows.append({"doc_id": 200, "text": "seen document 7"})
+    probe = ray.data.from_items(probe_rows)
+    r = bloom_fp_audit(seen, probe, m=256, k=4).to_pylist()[0]
+    assert r["n_probe"] == 31 and r["n_true_hits"] == 1
+    assert r["n_bloom_hits"] >= r["n_true_hits"]
+    assert r["fp_micro"] == (1_000_000 * (r["n_bloom_hits"] - 1)) // 30
+
+
+def test_hll_error_audit_exact_small(ray_session):
+    """Far below 2^p the linear-counting regime is near-exact."""
+    import ray.data
+
+    from webtext.functions.sketches import hll_error_audit
+
+    rows = [{"user_id": i % 25} for i in range(300)]
+    r = hll_error_audit(ray.data.from_items(rows).repartition(5),
+                        "user_id").to_pylist()[0]
+    assert r["exact_distinct"] == 25
+    assert abs(r["n_approx"] - 25) <= 1
+
+
+def test_cms_error_audit_overestimates_only(ray_session):
+    import ray.data
+
+    from webtext.functions.sketches import cms_error_audit
+
+    rows = [{"text": f"tok{i % 40} tok{(i * 7) % 40} common"}
+            for i in range(200)]
+    r = cms_error_audit(ray.data.from_items(rows), k=20,
+                        w=4).to_pylist()[0]
+    assert r["sum_est"] >= r["sum_exact"]      # CMS >= bound
+    assert r["over_micro"] > 0                 # collisions forced

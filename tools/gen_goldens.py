@@ -1134,6 +1134,116 @@ def golden_kmv_distinct(sf_dir: str, k: int = 256) -> pa.Table:
                              pa.int64())})
 
 
+def golden_hll_error_audit(sf_dir: str) -> pa.Table:
+    """Independent HLL-vs-exact error audit over events.user_id: exact
+    distinct via a python set, estimate via the same scalar HLL as
+    golden_hll_users."""
+    uid = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["user_id"])["user_id"].to_pylist()
+    distinct = sorted({int(x) for x in uid})
+    P = 12
+    m = 1 << P
+    regs = np.zeros(m, dtype=np.int64)
+    MASK = (1 << 64) - 1
+    for v in distinct:
+        z = (v + 0x9E3779B97F4A7C15) & MASK
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK
+        z = z ^ (z >> 31)
+        reg = z & (m - 1)
+        w = z >> P
+        rho = (64 - P) + 1 if w == 0 else (64 - P) - (w.bit_length() - 1)
+        if rho > regs[reg]:
+            regs[reg] = rho
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    est = m * np.log(m / zeros) if (raw <= 2.5 * m and zeros) else raw
+    est = int(round(est))
+    exact = len(distinct)
+    err = (1_000_000 * abs(est - exact)) // max(1, exact)
+    return pa.table({"exact_distinct": pa.array([exact], pa.int64()),
+                     "n_approx": pa.array([est], pa.int64()),
+                     "err_micro": pa.array([err], pa.int64())})
+
+
+def golden_cms_error_audit(sf_dir: str, k: int = 50, d: int = 4,
+                           w: int = 8) -> pa.Table:
+    """Independent CMS overestimate audit at small width: exact token
+    counts via a Counter, the same keyed-blake2b row hashes, dense
+    sketch, min-over-rows estimates for the exact top-k."""
+    import collections
+    import hashlib as _hl
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    counts = collections.Counter()
+    for t in texts:
+        counts.update(t.split(" "))
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    sketch = np.zeros((d, w), dtype=np.int64)
+    for tok, n in counts.items():
+        for i in range(d):
+            h = int.from_bytes(_hl.blake2b(
+                tok.encode("utf-8"), key=i.to_bytes(8, "little"),
+                digest_size=8).digest(), "little")
+            sketch[i, h % w] += n
+    se = sx = 0
+    for tok, n in top:
+        est = min(int(sketch[i, int.from_bytes(_hl.blake2b(
+            tok.encode("utf-8"), key=i.to_bytes(8, "little"),
+            digest_size=8).digest(), "little") % w]) for i in range(d))
+        se += est
+        sx += n
+    return pa.table({
+        "n_tokens": pa.array([len(top)], pa.int64()),
+        "sum_exact": pa.array([sx], pa.int64()),
+        "sum_est": pa.array([se], pa.int64()),
+        "over_micro": pa.array([(1_000_000 * (se - sx))
+                                // max(1, sx)], pa.int64())})
+
+
+def golden_bloom_fp_audit(sf_dir: str, m: int = 1 << 20,
+                          k: int = 4) -> pa.Table:
+    """Independent Bloom FP audit on the same 50/50 content split as
+    bloom_dedup: python-int double hashing, set-based exact membership."""
+    import hashlib as _hl
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]).to_pylist()
+
+    def probes(text):
+        f = _hl.md5(text.encode("utf-8")).hexdigest()
+        h1, h2 = int(f[:16], 16), int(f[16:32], 16)
+        return [((h1 + i * h2) % (1 << 64)) % m for i in range(k)], f
+
+    bset: set[int] = set()
+    seen_fps: set[str] = set()
+    for dd in docs:
+        if dd["doc_id"] % 100 < 50:
+            p, f = probes(dd["text"])
+            bset.update(p)
+            seen_fps.add(f)
+    n_probe = n_bloom = n_true = 0
+    for dd in docs:
+        if dd["doc_id"] % 100 < 50:
+            continue
+        p, f = probes(dd["text"])
+        n_probe += 1
+        if all(x in bset for x in p):
+            n_bloom += 1
+        if f in seen_fps:
+            n_true += 1
+    denom = max(1, n_probe - n_true)
+    return pa.table({
+        "n_probe": pa.array([n_probe], pa.int64()),
+        "n_bloom_hits": pa.array([n_bloom], pa.int64()),
+        "n_true_hits": pa.array([n_true], pa.int64()),
+        "fp_micro": pa.array([(1_000_000 * (n_bloom - n_true))
+                              // denom], pa.int64())})
+
+
 def golden_bloom_dedup(sf_dir: str, m: int = 1 << 20,
                        k: int = 4) -> pa.Table:
     """Independent Bloom-filter incremental dedup: Python-int double
@@ -1813,6 +1923,9 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["lineage_report"] = golden_lineage(sf_dir)
     g["hll_users_windowed"] = golden_hll_users_windowed(sf_dir)
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)
+    g["hll_error_audit"] = golden_hll_error_audit(sf_dir)
+    g["cms_error_audit"] = golden_cms_error_audit(sf_dir)
+    g["bloom_fp_audit"] = golden_bloom_fp_audit(sf_dir)
     g["pca_top_component"] = golden_pca_top_component(sf_dir)
     g["kmv_distinct"] = golden_kmv_distinct(sf_dir)
     g["effective_rank"] = golden_effective_rank(sf_dir)

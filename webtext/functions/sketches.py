@@ -649,3 +649,150 @@ def kmv_distinct(ds, col: str = "user_id", k: int = 256):
         "est_distinct": pa.array([est], pa.int64()),
         "k_used": pa.array([int(len(merged))], pa.int64()),
         "kth_hash": pa.array([kth_signed], pa.int64())})
+
+
+def hll_error_audit(ds, col: str = "user_id", p: int = HLL_P):
+    """One row (exact_distinct, n_approx, err_micro): the HLL estimate
+    side-by-side with the exact distinct count and the measured
+    relative error — the sketch-error audit a user runs once per data
+    family before trusting HLL numbers in dashboards (the 2^p=4096
+    register config promises ~1.6% RSE; this measures it).
+
+    Scale shape: the estimate is the standard register pipeline (2^p
+    rows per block); the exact side ships per-block UNIQUE values
+    bucketed by hash(value)%256 — each cell counts its disjoint slice
+    of the value space exactly, the driver sums 256 ints."""
+    from .dedup import _ibucket
+
+    est_rows = ds.select_columns([col]) \
+        .map_batches(lambda b: _partial_registers(b, col, p),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("register").max("rho") \
+        .map_batches(lambda b: b.rename_columns(["register", "rho"]),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .repartition(1) \
+        .map_batches(lambda b: _estimate(b, p),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .take_all()
+    est = int(est_rows[0]["n_approx"]) if est_rows else 0
+
+    def uniq_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        u = np.unique(v)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(u)), pa.array(u)], names=["bucket", "v"])
+
+    def cell_count(group: pa.Table) -> pa.Table:
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array([len(np.unique(v))], pa.int64())], names=["n"])
+
+    parts = ds.select_columns([col]) \
+        .map_batches(uniq_partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(cell_count,
+                                      batch_format="pyarrow").take_all()
+    exact = sum(r["n"] for r in parts)
+    err = (1_000_000 * abs(est - exact)) // max(1, exact)
+    return pa.table({"exact_distinct": pa.array([exact], pa.int64()),
+                     "n_approx": pa.array([est], pa.int64()),
+                     "err_micro": pa.array([err], pa.int64())})
+
+
+def cms_error_audit(ds, k: int = 50, d: int = CMS_D, w: int = 8):
+    """One row (n_tokens, sum_exact, sum_est, over_micro): count-min
+    overestimate audit at a DELIBERATELY small width (w=8 forces the
+    collisions the production width avoids), over the corpus's exact
+    top-k tokens — measures the ε·N additive error the CMS bound
+    promises, and pins the ≥-side (a negative over_micro would flag a
+    sketch bug).  Same constant-size shuffles as cms_token_estimates
+    (d·w cells + the exact top-k combiner)."""
+    from .textstats import token_frequencies
+
+    sketch = {r["cell"]: r["n"] for r in cms_sketch(ds, d, w).take_all()}
+    top = token_frequencies(ds, k).take_all()
+    tokens = [r["token"] for r in top]
+    exact = np.array([r["n"] for r in top], dtype=np.int64)
+    if not tokens:
+        return pa.table({"n_tokens": pa.array([0], pa.int64()),
+                         "sum_exact": pa.array([0], pa.int64()),
+                         "sum_est": pa.array([0], pa.int64()),
+                         "over_micro": pa.array([0], pa.int64())})
+    h = _token_row_hashes(tokens, d)
+    cols = (h % np.uint64(w)).astype(np.int64)
+    est = np.full(len(tokens), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(d):
+        row = np.array([sketch.get(i * w + int(c), 0)
+                        for c in cols[i]], dtype=np.int64)
+        est = np.minimum(est, row)
+    se, sx = int(est.sum()), int(exact.sum())
+    return pa.table({
+        "n_tokens": pa.array([len(tokens)], pa.int64()),
+        "sum_exact": pa.array([sx], pa.int64()),
+        "sum_est": pa.array([se], pa.int64()),
+        "over_micro": pa.array([(1_000_000 * (se - sx))
+                                // max(1, sx)], pa.int64())})
+
+
+def bloom_fp_audit(seen_ds, probe_ds, m: int = BLOOM_M,
+                   k: int = BLOOM_K):
+    """One row (n_probe, n_bloom_hits, n_true_hits, fp_micro): measured
+    false-positive rate of the Bloom screen — probe documents the
+    filter claims were seen, minus the ones whose content truly was
+    (exact md5 semi-join), over the truly-new probes.  Completes the
+    approximate-structure audit trio (ivf_recall_audit,
+    minhash_recall_audit): Bloom has no false negatives by
+    construction, so its honest number is the FP rate the m/k sizing
+    promises (~(1−e^(−kn/m))^k).
+
+    Scale shape: the filter build/probe is the constant-payload bitset
+    pipeline of bloom_build; the exact side ships 16-byte md5 keys
+    through the bucketed semi-join — both documented elsewhere; this
+    audit adds only constant-size counters."""
+    import ray
+
+    from ..pipelines.relational import semi_join
+
+    bits = bloom_build(seen_ds, m, k)
+    ref = ray.put(bits)
+
+    def probe_count(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        b = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        texts = batch.column("text").to_pylist()
+        h1, h2, _ = _bloom_fp_halves(texts)
+        pos = _bloom_positions(h1, h2, m, k)       # (n, k) positions
+        word, bit = pos >> 6, (pos & 63).astype(np.uint64)
+        hit = (((b[word] >> bit) & np.uint64(1)) == 1).all(axis=1)
+        return pa.Table.from_arrays(
+            [pa.array([len(texts)], pa.int64()),
+             pa.array([int(hit.sum())], pa.int64())],
+            names=["n", "hits"])
+
+    parts = probe_ds.select_columns(["text"]) \
+        .map_batches(probe_count, batch_format="pyarrow",
+                     zero_copy_batch=True).take_all()
+    n_probe = sum(r["n"] for r in parts)
+    n_bloom = sum(r["hits"] for r in parts)
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        import hashlib
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+               for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(fps, pa.string())],
+            names=["doc_id", "fp"])
+
+    probe_f = probe_ds.map_batches(fp_batch, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    seen_f = seen_ds.map_batches(fp_batch, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .select_columns(["fp"])
+    n_true = semi_join(probe_f, seen_f, "fp", "fp").count()
+    denom = max(1, n_probe - n_true)
+    return pa.table({
+        "n_probe": pa.array([n_probe], pa.int64()),
+        "n_bloom_hits": pa.array([n_bloom], pa.int64()),
+        "n_true_hits": pa.array([n_true], pa.int64()),
+        "fp_micro": pa.array([(1_000_000 * (n_bloom - n_true))
+                              // denom], pa.int64())})
