@@ -2880,7 +2880,12 @@ def join_pps_sample(orders, lineitem, k: int = 200,
                                zero_copy_batch=True).take_all()
     total = sum(r["w"] for r in parts)    # exact python-int fold
     if total <= 0:
-        return joined.limit(0)
+        return joined.limit(0).map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 4,
+                names=["l_orderkey", "l_linenumber", "prio_mult",
+                       "rev_cents"]),
+            batch_format="pyarrow", zero_copy_batch=True)
     w_double = float(total)
     k_double = float(k)
 
