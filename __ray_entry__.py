@@ -282,6 +282,15 @@ def _bloom_audit(sf_dir: str):
                                        invert=True))
 
 
+def _quantile_audit(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.sketches import quantile_sketch_audit
+
+    return quantile_sketch_audit(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]))
+
+
 def _events_hll(sf_dir: str):
     import ray.data
 
@@ -2114,6 +2123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_error_audit": lambda sf: _events_hll_audit(sf),
         "cms_error_audit": lambda sf: _cms_audit(sf),
         "bloom_fp_audit": lambda sf: _bloom_audit(sf),
+        "quantile_sketch_audit": lambda sf: _quantile_audit(sf),
         "dd_quantiles": lambda sf: _events_dd_quantiles(sf),
         "mode_by_type": lambda sf: _events_mode(sf),
         "mad_by_type": lambda sf: _events_mad(sf),
@@ -2302,7 +2312,8 @@ def oracle_sql() -> dict[str, str]:
             "effective_rank", "pagerank_weighted",
             "whiten_embeddings", "ivf_recall_audit",
             "minhash_recall_audit", "hll_error_audit",
-            "cms_error_audit", "bloom_fp_audit")
+            "cms_error_audit", "bloom_fp_audit",
+            "quantile_sketch_audit")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

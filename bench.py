@@ -206,6 +206,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "hll_users_windowed",
                  "cms_token_estimates", "kmv_distinct",
                  "hll_error_audit", "cms_error_audit", "bloom_fp_audit",
+                 "quantile_sketch_audit",
                  "outlier_events", "label_centroids",
                  "centroid_classify",
                  "quantize_embeddings",

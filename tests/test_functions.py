@@ -2067,3 +2067,24 @@ def test_cms_error_audit_overestimates_only(ray_session):
                         w=4).to_pylist()[0]
     assert r["sum_est"] >= r["sum_exact"]      # CMS >= bound
     assert r["over_micro"] > 0                 # collisions forced
+
+
+def test_quantile_sketch_audit_error_bound(ray_session):
+    """Sketch estimates stay within the 1/(2·32) relative-error bound
+    of the exact quantile; exact side matches a direct numpy rank."""
+    import numpy as np
+    import ray.data
+
+    from webtext.functions.sketches import quantile_sketch_audit
+
+    vals = [float(v) for v in np.linspace(1.0, 500.0, 97)]
+    rows = [{"event_type": "a", "value": v} for v in vals]
+    rows += [{"event_type": "b", "value": v * 2} for v in vals]
+    got = quantile_sketch_audit(
+        ray.data.from_items(rows).repartition(4)).to_pylist()
+    assert len(got) == 4            # 2 groups x 2 quantiles
+    for r in got:
+        assert r["err_micro"] <= 16_000     # 1/(2*32) = 1.5625%
+        rank = max(0, -(-len(vals) * r["q_pct"] // 100) - 1)
+        base = sorted(vals)[rank] * (1 if r["grp"] == "a" else 2)
+        assert r["exact_cents"] == int(np.floor(base * 100 + 0.5))

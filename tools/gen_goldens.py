@@ -1244,6 +1244,58 @@ def golden_bloom_fp_audit(sf_dir: str, m: int = 1 << 20,
                               // denom], pa.int64())})
 
 
+def golden_quantile_sketch_audit(sf_dir: str, sub: int = 32,
+                                 qs=(0.5, 0.95)) -> pa.Table:
+    """Independent quantile-sketch error audit: exact quantile_disc per
+    event_type (numpy sort + rank) vs the same dense DDSketch as
+    golden_dd_quantiles, error in floor micros."""
+    import math
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_type", "value"]).to_pylist()
+    per_type_vals: dict[str, list[float]] = {}
+    per_type: dict[str, dict[int, int]] = {}
+    for r in ev:
+        per_type_vals.setdefault(r["event_type"], []).append(r["value"])
+        c = math.floor(r["value"] * 100.0 + 0.5)
+        if c < 1:
+            key = -1
+        else:
+            m, e = math.frexp(float(c))
+            key = (e - 1) * sub + min(int((m * 2.0 - 1.0) * sub),
+                                      sub - 1)
+        d = per_type.setdefault(r["event_type"], {})
+        d[key] = d.get(key, 0) + 1
+    rows = {"grp": [], "q_pct": [], "exact_cents": [],
+            "est_cents": [], "err_micro": []}
+    for t in sorted(per_type_vals):
+        vals = np.sort(np.asarray(per_type_vals[t]))
+        items = sorted(per_type[t].items())
+        keys = [k for k, _ in items]
+        cum = np.cumsum([n for _, n in items])
+        total = int(cum[-1])
+        for q in qs:
+            rank = max(0, int(np.ceil(q * len(vals))) - 1)
+            exact_c = int(math.floor(float(vals[rank]) * 100.0 + 0.5))
+            b = int(np.searchsorted(cum, rank + 1))
+            k = keys[b]
+            est_c = 0 if k < 0 else int(math.floor(
+                2.0 ** (k // sub)
+                * (1.0 + ((k % sub) + 0.5) / sub) + 0.5))
+            rows["grp"].append(t)
+            rows["q_pct"].append(int(round(q * 100)))
+            rows["exact_cents"].append(exact_c)
+            rows["est_cents"].append(est_c)
+            rows["err_micro"].append(
+                (1_000_000 * abs(est_c - exact_c)) // max(1, exact_c))
+    return pa.table({
+        "grp": pa.array(rows["grp"], pa.string()),
+        "q_pct": pa.array(rows["q_pct"], pa.int64()),
+        "exact_cents": pa.array(rows["exact_cents"], pa.int64()),
+        "est_cents": pa.array(rows["est_cents"], pa.int64()),
+        "err_micro": pa.array(rows["err_micro"], pa.int64())})
+
+
 def golden_bloom_dedup(sf_dir: str, m: int = 1 << 20,
                        k: int = 4) -> pa.Table:
     """Independent Bloom-filter incremental dedup: Python-int double
@@ -1926,6 +1978,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["hll_error_audit"] = golden_hll_error_audit(sf_dir)
     g["cms_error_audit"] = golden_cms_error_audit(sf_dir)
     g["bloom_fp_audit"] = golden_bloom_fp_audit(sf_dir)
+    g["quantile_sketch_audit"] = golden_quantile_sketch_audit(sf_dir)
     g["pca_top_component"] = golden_pca_top_component(sf_dir)
     g["kmv_distinct"] = golden_kmv_distinct(sf_dir)
     g["effective_rank"] = golden_effective_rank(sf_dir)

@@ -796,3 +796,48 @@ def bloom_fp_audit(seen_ds, probe_ds, m: int = BLOOM_M,
         "n_true_hits": pa.array([n_true], pa.int64()),
         "fp_micro": pa.array([(1_000_000 * (n_bloom - n_true))
                               // denom], pa.int64())})
+
+
+def quantile_sketch_audit(ds, group_col: str = "event_type",
+                          value_col: str = "value",
+                          qs: tuple[float, ...] = (0.5, 0.95)):
+    """(grp, q_pct, exact_cents, est_cents, err_micro): DDSketch
+    quantile estimates side-by-side with the exact quantile_disc
+    values and the measured relative error — completes the
+    approximation-audit family (IVF recall, LSH recall, HLL/CMS/Bloom,
+    and now the quantile sketch): the log-histogram promises
+    ~1/(2·32) ≈ 1.6% relative error; this measures it per (group,
+    quantile).
+
+    Scale shape: both components are their own documented pipelines
+    (dd buckets ship ≤ groups×~2k count rows; the exact side ships
+    (group, value) pairs hash-bucketed — the price of exactness, paid
+    once in an audit); outputs are constant-size (groups × quantiles),
+    compared on the driver."""
+    from ..pipelines.relational import group_quantiles
+
+    exact_rows = group_quantiles(ds, group_col, value_col,
+                                 qs).take_all()
+    est_rows = dd_quantiles_by_group(ds, group_col, value_col,
+                                     qs).take_all()
+    est = {(r["grp"], int(r["q_pct"])): int(r["est_cents"])
+           for r in est_rows}
+    out = {"grp": [], "q_pct": [], "exact_cents": [],
+           "est_cents": [], "err_micro": []}
+    for r in sorted(exact_rows, key=lambda r: str(r[group_col])):
+        for q in qs:
+            pct = int(round(q * 100))
+            exact_c = int(np.floor(float(r[f"q{pct}"]) * 100.0 + 0.5))
+            est_c = est.get((str(r[group_col]), pct), 0)
+            out["grp"].append(str(r[group_col]))
+            out["q_pct"].append(pct)
+            out["exact_cents"].append(exact_c)
+            out["est_cents"].append(est_c)
+            out["err_micro"].append(
+                (1_000_000 * abs(est_c - exact_c)) // max(1, exact_c))
+    return pa.table({
+        "grp": pa.array(out["grp"], pa.string()),
+        "q_pct": pa.array(out["q_pct"], pa.int64()),
+        "exact_cents": pa.array(out["exact_cents"], pa.int64()),
+        "est_cents": pa.array(out["est_cents"], pa.int64()),
+        "err_micro": pa.array(out["err_micro"], pa.int64())})
