@@ -675,6 +675,15 @@ def _ivf_recall(sf_dir: str):
     return ann.ivf_recall_audit(_emb(sf_dir), index_path=path)
 
 
+def _pq_recall(sf_dir: str):
+    from webtext.functions import ann
+
+    path = _pq_index_path(sf_dir)
+    if not os.path.exists(path):
+        ann.pq_build_index(_emb(sf_dir), path)
+    return ann.pq_recall_audit(_emb(sf_dir), index_path=path)
+
+
 def _pagerank_weighted(sf_dir: str):
     import ray.data
 
@@ -2097,6 +2106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf)),
         # measured recall@k of the IVF probe path vs exact (self-audit)
         "ivf_recall_audit": lambda sf: _ivf_recall(sf),
+        # quantization-loss twin: PQ/ADC recall vs exact L2
+        "pq_recall_audit": lambda sf: _pq_recall(sf),
         # event-stream windows (beyond the reference: time-windowed ops)
         "windowed_events": lambda sf: _events_windowed(sf),
         "hopping_events": lambda sf: _events_hopping(sf),
@@ -2313,7 +2324,7 @@ def oracle_sql() -> dict[str, str]:
             "whiten_embeddings", "ivf_recall_audit",
             "minhash_recall_audit", "hll_error_audit",
             "cms_error_audit", "bloom_fp_audit",
-            "quantile_sketch_audit")
+            "quantile_sketch_audit", "pq_recall_audit")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

@@ -2088,3 +2088,22 @@ def test_quantile_sketch_audit_error_bound(ray_session):
         rank = max(0, -(-len(vals) * r["q_pct"] // 100) - 1)
         base = sorted(vals)[rank] * (1 if r["grp"] == "a" else 2)
         assert r["exact_cents"] == int(np.floor(base * 100 + 0.5))
+
+
+def test_pq_recall_audit_identity_codebook(ray_session):
+    """With ksub ≥ distinct sub-vectors the codebook reproduces every
+    vector exactly → ADC ranking ≡ exact L2 → recall 1.0; and the
+    audit is blocking-invariant."""
+    import ray.data
+
+    from webtext.functions.ann import pq_recall_audit
+
+    # 8 distinct vectors in 2 dims, m=2 → 1-dim subspaces, ksub=8
+    rows = [{"vec_id": i, "label": 0,
+             "embedding": [float(i), float(7 - i)]} for i in range(8)]
+    a = pq_recall_audit(ray.data.from_items(rows).repartition(1),
+                        n_queries=3, k=3, m=2, ksub=8)
+    b = pq_recall_audit(ray.data.from_items(rows).repartition(4),
+                        n_queries=3, k=3, m=2, ksub=8)
+    assert a.to_pylist() == b.to_pylist()
+    assert all(r["recall_micro"] == 1_000_000 for r in a.to_pylist())

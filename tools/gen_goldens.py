@@ -207,6 +207,62 @@ def golden_knn_ivf(sf_dir, k=10, nlist=16, nprobe=4, iters=5):
     return kids[order], klabels[order]
 
 
+def golden_pq_recall_audit(sf_dir, n_queries=16, k=10, m=8,
+                           ksub=16, iters=5):
+    """Independent PQ-vs-exact-L2 recall audit: the same spec-constant
+    per-subspace k-means as golden_knn_pq, ADC vs exact L2 top-k per
+    query, lexsort((id, dist)) ties, recall in floor micros."""
+    ids, labels, mat = emb_matrix(sf_dir)
+    seed_ids = sorted(set(int(i) for i in
+                          np.linspace(0, ids.max(), ksub).astype(int)))
+    seed_mat = np.stack([mat[ids == s][0] for s in seed_ids])
+    ksub = len(seed_mat)
+    dim = mat.shape[1]
+    dsub = dim // m
+    cents = np.stack([seed_mat[:, s * dsub:(s + 1) * dsub]
+                      for s in range(m)])
+    for _ in range(iters):
+        new = cents.copy()
+        for s in range(m):
+            sub = mat[:, s * dsub:(s + 1) * dsub]
+            d = ((sub[:, None, :] - cents[s][None, :, :]) ** 2) \
+                .sum(axis=2)
+            assign = d.argmin(axis=1)
+            q = np.rint(sub * KMEANS_SCALE).astype(np.int64)
+            tot = np.zeros((ksub, dsub), dtype=np.int64)
+            np.add.at(tot, assign, q)
+            cnt = np.bincount(assign, minlength=ksub).astype(np.int64)
+            nz = cnt > 0
+            new[s][nz] = (tot[nz] / KMEANS_SCALE) / cnt[nz, None]
+        cents = new
+    codes = np.stack([
+        ((mat[:, s * dsub:(s + 1) * dsub][:, None, :]
+          - cents[s][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        for s in range(m)])
+    out_q, out_h, out_r = [], [], []
+    for qi in range(n_queries):
+        query = mat[ids == qi][0]
+        keep = ids != qi
+        kids = ids[keep]
+        diff = mat[keep] - query
+        dist = (diff * diff).sum(axis=1)
+        exact = set(kids[np.lexsort((kids, dist))[:k]].tolist())
+        qsub = query.reshape(m, dsub)
+        table = ((cents - qsub[:, None, :]) ** 2).sum(axis=2)
+        adc = np.zeros(len(ids), dtype=np.float64)
+        for s in range(m):
+            adc += table[s][codes[s]]
+        adc = adc[keep]
+        approx = set(kids[np.lexsort((kids, adc))[:k]].tolist())
+        hits = len(exact & approx)
+        out_q.append(qi)
+        out_h.append(hits)
+        out_r.append((1_000_000 * hits) // max(1, len(exact)))
+    return pa.table({"qid": pa.array(out_q, pa.int64()),
+                     "n_hits": pa.array(out_h, pa.int64()),
+                     "recall_micro": pa.array(out_r, pa.int64())})
+
+
 def golden_ivf_recall_audit(sf_dir, n_queries=16, k=10, nlist=16,
                             nprobe=4, iters=5):
     """Independent dense recall@k audit: the same spec-constant k-means
@@ -1984,6 +2040,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["effective_rank"] = golden_effective_rank(sf_dir)
     g["whiten_embeddings"] = golden_whiten_embeddings(sf_dir)
     g["ivf_recall_audit"] = golden_ivf_recall_audit(sf_dir)
+    g["pq_recall_audit"] = golden_pq_recall_audit(sf_dir)
     g["minhash_recall_audit"] = golden_minhash_recall_audit(sf_dir)
 
     return g

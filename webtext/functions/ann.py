@@ -1796,3 +1796,111 @@ def ivf_recall_audit(ds, n_queries: int = 16, k: int = 10,
     return pa.table({"qid": pa.array(out_q, pa.int64()),
                      "n_hits": pa.array(out_h, pa.int64()),
                      "recall_micro": pa.array(out_r, pa.int64())})
+
+
+def pq_recall_audit(ds, n_queries: int = 16, k: int = 10, m: int = 8,
+                    ksub: int = 16, index_path: str | None = None):
+    """(qid, n_hits, recall_micro): measured recall@k of PQ asymmetric
+    distance against EXACT L2 top-k — the quantization twin of
+    ivf_recall_audit (IVF loses candidates to the probe filter; PQ
+    loses ranking fidelity to code quantization; a deployment running
+    IVF+PQ multiplies the two, so each is audited in isolation).
+    Queries are the vectors with vec_id < n_queries.  Both sides rank
+    with the lexsort((vec_id, dist)) tie rule of knn_pq.
+
+    Scale shape: identical to ivf_recall_audit — the (n_queries × d)
+    query matrix (and the m×ksub×dsub codebook) broadcast once, one
+    streaming corpus scan per side with per-query local top-k
+    partials, one constant-cardinality groupby(qid) merge."""
+    import ray
+
+    q_rows = ds.filter(expr=f"vec_id < {int(n_queries)}") \
+        .select_columns(["vec_id", "embedding"]).take_all()
+    q_rows.sort(key=lambda r: int(r["vec_id"]))
+    qids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    if index_path is not None:
+        cents = pq_load_index(index_path)
+    else:
+        cents = pq_fit_distributed(ds, m=m, ksub=ksub)
+    mm, kk, dsub = cents.shape
+    # per-query ADC tables: (nq, m, ksub)
+    tables = np.stack([
+        ((cents - q.reshape(mm, dsub)[:, None, :]) ** 2).sum(axis=2)
+        for q in Q])
+    ref = ray.put((qids, Q, cents, tables))
+
+    def partials(use_pq: bool):
+        def f(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            qid, qm, cc, tb = (_ref if isinstance(_ref, tuple)
+                               else ray.get(_ref))
+            mat = _matrix(batch)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            codes = None
+            if use_pq and len(ids):
+                codes = np.stack([
+                    _assign_clusters(mat[:, s * dsub:(s + 1) * dsub],
+                                     cc[s]) for s in range(mm)])
+            out_q, out_i, out_d = [], [], []
+            for qi in range(len(qid)):
+                keep = ids != qid[qi]
+                di = ids[keep]
+                if not len(di):
+                    continue
+                if use_pq:
+                    dist = np.zeros(len(ids), dtype=np.float64)
+                    for s in range(mm):
+                        dist += tb[qi, s][codes[s]]
+                    dist = dist[keep]
+                else:
+                    diff = mat[keep] - qm[qi]
+                    dist = (diff * diff).sum(axis=1)
+                order = np.lexsort((di, dist))[:k]
+                out_q.append(np.full(len(order), qid[qi],
+                                     dtype=np.int64))
+                out_i.append(di[order])
+                out_d.append(dist[order])
+            if not out_q:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                     pa.array([], pa.float64())],
+                    names=["qid", "vec_id", "dist"])
+            return pa.Table.from_arrays(
+                [pa.array(np.concatenate(out_q)),
+                 pa.array(np.concatenate(out_i)),
+                 pa.array(np.concatenate(out_d))],
+                names=["qid", "vec_id", "dist"])
+        return f
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        dist = group.column("dist").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, dist))[:k]
+        return pa.Table.from_arrays(
+            [group.column("qid").take(pa.array(order)),
+             pa.array(ids[order])],
+            names=["qid", "vec_id"])
+
+    def topk(use_pq: bool):
+        return ds.select_columns(["vec_id", "embedding"]) \
+            .map_batches(partials(use_pq), batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby("qid").map_groups(final_topk,
+                                       batch_format="pyarrow") \
+            .take_all()                 # ≤ n_queries·k rows, constant
+
+    exact, approx = {}, {}
+    for r in topk(False):
+        exact.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    for r in topk(True):
+        approx.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    out_q, out_h, out_r = [], [], []
+    for qi in qids.tolist():
+        e = exact.get(qi, set())
+        hits = len(e & approx.get(qi, set()))
+        out_q.append(qi)
+        out_h.append(hits)
+        out_r.append((1_000_000 * hits) // max(1, len(e)))
+    return pa.table({"qid": pa.array(out_q, pa.int64()),
+                     "n_hits": pa.array(out_h, pa.int64()),
+                     "recall_micro": pa.array(out_r, pa.int64())})
