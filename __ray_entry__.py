@@ -717,6 +717,45 @@ def _graph_butterflies(sf_dir: str):
     return butterfly_count(_graph_edges(sf_dir))
 
 
+def _webgraph_docs(sf_dir: str):
+    """Interleaved corpus ∪ the deterministic multi-host link-web
+    fixture (webgraph.linkweb_fixture_docs) as one Dataset — the
+    extraction corpus's only anchor-bearing family is gen_link_page,
+    so the fixture supplies real cross-host graph structure plus the
+    parser edge cases."""
+    import pyarrow as pa
+    import ray.data
+
+    from webtext.pipelines.webgraph import linkweb_fixture_docs
+    from webtext.schema import INPUT_SCHEMA
+
+    table = pa.Table.from_pylist(
+        _synth_docs(sf_dir) + linkweb_fixture_docs(),
+        schema=INPUT_SCHEMA)
+    return ray.data.from_arrow(table).repartition(4)
+
+
+def _webgraph_links(sf_dir: str):
+    """(src, href, anchor) outlink table over the interleaved corpus
+    (webtext/pipelines/webgraph.py) — distributed regex scan, golden =
+    independent stdlib-HTMLParser walk in tools/gen_goldens.py."""
+    from webtext.pipelines.webgraph import outlinks
+
+    return outlinks(_webgraph_docs(sf_dir))
+
+
+def _webgraph_anchor_stats(sf_dir: str):
+    from webtext.pipelines.webgraph import anchor_stats
+
+    return anchor_stats(_webgraph_links(sf_dir))
+
+
+def _webgraph_host_pagerank(sf_dir: str):
+    from webtext.pipelines.webgraph import host_pagerank
+
+    return host_pagerank(_webgraph_docs(sf_dir))
+
+
 def _tpch_q22(sf_dir: str):
     import ray.data
 
@@ -2170,6 +2209,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality-weighted teleport (personalized) authority pass
         "pagerank_weighted": lambda sf: _pagerank_weighted(sf),
         "hits_scores": lambda sf: graph.hits(_graph_edges(sf)),
+        # web-graph family over the interleaved corpus's html anchors
+        # (regex scan vs HTMLParser differential goldens — webgraph.py)
+        "outlinks": lambda sf: _webgraph_links(sf),
+        "anchor_stats": lambda sf: _webgraph_anchor_stats(sf),
+        "host_pagerank": lambda sf: _webgraph_host_pagerank(sf),
         "group_quantiles": lambda sf: _events_quantiles(sf),
         # corpus-wide exact quantiles with ZERO all-to-all (iterative
         # histogram refinement; sorting a column for 4 ranks is the
@@ -2312,6 +2356,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_keep_longest", "compression_ratio",
             "centroid_classify",
             "pagerank", "containment_pairs",
+            "outlinks", "anchor_stats", "host_pagerank",
             "nb_classify", "bloom_dedup", "hits_scores",
             "dd_quantiles", "kcenter_select", "dup_mapping",
             "lineage_report", "hll_users_windowed",

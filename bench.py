@@ -215,6 +215,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "asof_join", "range_join", "group_quantiles",
                  "global_quantiles",
                  "graph_degrees", "pagerank", "hits_scores",
+                 "outlinks", "anchor_stats", "host_pagerank",
                  "pagerank_weighted", "butterfly_count",
                  "sample_stratified", "pricing_summary",
                  "order_line_join", "region_customers",

@@ -759,6 +759,150 @@ def golden_pagerank_weighted(sf_dir: str) -> pa.Table:
                      "rank": pa.array(rank, pa.int64())})
 
 
+class _AnchorWalk:
+    """Stdlib html.parser DOM-event anchor miner — the independent
+    counterpart of webtext/pipelines/webgraph.py's regex scan (entirely
+    different parsing machinery over the same html)."""
+
+    def __init__(self):
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class _P(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "a":
+                    outer._flush()
+                    outer._href = dict(attrs).get("href")
+                    outer._buf = []
+
+            def handle_endtag(self, tag):
+                if tag == "a":
+                    outer._flush()
+
+            def handle_data(self, data):
+                if outer._href is not None:
+                    outer._buf.append(data)
+
+        self._p = _P()
+        self._href = None
+        self._buf: list[str] = []
+        self.links: list[tuple[str, str]] = []
+
+    def _flush(self):
+        if self._href:
+            self.links.append(
+                (self._href, " ".join("".join(self._buf).split())))
+        self._href = None
+        self._buf = []
+
+    def feed(self, html: str):
+        self._p.feed(html)
+        self._flush()
+
+
+def golden_outlinks(docs: list[dict]) -> pa.Table:
+    rows = {"src": [], "href": [], "anchor": []}
+    for d in docs:
+        for s in d["spans"]:
+            if s["kind"] != "html":
+                continue
+            w = _AnchorWalk()
+            w.feed(s["text"] or "")
+            for href, anchor in w.links:
+                rows["src"].append(d["doc_id"])
+                rows["href"].append(href)
+                rows["anchor"].append(anchor)
+    return pa.table({"src": pa.array(rows["src"], pa.string()),
+                     "href": pa.array(rows["href"], pa.string()),
+                     "anchor": pa.array(rows["anchor"], pa.string())})
+
+
+def golden_anchor_stats(ol: pa.Table) -> pa.Table:
+    """Plain-python Counter aggregation over the HTMLParser link table
+    (vs the engine's numpy bucket cells)."""
+    from collections import Counter, defaultdict
+
+    n_links: Counter = Counter()
+    docs: dict = defaultdict(set)
+    acnt: dict = defaultdict(Counter)
+    for src, href, anchor in zip(ol["src"].to_pylist(),
+                                 ol["href"].to_pylist(),
+                                 ol["anchor"].to_pylist()):
+        n_links[href] += 1
+        docs[href].add(src)
+        acnt[href][anchor] += 1
+    hrefs = sorted(n_links)
+    top = [min(acnt[h].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+           for h in hrefs]
+    return pa.table({
+        "href": pa.array(hrefs, pa.string()),
+        "n_links": pa.array([n_links[h] for h in hrefs], pa.int64()),
+        "n_docs": pa.array([len(docs[h]) for h in hrefs], pa.int64()),
+        "top_anchor": pa.array(top, pa.string())})
+
+
+def _golden_host(url: str) -> str:
+    """Host rule (webgraph.py docstring): lowercased netloc of
+    scheme-explicit absolute URLs only — implemented via urlsplit
+    (vs the engine's regex)."""
+    from urllib.parse import urlsplit
+
+    if "://" not in url:
+        return ""
+    try:
+        return urlsplit(url).netloc.lower()
+    except ValueError:
+        return ""
+
+
+def golden_host_pagerank(ol: pa.Table) -> pa.Table:
+    """Dense np.add.at fixed-point PageRank over HTMLParser-derived
+    host edges, md5-u63 node ids re-keyed to host strings — identical
+    integer recurrence to golden_pagerank, independent execution from
+    the bucketed distributed side."""
+    import hashlib
+
+    def u63(s: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(s.encode()).digest()[:8], "big") \
+            & 0x7FFFFFFFFFFFFFFF
+
+    SCALE, ITERS, D_NUM, D_DEN = 10**12, 8, 17, 20
+    pairs: dict[tuple[int, int], int] = {}
+    names: dict[int, str] = {}
+    for src, href in zip(ol["src"].to_pylist(), ol["href"].to_pylist()):
+        sh, dh = _golden_host(src), _golden_host(href)
+        if not sh or not dh:
+            continue
+        si, di = u63(sh), u63(dh)
+        names[si], names[di] = sh, dh
+        pairs[(si, di)] = pairs.get((si, di), 0) + 1
+    esrc = np.array([k[0] for k in pairs], dtype=np.int64)
+    edst = np.array([k[1] for k in pairs], dtype=np.int64)
+    ew = np.array(list(pairs.values()), dtype=np.int64)
+    nodes = np.unique(np.concatenate([esrc, edst]))
+    si = np.searchsorted(nodes, esrc)
+    di = np.searchsorted(nodes, edst)
+    outdeg = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(outdeg, si, ew)
+    base = np.int64(SCALE // len(nodes))
+    base_next = (np.int64(3) * base) // np.int64(D_DEN)
+    rank = np.full(len(nodes), base, dtype=np.int64)
+    for _ in range(ITERS):
+        share = np.where(outdeg > 0,
+                         rank // np.maximum(outdeg, 1), np.int64(0))
+        inflow = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(inflow, di, share[si] * ew)
+        rank = base_next + (np.int64(D_NUM) * inflow) // np.int64(D_DEN)
+    return pa.table({
+        "host": pa.array([names[int(n)] for n in nodes], pa.string()),
+        "rank": pa.array(rank, pa.int64())})
+
+
 def golden_hits(sf_dir: str) -> pa.Table:
     """Dense single-process HITS over the same lineitem part->supplier
     digraph — differential oracle for webtext/functions/graph.py hits:
@@ -1920,6 +2064,17 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["extract_links"] = pa.Table.from_pylist(link_rows, schema=pa.schema([
         ("doc_id", pa.string()), ("rank", pa.int32()), ("url", pa.string()),
         ("anchor", pa.string()), ("target_domain", pa.string())]))
+
+    # web-graph family: HTMLParser anchor walk over the same corpus
+    # (differential vs the engine's regex scan), then plain-python /
+    # dense-numpy derivations
+    from webtext.pipelines.webgraph import linkweb_fixture_docs
+
+    ol = golden_outlinks(generate_docs(n_fam, seed=42)
+                         + linkweb_fixture_docs())
+    g["outlinks"] = ol
+    g["anchor_stats"] = golden_anchor_stats(ol)
+    g["host_pagerank"] = golden_host_pagerank(ol)
 
     # rejects / integrate / error-scan over committed-run semantics
     rej = {k: [] for k in ("doc_id", "status", "messages_joined")}

@@ -1,0 +1,329 @@
+"""Corpus-wide web-graph construction from document anchors.
+
+The reference mines anchors only from live search-result DOMs
+(google_url_serch.py:97-229, yahoo_url_search.py:83-209); a web-scale
+corpus wants the same mining turned on EVERY stored document, because
+the resulting link graph is itself a first-class training-data signal:
+anchor-text aggregation per target URL (the classic search-index /
+query-likelihood feature) and host-level authority (PageRank over the
+host graph — the standard quality prior for corpus weighting).
+
+Three operators over the interleaved (doc_id, spans) corpus:
+
+* ``outlinks``      — (src, href, anchor): every <a href> anchor in
+                      every html span, entity-unescaped, inner tags
+                      stripped, whitespace collapsed.
+* ``anchor_stats``  — per target href: total link count, distinct
+                      linking documents, and the modal anchor text
+                      (ties broken lexicographically).
+* ``host_pagerank`` — fixed-point PageRank over the host→host graph
+                      derived from (src doc host → href host), ranks
+                      joined back to host strings.
+
+Scale shape: ``outlinks`` is a pure map_batches scan (compiled regex
+per html span — the extraction cost class; no shuffle).  ``anchor_stats``
+pre-aggregates (href, src, anchor) counts per block with a NATIVE Arrow
+group_by, then exchanges partials once into hash(href) % 256 buckets
+(constant fan-out, never one group per href).  ``host_pagerank`` maps
+hosts to md5-u63 surrogate ids, collapses multi-edges with per-block
+combiners + one native groupby-sum, and rides functions.graph.pagerank's
+integer fixed-point machinery (bit-identical to the dense golden);
+host strings re-attach through one bucketed emit-union groupby — no
+driver materialization anywhere.
+
+Host rule (documented, oracle-identical): a URL's host is the lowercased
+netloc of scheme-explicit absolute URLs (``scheme://netloc/...``);
+relative, protocol-relative and scheme-only refs have no host and drop
+out of the graph.
+
+Oracles (tools/gen_goldens.py): ``outlinks`` against an independent
+stdlib html.parser.HTMLParser DOM-event walk (entirely different
+parsing machinery from the regex scan); ``anchor_stats`` as DuckDB SQL
+over that independent link table; ``host_pagerank`` against the dense
+np.add.at fixed-point recurrence over HTMLParser-derived host edges.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import html as _htmllib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.dedup import N_SHUFFLE_BUCKETS
+
+# href must sit before the closing '>' of the same <a ...> tag
+# ([^>]*? cannot cross it); inner text runs to the FIRST </a> (anchors
+# do not nest in valid HTML).  Double-quoted hrefs only — the corpus
+# generator emits canonical quoting, and the HTMLParser differential
+# golden would flag any drift.
+ANCHOR_RE = re.compile(
+    r'<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>',
+    re.IGNORECASE | re.DOTALL)
+TAG_RE = re.compile(r"<[^>]*>")
+# scheme-explicit absolute URLs only (see module docstring)
+HOST_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)")
+
+
+def _anchor_text(inner_html: str) -> str:
+    """Inner tags stripped (concatenating the text runs, as an HTML
+    DOM's text nodes concatenate), entities unescaped, whitespace
+    collapsed."""
+    return " ".join(_htmllib.unescape(TAG_RE.sub("", inner_html)).split())
+
+
+def host_of(url: str) -> str:
+    """Lowercased netloc of a scheme-explicit absolute URL, else ''."""
+    m = HOST_RE.match(url)
+    return m.group(1).lower() if m else ""
+
+
+def _u63(s: str) -> int:
+    """Deterministic 63-bit surrogate id for a string (the same md5
+    bridge as pipelines.dedup_pipeline.surrogate_id)."""
+    return int.from_bytes(
+        hashlib.md5(s.encode("utf-8")).digest()[:8], "big") \
+        & 0x7FFFFFFFFFFFFFFF
+
+
+def linkweb_fixture_docs(n_docs: int = 60, seed: int = 7) -> list[dict]:
+    """Deterministic link-web fixture: ``n_docs`` single-span html
+    documents spread over 12 hosts with zipf-ish cross-host linking,
+    plus the parser edge cases the differential golden must agree on —
+    entity-escaped hrefs/anchors, inner markup in anchor text,
+    uppercase scheme+host, relative / mailto / empty-href / href-less
+    anchors (all hostless or skipped).  Complements the extraction
+    corpus (whose only anchor-bearing family is gen_link_page) so the
+    web-graph ops see real multi-host structure."""
+    import random
+
+    hosts = [f"site{k}.example.org" for k in range(9)] + \
+        ["HUB.example.org", "cdn.example.org", "blog.example.net"]
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu").split()
+    docs = []
+    for i in range(n_docs):
+        rng = random.Random(f"linkweb:{seed}:{i}")
+        host = hosts[i % len(hosts)]
+        doc_id = f"https://{host}/page/{i}"
+        parts = [f"<html><body><h1>{words[i % len(words)]} {i}</h1>"]
+        # zipf-ish: low-k hosts get most links
+        for _ in range(3 + i % 4):
+            t = hosts[min(int(rng.random() ** 2 * len(hosts)),
+                          len(hosts) - 1)]
+            page = rng.randrange(n_docs)
+            a1, a2 = rng.choice(words), rng.choice(words)
+            parts.append(
+                f'<a href="https://{t}/page/{page}?x=1&amp;y=2">'
+                f"{a1} <b>{a2}</b>&amp;co</a>")
+        if i % 5 == 0:
+            parts.append('<a href="HTTPS://HUB.example.org/TOP">hub</a>')
+        if i % 7 == 0:
+            parts.append('<a href="/relative/path">rel</a>'
+                         '<a href="mailto:x@y.example">mail</a>'
+                         '<a href="">empty</a><a name="frag">no href</a>')
+        parts.append("</body></html>")
+        docs.append({"doc_id": doc_id,
+                     "spans": [{"kind": "html", "text": "".join(parts),
+                                "media_ref": "", "offset": 0}]})
+    return docs
+
+
+def _outlinks_batch(batch: pa.Table) -> pa.Table:
+    srcs: list[str] = []
+    hrefs: list[str] = []
+    anchors: list[str] = []
+    ids = batch.column("doc_id").to_pylist()
+    for doc_id, spans in zip(ids, batch.column("spans").to_pylist()):
+        for s in spans or []:
+            if s["kind"] != "html":
+                continue
+            for m in ANCHOR_RE.finditer(s["text"] or ""):
+                href = _htmllib.unescape(m.group(1))
+                if not href:
+                    continue
+                srcs.append(doc_id)
+                hrefs.append(href)
+                anchors.append(_anchor_text(m.group(2)))
+    return pa.Table.from_arrays(
+        [pa.array(srcs, pa.string()), pa.array(hrefs, pa.string()),
+         pa.array(anchors, pa.string())],
+        names=["src", "href", "anchor"])
+
+
+def outlinks(docs):
+    """(src, href, anchor) — every href-bearing anchor of every html
+    span, one row per occurrence (multiplicity kept: link counts are
+    the downstream signal).  Pure map scan, extraction cost class."""
+    return docs.map_batches(_outlinks_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _href_keys(hrefs) -> np.ndarray:
+    """hash(href) % N_SHUFFLE_BUCKETS, md5 computed once per DISTINCT
+    href in the block (not per row)."""
+    arr = np.asarray(hrefs, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    keys = np.fromiter((_u63(h) % N_SHUFFLE_BUCKETS for h in uniq),
+                       dtype=np.int64, count=len(uniq))
+    return keys[inv]
+
+
+def anchor_stats(links):
+    """Per target href: (href, n_links, n_docs, top_anchor) where
+    n_links counts every anchor occurrence, n_docs counts distinct
+    linking documents, and top_anchor is the most frequent anchor text
+    (ties → lexicographically smallest).
+
+    Shape: per-block NATIVE Arrow group_by collapses rows to
+    (href, src, anchor, cnt) partials, ONE constant-fan-out exchange
+    into hash(href) % 256 buckets, all-numpy in-cell resolution."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["href", "src", "anchor"]).aggregate(
+            [("anchor", "count")])
+        agg = agg.rename_columns(["href", "src", "anchor", "cnt"])
+        return agg.append_column(
+            "key", pa.array(_href_keys(agg.column("href").to_pylist())))
+
+    def cell(group: pa.Table) -> pa.Table:
+        href = np.asarray(group.column("href").to_pylist(), dtype=object)
+        src = np.asarray(group.column("src").to_pylist(), dtype=object)
+        anchor = np.asarray(group.column("anchor").to_pylist(),
+                            dtype=object)
+        cnt = group.column("cnt").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uh, hinv = np.unique(href, return_inverse=True)
+        n_links = np.zeros(len(uh), dtype=np.int64)
+        np.add.at(n_links, hinv, cnt)
+        # distinct (href, src) pairs — partials may repeat them
+        us, sinv = np.unique(src, return_inverse=True)
+        pair = hinv.astype(np.int64) * len(us) + sinv
+        n_docs = np.bincount(np.unique(pair) // len(us),
+                             minlength=len(uh)).astype(np.int64)
+        # modal anchor: fold partial counts per (href, anchor), then
+        # first row per href under (count desc, anchor asc)
+        ua, ainv = np.unique(anchor, return_inverse=True)
+        key2 = hinv.astype(np.int64) * len(ua) + ainv
+        uk, kinv = np.unique(key2, return_inverse=True)
+        c2 = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(c2, kinv, cnt)
+        kh, ka = uk // len(ua), uk % len(ua)
+        order = np.lexsort((ka, -c2, kh))
+        first = np.unique(kh[order], return_index=True)[1]
+        top = ua[ka[order][first]]
+        return pa.Table.from_arrays(
+            [pa.array(uh.tolist(), pa.string()), pa.array(n_links),
+             pa.array(n_docs), pa.array(top.tolist(), pa.string())],
+            names=["href", "n_links", "n_docs", "top_anchor"])
+
+    return links.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("key").map_groups(cell, batch_format="pyarrow")
+
+
+def host_edges(links):
+    """(src, dst, w) int64 host-graph edges from an outlinks table:
+    src = host(src doc), dst = host(href), w = link multiplicity.
+    Hostless refs drop; self-loops kept (they carry real mass).
+    Per-block combiner collapses pairs before ONE native groupby-sum."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sh = [host_of(u) for u in batch.column("src").to_pylist()]
+        dh = [host_of(u) for u in batch.column("href").to_pylist()]
+        keep = [i for i, (a, b) in enumerate(zip(sh, dh)) if a and b]
+        hosts = sorted({sh[i] for i in keep} | {dh[i] for i in keep})
+        hid = {h: _u63(h) for h in hosts}
+        src = np.fromiter((hid[sh[i]] for i in keep), dtype=np.int64,
+                          count=len(keep))
+        dst = np.fromiter((hid[dh[i]] for i in keep), dtype=np.int64,
+                          count=len(keep))
+        t = pa.Table.from_arrays([pa.array(src), pa.array(dst)],
+                                 names=["src", "dst"])
+        agg = t.group_by(["src", "dst"]).aggregate([("dst", "count")])
+        return agg.rename_columns(["src", "dst", "w"])
+
+    summed = links.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby(["src", "dst"]).sum("w")
+    return summed.map_batches(
+        lambda b: b.rename_columns(["src", "dst", "w"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _host_map(links):
+    """(node, host) — distinct host-id → host-string mapping rows,
+    deduped per block (global dedup happens in the attach cell)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = set()
+        for col in ("src", "href"):
+            for u in batch.column(col).to_pylist():
+                h = host_of(u)
+                if h:
+                    hosts.add(h)
+        hs = sorted(hosts)
+        return pa.Table.from_arrays(
+            [pa.array([_u63(h) for h in hs], pa.int64()),
+             pa.array(hs, pa.string())],
+            names=["node", "host"])
+
+    return links.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def host_pagerank(docs):
+    """(host, rank) — integer fixed-point PageRank (functions.graph)
+    over the corpus's host→host anchor graph, ranks re-keyed to host
+    strings via one bucketed emit-union groupby.
+
+    The outlinks table is consumed twice (edges + host map) — it is
+    materialized once so the corpus regex scan runs a single time (the
+    links table is far smaller than the corpus; at real scale a user
+    persists it as its own artifact)."""
+    from ..functions.dedup import _ibucket
+    from ..functions.graph import pagerank
+
+    links = outlinks(docs).materialize()
+    ranks = pagerank(host_edges(links))
+
+    def rank_emit(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(node)), pa.array(node),
+             batch.column("rank").cast(pa.int64()),
+             pa.array([""] * len(node), pa.string())],
+            names=["key", "node", "rank", "host"])
+
+    def map_emit(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(node)), pa.array(node),
+             pa.array(np.full(len(node), -1, dtype=np.int64)),
+             batch.column("host")],
+            names=["key", "node", "rank", "host"])
+
+    def attach(group: pa.Table) -> pa.Table:
+        node = group.column("node").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        rank = group.column("rank").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        host = np.asarray(group.column("host").to_pylist(), dtype=object)
+        is_map = rank < 0
+        name = dict(zip(node[is_map].tolist(), host[is_map].tolist()))
+        keep = ~is_map
+        return pa.Table.from_arrays(
+            [pa.array([name[n] for n in node[keep].tolist()],
+                      pa.string()),
+             pa.array(rank[keep])],
+            names=["host", "rank"])
+
+    u = ranks.map_batches(rank_emit, batch_format="pyarrow",
+                          zero_copy_batch=True).union(
+        _host_map(links).map_batches(
+            map_emit, batch_format="pyarrow", zero_copy_batch=True))
+    return u.groupby("key").map_groups(attach, batch_format="pyarrow")
