@@ -756,6 +756,19 @@ def _webgraph_host_pagerank(sf_dir: str):
     return host_pagerank(_webgraph_docs(sf_dir))
 
 
+def _webgraph_doc_authority(sf_dir: str):
+    from webtext.pipelines.webgraph import doc_authority, host_pagerank
+
+    docs = _webgraph_docs(sf_dir)
+    return doc_authority(docs, host_pagerank(docs))
+
+
+def _webgraph_authority_sample(sf_dir: str):
+    from webtext.pipelines.webgraph import authority_sample
+
+    return authority_sample(_webgraph_docs(sf_dir))
+
+
 def _tpch_q22(sf_dir: str):
     import ray.data
 
@@ -2214,6 +2227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlinks": lambda sf: _webgraph_links(sf),
         "anchor_stats": lambda sf: _webgraph_anchor_stats(sf),
         "host_pagerank": lambda sf: _webgraph_host_pagerank(sf),
+        # host authority as a per-doc quality prior + PPS corpus draw
+        "doc_authority": lambda sf: _webgraph_doc_authority(sf),
+        "authority_sample": lambda sf: _webgraph_authority_sample(sf),
         "group_quantiles": lambda sf: _events_quantiles(sf),
         # corpus-wide exact quantiles with ZERO all-to-all (iterative
         # histogram refinement; sorting a column for 4 ranks is the
@@ -2357,6 +2373,7 @@ def oracle_sql() -> dict[str, str]:
             "centroid_classify",
             "pagerank", "containment_pairs",
             "outlinks", "anchor_stats", "host_pagerank",
+            "doc_authority", "authority_sample",
             "nb_classify", "bloom_dedup", "hits_scores",
             "dd_quantiles", "kcenter_select", "dup_mapping",
             "lineage_report", "hll_users_windowed",

@@ -182,3 +182,48 @@ def test_fixture_deterministic():
     a = linkweb_fixture_docs()
     b = linkweb_fixture_docs()
     assert a == b
+
+
+def test_doc_authority_hostless_and_unranked(ray_session):
+    import ray.data
+
+    from webtext.pipelines.webgraph import doc_authority
+
+    docs = [
+        _doc("https://s.example/1", '<a href="https://t.example/">x</a>'),
+        _doc("not-a-url-doc", "<p>no anchors</p>"),       # hostless
+        _doc("https://lonely.example/2", "<p>no anchors</p>"),  # unranked
+    ]
+    ds = ray.data.from_arrow(
+        pa.Table.from_pylist(docs, schema=INPUT_SCHEMA))
+    ranks = host_pagerank(ds)
+    out = {r["doc_id"]: (r["host"], r["rank"])
+           for r in doc_authority(ds, ranks).take_all()}
+    assert len(out) == 3
+    assert out["not-a-url-doc"] == ("", 0)
+    assert out["https://lonely.example/2"] == ("lonely.example", 0)
+    assert out["https://s.example/1"][0] == "s.example"
+    assert out["https://s.example/1"][1] > 0  # in-graph source host
+
+
+def test_authority_sample_blocking_invariant_and_weighted(ray_session):
+    import ray.data
+
+    from webtext.pipelines.webgraph import authority_sample, doc_authority
+
+    docs = linkweb_fixture_docs(n_docs=50)
+    table = pa.Table.from_pylist(docs, schema=INPUT_SCHEMA)
+
+    def sample(n_blocks):
+        ds = ray.data.from_arrow(table).repartition(n_blocks)
+        return sorted(r["doc_id"]
+                      for r in authority_sample(ds, k=20).take_all())
+
+    s1 = sample(1)
+    assert s1 == sample(6)          # content-addressed, not block-dependent
+    assert 0 < len(s1) < 50          # neither empty nor everything
+    # every sampled doc has positive authority (rank-0 docs can't be kept)
+    ds = ray.data.from_arrow(table)
+    ranks = {r["doc_id"]: r["rank"]
+             for r in doc_authority(ds, host_pagerank(ds)).take_all()}
+    assert all(ranks[d] > 0 for d in s1)

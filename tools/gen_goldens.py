@@ -903,6 +903,39 @@ def golden_host_pagerank(ol: pa.Table) -> pa.Table:
         "rank": pa.array(rank, pa.int64())})
 
 
+def golden_doc_authority(docs: list[dict], hp: pa.Table) -> pa.Table:
+    """Plain-python host→rank join (vs the engine's bucketed
+    emit-union): every doc tagged with its host's PageRank, 0 for
+    hostless / unranked."""
+    rank_of = dict(zip(hp["host"].to_pylist(), hp["rank"].to_pylist()))
+    ids = [d["doc_id"] for d in docs]
+    hosts = [_golden_host(i) for i in ids]
+    ranks = [rank_of.get(h, 0) if h else 0 for h in hosts]
+    return pa.table({"doc_id": pa.array(ids, pa.string()),
+                     "host": pa.array(hosts, pa.string()),
+                     "rank": pa.array(ranks, pa.int64())})
+
+
+def golden_authority_sample(auth: pa.Table, k: int = 64,
+                            salt: str = "authority") -> pa.Table:
+    """Membership recomputed with python scalar IEEE doubles in the
+    same left-to-right order as the engine's numpy expression."""
+    import hashlib
+
+    W = sum(auth["rank"].to_pylist())
+    keep = []
+    for i, (did, rank) in enumerate(zip(auth["doc_id"].to_pylist(),
+                                        auth["rank"].to_pylist())):
+        hv = int.from_bytes(
+            hashlib.md5((did + salt).encode()).digest()[:8],
+            "little") & 0x7FFFFFFFFFFFFFFF
+        bound = float(rank) * float(k) / float(W) \
+            * 9223372036854775808.0
+        if float(hv) < bound:
+            keep.append(i)
+    return auth.take(keep)
+
+
 def golden_hits(sf_dir: str) -> pa.Table:
     """Dense single-process HITS over the same lineitem part->supplier
     digraph — differential oracle for webtext/functions/graph.py hits:
@@ -2070,11 +2103,14 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     # dense-numpy derivations
     from webtext.pipelines.webgraph import linkweb_fixture_docs
 
-    ol = golden_outlinks(generate_docs(n_fam, seed=42)
-                         + linkweb_fixture_docs())
+    wg_docs = generate_docs(n_fam, seed=42) + linkweb_fixture_docs()
+    ol = golden_outlinks(wg_docs)
     g["outlinks"] = ol
     g["anchor_stats"] = golden_anchor_stats(ol)
     g["host_pagerank"] = golden_host_pagerank(ol)
+    g["doc_authority"] = golden_doc_authority(wg_docs,
+                                              g["host_pagerank"])
+    g["authority_sample"] = golden_authority_sample(g["doc_authority"])
 
     # rejects / integrate / error-scan over committed-run semantics
     rej = {k: [] for k in ("doc_id", "status", "messages_joined")}

@@ -274,6 +274,101 @@ def _host_map(links):
                              zero_copy_batch=True)
 
 
+def doc_authority(docs, ranks):
+    """(doc_id, host, rank): every document tagged with its host's
+    PageRank authority (0 for hostless doc ids and hosts absent from
+    the link graph).  One bucketed emit-union groupby on u63(host) —
+    the rank table is host-sized, the doc side streams; nothing
+    broadcasts or materializes on the driver."""
+    from ..functions.dedup import _ibucket
+
+    def doc_emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hosts = [host_of(d) for d in ids]
+        hid = np.fromiter((_u63(h) for h in hosts), dtype=np.int64,
+                          count=len(hosts))
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(hid)), pa.array(hid),
+             pa.array(ids, pa.string()),
+             pa.array(hosts, pa.string()),
+             pa.array(np.full(len(ids), -1, dtype=np.int64))],
+            names=["key", "hid", "doc_id", "host", "rank"])
+
+    def rank_emit(batch: pa.Table) -> pa.Table:
+        hosts = batch.column("host").to_pylist()
+        hid = np.fromiter((_u63(h) for h in hosts), dtype=np.int64,
+                          count=len(hosts))
+        n = len(hosts)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(hid)), pa.array(hid),
+             pa.array([""] * n, pa.string()),
+             pa.array(hosts, pa.string()),
+             batch.column("rank").cast(pa.int64())],
+            names=["key", "hid", "doc_id", "host", "rank"])
+
+    def attach(group: pa.Table) -> pa.Table:
+        hid = group.column("hid").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        rank = group.column("rank").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        is_doc = rank < 0
+        rmap = dict(zip(hid[~is_doc].tolist(), rank[~is_doc].tolist()))
+        kept = group.filter(pa.array(is_doc))
+        khid = kept.column("hid").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        out_rank = np.fromiter((rmap.get(int(h), 0) for h in khid),
+                               dtype=np.int64, count=len(khid))
+        return pa.Table.from_arrays(
+            [kept.column("doc_id"), kept.column("host"),
+             pa.array(out_rank)],
+            names=["doc_id", "host", "rank"])
+
+    u = docs.select_columns(["doc_id"]).map_batches(
+        doc_emit, batch_format="pyarrow", zero_copy_batch=True).union(
+        ranks.map_batches(rank_emit, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    return u.groupby("key").map_groups(attach, batch_format="pyarrow")
+
+
+def authority_sample(docs, k: int = 64, salt: str = "authority"):
+    """Deterministic Poisson PPS sample of DOCUMENTS weighted by their
+    host's PageRank authority — the corpus-mixture draw that prefers
+    pages on reputable hosts (the classic quality-prior use of link
+    authority).  Keeps doc i with probability min(1, k·rankᵢ/W),
+    W = Σ over docs of host rank; membership is the content-addressed
+    md5-u63 predicate of functions.curation.pps_sample (same
+    left-to-right IEEE double order as its SQL twin), so the kept set
+    is reproducible under any blocking.  Returns (doc_id, host, rank).
+
+    W is an exact int64 Dataset.sum over per-doc ranks (rank ≤ 1e12 =
+    PAGERANK_SCALE): int64-safe while avg docs-per-host × 1e12 < 2^63,
+    i.e. ≈9.2M docs per host — beyond that, lower PAGERANK_SCALE or
+    carry the sum as (hi, lo) limbs like embedding_dim_stats."""
+    from ..functions.curation import _did63
+    from ..functions.graph import pagerank
+
+    links = outlinks(docs).materialize()
+    ranks = host_ranks_named(links)
+    auth = doc_authority(docs, ranks).materialize()
+    total = auth.sum("rank")
+    if not total:
+        return auth.filter(lambda _: False)
+    w_double = float(int(total))
+    k_double = float(k)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = _did63([str(d) + salt
+                    for d in batch.column("doc_id").to_pylist()]) \
+            .astype(np.float64)
+        w = batch.column("rank").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        bound = w * k_double / w_double * 9223372036854775808.0
+        return batch.filter(pa.array(h < bound))
+
+    return auth.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def host_pagerank(docs):
     """(host, rank) — integer fixed-point PageRank (functions.graph)
     over the corpus's host→host anchor graph, ranks re-keyed to host
@@ -283,10 +378,16 @@ def host_pagerank(docs):
     materialized once so the corpus regex scan runs a single time (the
     links table is far smaller than the corpus; at real scale a user
     persists it as its own artifact)."""
+    return host_ranks_named(outlinks(docs).materialize())
+
+
+def host_ranks_named(links):
+    """(host, rank) from a materialized outlinks table — the
+    rank-computation core of host_pagerank, reusable when the caller
+    already holds the links table (authority_sample)."""
     from ..functions.dedup import _ibucket
     from ..functions.graph import pagerank
 
-    links = outlinks(docs).materialize()
     ranks = pagerank(host_edges(links))
 
     def rank_emit(batch: pa.Table) -> pa.Table:
