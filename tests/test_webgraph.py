@@ -4,7 +4,6 @@ differential on a tiny crafted graph."""
 
 import numpy as np
 import pyarrow as pa
-import pytest
 
 from webtext.pipelines.webgraph import (
     _outlinks_batch,
