@@ -1196,6 +1196,26 @@ def _graph_edges(sf_dir: str):
         columns=["l_partkey", "l_suppkey"]))
 
 
+def _copurchase_edges(sf_dir: str):
+    """Undirected co-purchase part graph: one edge per part pair that
+    shares at least one order (weight = distinct shared orders)."""
+    import ray.data
+
+    from webtext.functions.graph import copurchase_edges
+
+    return copurchase_edges(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"]))
+
+
+def _part_triangles(sf_dir: str):
+    """Exact per-part triangle census of the co-purchase graph
+    (degree-oriented wedge algorithm, functions/graph.py)."""
+    from webtext.functions.graph import triangle_census
+
+    return triangle_census(_copurchase_edges(sf_dir))
+
+
 def _synth_docs(sf_dir: str) -> list[dict]:
     """Deterministic interleaved corpus for the extraction queries,
     scaled by sf tag (the driver tables are flat text, not interleaved —
@@ -2214,6 +2234,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degrees": lambda sf: graph.degrees(_graph_edges(sf)),
         # exact bipartite butterfly (2x2 biclique) motif census
         "butterfly_count": lambda sf: _graph_butterflies(sf),
+        # market-basket projection of the order<->part bipartite graph
+        "copurchase_edges": lambda sf: _copurchase_edges(sf),
+        # exact per-part triangle census (degree-oriented wedges)
+        "part_triangles": lambda sf: _part_triangles(sf),
         # per-customer repeat-purchase cadence (relational LAG rollup)
         "customer_order_gaps": lambda sf: _order_gaps(sf),
         # weighted sampling over a JOIN (weight exists only post-join)
@@ -4044,6 +4068,40 @@ def oracle_sql() -> dict[str, str]:
                      AS butterflies,
                    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS wedges
             FROM pairs""",
+        "copurchase_edges": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem)
+            SELECT a.l_partkey::BIGINT AS p1,
+                   b.l_partkey::BIGINT AS p2,
+                   count(*)::BIGINT AS n_orders
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2""",
+        "part_triangles": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                  FROM op a JOIN op b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2),
+            tri AS (SELECT e1.p1 AS x, e1.p2 AS y, e2.p2 AS z
+                    FROM e e1
+                    JOIN e e2 ON e2.p1 = e1.p2
+                    JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+            tn AS (SELECT node, count(*)::BIGINT AS tri
+                   FROM (SELECT x AS node FROM tri
+                         UNION ALL SELECT y FROM tri
+                         UNION ALL SELECT z FROM tri)
+                   GROUP BY node),
+            deg AS (SELECT node, count(*)::BIGINT AS deg
+                    FROM (SELECT p1 AS node FROM e
+                          UNION ALL SELECT p2 FROM e)
+                    GROUP BY node)
+            SELECT deg.node::BIGINT AS node, deg.deg,
+                   COALESCE(tn.tri, 0)::BIGINT AS tri
+            FROM deg LEFT JOIN tn USING (node)""",
         "join_pps_sample": """
             WITH j AS (
               SELECT l.l_orderkey, l.l_linenumber,

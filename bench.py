@@ -218,6 +218,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "outlinks", "anchor_stats", "host_pagerank",
                  "doc_authority", "authority_sample",
                  "pagerank_weighted", "butterfly_count",
+                 "copurchase_edges", "part_triangles",
                  "sample_stratified", "pricing_summary",
                  "order_line_join", "region_customers",
                  "supplier_shipments", "brand_volume",

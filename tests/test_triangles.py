@@ -1,0 +1,93 @@
+"""Co-purchase graph + exact triangle census tests
+(webtext/functions/graph.py): crafted-graph differential, an
+independent brute-force differential on a pseudo-random graph, and
+block-split invariance."""
+
+import itertools
+import random
+
+import pyarrow as pa
+import ray
+
+from webtext.functions.graph import copurchase_edges, triangle_census
+
+
+def _edge_ds(edges, nparts=3):
+    t = pa.Table.from_arrays(
+        [pa.array([e[0] for e in edges], pa.int64()),
+         pa.array([e[1] for e in edges], pa.int64())],
+        names=["p1", "p2"])
+    return ray.data.from_arrow(t).repartition(nparts)
+
+
+def _census(edges, nparts=3):
+    out = triangle_census(_edge_ds(edges, nparts)).to_pandas()
+    return {int(r.node): (int(r.deg), int(r.tri))
+            for r in out.itertuples()}
+
+
+def _brute(edges):
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v, nb in adj.items():
+        tri = sum(1 for a, b in itertools.combinations(sorted(nb), 2)
+                  if b in adj[a])
+        want[v] = (len(nb), tri)
+    return want
+
+
+def test_triangles_k4_plus_pendant(ray_session):
+    edges = list(itertools.combinations([1, 2, 3, 4], 2)) + [(1, 5)]
+    got = _census(edges)
+    assert got == {1: (4, 3), 2: (3, 3), 3: (3, 3), 4: (3, 3),
+                   5: (1, 0)}
+
+
+def test_triangles_triangle_free(ray_session):
+    # a 4-cycle has wedges but no triangles
+    got = _census([(1, 2), (2, 3), (3, 4), (1, 4)])
+    assert got == {1: (2, 0), 2: (2, 0), 3: (2, 0), 4: (2, 0)}
+
+
+def test_triangles_brute_force_differential(ray_session):
+    rng = random.Random("triangles:differential")
+    edges = sorted({tuple(sorted(rng.sample(range(1, 40), 2)))
+                    for _ in range(220)})
+    assert _census(edges) == _brute(edges)
+
+
+def test_triangles_block_split_invariant(ray_session):
+    rng = random.Random("triangles:blocks")
+    edges = sorted({tuple(sorted(rng.sample(range(1, 30), 2)))
+                    for _ in range(140)})
+    assert _census(edges, nparts=1) == _census(edges, nparts=7)
+
+
+def test_copurchase_edges_semantics(ray_session):
+    # order 10 holds parts {1,2,3} (part 2 listed twice -> counted
+    # once); order 11 holds {2,3}; order 12 a single part (no pairs)
+    li = pa.Table.from_arrays(
+        [pa.array([10, 10, 10, 10, 11, 11, 12], pa.int64()),
+         pa.array([1, 2, 3, 2, 2, 3, 9], pa.int64())],
+        names=["l_orderkey", "l_partkey"])
+    out = copurchase_edges(ray.data.from_arrow(li).repartition(3)) \
+        .to_pandas().sort_values(["p1", "p2"]).reset_index(drop=True)
+    assert out.values.tolist() == [[1, 2, 1], [1, 3, 1], [2, 3, 2]]
+
+
+def test_copurchase_order_split_across_blocks(ray_session):
+    # the hash(order) bucket key must co-locate an order's lines even
+    # when the input blocks split them apart
+    rows_a = pa.Table.from_arrays(
+        [pa.array([20, 20], pa.int64()), pa.array([1, 2], pa.int64())],
+        names=["l_orderkey", "l_partkey"])
+    rows_b = pa.Table.from_arrays(
+        [pa.array([20, 21], pa.int64()), pa.array([3, 1], pa.int64())],
+        names=["l_orderkey", "l_partkey"])
+    ds = ray.data.from_arrow(rows_a).union(ray.data.from_arrow(rows_b))
+    out = copurchase_edges(ds).to_pandas() \
+        .sort_values(["p1", "p2"]).reset_index(drop=True)
+    assert out.values.tolist() == [[1, 2, 1], [1, 3, 1], [2, 3, 1]]

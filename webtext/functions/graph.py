@@ -654,3 +654,321 @@ def butterfly_count(edges):
     return pa.Table.from_arrays(
         [pa.array([bf], pa.int64()), pa.array([wd], pa.int64())],
         names=["butterflies", "wedges"])
+
+
+def copurchase_edges(lineitem, n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(p1, p2, n_orders): the UNDIRECTED co-purchase part graph —
+    an edge between two parts for every order that contains both, with
+    weight = the number of distinct such orders (p1 < p2 canonical).
+    The classic market-basket projection of the order↔part bipartite
+    graph; its motif structure (see ``triangle_census``) is the
+    unipartite cohesion analogue of ``butterfly_count``.
+
+    Scale shape, the butterfly recipe on the other projection: rows
+    ship as (order, part) pairs into hash(order) % 256 buckets (an
+    order's lines co-locate by construction of the key); each cell
+    dedupes (order, part), enumerates its within-order part pairs
+    FULLY vectorized (the repeat/cumsum run expansion — no per-order
+    Python), and collapses them to (pair, partial_count) via
+    np.unique; pair partials settle in ONE further hash(pair) % 256
+    exchange.  Nothing high-cardinality hits a native groupby; the order
+    fan-out C(k, 2) is the true output size of the projection (at
+    100 TB a user caps per-order basket size k — the operator keeps
+    the exact contract and documents the cost instead of silently
+    sampling)."""
+
+    def op_emit(batch: pa.Table) -> pa.Table:
+        o = _col_i64(batch, "l_orderkey")
+        p = _col_i64(batch, "l_partkey")
+        t = pa.Table.from_arrays([pa.array(o), pa.array(p)],
+                                 names=["o", "p"])
+        # per-block (order, part) dedup — the cell dedupes globally
+        t = t.group_by(["o", "p"]).aggregate([]) \
+            .rename_columns(["o", "p"])
+        return t.append_column(
+            "bucket", pa.array(_ibucket(
+                t.column("o").to_numpy(zero_copy_only=False),
+                n_buckets)))
+
+    def pairs_cell(group: pa.Table) -> pa.Table:
+        o = group.column("o").to_numpy(zero_copy_only=False)
+        p = group.column("p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.ones(len(o), dtype=bool)
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())], names=["bucket2", "pair", "c"])
+        n = len(o)
+        if n == 0:
+            return empty
+        starts_mask = np.r_[True, o[1:] != o[:-1]]
+        starts = np.flatnonzero(starts_mask)
+        run_id = np.cumsum(starts_mask) - 1
+        ends = np.r_[starts[1:], n][run_id]
+        counts = ends - np.arange(n) - 1
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        lo_idx = np.repeat(np.arange(n), counts)
+        excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        seq = np.arange(total) - np.repeat(excl, counts)
+        hi_idx = lo_idx + 1 + seq
+        # within a run p is strictly ascending → p[lo] < p[hi]
+        assert int(p.max()) < (1 << 31), "pair pack needs ids < 2^31"
+        pairs = (p[lo_idx] << 32) | p[hi_idx]
+        uniq, cnt = np.unique(pairs, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(uniq, n_buckets)), pa.array(uniq),
+             pa.array(cnt.astype(np.int64))],
+            names=["bucket2", "pair", "c"])
+
+    def settle_cell(group: pa.Table) -> pa.Table:
+        pair = group.column("pair").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(pair, kind="stable")
+        pair, c = pair[order], c[order]
+        starts = np.flatnonzero(np.r_[True, pair[1:] != pair[:-1]])
+        tot = np.add.reduceat(c, starts)
+        pu = pair[starts]
+        return pa.Table.from_arrays(
+            [pa.array(pu >> 32), pa.array(pu & np.int64(0xFFFFFFFF)),
+             pa.array(tot.astype(np.int64))],
+            names=["p1", "p2", "n_orders"])
+
+    return lineitem.select_columns(["l_orderkey", "l_partkey"]) \
+        .map_batches(op_emit, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(pairs_cell,
+                                      batch_format="pyarrow") \
+        .groupby("bucket2").map_groups(settle_cell,
+                                       batch_format="pyarrow")
+
+
+def triangle_census(edges, n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(node, deg, tri): EXACT per-node triangle participation over an
+    undirected simple-graph edge table (p1, p2) with p1 < p2 —
+    deg = incident distinct edges, tri = triangles containing the node.
+    The unipartite cohesion census (local clustering coefficient =
+    2·tri / (deg·(deg−1)) is a pure driver-side expression over the
+    output).
+
+    Degree-oriented wedge algorithm, every exchange constant-fan-out:
+
+      1. degrees — per-block endpoint partials, one native
+         groupby(node).sum;
+      2. TWO chained bucketed emit-union attaches put (deg(p1),
+         deg(p2)) on every edge (degree table scales with nodes, so it
+         is never broadcast);
+      3. each edge orients low→high under the total order (deg, node);
+         oriented edges bucket by hash(src) and every cell enumerates
+         its out-neighbour pairs with the vectorized run expansion —
+         orientation bounds the wedge count by O(m^1.5) regardless of
+         hub degrees (each triangle becomes exactly ONE wedge, at its
+         (deg, node)-minimum vertex);
+      4. wedges and canonical edge-membership rows meet in hash(pair)
+         % 256 cells; a closed wedge (u, v, w) emits +1 for each of
+         its three corners; corner partials settle with one native
+         groupby(node).sum and re-join degrees through a final
+         bucketed emit-union.
+
+    Everything is integer-exact; no floats anywhere."""
+    edges = edges.materialize()  # consumed 3× (degrees, attach, close)
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        p1 = _col_i64(batch, "p1")
+        p2 = _col_i64(batch, "p2")
+        node = np.concatenate([p1, p2])
+        return pa.Table.from_arrays(
+            [pa.array(node),
+             pa.array(np.ones(len(node), dtype=np.int64))],
+            names=["node", "deg"])
+
+    deg = edges.map_batches(deg_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("node").sum("deg") \
+        .map_batches(lambda b: b.rename_columns(["node", "deg"]),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()  # consumed 3× (two attaches + final join)
+
+    def _attach_deg(fact, key_col: str, out_col: str, carry: list):
+        """Emit-union attach of deg onto ``fact`` rows by ``key_col``
+        (inner: every edge endpoint has a degree row)."""
+        def fact_emit(batch: pa.Table) -> pa.Table:
+            k = _col_i64(batch, key_col)
+            cols = [pa.array(_ibucket(k, n_buckets)), pa.array(k),
+                    pa.array(np.full(len(k), -1, dtype=np.int64))]
+            names = ["key", "k", "d"]
+            for c in carry:
+                cols.append(batch.column(c))
+                names.append(c)
+            return pa.Table.from_arrays(cols, names=names)
+
+        def deg_emit(batch: pa.Table) -> pa.Table:
+            k = _col_i64(batch, "node")
+            d = _col_i64(batch, "deg")
+            cols = [pa.array(_ibucket(k, n_buckets)), pa.array(k),
+                    pa.array(d)]
+            names = ["key", "k", "d"]
+            for c in carry:
+                cols.append(pa.array(
+                    np.zeros(len(k), dtype=np.int64)))
+                names.append(c)
+            return pa.Table.from_arrays(cols, names=names)
+
+        def attach(group: pa.Table) -> pa.Table:
+            k = group.column("k").to_numpy(zero_copy_only=False)
+            d = group.column("d").to_numpy(zero_copy_only=False)
+            is_deg = d >= 0
+            dk, dv = k[is_deg], d[is_deg]
+            order = np.argsort(dk, kind="stable")
+            dk, dv = dk[order], dv[order]
+            kept = group.filter(pa.array(~is_deg))
+            fk = kept.column("k").to_numpy(zero_copy_only=False)
+            got = dv[np.searchsorted(dk, fk)]
+            cols = [pa.array(fk), pa.array(got)]
+            names = [key_col, out_col]
+            for c in carry:
+                cols.append(kept.column(c))
+                names.append(c)
+            return pa.Table.from_arrays(cols, names=names)
+
+        return fact.map_batches(fact_emit, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .union(deg.map_batches(deg_emit, batch_format="pyarrow",
+                                   zero_copy_batch=True)) \
+            .groupby("key").map_groups(attach, batch_format="pyarrow")
+
+    with_d1 = _attach_deg(edges.select_columns(["p1", "p2"]),
+                          "p1", "d1", ["p2"])
+    with_d2 = _attach_deg(with_d1, "p2", "d2", ["p1", "d1"])
+
+    def orient(batch: pa.Table) -> pa.Table:
+        p1 = _col_i64(batch, "p1")
+        p2 = _col_i64(batch, "p2")
+        d1 = _col_i64(batch, "d1")
+        d2 = _col_i64(batch, "d2")
+        # low (deg, node) endpoint becomes src
+        swap = (d2 < d1) | ((d2 == d1) & (p2 < p1))
+        src = np.where(swap, p2, p1)
+        dst = np.where(swap, p1, p2)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(src, n_buckets)), pa.array(src),
+             pa.array(dst)],
+            names=["bucket", "src", "dst"])
+
+    def wedge_cell(group: pa.Table) -> pa.Table:
+        s = group.column("src").to_numpy(zero_copy_only=False)
+        t = group.column("dst").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, s))
+        s, t = s[order], t[order]
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=["key2", "pair", "center"])
+        n = len(s)
+        if n == 0:
+            return empty
+        starts_mask = np.r_[True, s[1:] != s[:-1]]
+        starts = np.flatnonzero(starts_mask)
+        run_id = np.cumsum(starts_mask) - 1
+        ends = np.r_[starts[1:], n][run_id]
+        counts = ends - np.arange(n) - 1
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        lo_idx = np.repeat(np.arange(n), counts)
+        excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        seq = np.arange(total) - np.repeat(excl, counts)
+        hi_idx = lo_idx + 1 + seq
+        # dst ascending within a run → canonical (min, max) pack
+        pairs = (t[lo_idx] << 32) | t[hi_idx]
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(pairs, n_buckets)), pa.array(pairs),
+             pa.array(s[lo_idx])],
+            names=["key2", "pair", "center"])
+
+    def edge_member(batch: pa.Table) -> pa.Table:
+        p1 = _col_i64(batch, "p1")
+        p2 = _col_i64(batch, "p2")
+        pairs = (p1 << 32) | p2
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(pairs, n_buckets)), pa.array(pairs),
+             pa.array(np.full(len(pairs), -1, dtype=np.int64))],
+            names=["key2", "pair", "center"])
+
+    def close_cell(group: pa.Table) -> pa.Table:
+        pair = group.column("pair").to_numpy(zero_copy_only=False)
+        center = group.column("center").to_numpy(zero_copy_only=False)
+        is_edge = center < 0
+        members = np.sort(pair[is_edge])
+        wp, wc = pair[~is_edge], center[~is_edge]
+        pos = np.searchsorted(members, wp)
+        pos[pos >= len(members)] = max(len(members) - 1, 0)
+        closed = len(members) > 0
+        hit = (members[pos] == wp) if closed else \
+            np.zeros(len(wp), dtype=bool)
+        wp, wc = wp[hit], wc[hit]
+        corners = np.concatenate([wc, wp >> 32,
+                                  wp & np.int64(0xFFFFFFFF)])
+        u, cnt = np.unique(corners, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u), pa.array(cnt.astype(np.int64))],
+            names=["node", "tri"])
+
+    tri = with_d2.map_batches(orient, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("bucket").map_groups(wedge_cell,
+                                      batch_format="pyarrow") \
+        .union(edges.map_batches(edge_member, batch_format="pyarrow",
+                                 zero_copy_batch=True)) \
+        .groupby("key2").map_groups(close_cell,
+                                    batch_format="pyarrow") \
+        .groupby("node").sum("tri") \
+        .map_batches(lambda b: b.rename_columns(["node", "tri"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+
+    # final emit-union: every degree row (all graph nodes) picks up its
+    # triangle total (0 when the node closes no triangle)
+    def deg_emit(batch: pa.Table) -> pa.Table:
+        k = _col_i64(batch, "node")
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(k, n_buckets)), pa.array(k),
+             batch.column("deg").cast(pa.int64()),
+             pa.array(np.full(len(k), -1, dtype=np.int64))],
+            names=["key", "node", "deg", "tri"])
+
+    def tri_emit(batch: pa.Table) -> pa.Table:
+        k = _col_i64(batch, "node")
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(k, n_buckets)), pa.array(k),
+             pa.array(np.full(len(k), -1, dtype=np.int64)),
+             batch.column("tri").cast(pa.int64())],
+            names=["key", "node", "deg", "tri"])
+
+    def join_cell(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        dg = group.column("deg").to_numpy(zero_copy_only=False)
+        tr = group.column("tri").to_numpy(zero_copy_only=False)
+        is_deg = dg >= 0
+        tk, tv = node[~is_deg], tr[~is_deg]
+        order = np.argsort(tk, kind="stable")
+        tk, tv = tk[order], tv[order]
+        nk, nd = node[is_deg], dg[is_deg]
+        out_tri = np.zeros(len(nk), dtype=np.int64)
+        if len(tk):
+            pos = np.searchsorted(tk, nk)
+            pos[pos >= len(tk)] = len(tk) - 1
+            hit = tk[pos] == nk
+            out_tri[hit] = tv[pos[hit]]
+        return pa.Table.from_arrays(
+            [pa.array(nk), pa.array(nd), pa.array(out_tri)],
+            names=["node", "deg", "tri"])
+
+    return deg.map_batches(deg_emit, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .union(tri.map_batches(tri_emit, batch_format="pyarrow",
+                               zero_copy_batch=True)) \
+        .groupby("key").map_groups(join_cell, batch_format="pyarrow")
