@@ -91,3 +91,19 @@ def test_copurchase_order_split_across_blocks(ray_session):
     out = copurchase_edges(ds).to_pandas() \
         .sort_values(["p1", "p2"]).reset_index(drop=True)
     assert out.values.tolist() == [[1, 2, 1], [1, 3, 1], [2, 3, 1]]
+
+
+def test_triangles_attach_path_equals_broadcast(ray_session, monkeypatch):
+    # force the >gate routing: the bucketed-attach orientation plan
+    # must produce the identical census
+    import webtext.functions.graph as g
+    rng = random.Random("triangles:gate")
+    edges = sorted({tuple(sorted(rng.sample(range(1, 30), 2)))
+                    for _ in range(120)})
+    want = _census(edges)
+    monkeypatch.setattr(g, "TRI_BROADCAST_MAX_NODES", 0)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = _census(edges)
+    assert got == want

@@ -39,6 +39,10 @@ PAGERANK_ITERS = 8
 STATE_BLOCKS = max(2, N_SHUFFLE_BUCKETS // 32)
 # damping 0.85 as the exact rational 17/20 — floor-division recurrence
 PR_D_NUM, PR_D_DEN = 17, 20
+# triangle_census degree-broadcast gate: ≤ this many nodes, the
+# (node, deg) table broadcasts once (≤ ~32 MB); above it, orientation
+# routes through bucketed attaches (see triangle_census docstring)
+TRI_BROADCAST_MAX_NODES = 2_000_000
 
 
 def lineitem_edges(ds):
@@ -747,7 +751,8 @@ def copurchase_edges(lineitem, n_buckets: int = N_SHUFFLE_BUCKETS):
                                        batch_format="pyarrow")
 
 
-def triangle_census(edges, n_buckets: int = N_SHUFFLE_BUCKETS):
+def triangle_census(edges, n_buckets: int = N_SHUFFLE_BUCKETS,
+                    bloom_bits: int = 1 << 25):
     """(node, deg, tri): EXACT per-node triangle participation over an
     undirected simple-graph edge table (p1, p2) with p1 < p2 —
     deg = incident distinct edges, tri = triangles containing the node.
@@ -759,31 +764,108 @@ def triangle_census(edges, n_buckets: int = N_SHUFFLE_BUCKETS):
 
       1. degrees — per-block endpoint partials, one native
          groupby(node).sum;
-      2. TWO chained bucketed emit-union attaches put (deg(p1),
-         deg(p2)) on every edge (degree table scales with nodes, so it
-         is never broadcast);
+      2. both endpoint degrees reach every edge through a ROUTED plan
+         (the ANN EXACT_MAX_ROWS pattern): the degree table is
+         node-sized, so up to ``TRI_BROADCAST_MAX_NODES`` it
+         broadcasts once via ray.put and orientation is a pure map;
+         past the gate the plan switches (with a warning) to TWO
+         chained bucketed emit-union attaches that never broadcast;
       3. each edge orients low→high under the total order (deg, node);
          oriented edges bucket by hash(src) and every cell enumerates
          its out-neighbour pairs with the vectorized run expansion —
          orientation bounds the wedge count by O(m^1.5) regardless of
          hub degrees (each triangle becomes exactly ONE wedge, at its
          (deg, node)-minimum vertex);
-      4. wedges and canonical edge-membership rows meet in hash(pair)
-         % 256 cells; a closed wedge (u, v, w) emits +1 for each of
-         its three corners; corner partials settle with one native
-         groupby(node).sum and re-join degrees through a final
-         bucketed emit-union.
+      4. a CONSTANT-SIZE Bloom filter over the packed edge pairs
+         (``bloom_bits`` bits, built with the tree-combiner shape of
+         sketches.bloom_build — fixed-size bitset partials, never
+         row-shaped traffic) broadcasts via ray.put and prunes open
+         wedges INSIDE the wedge cell, so the pair exchange ships
+         ≈ triangles + FP·wedges rows instead of all O(m^1.5) wedges
+         (the sketch-guided-exact trick of ``heavy_hitters``; at the
+         sf0.1 co-purchase graph this is a ~100× cut on the heaviest
+         sort).  Exactness never depends on the sketch: survivors
+         still meet the exact canonical edge-membership rows in
+         hash(pair) % 256 cells, which removes the false positives;
+      5. a closed wedge (u, v, w) emits +1 for each of its three
+         corners; corner partials and the degree rows settle together
+         in ONE native groupby(node).sum over (deg, tri) — no separate
+         re-join exchange.
 
-    Everything is integer-exact; no floats anywhere."""
-    edges = edges.materialize()  # consumed 3× (degrees, attach, close)
+    Everything is integer-exact; no floats anywhere.  At 100 TB the
+    Bloom stays the same size (the broadcast is O(bloom_bits), not
+    O(edges)) and only its pruning power degrades — size
+    ``bloom_bits`` to ≈ 16–32 bits per expected edge to keep the FP
+    rate in the sub-percent regime."""
+    import ray
+
+    edges = edges.materialize()  # consumed 4× (deg, attach, bloom,
+    #                              close membership)
+
+    # ---- constant-size Bloom over packed pairs (k probes, splitmix64
+    # double hashing; build = fixed-size bitset partials tree-OR'd) ----
+    BLOOM_K = 4
+    words = bloom_bits // 64
+
+    def _mix64(x: np.ndarray, seed: int) -> np.ndarray:
+        z = x.astype(np.uint64) + np.uint64(seed)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    def _probe_pos(pairs: np.ndarray) -> np.ndarray:
+        h1 = _mix64(pairs, 0x9E3779B97F4A7C15)
+        h2 = _mix64(pairs, 0xD1B54A32D192ED03) | np.uint64(1)
+        ks = np.arange(BLOOM_K, dtype=np.uint64)
+        return ((h1[:, None] + ks[None, :] * h2[:, None])
+                % np.uint64(bloom_bits)).astype(np.int64)
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        p1 = _col_i64(batch, "p1")
+        p2 = _col_i64(batch, "p2")
+        bits = np.zeros(words, dtype=np.uint64)
+        if len(p1):
+            pos = _probe_pos((p1 << 32) | p2).ravel()
+            np.bitwise_or.at(
+                bits, pos >> 6,
+                np.uint64(1) << (pos & 63).astype(np.uint64))
+        return pa.Table.from_arrays(
+            [pa.array([0], pa.int64()),
+             pa.array([bits.view(np.int64)], pa.list_(pa.int64()))],
+            names=["g", "bits"])
+
+    def bloom_merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group
+        acc = np.zeros(words, dtype=np.uint64)
+        for row in group.column("bits").to_pylist():
+            acc |= np.asarray(row, dtype=np.int64).view(np.uint64)
+        return pa.Table.from_arrays(
+            [group.column("g").slice(0, 1),
+             pa.array([acc.view(np.int64)], pa.list_(pa.int64()))],
+            names=["g", "bits"])
+
+    # bloom_merge also runs as a plain map so each arriving block of
+    # fixed-size partial rows collapses to ONE row before the groupby
+    bloom_rows = edges.map_batches(bloom_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+        .map_batches(bloom_merge, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("g").map_groups(bloom_merge, batch_format="pyarrow") \
+        .take_all()                              # exactly one row
+    bloom = np.zeros(words, dtype=np.uint64)
+    for r in bloom_rows:
+        bloom |= np.asarray(r["bits"], dtype=np.int64).view(np.uint64)
+    bloom_ref = ray.put(bloom)
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         p1 = _col_i64(batch, "p1")
         p2 = _col_i64(batch, "p2")
         node = np.concatenate([p1, p2])
+        # per-block combine: ship ≤ distinct-nodes-per-block partials
+        u, cnt = np.unique(node, return_counts=True)
         return pa.Table.from_arrays(
-            [pa.array(node),
-             pa.array(np.ones(len(node), dtype=np.int64))],
+            [pa.array(u), pa.array(cnt.astype(np.int64))],
             names=["node", "deg"])
 
     deg = edges.map_batches(deg_partial, batch_format="pyarrow",
@@ -791,7 +873,7 @@ def triangle_census(edges, n_buckets: int = N_SHUFFLE_BUCKETS):
         .groupby("node").sum("deg") \
         .map_batches(lambda b: b.rename_columns(["node", "deg"]),
                      batch_format="pyarrow", zero_copy_batch=True) \
-        .materialize()  # consumed 3× (two attaches + final join)
+        .materialize()  # consumed 3× (orientation + final join)
 
     def _attach_deg(fact, key_col: str, out_col: str, carry: list):
         """Emit-union attach of deg onto ``fact`` rows by ``key_col``
@@ -841,15 +923,7 @@ def triangle_census(edges, n_buckets: int = N_SHUFFLE_BUCKETS):
                                    zero_copy_batch=True)) \
             .groupby("key").map_groups(attach, batch_format="pyarrow")
 
-    with_d1 = _attach_deg(edges.select_columns(["p1", "p2"]),
-                          "p1", "d1", ["p2"])
-    with_d2 = _attach_deg(with_d1, "p2", "d2", ["p1", "d1"])
-
-    def orient(batch: pa.Table) -> pa.Table:
-        p1 = _col_i64(batch, "p1")
-        p2 = _col_i64(batch, "p2")
-        d1 = _col_i64(batch, "d1")
-        d2 = _col_i64(batch, "d2")
+    def _orient_from(p1, p2, d1, d2) -> pa.Table:
         # low (deg, node) endpoint becomes src
         swap = (d2 < d1) | ((d2 == d1) & (p2 < p1))
         src = np.where(swap, p2, p1)
@@ -859,7 +933,50 @@ def triangle_census(edges, n_buckets: int = N_SHUFFLE_BUCKETS):
              pa.array(dst)],
             names=["bucket", "src", "dst"])
 
-    def wedge_cell(group: pa.Table) -> pa.Table:
+    # Orientation routing (the ANN EXACT_MAX_ROWS pattern): the degree
+    # table is NODE-sized, orders of magnitude below the edge table —
+    # up to the gate it broadcasts once via ray.put (two barriers
+    # saved); past the gate the plan switches to the two chained
+    # bucketed emit-union attaches, which never broadcast.
+    if deg.count() <= TRI_BROADCAST_MAX_NODES:
+        rows = deg.take_all()           # node-sized, gated above
+        nodes_s = np.array([r["node"] for r in rows], dtype=np.int64)
+        degs_s = np.array([r["deg"] for r in rows], dtype=np.int64)
+        order = np.argsort(nodes_s, kind="stable")
+        deg_ref = ray.put((nodes_s[order], degs_s[order]))
+
+        def orient_bcast(batch: pa.Table, *, _ref=deg_ref) -> pa.Table:
+            lut = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+            nodes, degs = lut
+            p1 = _col_i64(batch, "p1")
+            p2 = _col_i64(batch, "p2")
+            d1 = degs[np.searchsorted(nodes, p1)]
+            d2 = degs[np.searchsorted(nodes, p2)]
+            return _orient_from(p1, p2, d1, d2)
+
+        oriented = edges.select_columns(["p1", "p2"]).map_batches(
+            orient_bcast, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        import warnings
+
+        warnings.warn(
+            f"triangle_census: {deg.count()} nodes exceeds the "
+            f"broadcast gate ({TRI_BROADCAST_MAX_NODES}); routing "
+            "degree orientation through bucketed attaches",
+            stacklevel=2)
+        with_d1 = _attach_deg(edges.select_columns(["p1", "p2"]),
+                              "p1", "d1", ["p2"])
+        with_d2 = _attach_deg(with_d1, "p2", "d2", ["p1", "d1"])
+
+        def orient(batch: pa.Table) -> pa.Table:
+            return _orient_from(
+                _col_i64(batch, "p1"), _col_i64(batch, "p2"),
+                _col_i64(batch, "d1"), _col_i64(batch, "d2"))
+
+        oriented = with_d2.map_batches(orient, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+
+    def wedge_cell(group: pa.Table, *, _bloom=bloom_ref) -> pa.Table:
         s = group.column("src").to_numpy(zero_copy_only=False)
         t = group.column("dst").to_numpy(zero_copy_only=False)
         order = np.lexsort((t, s))
@@ -885,9 +1002,23 @@ def triangle_census(edges, n_buckets: int = N_SHUFFLE_BUCKETS):
         hi_idx = lo_idx + 1 + seq
         # dst ascending within a run → canonical (min, max) pack
         pairs = (t[lo_idx] << 32) | t[hi_idx]
+        centers = s[lo_idx]
+        # constant-size Bloom prune: only wedges whose closing pair
+        # PROBABLY exists leave the cell (exact membership downstream
+        # removes the false positives — no exactness dependence)
+        bits = _bloom if isinstance(_bloom, np.ndarray) \
+            else ray.get(_bloom)
+        pos = _probe_pos(pairs)
+        ok = np.ones(len(pairs), dtype=bool)
+        for j in range(BLOOM_K):
+            pj = pos[:, j]
+            probe = (bits[pj >> 6] >> (pj & 63).astype(np.uint64)) \
+                & np.uint64(1)
+            ok &= probe.astype(bool)
+        pairs, centers = pairs[ok], centers[ok]
         return pa.Table.from_arrays(
             [pa.array(_ibucket(pairs, n_buckets)), pa.array(pairs),
-             pa.array(s[lo_idx])],
+             pa.array(centers)],
             names=["key2", "pair", "center"])
 
     def edge_member(batch: pa.Table) -> pa.Table:
@@ -915,60 +1046,32 @@ def triangle_census(edges, n_buckets: int = N_SHUFFLE_BUCKETS):
                                   wp & np.int64(0xFFFFFFFF)])
         u, cnt = np.unique(corners, return_counts=True)
         return pa.Table.from_arrays(
-            [pa.array(u), pa.array(cnt.astype(np.int64))],
-            names=["node", "tri"])
+            [pa.array(u), pa.array(np.zeros(len(u), dtype=np.int64)),
+             pa.array(cnt.astype(np.int64))],
+            names=["node", "deg", "tri"])
 
-    tri = with_d2.map_batches(orient, batch_format="pyarrow",
-                              zero_copy_batch=True) \
+    corner_partials = oriented \
         .groupby("bucket").map_groups(wedge_cell,
                                       batch_format="pyarrow") \
         .union(edges.map_batches(edge_member, batch_format="pyarrow",
                                  zero_copy_batch=True)) \
         .groupby("key2").map_groups(close_cell,
-                                    batch_format="pyarrow") \
-        .groupby("node").sum("tri") \
-        .map_batches(lambda b: b.rename_columns(["node", "tri"]),
-                     batch_format="pyarrow", zero_copy_batch=True)
+                                    batch_format="pyarrow")
 
-    # final emit-union: every degree row (all graph nodes) picks up its
-    # triangle total (0 when the node closes no triangle)
-    def deg_emit(batch: pa.Table) -> pa.Table:
-        k = _col_i64(batch, "node")
+    # degree rows ride the SAME final aggregate as the corner partials
+    # (deg=deg, tri=0 vs deg=0, tri=cnt) — every graph node appears in
+    # the degree emission, so no separate re-join exchange is needed
+    def deg_rows(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
-            [pa.array(_ibucket(k, n_buckets)), pa.array(k),
+            [batch.column("node").cast(pa.int64()),
              batch.column("deg").cast(pa.int64()),
-             pa.array(np.full(len(k), -1, dtype=np.int64))],
-            names=["key", "node", "deg", "tri"])
-
-    def tri_emit(batch: pa.Table) -> pa.Table:
-        k = _col_i64(batch, "node")
-        return pa.Table.from_arrays(
-            [pa.array(_ibucket(k, n_buckets)), pa.array(k),
-             pa.array(np.full(len(k), -1, dtype=np.int64)),
-             batch.column("tri").cast(pa.int64())],
-            names=["key", "node", "deg", "tri"])
-
-    def join_cell(group: pa.Table) -> pa.Table:
-        node = group.column("node").to_numpy(zero_copy_only=False)
-        dg = group.column("deg").to_numpy(zero_copy_only=False)
-        tr = group.column("tri").to_numpy(zero_copy_only=False)
-        is_deg = dg >= 0
-        tk, tv = node[~is_deg], tr[~is_deg]
-        order = np.argsort(tk, kind="stable")
-        tk, tv = tk[order], tv[order]
-        nk, nd = node[is_deg], dg[is_deg]
-        out_tri = np.zeros(len(nk), dtype=np.int64)
-        if len(tk):
-            pos = np.searchsorted(tk, nk)
-            pos[pos >= len(tk)] = len(tk) - 1
-            hit = tk[pos] == nk
-            out_tri[hit] = tv[pos[hit]]
-        return pa.Table.from_arrays(
-            [pa.array(nk), pa.array(nd), pa.array(out_tri)],
+             pa.array(np.zeros(batch.num_rows, dtype=np.int64))],
             names=["node", "deg", "tri"])
 
-    return deg.map_batches(deg_emit, batch_format="pyarrow",
-                           zero_copy_batch=True) \
-        .union(tri.map_batches(tri_emit, batch_format="pyarrow",
-                               zero_copy_batch=True)) \
-        .groupby("key").map_groups(join_cell, batch_format="pyarrow")
+    out = corner_partials.union(
+        deg.map_batches(deg_rows, batch_format="pyarrow",
+                        zero_copy_batch=True)) \
+        .groupby("node").sum(["deg", "tri"])
+    return out.map_batches(
+        lambda b: b.rename_columns(["node", "deg", "tri"]),
+        batch_format="pyarrow", zero_copy_batch=True)
