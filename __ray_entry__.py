@@ -1216,6 +1216,14 @@ def _part_triangles(sf_dir: str):
     return triangle_census(_copurchase_edges(sf_dir))
 
 
+def _part_assortativity(sf_dir: str):
+    """Newman degree assortativity of the co-purchase graph (exact
+    integer sums, IEEE-order-matched final expression)."""
+    from webtext.functions.graph import degree_assortativity
+
+    return degree_assortativity(_copurchase_edges(sf_dir))
+
+
 def _synth_docs(sf_dir: str) -> list[dict]:
     """Deterministic interleaved corpus for the extraction queries,
     scaled by sf tag (the driver tables are flat text, not interleaved —
@@ -2238,6 +2246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_edges": lambda sf: _copurchase_edges(sf),
         # exact per-part triangle census (degree-oriented wedges)
         "part_triangles": lambda sf: _part_triangles(sf),
+        # degree-mixing health check of the co-purchase graph
+        "part_assortativity": lambda sf: _part_assortativity(sf),
         # per-customer repeat-purchase cadence (relational LAG rollup)
         "customer_order_gaps": lambda sf: _order_gaps(sf),
         # weighted sampling over a JOIN (weight exists only post-join)
@@ -4102,6 +4112,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT deg.node::BIGINT AS node, deg.deg,
                    COALESCE(tn.tri, 0)::BIGINT AS tri
             FROM deg LEFT JOIN tn USING (node)""",
+        "part_assortativity": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                  FROM op a JOIN op b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2),
+            deg AS (SELECT node, count(*)::BIGINT AS deg
+                    FROM (SELECT p1 AS node FROM e
+                          UNION ALL SELECT p2 FROM e)
+                    GROUP BY node),
+            de AS (SELECT d1.deg AS x, d2.deg AS y
+                   FROM e JOIN deg d1 ON d1.node = e.p1
+                          JOIN deg d2 ON d2.node = e.p2
+                   UNION ALL
+                   SELECT d2.deg, d1.deg
+                   FROM e JOIN deg d1 ON d1.node = e.p1
+                          JOIN deg d2 ON d2.node = e.p2),
+            s AS (SELECT count(*)::BIGINT AS n, SUM(x) AS sx,
+                         SUM(y) AS sy, SUM(x*x) AS sxx,
+                         SUM(y*y) AS syy, SUM(x*y) AS sxy
+                  FROM de)
+            SELECT n AS n_pairs,
+                   CASE WHEN n > 1 AND n*sxx - sx*sx > 0
+                             AND n*syy - sy*sy > 0
+                        THEN CAST(floor(
+                          CAST(n*sxy - sx*sy AS DOUBLE) * 1000000.0
+                          / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                 * CAST(n*syy - sy*sy AS DOUBLE))
+                          + 0.5) AS BIGINT)
+                        ELSE 0 END AS assortativity_micro
+            FROM s""",
         "join_pps_sample": """
             WITH j AS (
               SELECT l.l_orderkey, l.l_linenumber,

@@ -107,3 +107,37 @@ def test_triangles_attach_path_equals_broadcast(ray_session, monkeypatch):
         warnings.simplefilter("ignore")
         got = _census(edges)
     assert got == want
+
+
+def test_assortativity_star_vs_clique(ray_session):
+    from webtext.functions.graph import degree_assortativity
+
+    # a star is maximally disassortative; verify against a pure-python
+    # pearson over the symmetrized pairs with the same quantization
+    import math
+
+    def brute(edges):
+        want = _brute(edges)
+        xy = [(want[a][0], want[b][0]) for a, b in edges]
+        xy += [(y, x) for x, y in xy]
+        n = len(xy)
+        sx = sum(x for x, _ in xy); sy = sum(y for _, y in xy)
+        sxx = sum(x*x for x, _ in xy); syy = sum(y*y for _, y in xy)
+        sxy = sum(x*y for x, y in xy)
+        if n <= 1 or n*sxx - sx*sx <= 0 or n*syy - sy*sy <= 0:
+            return n, 0
+        return n, int(math.floor(
+            float(n*sxy - sx*sy) * 1e6
+            / math.sqrt(float(n*sxx - sx*sx) * float(n*syy - sy*sy))
+            + 0.5))
+
+    star = [(1, k) for k in range(2, 9)]
+    out = degree_assortativity(_edge_ds(star)).to_pandas()
+    n, r = brute(star)
+    assert out.values.tolist() == [[n, r]] and r == -1000000
+
+    rng = random.Random("assort")
+    edges = sorted({tuple(sorted(rng.sample(range(1, 25), 2)))
+                    for _ in range(80)})
+    out = degree_assortativity(_edge_ds(edges, 5)).to_pandas()
+    assert out.values.tolist() == [list(brute(edges))]

@@ -751,6 +751,122 @@ def copurchase_edges(lineitem, n_buckets: int = N_SHUFFLE_BUCKETS):
                                        batch_format="pyarrow")
 
 
+def _edge_degrees(edges, n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(node, deg) over an undirected (p1, p2) distinct-edge table:
+    per-block np.unique combiner partials, one native groupby.sum.
+    Materialized — every caller consumes it more than once."""
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        p1 = _col_i64(batch, "p1")
+        p2 = _col_i64(batch, "p2")
+        node = np.concatenate([p1, p2])
+        # per-block combine: ship ≤ distinct-nodes-per-block partials
+        u, cnt = np.unique(node, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u), pa.array(cnt.astype(np.int64))],
+            names=["node", "deg"])
+
+    return edges.map_batches(deg_partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("node").sum("deg") \
+        .map_batches(lambda b: b.rename_columns(["node", "deg"]),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
+
+
+def _edges_with_degrees(edges, deg, n_buckets: int, caller: str):
+    """(p1, p2, d1, d2): both endpoint degrees on every edge, ROUTED
+    (the ANN EXACT_MAX_ROWS pattern): the degree table is NODE-sized,
+    orders of magnitude below the edge table — up to
+    ``TRI_BROADCAST_MAX_NODES`` it broadcasts once via ray.put (two
+    exchange barriers saved); past the gate the plan switches (with a
+    warning) to two chained bucketed emit-union attaches, which never
+    broadcast."""
+    import ray
+
+    if deg.count() <= TRI_BROADCAST_MAX_NODES:
+        rows = deg.take_all()           # node-sized, gated above
+        nodes_s = np.array([r["node"] for r in rows], dtype=np.int64)
+        degs_s = np.array([r["deg"] for r in rows], dtype=np.int64)
+        order = np.argsort(nodes_s, kind="stable")
+        deg_ref = ray.put((nodes_s[order], degs_s[order]))
+
+        def lut_attach(batch: pa.Table, *, _ref=deg_ref) -> pa.Table:
+            lut = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+            nodes, degs = lut
+            p1 = _col_i64(batch, "p1")
+            p2 = _col_i64(batch, "p2")
+            return pa.Table.from_arrays(
+                [pa.array(p1), pa.array(p2),
+                 pa.array(degs[np.searchsorted(nodes, p1)]),
+                 pa.array(degs[np.searchsorted(nodes, p2)])],
+                names=["p1", "p2", "d1", "d2"])
+
+        return edges.select_columns(["p1", "p2"]).map_batches(
+            lut_attach, batch_format="pyarrow", zero_copy_batch=True)
+
+    import warnings
+
+    warnings.warn(
+        f"{caller}: {deg.count()} nodes exceeds the broadcast gate "
+        f"({TRI_BROADCAST_MAX_NODES}); routing degree attach through "
+        "bucketed exchanges", stacklevel=2)
+
+    def _attach_deg(fact, key_col: str, out_col: str, carry: list):
+        """Emit-union attach of deg onto ``fact`` rows by ``key_col``
+        (inner: every edge endpoint has a degree row)."""
+        def fact_emit(batch: pa.Table) -> pa.Table:
+            k = _col_i64(batch, key_col)
+            cols = [pa.array(_ibucket(k, n_buckets)), pa.array(k),
+                    pa.array(np.full(len(k), -1, dtype=np.int64))]
+            names = ["key", "k", "d"]
+            for c in carry:
+                cols.append(batch.column(c))
+                names.append(c)
+            return pa.Table.from_arrays(cols, names=names)
+
+        def deg_emit(batch: pa.Table) -> pa.Table:
+            k = _col_i64(batch, "node")
+            d = _col_i64(batch, "deg")
+            cols = [pa.array(_ibucket(k, n_buckets)), pa.array(k),
+                    pa.array(d)]
+            names = ["key", "k", "d"]
+            for c in carry:
+                cols.append(pa.array(
+                    np.zeros(len(k), dtype=np.int64)))
+                names.append(c)
+            return pa.Table.from_arrays(cols, names=names)
+
+        def attach(group: pa.Table) -> pa.Table:
+            k = group.column("k").to_numpy(zero_copy_only=False)
+            d = group.column("d").to_numpy(zero_copy_only=False)
+            is_deg = d >= 0
+            dk, dv = k[is_deg], d[is_deg]
+            order = np.argsort(dk, kind="stable")
+            dk, dv = dk[order], dv[order]
+            kept = group.filter(pa.array(~is_deg))
+            fk = kept.column("k").to_numpy(zero_copy_only=False)
+            got = dv[np.searchsorted(dk, fk)]
+            cols = [pa.array(fk), pa.array(got)]
+            names = [key_col, out_col]
+            for c in carry:
+                cols.append(kept.column(c))
+                names.append(c)
+            return pa.Table.from_arrays(cols, names=names)
+
+        return fact.map_batches(fact_emit, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .union(deg.map_batches(deg_emit, batch_format="pyarrow",
+                                   zero_copy_batch=True)) \
+            .groupby("key").map_groups(attach, batch_format="pyarrow")
+
+    with_d1 = _attach_deg(edges.select_columns(["p1", "p2"]),
+                          "p1", "d1", ["p2"])
+    return _attach_deg(with_d1, "p2", "d2", ["p1", "d1"]) \
+        .map_batches(lambda b: b.select(["p1", "p2", "d1", "d2"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+
+
 def triangle_census(edges, n_buckets: int = N_SHUFFLE_BUCKETS,
                     bloom_bits: int = 1 << 25):
     """(node, deg, tri): EXACT per-node triangle participation over an
@@ -858,72 +974,13 @@ def triangle_census(edges, n_buckets: int = N_SHUFFLE_BUCKETS,
         bloom |= np.asarray(r["bits"], dtype=np.int64).view(np.uint64)
     bloom_ref = ray.put(bloom)
 
-    def deg_partial(batch: pa.Table) -> pa.Table:
+    deg = _edge_degrees(edges, n_buckets)
+
+    def orient(batch: pa.Table) -> pa.Table:
         p1 = _col_i64(batch, "p1")
         p2 = _col_i64(batch, "p2")
-        node = np.concatenate([p1, p2])
-        # per-block combine: ship ≤ distinct-nodes-per-block partials
-        u, cnt = np.unique(node, return_counts=True)
-        return pa.Table.from_arrays(
-            [pa.array(u), pa.array(cnt.astype(np.int64))],
-            names=["node", "deg"])
-
-    deg = edges.map_batches(deg_partial, batch_format="pyarrow",
-                            zero_copy_batch=True) \
-        .groupby("node").sum("deg") \
-        .map_batches(lambda b: b.rename_columns(["node", "deg"]),
-                     batch_format="pyarrow", zero_copy_batch=True) \
-        .materialize()  # consumed 3× (orientation + final join)
-
-    def _attach_deg(fact, key_col: str, out_col: str, carry: list):
-        """Emit-union attach of deg onto ``fact`` rows by ``key_col``
-        (inner: every edge endpoint has a degree row)."""
-        def fact_emit(batch: pa.Table) -> pa.Table:
-            k = _col_i64(batch, key_col)
-            cols = [pa.array(_ibucket(k, n_buckets)), pa.array(k),
-                    pa.array(np.full(len(k), -1, dtype=np.int64))]
-            names = ["key", "k", "d"]
-            for c in carry:
-                cols.append(batch.column(c))
-                names.append(c)
-            return pa.Table.from_arrays(cols, names=names)
-
-        def deg_emit(batch: pa.Table) -> pa.Table:
-            k = _col_i64(batch, "node")
-            d = _col_i64(batch, "deg")
-            cols = [pa.array(_ibucket(k, n_buckets)), pa.array(k),
-                    pa.array(d)]
-            names = ["key", "k", "d"]
-            for c in carry:
-                cols.append(pa.array(
-                    np.zeros(len(k), dtype=np.int64)))
-                names.append(c)
-            return pa.Table.from_arrays(cols, names=names)
-
-        def attach(group: pa.Table) -> pa.Table:
-            k = group.column("k").to_numpy(zero_copy_only=False)
-            d = group.column("d").to_numpy(zero_copy_only=False)
-            is_deg = d >= 0
-            dk, dv = k[is_deg], d[is_deg]
-            order = np.argsort(dk, kind="stable")
-            dk, dv = dk[order], dv[order]
-            kept = group.filter(pa.array(~is_deg))
-            fk = kept.column("k").to_numpy(zero_copy_only=False)
-            got = dv[np.searchsorted(dk, fk)]
-            cols = [pa.array(fk), pa.array(got)]
-            names = [key_col, out_col]
-            for c in carry:
-                cols.append(kept.column(c))
-                names.append(c)
-            return pa.Table.from_arrays(cols, names=names)
-
-        return fact.map_batches(fact_emit, batch_format="pyarrow",
-                                zero_copy_batch=True) \
-            .union(deg.map_batches(deg_emit, batch_format="pyarrow",
-                                   zero_copy_batch=True)) \
-            .groupby("key").map_groups(attach, batch_format="pyarrow")
-
-    def _orient_from(p1, p2, d1, d2) -> pa.Table:
+        d1 = _col_i64(batch, "d1")
+        d2 = _col_i64(batch, "d2")
         # low (deg, node) endpoint becomes src
         swap = (d2 < d1) | ((d2 == d1) & (p2 < p1))
         src = np.where(swap, p2, p1)
@@ -933,48 +990,10 @@ def triangle_census(edges, n_buckets: int = N_SHUFFLE_BUCKETS,
              pa.array(dst)],
             names=["bucket", "src", "dst"])
 
-    # Orientation routing (the ANN EXACT_MAX_ROWS pattern): the degree
-    # table is NODE-sized, orders of magnitude below the edge table —
-    # up to the gate it broadcasts once via ray.put (two barriers
-    # saved); past the gate the plan switches to the two chained
-    # bucketed emit-union attaches, which never broadcast.
-    if deg.count() <= TRI_BROADCAST_MAX_NODES:
-        rows = deg.take_all()           # node-sized, gated above
-        nodes_s = np.array([r["node"] for r in rows], dtype=np.int64)
-        degs_s = np.array([r["deg"] for r in rows], dtype=np.int64)
-        order = np.argsort(nodes_s, kind="stable")
-        deg_ref = ray.put((nodes_s[order], degs_s[order]))
-
-        def orient_bcast(batch: pa.Table, *, _ref=deg_ref) -> pa.Table:
-            lut = _ref if isinstance(_ref, tuple) else ray.get(_ref)
-            nodes, degs = lut
-            p1 = _col_i64(batch, "p1")
-            p2 = _col_i64(batch, "p2")
-            d1 = degs[np.searchsorted(nodes, p1)]
-            d2 = degs[np.searchsorted(nodes, p2)]
-            return _orient_from(p1, p2, d1, d2)
-
-        oriented = edges.select_columns(["p1", "p2"]).map_batches(
-            orient_bcast, batch_format="pyarrow", zero_copy_batch=True)
-    else:
-        import warnings
-
-        warnings.warn(
-            f"triangle_census: {deg.count()} nodes exceeds the "
-            f"broadcast gate ({TRI_BROADCAST_MAX_NODES}); routing "
-            "degree orientation through bucketed attaches",
-            stacklevel=2)
-        with_d1 = _attach_deg(edges.select_columns(["p1", "p2"]),
-                              "p1", "d1", ["p2"])
-        with_d2 = _attach_deg(with_d1, "p2", "d2", ["p1", "d1"])
-
-        def orient(batch: pa.Table) -> pa.Table:
-            return _orient_from(
-                _col_i64(batch, "p1"), _col_i64(batch, "p2"),
-                _col_i64(batch, "d1"), _col_i64(batch, "d2"))
-
-        oriented = with_d2.map_batches(orient, batch_format="pyarrow",
-                                       zero_copy_batch=True)
+    oriented = _edges_with_degrees(
+        edges, deg, n_buckets, caller="triangle_census") \
+        .map_batches(orient, batch_format="pyarrow",
+                     zero_copy_batch=True)
 
     def wedge_cell(group: pa.Table, *, _bloom=bloom_ref) -> pa.Table:
         s = group.column("src").to_numpy(zero_copy_only=False)
@@ -1075,3 +1094,64 @@ def triangle_census(edges, n_buckets: int = N_SHUFFLE_BUCKETS,
     return out.map_batches(
         lambda b: b.rename_columns(["node", "deg", "tri"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def degree_assortativity(edges, n_buckets: int = N_SHUFFLE_BUCKETS):
+    """One row (n_pairs, assortativity_micro): Newman degree
+    assortativity of an undirected (p1, p2) distinct-edge graph —
+    the Pearson correlation of endpoint degrees over the SYMMETRIZED
+    edge list (each edge contributes both (d1, d2) and (d2, d1)), in
+    micro-units.  Positive = hubs link to hubs (assortative mixing);
+    the standard structural health check before trusting
+    degree-targeted curation or sampling on a link graph.
+
+    Shape: degrees via ``_edge_degrees`` (one native groupby), endpoint
+    degrees attached through the routed ``_edges_with_degrees`` plan
+    (broadcast LUT under the node gate, bucketed attaches past it),
+    then ONE streaming pass emits a single int64 partial-sums row per
+    block (n, Σx, Σx², Σxy over the symmetrized pairs — Σy/Σy² equal
+    Σx/Σx² by symmetry and are not shipped); the driver folds the
+    per-block rows in Python arbitrary-precision ints (the
+    zscore_events overflow lesson: int64 is per-BLOCK safe — bounded
+    by block_rows · deg_max², e.g. 32k-row blocks with degrees to
+    ~5e6 — while the corpus total is driver-side exact; past that
+    bound, limb-encode like embedding_dim_stats).  The final
+    expression replays the SQL oracle's float64 operation order
+    exactly, so the result is bit-identical."""
+    import math
+
+    edges = edges.materialize()     # consumed by degrees + the pass
+    deg = _edge_degrees(edges, n_buckets)
+    ed = _edges_with_degrees(edges, deg, n_buckets,
+                             caller="degree_assortativity")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d1 = _col_i64(batch, "d1")
+        d2 = _col_i64(batch, "d2")
+        n = 2 * len(d1)
+        sx = int(d1.sum() + d2.sum())
+        sxx = int((d1 * d1).sum() + (d2 * d2).sum())
+        sxy = int(2 * (d1 * d2).sum())
+        return pa.Table.from_arrays(
+            [pa.array([n], pa.int64()), pa.array([sx], pa.int64()),
+             pa.array([sxx], pa.int64()), pa.array([sxy], pa.int64())],
+            names=["n", "sx", "sxx", "sxy"])
+
+    rows = ed.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    n = sum(int(r["n"]) for r in rows)      # Python ints: exact
+    sx = sum(int(r["sx"]) for r in rows)
+    sxx = sum(int(r["sxx"]) for r in rows)
+    sxy = sum(int(r["sxy"]) for r in rows)
+    var = n * sxx - sx * sx                 # = both marginal variances
+    if n > 1 and var > 0:
+        # mirror of the SQL CASE expression, same IEEE double order:
+        # floor(DOUBLE(num)·1e6 / sqrt(DOUBLE(var)·DOUBLE(var)) + 0.5)
+        r_micro = int(math.floor(
+            float(n * sxy - sx * sx) * 1000000.0
+            / math.sqrt(float(var) * float(var)) + 0.5))
+    else:
+        r_micro = 0
+    return pa.Table.from_arrays(
+        [pa.array([n], pa.int64()), pa.array([r_micro], pa.int64())],
+        names=["n_pairs", "assortativity_micro"])
