@@ -750,6 +750,12 @@ def _webgraph_anchor_stats(sf_dir: str):
     return anchor_stats(_webgraph_links(sf_dir))
 
 
+def _webgraph_cocitation(sf_dir: str):
+    from webtext.pipelines.webgraph import host_cocitation
+
+    return host_cocitation(_webgraph_links(sf_dir))
+
+
 def _webgraph_host_pagerank(sf_dir: str):
     from webtext.pipelines.webgraph import host_pagerank
 
@@ -2260,6 +2266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (regex scan vs HTMLParser differential goldens — webgraph.py)
         "outlinks": lambda sf: _webgraph_links(sf),
         "anchor_stats": lambda sf: _webgraph_anchor_stats(sf),
+        # co-citation over target hosts (mirror/topic-affinity signal)
+        "host_cocitation": lambda sf: _webgraph_cocitation(sf),
         "host_pagerank": lambda sf: _webgraph_host_pagerank(sf),
         # host authority as a per-doc quality prior + PPS corpus draw
         "doc_authority": lambda sf: _webgraph_doc_authority(sf),
@@ -2407,6 +2415,7 @@ def oracle_sql() -> dict[str, str]:
             "centroid_classify",
             "pagerank", "containment_pairs",
             "outlinks", "anchor_stats", "host_pagerank",
+            "host_cocitation",
             "doc_authority", "authority_sample",
             "nb_classify", "bloom_dedup", "hits_scores",
             "dd_quantiles", "kcenter_select", "dup_mapping",

@@ -226,3 +226,46 @@ def test_authority_sample_blocking_invariant_and_weighted(ray_session):
     ranks = {r["doc_id"]: r["rank"]
              for r in doc_authority(ds, host_pagerank(ds)).take_all()}
     assert all(ranks[d] > 0 for d in s1)
+
+
+def test_sbucket_nul_batch_equals_solo():
+    # pandas hash_array's categorize=True default mis-hashes embedded-
+    # NUL strings context-dependently; _sbucket must hash each element
+    # independently of its neighbours (see _sbucket docstring)
+    from webtext.functions.dedup import _sbucket
+
+    combs = [f"host{a}.example.org\x00site{b}.example.net"
+             for a in range(9) for b in range(a + 1, 9)]
+    batch = _sbucket(combs)
+    solo = np.array([_sbucket([c])[0] for c in combs])
+    assert (batch == solo).all()
+
+
+def test_host_cocitation_matches_brute(ray_session):
+    import itertools
+    from collections import Counter, defaultdict
+
+    import ray
+
+    from webtext.pipelines.webgraph import host_cocitation
+
+    docs = linkweb_fixture_docs(n_docs=40, seed=3)
+    t = pa.Table.from_pylist(docs, schema=INPUT_SCHEMA)
+    links = outlinks(ray.data.from_arrow(t).repartition(5))
+    got = {(r.host1, r.host2): r.n_docs
+           for r in host_cocitation(links).to_pandas().itertuples()}
+
+    per_src = defaultdict(set)
+    for d in docs:
+        import re as _re
+        from webtext.pipelines.webgraph import ANCHOR_RE, host_of
+        import html as _h
+        for m in ANCHOR_RE.finditer(d["spans"][0]["text"]):
+            h = host_of(_h.unescape(m.group(1)))
+            if h:
+                per_src[d["doc_id"]].add(h)
+    want: Counter = Counter()
+    for hs in per_src.values():
+        for a, b in itertools.combinations(sorted(hs), 2):
+            want[(a, b)] += 1
+    assert got == dict(want)

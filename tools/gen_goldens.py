@@ -859,6 +859,29 @@ def _golden_host(url: str) -> str:
         return ""
 
 
+def golden_host_cocitation(ol: pa.Table) -> pa.Table:
+    """Plain-python co-citation counts over the HTMLParser link table:
+    per source doc the DISTINCT target-host set, then a Counter over
+    its sorted host pairs (vs the engine's coded run expansion)."""
+    import itertools
+    from collections import Counter, defaultdict
+
+    per_src: dict = defaultdict(set)
+    for src, href in zip(ol["src"].to_pylist(), ol["href"].to_pylist()):
+        h = _golden_host(href)
+        if h:
+            per_src[src].add(h)
+    cnt: Counter = Counter()
+    for hs in per_src.values():
+        for a, b in itertools.combinations(sorted(hs), 2):
+            cnt[(a, b)] += 1
+    keys = sorted(cnt)
+    return pa.table({
+        "host1": pa.array([k[0] for k in keys], pa.string()),
+        "host2": pa.array([k[1] for k in keys], pa.string()),
+        "n_docs": pa.array([cnt[k] for k in keys], pa.int64())})
+
+
 def golden_host_pagerank(ol: pa.Table) -> pa.Table:
     """Dense np.add.at fixed-point PageRank over HTMLParser-derived
     host edges, md5-u63 node ids re-keyed to host strings — identical
@@ -2107,6 +2130,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     ol = golden_outlinks(wg_docs)
     g["outlinks"] = ol
     g["anchor_stats"] = golden_anchor_stats(ol)
+    g["host_cocitation"] = golden_host_cocitation(ol)
     g["host_pagerank"] = golden_host_pagerank(ol)
     g["doc_authority"] = golden_doc_authority(wg_docs,
                                               g["host_pagerank"])

@@ -104,14 +104,27 @@ def _ibucket(a: np.ndarray, n: int = N_SHUFFLE_BUCKETS) -> np.ndarray:
 def _sbucket(strings, n: int = N_SHUFFLE_BUCKETS) -> np.ndarray:
     """Deterministic hash bucket for string keys (vectorized siphash via
     pandas.util.hash_array; stable across processes — fixed hash key, no
-    PYTHONHASHSEED dependence)."""
+    PYTHONHASHSEED dependence).
+
+    categorize=False is REQUIRED, not an optimization choice: the
+    default categorize=True path (factorize → hash the category
+    values) mis-hashes strings containing embedded NUL bytes — the
+    per-element hash then depends on the OTHER elements in the array,
+    so the same key gets different buckets in different tasks and a
+    downstream groupby silently fails to co-locate (caught by
+    host_cocitation's NUL-joined pair keys; pinned by
+    tests/test_webgraph.py::test_sbucket_nul_batch_equals_solo).  The
+    direct path hashes each element's utf-8 bytes independently and is
+    value-identical to the default path for NUL-free strings (verified
+    over the repo's key shapes), so no existing exchange changes."""
     import pandas as pd
 
     arr = np.asarray(list(strings) if not isinstance(strings, np.ndarray)
                      else strings, dtype=object)
     if arr.size == 0:
         return np.empty(0, dtype=np.int64)
-    return (pd.util.hash_array(arr) % np.uint64(n)).astype(np.int64)
+    return (pd.util.hash_array(arr, categorize=False)
+            % np.uint64(n)).astype(np.int64)
 
 
 def _col_i64(batch: pa.Table, name: str) -> np.ndarray:

@@ -8,7 +8,7 @@ anchor-text aggregation per target URL (the classic search-index /
 query-likelihood feature) and host-level authority (PageRank over the
 host graph — the standard quality prior for corpus weighting).
 
-Three operators over the interleaved (doc_id, spans) corpus:
+Operators over the interleaved (doc_id, spans) corpus:
 
 * ``outlinks``      — (src, href, anchor): every <a href> anchor in
                       every html span, entity-unescaped, inner tags
@@ -19,6 +19,8 @@ Three operators over the interleaved (doc_id, spans) corpus:
 * ``host_pagerank`` — fixed-point PageRank over the host→host graph
                       derived from (src doc host → href host), ranks
                       joined back to host strings.
+* ``host_cocitation`` — distinct-doc co-citation counts per target-host
+                      pair (mirror/topic-affinity signal).
 
 Scale shape: ``outlinks`` is a pure map_batches scan (compiled regex
 per html span — the extraction cost class; no shuffle).  ``anchor_stats``
@@ -52,7 +54,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from ..functions.dedup import N_SHUFFLE_BUCKETS
+from ..functions.dedup import N_SHUFFLE_BUCKETS, _sbucket
 
 # href must sit before the closing '>' of the same <a ...> tag
 # ([^>]*? cannot cross it); inner text runs to the FIRST </a> (anchors
@@ -428,3 +430,100 @@ def host_ranks_named(links):
         _host_map(links).map_batches(
             map_emit, batch_format="pyarrow", zero_copy_batch=True))
     return u.groupby("key").map_groups(attach, batch_format="pyarrow")
+
+
+def host_cocitation(links, n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(host1, host2, n_docs): co-citation counts over TARGET hosts —
+    for every unordered pair of distinct hosts, how many distinct
+    source documents link to both (host1 < host2 lexicographically).
+    The classic co-citation similarity signal (hosts repeatedly cited
+    together are topically related — HITS/co-citation literature), and
+    the host-level mirror detector's first stage.
+
+    Scale shape, the butterfly recipe over the doc→host bipartite
+    projection: (src, target-host) rows bucket by hash(src) % 256 —
+    every row of a document co-locates — and each cell dedupes
+    (src, host) via per-cell integer codes, enumerates within-doc host
+    pairs with the vectorized run expansion, and partial-counts pairs
+    by packed code; pair partials settle in ONE further
+    hash(pair-string) % 256 exchange (host strings ride the pair rows,
+    so no name re-attach exchange is needed).  The per-doc fan-out
+    C(distinct hosts, 2) is the projection's true output size — the
+    operator keeps the exact contract and documents the cost (cap a
+    runaway doc's distinct-host count upstream if needed)."""
+
+    def doc_emit(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_pylist()
+        host = [host_of(u) for u in batch.column("href").to_pylist()]
+        keep = [i for i, h in enumerate(host) if h]
+        return pa.Table.from_arrays(
+            [pa.array(_sbucket([src[i] for i in keep], n_buckets)),
+             pa.array([src[i] for i in keep], pa.string()),
+             pa.array([host[i] for i in keep], pa.string())],
+            names=["bucket", "src", "host"])
+
+    def pairs_cell(group: pa.Table) -> pa.Table:
+        src = np.asarray(group.column("src").to_pylist(), dtype=object)
+        host = np.asarray(group.column("host").to_pylist(),
+                          dtype=object)
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.string()),
+             pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["key2", "h1", "h2", "c"])
+        if len(src) == 0:
+            return empty
+        us, si = np.unique(src, return_inverse=True)
+        uh, hi = np.unique(host, return_inverse=True)
+        # distinct (doc, host) as packed codes — np.unique returns them
+        # sorted, so hosts are STRING-ascending within each doc run
+        packed = np.unique(si.astype(np.int64) * len(uh) + hi)
+        d = packed // len(uh)
+        h = packed % len(uh)
+        n = len(d)
+        starts_mask = np.r_[True, d[1:] != d[:-1]]
+        starts = np.flatnonzero(starts_mask)
+        run_id = np.cumsum(starts_mask) - 1
+        ends = np.r_[starts[1:], n][run_id]
+        counts = ends - np.arange(n) - 1
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        lo_idx = np.repeat(np.arange(n), counts)
+        excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        seq = np.arange(total) - np.repeat(excl, counts)
+        hi_idx = lo_idx + 1 + seq
+        ppair = h[lo_idx] * len(uh) + h[hi_idx]     # h1_code < h2_code
+        uniq, cnt = np.unique(ppair, return_counts=True)
+        h1 = uh[uniq // len(uh)]
+        h2 = uh[uniq % len(uh)]
+        comb = [a + "\x00" + b for a, b in zip(h1.tolist(), h2.tolist())]
+        return pa.Table.from_arrays(
+            [pa.array(_sbucket(comb, n_buckets)),
+             pa.array(h1.tolist(), pa.string()),
+             pa.array(h2.tolist(), pa.string()),
+             pa.array(cnt.astype(np.int64))],
+            names=["key2", "h1", "h2", "c"])
+
+    def settle_cell(group: pa.Table) -> pa.Table:
+        h1 = np.asarray(group.column("h1").to_pylist(), dtype=object)
+        h2 = np.asarray(group.column("h2").to_pylist(), dtype=object)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        comb = np.asarray([a + "\x00" + b
+                           for a, b in zip(h1.tolist(), h2.tolist())],
+                          dtype=object)
+        uniq, first, inv = np.unique(comb, return_index=True,
+                                     return_inverse=True)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, c)
+        return pa.Table.from_arrays(
+            [pa.array(h1[first].tolist(), pa.string()),
+             pa.array(h2[first].tolist(), pa.string()),
+             pa.array(tot)],
+            names=["host1", "host2", "n_docs"])
+
+    return links.map_batches(doc_emit, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("bucket").map_groups(pairs_cell,
+                                      batch_format="pyarrow") \
+        .groupby("key2").map_groups(settle_cell,
+                                    batch_format="pyarrow")
