@@ -756,6 +756,12 @@ def _webgraph_cocitation(sf_dir: str):
     return host_cocitation(_webgraph_links(sf_dir))
 
 
+def _webgraph_coupling(sf_dir: str):
+    from webtext.pipelines.webgraph import host_coupling
+
+    return host_coupling(_webgraph_links(sf_dir))
+
+
 def _webgraph_host_pagerank(sf_dir: str):
     from webtext.pipelines.webgraph import host_pagerank
 
@@ -2268,6 +2274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_stats": lambda sf: _webgraph_anchor_stats(sf),
         # co-citation over target hosts (mirror/topic-affinity signal)
         "host_cocitation": lambda sf: _webgraph_cocitation(sf),
+        # bibliographic coupling + Jaccard (host-level mirror detector)
+        "host_coupling": lambda sf: _webgraph_coupling(sf),
         "host_pagerank": lambda sf: _webgraph_host_pagerank(sf),
         # host authority as a per-doc quality prior + PPS corpus draw
         "doc_authority": lambda sf: _webgraph_doc_authority(sf),
@@ -2415,7 +2423,7 @@ def oracle_sql() -> dict[str, str]:
             "centroid_classify",
             "pagerank", "containment_pairs",
             "outlinks", "anchor_stats", "host_pagerank",
-            "host_cocitation",
+            "host_cocitation", "host_coupling",
             "doc_authority", "authority_sample",
             "nb_classify", "bloom_dedup", "hits_scores",
             "dd_quantiles", "kcenter_select", "dup_mapping",

@@ -216,7 +216,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "global_quantiles",
                  "graph_degrees", "pagerank", "hits_scores",
                  "outlinks", "anchor_stats", "host_pagerank",
-                 "host_cocitation",
+                 "host_cocitation", "host_coupling",
                  "doc_authority", "authority_sample",
                  "pagerank_weighted", "butterfly_count",
                  "copurchase_edges", "part_triangles",

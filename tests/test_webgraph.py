@@ -269,3 +269,36 @@ def test_host_cocitation_matches_brute(ray_session):
         for a, b in itertools.combinations(sorted(hs), 2):
             want[(a, b)] += 1
     assert got == dict(want)
+
+
+def test_host_coupling_matches_brute(ray_session):
+    import html as _h
+    import itertools
+    from collections import defaultdict
+
+    import ray
+
+    from webtext.pipelines.webgraph import (ANCHOR_RE, host_coupling,
+                                            host_of)
+
+    docs = linkweb_fixture_docs(n_docs=36, seed=5)
+    t = pa.Table.from_pylist(docs, schema=INPUT_SCHEMA)
+    links = outlinks(ray.data.from_arrow(t).repartition(5))
+    df = host_coupling(links).to_pandas()
+    got = {(r.host1, r.host2): (r.inter, r.union, r.jaccard_micro)
+           for r in df.itertuples()}
+
+    per_host = defaultdict(set)
+    for d in docs:
+        sh = host_of(d["doc_id"])
+        for m in ANCHOR_RE.finditer(d["spans"][0]["text"]):
+            dh = host_of(_h.unescape(m.group(1)))
+            if sh and dh:
+                per_host[sh].add(dh)
+    want = {}
+    for a, b in itertools.combinations(sorted(per_host), 2):
+        inter = len(per_host[a] & per_host[b])
+        if inter:
+            union = len(per_host[a] | per_host[b])
+            want[(a, b)] = (inter, union, inter * 1_000_000 // union)
+    assert got == want

@@ -882,6 +882,33 @@ def golden_host_cocitation(ol: pa.Table) -> pa.Table:
         "n_docs": pa.array([cnt[k] for k in keys], pa.int64())})
 
 
+def golden_host_coupling(ol: pa.Table) -> pa.Table:
+    """Plain-python bibliographic coupling over the HTMLParser link
+    table: per SOURCE host the distinct target-host set, then pairwise
+    intersection / union / integer-floor Jaccard micro."""
+    import itertools
+    from collections import defaultdict
+
+    per_host: dict = defaultdict(set)
+    for src, href in zip(ol["src"].to_pylist(), ol["href"].to_pylist()):
+        sh, dh = _golden_host(src), _golden_host(href)
+        if sh and dh:
+            per_host[sh].add(dh)
+    rows = []
+    for a, b in itertools.combinations(sorted(per_host), 2):
+        inter = len(per_host[a] & per_host[b])
+        if inter == 0:
+            continue
+        union = len(per_host[a] | per_host[b])
+        rows.append((a, b, inter, union, inter * 1_000_000 // union))
+    return pa.table({
+        "host1": pa.array([r[0] for r in rows], pa.string()),
+        "host2": pa.array([r[1] for r in rows], pa.string()),
+        "inter": pa.array([r[2] for r in rows], pa.int64()),
+        "union": pa.array([r[3] for r in rows], pa.int64()),
+        "jaccard_micro": pa.array([r[4] for r in rows], pa.int64())})
+
+
 def golden_host_pagerank(ol: pa.Table) -> pa.Table:
     """Dense np.add.at fixed-point PageRank over HTMLParser-derived
     host edges, md5-u63 node ids re-keyed to host strings — identical
@@ -2131,6 +2158,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["outlinks"] = ol
     g["anchor_stats"] = golden_anchor_stats(ol)
     g["host_cocitation"] = golden_host_cocitation(ol)
+    g["host_coupling"] = golden_host_coupling(ol)
     g["host_pagerank"] = golden_host_pagerank(ol)
     g["doc_authority"] = golden_doc_authority(wg_docs,
                                               g["host_pagerank"])

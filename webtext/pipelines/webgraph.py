@@ -21,6 +21,8 @@ Operators over the interleaved (doc_id, spans) corpus:
                       joined back to host strings.
 * ``host_cocitation`` — distinct-doc co-citation counts per target-host
                       pair (mirror/topic-affinity signal).
+* ``host_coupling`` — bibliographic coupling of source hosts with
+                      integer Jaccard (host-level mirror detector).
 
 Scale shape: ``outlinks`` is a pure map_batches scan (compiled regex
 per html span — the extraction cost class; no shuffle).  ``anchor_stats``
@@ -54,7 +56,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from ..functions.dedup import N_SHUFFLE_BUCKETS, _sbucket
+from ..functions.dedup import N_SHUFFLE_BUCKETS, _col_i64, _sbucket
 
 # href must sit before the closing '>' of the same <a ...> tag
 # ([^>]*? cannot cross it); inner text runs to the FIRST </a> (anchors
@@ -527,3 +529,197 @@ def host_cocitation(links, n_buckets: int = N_SHUFFLE_BUCKETS):
                                       batch_format="pyarrow") \
         .groupby("key2").map_groups(settle_cell,
                                     batch_format="pyarrow")
+
+
+def host_coupling(links, n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(host1, host2, inter, union, jaccard_micro): bibliographic
+    coupling of SOURCE hosts — for every pair of hosts that link to at
+    least one common target host, the intersection / union sizes of
+    their distinct target-host sets and the integer-floor Jaccard in
+    micro-units (inter·10⁶ // union).  The dual of ``host_cocitation``
+    (coupling = shared OUT-references; co-citation = shared IN-
+    references) and the standard first-pass mirror/syndication detector
+    at host granularity.
+
+    Shape: (src-host, target-host) rows bucket by hash(target) % 256 —
+    every copy of a (sh, t) edge co-locates, so the cell dedupes
+    globally and enumerates source-host pairs per target with the
+    vectorized run expansion (pair partials = |A∩B| contributions);
+    pair partials settle in one hash(pair) % 256 exchange.  Set sizes
+    |A| travel as a host-keyed side table through the same settle
+    exchange (emit-union on hash(host1-of-pair)… sizes are host-sized)
+    — concretely: sizes attach by TWO chained bucketed emit-unions on
+    the pair's host strings.  The per-target fan-out C(linking hosts,
+    2) is the coupling projection's true output size (cap runaway
+    targets upstream if needed — documented, never silently
+    sampled)."""
+
+    def edge_emit(batch: pa.Table) -> pa.Table:
+        sh = [host_of(u) for u in batch.column("src").to_pylist()]
+        dh = [host_of(u) for u in batch.column("href").to_pylist()]
+        keep = [i for i, (a, b) in enumerate(zip(sh, dh)) if a and b]
+        return pa.Table.from_arrays(
+            [pa.array(_sbucket([dh[i] for i in keep], n_buckets)),
+             pa.array([sh[i] for i in keep], pa.string()),
+             pa.array([dh[i] for i in keep], pa.string())],
+            names=["bucket", "sh", "dh"])
+
+    def pairs_cell(group: pa.Table) -> pa.Table:
+        sh = np.asarray(group.column("sh").to_pylist(), dtype=object)
+        dh = np.asarray(group.column("dh").to_pylist(), dtype=object)
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.string()),
+             pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["key2", "h1", "h2", "c"])
+        if len(sh) == 0:
+            return empty
+        us, si = np.unique(sh, return_inverse=True)
+        ud, di = np.unique(dh, return_inverse=True)
+        # distinct (target, source) codes, target-major so each
+        # target's sources form one run with source-code (= string)
+        # ascending
+        packed = np.unique(di.astype(np.int64) * len(us) + si)
+        t = packed // len(us)
+        s = packed % len(us)
+        n = len(t)
+        starts_mask = np.r_[True, t[1:] != t[:-1]]
+        starts = np.flatnonzero(starts_mask)
+        run_id = np.cumsum(starts_mask) - 1
+        ends = np.r_[starts[1:], n][run_id]
+        counts = ends - np.arange(n) - 1
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        lo_idx = np.repeat(np.arange(n), counts)
+        excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        seq = np.arange(total) - np.repeat(excl, counts)
+        hi_idx = lo_idx + 1 + seq
+        ppair = s[lo_idx] * len(us) + s[hi_idx]    # h1_code < h2_code
+        uniq, cnt = np.unique(ppair, return_counts=True)
+        h1 = us[uniq // len(us)]
+        h2 = us[uniq % len(us)]
+        comb = [a + "\x00" + b for a, b in zip(h1.tolist(), h2.tolist())]
+        return pa.Table.from_arrays(
+            [pa.array(_sbucket(comb, n_buckets)),
+             pa.array(h1.tolist(), pa.string()),
+             pa.array(h2.tolist(), pa.string()),
+             pa.array(cnt.astype(np.int64))],
+            names=["key2", "h1", "h2", "c"])
+
+    def settle_cell(group: pa.Table) -> pa.Table:
+        h1 = np.asarray(group.column("h1").to_pylist(), dtype=object)
+        h2 = np.asarray(group.column("h2").to_pylist(), dtype=object)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        comb = np.asarray([a + "\x00" + b
+                           for a, b in zip(h1.tolist(), h2.tolist())],
+                          dtype=object)
+        uniq, first, inv = np.unique(comb, return_index=True,
+                                     return_inverse=True)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, c)
+        return pa.Table.from_arrays(
+            [pa.array(h1[first].tolist(), pa.string()),
+             pa.array(h2[first].tolist(), pa.string()),
+             pa.array(tot)],
+            names=["host1", "host2", "inter"])
+
+    edges = links.map_batches(edge_emit, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    inter = edges.groupby("bucket").map_groups(
+        pairs_cell, batch_format="pyarrow") \
+        .groupby("key2").map_groups(settle_cell,
+                                    batch_format="pyarrow")
+
+    # per-source-host distinct target counts (the |A| sizes): the
+    # target-bucketed cells each see every copy of a (sh, t) edge, so
+    # a per-cell distinct-count partial sums exactly once per edge
+    def size_partial(group: pa.Table) -> pa.Table:
+        sh = np.asarray(group.column("sh").to_pylist(), dtype=object)
+        dh = np.asarray(group.column("dh").to_pylist(), dtype=object)
+        us, si = np.unique(sh, return_inverse=True)
+        ud, di = np.unique(dh, return_inverse=True)
+        packed = np.unique(si.astype(np.int64) * len(ud) + di)
+        cnt = np.bincount((packed // len(ud)).astype(np.int64),
+                          minlength=len(us)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(us.tolist(), pa.string()), pa.array(cnt)],
+            names=["host", "n_targets"])
+
+    sizes = edges.groupby("bucket").map_groups(
+        size_partial, batch_format="pyarrow") \
+        .groupby("host").sum("n_targets") \
+        .map_batches(lambda b: b.rename_columns(["host", "n_targets"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+
+    def _attach_size(fact, key_col: str, out_col: str, carry: list):
+        """Emit-union attach of a host's target-set size onto pair
+        rows (inner: every pair host has a size row)."""
+        def fact_emit(batch: pa.Table) -> pa.Table:
+            k = batch.column(key_col).to_pylist()
+            cols = [pa.array(_sbucket(k, n_buckets)),
+                    pa.array(k, pa.string()),
+                    pa.array(np.full(len(k), -1, dtype=np.int64))]
+            names = ["key", "k", "sz"]
+            for col in carry:
+                cols.append(batch.column(col))
+                names.append(col)
+            return pa.Table.from_arrays(cols, names=names)
+
+        def size_emit(batch: pa.Table) -> pa.Table:
+            k = batch.column("host").to_pylist()
+            cols = [pa.array(_sbucket(k, n_buckets)),
+                    pa.array(k, pa.string()),
+                    batch.column("n_targets").cast(pa.int64())]
+            names = ["key", "k", "sz"]
+            for col in carry:
+                if col in ("host1", "host2"):
+                    cols.append(pa.array([""] * len(k), pa.string()))
+                else:
+                    cols.append(pa.array(
+                        np.zeros(len(k), dtype=np.int64)))
+                names.append(col)
+            return pa.Table.from_arrays(cols, names=names)
+
+        def attach(group: pa.Table) -> pa.Table:
+            k = np.asarray(group.column("k").to_pylist(), dtype=object)
+            sz = group.column("sz").to_numpy(zero_copy_only=False)
+            is_size = sz >= 0
+            dk = k[is_size]
+            dv = sz[is_size]
+            order = np.argsort(dk, kind="stable")
+            dk, dv = dk[order], dv[order]
+            kept = group.filter(pa.array(~is_size))
+            fk = np.asarray(kept.column("k").to_pylist(), dtype=object)
+            got = dv[np.searchsorted(dk, fk)] if len(fk) else \
+                np.zeros(0, dtype=np.int64)
+            cols = [pa.array(fk.tolist(), pa.string()), pa.array(got)]
+            names = [key_col, out_col]
+            for col in carry:
+                cols.append(kept.column(col))
+                names.append(col)
+            return pa.Table.from_arrays(cols, names=names)
+
+        return fact.map_batches(fact_emit, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .union(sizes.map_batches(size_emit, batch_format="pyarrow",
+                                     zero_copy_batch=True)) \
+            .groupby("key").map_groups(attach, batch_format="pyarrow")
+
+    sizes = sizes.materialize()     # consumed by both attaches
+    with_s1 = _attach_size(inter, "host1", "s1", ["host2", "inter"])
+    with_s2 = _attach_size(with_s1, "host2", "s2",
+                           ["host1", "s1", "inter"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        inter_ = _col_i64(batch, "inter")
+        s1 = _col_i64(batch, "s1")
+        s2 = _col_i64(batch, "s2")
+        union_ = s1 + s2 - inter_
+        jac = inter_ * np.int64(1_000_000) // union_
+        return pa.Table.from_arrays(
+            [batch.column("host1"), batch.column("host2"),
+             pa.array(inter_), pa.array(union_), pa.array(jac)],
+            names=["host1", "host2", "inter", "union", "jaccard_micro"])
+
+    return with_s2.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)
