@@ -1228,6 +1228,14 @@ def _part_triangles(sf_dir: str):
     return triangle_census(_copurchase_edges(sf_dir))
 
 
+def _graph_walks(sf_dir: str):
+    """Deterministic DeepWalk-style walk corpus over the co-purchase
+    graph (content-addressed md5 neighbour choice; live SQL replay)."""
+    from webtext.functions.graph import graph_walks
+
+    return graph_walks(_copurchase_edges(sf_dir), steps=3)
+
+
 def _part_assortativity(sf_dir: str):
     """Newman degree assortativity of the co-purchase graph (exact
     integer sums, IEEE-order-matched final expression)."""
@@ -2260,6 +2268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": lambda sf: _part_triangles(sf),
         # degree-mixing health check of the co-purchase graph
         "part_assortativity": lambda sf: _part_assortativity(sf),
+        # deterministic DeepWalk corpus (graph-embedding training data)
+        "graph_walks": lambda sf: _graph_walks(sf),
         # per-customer repeat-purchase cadence (relational LAG rollup)
         "customer_order_gaps": lambda sf: _order_gaps(sf),
         # weighted sampling over a JOIN (weight exists only post-join)
@@ -4129,6 +4139,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT deg.node::BIGINT AS node, deg.deg,
                    COALESCE(tn.tri, 0)::BIGINT AS tri
             FROM deg LEFT JOIN tn USING (node)""",
+        "graph_walks": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                  FROM op a JOIN op b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2),
+            adj AS (SELECT p1 AS node, p2 AS nbr FROM e
+                    UNION ALL SELECT p2, p1 FROM e),
+            adjo AS (SELECT node, nbr,
+                            ROW_NUMBER() OVER (PARTITION BY node
+                                               ORDER BY nbr) - 1 AS idx,
+                            COUNT(*) OVER (PARTITION BY node) AS deg
+                     FROM adj),
+            w0 AS (SELECT DISTINCT node AS start, node AS cur FROM adj),
+            w1 AS (SELECT w.start, a.nbr AS cur
+                   FROM w0 w JOIN adjo a ON a.node = w.cur
+                    AND a.idx = CAST(md5_number_upper(
+                          CAST(w.start AS VARCHAR) || ':' ||
+                          CAST(w.cur AS VARCHAR) || ':0:walk')
+                          & 9223372036854775807 AS BIGINT) % a.deg),
+            w2 AS (SELECT w.start, a.nbr AS cur
+                   FROM w1 w JOIN adjo a ON a.node = w.cur
+                    AND a.idx = CAST(md5_number_upper(
+                          CAST(w.start AS VARCHAR) || ':' ||
+                          CAST(w.cur AS VARCHAR) || ':1:walk')
+                          & 9223372036854775807 AS BIGINT) % a.deg),
+            w3 AS (SELECT w.start, a.nbr AS cur
+                   FROM w2 w JOIN adjo a ON a.node = w.cur
+                    AND a.idx = CAST(md5_number_upper(
+                          CAST(w.start AS VARCHAR) || ':' ||
+                          CAST(w.cur AS VARCHAR) || ':2:walk')
+                          & 9223372036854775807 AS BIGINT) % a.deg)
+            SELECT start::BIGINT AS start, 0::BIGINT AS step,
+                   cur::BIGINT AS node FROM w0
+            UNION ALL SELECT start, 1, cur FROM w1
+            UNION ALL SELECT start, 2, cur FROM w2
+            UNION ALL SELECT start, 3, cur FROM w3""",
         "part_assortativity": """
             WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
                         FROM lineitem),

@@ -141,3 +141,50 @@ def test_assortativity_star_vs_clique(ray_session):
                     for _ in range(80)})
     out = degree_assortativity(_edge_ds(edges, 5)).to_pandas()
     assert out.values.tolist() == [list(brute(edges))]
+
+
+def _walk_brute(edges, steps=3):
+    import hashlib
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    for v in adj:
+        adj[v].sort()
+    rows = set()
+    for s in adj:
+        cur = s
+        rows.add((s, 0, s))
+        for t in range(steps):
+            h = int.from_bytes(hashlib.md5(
+                f"{s}:{cur}:{t}:walk".encode()).digest()[:8],
+                "little") & 0x7FFFFFFFFFFFFFFF
+            cur = adj[cur][h % len(adj[cur])]
+            rows.add((s, t + 1, cur))
+    return rows
+
+
+def test_graph_walks_differential(ray_session):
+    from webtext.functions.graph import graph_walks
+
+    rng = random.Random("walks")
+    edges = sorted({tuple(sorted(rng.sample(range(1, 30), 2)))
+                    for _ in range(60)})
+    out = graph_walks(_edge_ds(edges, 4), steps=3).to_pandas()
+    got = set(map(tuple, out.values.tolist()))
+    assert got == _walk_brute(edges)
+
+
+def test_graph_walks_block_split_invariant(ray_session):
+    from webtext.functions.graph import graph_walks
+
+    rng = random.Random("walks2")
+    edges = sorted({tuple(sorted(rng.sample(range(1, 20), 2)))
+                    for _ in range(40)})
+    a = graph_walks(_edge_ds(edges, 1), steps=2).to_pandas()
+    b = graph_walks(_edge_ds(edges, 6), steps=2).to_pandas()
+    key = ["start", "step", "node"]
+    assert a.sort_values(key).values.tolist() == \
+        b.sort_values(key).values.tolist()

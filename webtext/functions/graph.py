@@ -1155,3 +1155,110 @@ def degree_assortativity(edges, n_buckets: int = N_SHUFFLE_BUCKETS):
     return pa.Table.from_arrays(
         [pa.array([n], pa.int64()), pa.array([r_micro], pa.int64())],
         names=["n_pairs", "assortativity_micro"])
+
+
+def graph_walks(edges, steps: int = 3,
+                n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(start, step, node): deterministic DeepWalk-style random walks
+    over an undirected (p1, p2) distinct-edge graph — one walk per
+    graph node, ``steps`` transitions, long format with the step-0 row
+    included.  The corpus generator for graph-embedding training
+    (DeepWalk/node2vec): downstream, each walk row-group is a
+    "sentence" of node tokens.
+
+    Determinism is content-addressed (the repo's PPS-membership trick):
+    at step t the walk at node v moves to its sorted-neighbour index
+    ``md5_u63(f"{start}:{v}:{t}:walk") % deg(v)`` — no RNG state, so
+    the walk set is identical under any blocking/parallelism and the
+    SQL oracle replays it exactly with md5_number_upper + ROW_NUMBER
+    joins.  Undirected adjacency means no dead ends (a walk can always
+    backtrack its arrival edge).
+
+    Shape: adjacency ships per step into hash(cur) % 256 cells along
+    with the node-sized walk state (the pagerank round shape — edges
+    re-exchange per round, state stays node-sized); in-cell the next
+    hop is one searchsorted slice + gather, the md5 draw vectorized
+    per DISTINCT (start, cur, step) row.  ``steps`` exchanges total."""
+    import hashlib
+
+    def adj_emit(batch: pa.Table) -> pa.Table:
+        p1 = _col_i64(batch, "p1")
+        p2 = _col_i64(batch, "p2")
+        node = np.concatenate([p1, p2])
+        nbr = np.concatenate([p2, p1])
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(node, n_buckets)), pa.array(node),
+             pa.array(nbr),
+             pa.array(np.full(len(node), -1, dtype=np.int64))],
+            names=["key", "cur", "nbr", "start"])
+
+    adj = edges.map_batches(adj_emit, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def state_emit(batch: pa.Table) -> pa.Table:
+        cur = _col_i64(batch, "node")
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(cur, n_buckets)), pa.array(cur),
+             pa.array(np.full(len(cur), -1, dtype=np.int64)),
+             batch.column("start").cast(pa.int64())],
+            names=["key", "cur", "nbr", "start"])
+
+    def hop(step: int):
+        def f(group: pa.Table) -> pa.Table:
+            cur = group.column("cur").to_numpy(zero_copy_only=False)
+            nbr = group.column("nbr").to_numpy(zero_copy_only=False)
+            start = group.column("start") \
+                .to_numpy(zero_copy_only=False)
+            is_adj = start < 0
+            an, ab = cur[is_adj], nbr[is_adj]
+            order = np.lexsort((ab, an))
+            an, ab = an[order], ab[order]
+            ws, wc = start[~is_adj], cur[~is_adj]
+            if len(ws) == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                    names=["node", "start"])
+            lo = np.searchsorted(an, wc, side="left")
+            hi = np.searchsorted(an, wc, side="right")
+            deg = hi - lo
+            draw = np.array(
+                [int.from_bytes(hashlib.md5(
+                    f"{s}:{c}:{step}:walk".encode()).digest()[:8],
+                    "little") & 0x7FFFFFFFFFFFFFFF
+                 for s, c in zip(ws.tolist(), wc.tolist())],
+                dtype=np.int64)
+            nxt = ab[lo + draw % np.maximum(deg, 1)]
+            return pa.Table.from_arrays(
+                [pa.array(nxt), pa.array(ws)],
+                names=["node", "start"])
+        return f
+
+    # step 0: every graph node starts a walk at itself
+    state = _edge_degrees(edges, n_buckets).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("node").cast(pa.int64()),
+             b.column("node").cast(pa.int64())],
+            names=["node", "start"]),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    out = [state.map_batches(
+        lambda b, _s=0: b.append_column(
+            "step", pa.array(np.full(b.num_rows, _s, dtype=np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True)]
+    for t in range(steps):
+        state = state.map_batches(state_emit, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+            .union(adj) \
+            .groupby("key").map_groups(hop(t), batch_format="pyarrow") \
+            .materialize()
+        out.append(state.map_batches(
+            lambda b, _s=t + 1: b.append_column(
+                "step",
+                pa.array(np.full(b.num_rows, _s, dtype=np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True))
+    res = out[0]
+    for o in out[1:]:
+        res = res.union(o)
+    return res.map_batches(
+        lambda b: b.select(["start", "step", "node"]),
+        batch_format="pyarrow", zero_copy_batch=True)
