@@ -1228,6 +1228,14 @@ def _part_triangles(sf_dir: str):
     return triangle_census(_copurchase_edges(sf_dir))
 
 
+def _part_coreness(sf_dir: str):
+    """Exact k-core decomposition of the co-purchase graph (h-index
+    fixed point with convergence witness; golden = literal peeling)."""
+    from webtext.functions.graph import coreness
+
+    return coreness(_copurchase_edges(sf_dir))
+
+
 def _graph_walks(sf_dir: str):
     """Deterministic DeepWalk-style walk corpus over the co-purchase
     graph (content-addressed md5 neighbour choice; live SQL replay)."""
@@ -2270,6 +2278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_assortativity": lambda sf: _part_assortativity(sf),
         # deterministic DeepWalk corpus (graph-embedding training data)
         "graph_walks": lambda sf: _graph_walks(sf),
+        # exact k-core decomposition (link-farm / cohesion signal)
+        "part_coreness": lambda sf: _part_coreness(sf),
         # per-customer repeat-purchase cadence (relational LAG rollup)
         "customer_order_gaps": lambda sf: _order_gaps(sf),
         # weighted sampling over a JOIN (weight exists only post-join)
@@ -2442,7 +2452,7 @@ def oracle_sql() -> dict[str, str]:
             "media_phash_pairs", "media_dedup_apply",
             "dedup_extracted", "dup_cluster_stats", "hll_users",
             "hll_users_by_type", "incremental_near_dedup",
-            "pca_top_component", "kmv_distinct",
+            "pca_top_component", "kmv_distinct", "part_coreness",
             "effective_rank", "pagerank_weighted",
             "whiten_embeddings", "ivf_recall_audit",
             "minhash_recall_audit", "hll_error_audit",

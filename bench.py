@@ -220,7 +220,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "doc_authority", "authority_sample",
                  "pagerank_weighted", "butterfly_count",
                  "copurchase_edges", "part_triangles",
-                 "part_assortativity", "graph_walks",
+                 "part_assortativity", "graph_walks", "part_coreness",
                  "sample_stratified", "pricing_summary",
                  "order_line_join", "region_customers",
                  "supplier_shipments", "brand_volume",

@@ -188,3 +188,58 @@ def test_graph_walks_block_split_invariant(ray_session):
     key = ["start", "step", "node"]
     assert a.sort_values(key).values.tolist() == \
         b.sort_values(key).values.tolist()
+
+
+# ---------------------------------------------------------------- coreness
+
+def _peel(edges):
+    """Literal iterated-deletion k-core reference (textbook peeling)."""
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    live = {v: set(ns) for v, ns in adj.items()}
+    core, k = {}, 0
+    while live:
+        k += 1
+        while True:
+            drop = [v for v, ns in live.items() if len(ns) < k]
+            if not drop:
+                break
+            for v in drop:
+                core[v] = k - 1
+                for u in live[v]:
+                    live[u].discard(v)
+                del live[v]
+    return core
+
+
+def _coreness(edges, nparts=3):
+    from webtext.functions.graph import coreness
+    out = coreness(_edge_ds(edges, nparts)).to_pandas()
+    return {int(r.node): int(r.coreness) for r in out.itertuples()}
+
+
+def test_coreness_k4_plus_pendant(ray_session):
+    # K4 is a 3-core; the pendant vertex peels at k=1
+    edges = list(itertools.combinations([1, 2, 3, 4], 2)) + [(1, 5)]
+    assert _coreness(edges) == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1}
+
+
+def test_coreness_path_is_1core(ray_session):
+    assert _coreness([(1, 2), (2, 3), (3, 4)]) == {1: 1, 2: 1,
+                                                   3: 1, 4: 1}
+
+
+def test_coreness_brute_force_differential(ray_session):
+    rng = random.Random("coreness:differential")
+    edges = sorted({tuple(sorted(rng.sample(range(1, 40), 2)))
+                    for _ in range(220)})
+    assert _coreness(edges) == _peel(edges)
+
+
+def test_coreness_block_split_invariant(ray_session):
+    rng = random.Random("coreness:splits")
+    edges = sorted({tuple(sorted(rng.sample(range(1, 30), 2)))
+                    for _ in range(120)})
+    assert _coreness(edges, nparts=1) == _coreness(edges, nparts=7)

@@ -715,6 +715,46 @@ def golden_pagerank(sf_dir: str) -> pa.Table:
                      "rank": pa.array(rank, pa.int64())})
 
 
+def golden_part_coreness(sf_dir: str) -> pa.Table:
+    """Exact k-core decomposition of the lineitem co-purchase part
+    graph by LITERAL iterated peeling (delete nodes with degree < k) —
+    the textbook definition, entirely different machinery from the
+    engine's distributed h-index fixed point."""
+    from collections import defaultdict
+
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"])
+    per_order: dict = defaultdict(set)
+    for o, p in zip(li["l_orderkey"].to_pylist(),
+                    li["l_partkey"].to_pylist()):
+        per_order[o].add(p)
+    adj: dict = defaultdict(set)
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                adj[a].add(b)
+                adj[b].add(a)
+    core: dict = {}
+    live = {v: set(ns) for v, ns in adj.items()}
+    k = 0
+    while live:
+        k += 1
+        while True:
+            drop = [v for v, ns in live.items() if len(ns) < k]
+            if not drop:
+                break
+            for v in drop:
+                core[v] = k - 1
+                for u in live[v]:
+                    live[u].discard(v)
+                del live[v]
+    nodes = sorted(core)
+    return pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "coreness": pa.array([core[n] for n in nodes], pa.int64())})
+
+
 def golden_pagerank_weighted(sf_dir: str) -> pa.Table:
     """Dense single-process PERSONALIZED fixed-point PageRank:
     teleport mass proportional to each part node's integer retail
@@ -2263,6 +2303,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
 
     g["pagerank"] = golden_pagerank(sf_dir)
     g["pagerank_weighted"] = golden_pagerank_weighted(sf_dir)
+    g["part_coreness"] = golden_part_coreness(sf_dir)
 
     g["hll_users"] = golden_hll_users(sf_dir)
     g["hll_users_by_type"] = golden_hll_users_by_type(sf_dir)

@@ -1262,3 +1262,177 @@ def graph_walks(edges, steps: int = 3,
     return res.map_batches(
         lambda b: b.select(["start", "step", "node"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def coreness(edges, n_buckets: int = N_SHUFFLE_BUCKETS,
+             max_rounds: int = 64):
+    """(node, coreness): EXACT k-core decomposition of an undirected
+    (p1, p2) distinct-edge graph — coreness(v) = the largest k such
+    that v survives iterated deletion of all nodes with degree < k.
+    The classic cohesion/spam-farm signal for link-graph curation
+    (dense reciprocal-link farms sit in high cores; long-tail organic
+    pages in low ones).
+
+    Algorithm: the h-index fixed point (Lü et al. 2016, "The H-index
+    of a network node and its relation to degree and coreness") —
+    init c⁰(v) = deg(v), then c^{t+1}(v) = H({c^t(u) : u ~ v}) where
+    H is the h-index (largest i with at least i neighbour values ≥ i).
+    The sequence is monotone non-increasing and converges EXACTLY to
+    coreness; convergence is detected by a changed-count of zero (the
+    connected-components witness pattern), so the result never depends
+    on an iteration-count guess.  ``max_rounds`` is a runaway backstop
+    only — hitting it raises rather than returning an unconverged
+    table.
+
+    Shape per round, TWO constant-fan-out exchanges (the personalised-
+    pagerank cost class): (1) edge rows keyed by hash(neighbour) pick
+    up the neighbour's current value from its state row AND pre-reduce
+    to per-(scored-node, value) COUNTS in-cell (the combiner: the
+    second exchange ships at most #distinct-neighbour-values rows per
+    node instead of one row per edge — a big cut on this dense graph
+    once values collapse toward the ≤max-core range); (2) the counted
+    value rows re-key to the scored node's cell, where every node's
+    h-index comes from the grouped identity h = max_j min(v_j, C_j)
+    (values descending, C_j = cumulative count) — one lexsort + one
+    segmented reduce, no per-node Python.  Adjacency re-ships each
+    round; state stays node-sized and rides compacted STATE_BLOCKS
+    blocks (the pagerank round discipline — without the compaction the
+    per-round groupby pays for hundreds of tiny upstream blocks); the
+    changed-count is an exact integer Dataset.sum."""
+
+    edges = edges.materialize()     # degrees + static keyed adjacency
+
+    def nbr_keyed(batch: pa.Table) -> pa.Table:
+        p1 = _col_i64(batch, "p1")
+        p2 = _col_i64(batch, "p2")
+        node = np.concatenate([p1, p2])
+        nbr = np.concatenate([p2, p1])
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(nbr, n_buckets)), pa.array(node),
+             pa.array(nbr),
+             pa.array(np.full(len(node), -1, dtype=np.int64))],
+            names=["key", "node", "nbr", "c"])
+
+    adj_by_nbr = edges.map_batches(nbr_keyed, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+        .repartition(STATE_BLOCKS).materialize()
+
+    def state_for_attach(state):
+        """State rows enter the neighbour-keyed exchange: key =
+        hash(own node), nbr = own node, c = current value."""
+        def f(batch: pa.Table) -> pa.Table:
+            node = _col_i64(batch, "node")
+            return pa.Table.from_arrays(
+                [pa.array(_ibucket(node, n_buckets)), pa.array(node),
+                 pa.array(node),
+                 batch.column("coreness").cast(pa.int64())],
+                names=["key", "node", "nbr", "c"])
+        return state.map_batches(f, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def attach_val(group: pa.Table) -> pa.Table:
+        """Edge rows (c = -1) look up their NEIGHBOUR's value from the
+        co-located state rows, then pre-reduce to (scored node, value,
+        count) and re-key to the scored node's cell."""
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        nbr = group.column("nbr").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        is_state = c >= 0
+        sk, sv = nbr[is_state], c[is_state]
+        order = np.argsort(sk, kind="stable")
+        sk, sv = sk[order], sv[order]
+        en, eb = node[~is_state], nbr[~is_state]
+        if len(en) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["key", "node", "nv", "cnt", "prev"])
+        nv = sv[np.searchsorted(sk, eb)]
+        po = np.lexsort((nv, en))
+        en, nv = en[po], nv[po]
+        first = np.r_[True, (en[1:] != en[:-1]) | (nv[1:] != nv[:-1])]
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.r_[starts, len(en)])
+        en, nv = en[starts], nv[starts]
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(en, n_buckets)), pa.array(en),
+             pa.array(nv), pa.array(cnt.astype(np.int64)),
+             pa.array(np.full(len(en), -1, dtype=np.int64))],
+            names=["key", "node", "nv", "cnt", "prev"])
+
+    def state_with_prev(state):
+        """State rows enter the h-index exchange carrying their
+        previous value (prev >= 0 marks them)."""
+        def f(batch: pa.Table) -> pa.Table:
+            node = _col_i64(batch, "node")
+            neg = np.full(len(node), -1, dtype=np.int64)
+            return pa.Table.from_arrays(
+                [pa.array(_ibucket(node, n_buckets)), pa.array(node),
+                 pa.array(neg), pa.array(np.zeros_like(neg)),
+                 batch.column("coreness").cast(pa.int64())],
+                names=["key", "node", "nv", "cnt", "prev"])
+        return state.map_batches(f, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def hindex_cell(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        nv = group.column("nv").to_numpy(zero_copy_only=False)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        prev = group.column("prev").to_numpy(zero_copy_only=False)
+        is_state = prev >= 0
+        sk, sp = node[is_state], prev[is_state]
+        so = np.argsort(sk, kind="stable")
+        sk, sp = sk[so], sp[so]
+        en = node[~is_state]
+        ev, ec = nv[~is_state], cnt[~is_state]
+        if len(en):
+            # grouped h-index: values descending per node, C_j the
+            # running count of neighbour values >= v_j; the cell may
+            # hold the same (node, value) pair from several upstream
+            # attach cells, which only splits one C_j step in two —
+            # max_j min(v_j, C_j) is unchanged
+            order = np.lexsort((-ev, en))
+            en, ev, ec = en[order], ev[order], ec[order]
+            starts_mask = np.r_[True, en[1:] != en[:-1]]
+            run_id = np.cumsum(starts_mask) - 1
+            starts = np.flatnonzero(starts_mask)
+            csum = np.cumsum(ec)
+            base = np.r_[np.int64(0), csum[:-1]][starts]
+            ccnt = csum - base[run_id]
+            m = np.minimum(ev, ccnt)
+            h = np.maximum.reduceat(m, starts)
+            hn = en[starts]
+            out_h = h[np.searchsorted(hn, sk)]
+            # provably monotone non-increasing from init = degree;
+            # the guard is a belt against any h of a node missing
+            # from this cell (cannot happen: a node's edges share its
+            # hash cell)
+            out_h = np.minimum(out_h, sp)
+        else:
+            out_h = sp
+        return pa.Table.from_arrays(
+            [pa.array(sk), pa.array(out_h),
+             pa.array((out_h != sp).astype(np.int64))],
+            names=["node", "coreness", "changed"])
+
+    state = _edge_degrees(edges, n_buckets).map_batches(
+        lambda b: b.rename_columns(["node", "coreness"]),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .repartition(STATE_BLOCKS).materialize()
+
+    for _rnd in range(max_rounds):
+        valued = state_for_attach(state).union(adj_by_nbr) \
+            .groupby("key").map_groups(attach_val,
+                                       batch_format="pyarrow")
+        nxt = state_with_prev(state).union(valued) \
+            .groupby("key").map_groups(hindex_cell,
+                                       batch_format="pyarrow") \
+            .repartition(STATE_BLOCKS).materialize()
+        changed = nxt.sum("changed")
+        state = nxt.select_columns(["node", "coreness"]).materialize()
+        if not changed:
+            return state
+    raise RuntimeError(
+        f"coreness: no convergence in {max_rounds} rounds "
+        "(raise max_rounds)")
