@@ -1236,6 +1236,30 @@ def _part_coreness(sf_dir: str):
     return coreness(_copurchase_edges(sf_dir))
 
 
+def _part_distances(sf_dir: str):
+    """Multi-source BFS hop distance over the support->=2 co-purchase
+    subgraph (edges sharing at least two orders — the >=1 graph is too
+    dense to have any depth) from the deterministic seed set
+    node % 53 == 0.  Live recursive-CTE SQL oracle; unreached parts are
+    absent on both sides (shared max_hops=32 truncation)."""
+    import pyarrow.compute as pc
+
+    from webtext.functions.graph import _edge_degrees, bfs_distances
+
+    edges = _copurchase_edges(sf_dir).map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_orders"), 2))
+        .select(["p1", "p2"]),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    def seed_filter(b):
+        import pyarrow as pa
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(node % 53 == 0)).select(["node"])
+
+    seeds = _edge_degrees(edges).map_batches(
+        seed_filter, batch_format="pyarrow", zero_copy_batch=True)
+    return bfs_distances(edges, seeds)
+
+
 def _graph_walks(sf_dir: str):
     """Deterministic DeepWalk-style walk corpus over the co-purchase
     graph (content-addressed md5 neighbour choice; live SQL replay)."""
@@ -2280,6 +2304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_walks": lambda sf: _graph_walks(sf),
         # exact k-core decomposition (link-farm / cohesion signal)
         "part_coreness": lambda sf: _part_coreness(sf),
+        # multi-source BFS trust distance (live recursive-CTE oracle)
+        "part_distances": lambda sf: _part_distances(sf),
         # per-customer repeat-purchase cadence (relational LAG rollup)
         "customer_order_gaps": lambda sf: _order_gaps(sf),
         # weighted sampling over a JOIN (weight exists only post-join)
@@ -4092,6 +4118,30 @@ def oracle_sql() -> dict[str, str]:
               FROM events e JOIN orders o
                 ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             ) t WHERE rn = 1""",
+        # multi-source BFS: bounded recursive CTE; the UNION-distinct
+        # row set is (node, dist) pairs, min(dist) per node afterwards;
+        # both sides truncate at the same max_hops=32
+        "part_distances": """
+            WITH RECURSIVE
+            op AS (SELECT DISTINCT l_orderkey, l_partkey
+                   FROM lineitem),
+            e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                          count(*) AS n
+                   FROM op a JOIN op b
+                     ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey <> b.l_partkey
+                   GROUP BY 1, 2),
+            e AS (SELECT p1, p2 FROM e0 WHERE n >= 2),
+            seeds AS (SELECT DISTINCT p1 AS node FROM e
+                      WHERE p1 % 53 = 0),
+            walk(node, dist) AS (
+              SELECT node, 0 FROM seeds
+              UNION
+              SELECT e.p2, w.dist + 1 FROM walk w
+              JOIN e ON e.p1 = w.node
+              WHERE w.dist < 32)
+            SELECT node::BIGINT AS node, min(dist)::BIGINT AS dist
+            FROM walk GROUP BY node""",
         "graph_degrees": """
             WITH e AS (SELECT l_partkey * 2 AS src,
                               l_suppkey * 2 + 1 AS dst,

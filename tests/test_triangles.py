@@ -243,3 +243,56 @@ def test_coreness_block_split_invariant(ray_session):
     edges = sorted({tuple(sorted(rng.sample(range(1, 30), 2)))
                     for _ in range(120)})
     assert _coreness(edges, nparts=1) == _coreness(edges, nparts=7)
+
+
+# ------------------------------------------------------------ bfs_distances
+
+def _bfs_ref(edges, seeds):
+    from collections import deque
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    q = deque(sorted(seeds))
+    while q:
+        v = q.popleft()
+        for u in adj.get(v, ()):
+            if u not in dist:
+                dist[u] = dist[v] + 1
+                q.append(u)
+    return dist
+
+
+def _bfs(edges, seeds, nparts=3):
+    from webtext.functions.graph import bfs_distances
+    seed_ds = ray.data.from_arrow(pa.table(
+        {"node": pa.array(sorted(seeds), pa.int64())}))
+    out = bfs_distances(_edge_ds(edges, nparts), seed_ds).to_pandas()
+    return {int(r.node): int(r.dist) for r in out.itertuples()}
+
+
+def test_bfs_path_graph(ray_session):
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    assert _bfs(edges, {1}) == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_multi_source_and_unreachable(ray_session):
+    # two components; the second has no seed -> absent from output
+    edges = [(1, 2), (2, 3), (10, 11)]
+    assert _bfs(edges, {1, 3}) == {1: 0, 2: 1, 3: 0}
+
+
+def test_bfs_brute_force_differential(ray_session):
+    rng = random.Random("bfs:differential")
+    edges = sorted({tuple(sorted(rng.sample(range(1, 60), 2)))
+                    for _ in range(90)})
+    seeds = {n for n in range(1, 60) if n % 7 == 0}
+    assert _bfs(edges, seeds) == _bfs_ref(edges, seeds)
+
+
+def test_bfs_block_split_invariant(ray_session):
+    rng = random.Random("bfs:splits")
+    edges = sorted({tuple(sorted(rng.sample(range(1, 40), 2)))
+                    for _ in range(70)})
+    assert _bfs(edges, {5}, nparts=1) == _bfs(edges, {5}, nparts=7)

@@ -1436,3 +1436,118 @@ def coreness(edges, n_buckets: int = N_SHUFFLE_BUCKETS,
     raise RuntimeError(
         f"coreness: no convergence in {max_rounds} rounds "
         "(raise max_rounds)")
+
+
+BFS_BIG = np.int64(1) << np.int64(60)
+
+
+def bfs_distances(edges, seeds, max_hops: int = 32,
+                  n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(node, dist): EXACT multi-source BFS hop distance over an
+    undirected (p1, p2) distinct-edge graph from a Dataset of seed
+    (node) rows — the crawl-frontier / trust-distance primitive (spam
+    pages sit far from a trusted seed set; TrustRank's personalized
+    mass is the smooth cousin, ``pagerank_personalized``).  Unreached
+    nodes are absent, matching a bounded recursive-CTE SQL oracle when
+    both sides share ``max_hops``.
+
+    Shape per hop (the coreness cost class but with NATIVE reduce):
+    frontier rows — ONLY the nodes whose distance improved last hop,
+    geometrically shrinking — key by hash(node) and meet the static
+    adjacency in one map_groups exchange that emits (neighbour,
+    dist+1) candidates; candidates union the running state into ONE
+    native groupby(node).min over (dist, prev), so settlement is a C++
+    aggregate, not Python.  prev rides along (state rows carry
+    prev = dist, candidates prev = BFS_BIG), making "improved" a
+    vectorized new < prev compare — the exact changed-count witness.
+    Adjacency re-ships per hop; state and adjacency ride compacted
+    STATE_BLOCKS blocks; hop count is bounded by the graph diameter."""
+
+    def adj_emit(batch: pa.Table) -> pa.Table:
+        p1 = _col_i64(batch, "p1")
+        p2 = _col_i64(batch, "p2")
+        src = np.concatenate([p1, p2])
+        dst = np.concatenate([p2, p1])
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(src, n_buckets)), pa.array(src),
+             pa.array(dst),
+             pa.array(np.full(len(src), -1, dtype=np.int64))],
+            names=["key", "src", "dst", "dist"])
+
+    adj = edges.map_batches(adj_emit, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .repartition(STATE_BLOCKS).materialize()
+
+    def seed_state(batch: pa.Table) -> pa.Table:
+        node = _col_i64(batch, "node")
+        return pa.Table.from_arrays(
+            [pa.array(node),
+             pa.array(np.zeros(len(node), dtype=np.int64))],
+            names=["node", "dist"])
+
+    state = seeds.map_batches(seed_state, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .repartition(STATE_BLOCKS).materialize()
+    frontier = state
+
+    def frontier_emit(batch: pa.Table) -> pa.Table:
+        node = _col_i64(batch, "node")
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(node, n_buckets)), pa.array(node),
+             pa.array(node),
+             batch.column("dist").cast(pa.int64())],
+            names=["key", "src", "dst", "dist"])
+
+    def expand(group: pa.Table) -> pa.Table:
+        """Adjacency rows whose src is in the co-located frontier emit
+        (dst, frontier_dist + 1) candidates."""
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        dist = group.column("dist").to_numpy(zero_copy_only=False)
+        is_state = dist >= 0
+        sk, sv = src[is_state], dist[is_state]
+        order = np.argsort(sk, kind="stable")
+        sk, sv = sk[order], sv[order]
+        es, ed = src[~is_state], dst[~is_state]
+        if len(es) == 0 or len(sk) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["node", "dist", "prev"])
+        pos = np.searchsorted(sk, es)
+        hit = (pos < len(sk))
+        pos = np.minimum(pos, len(sk) - 1)
+        hit &= sk[pos] == es
+        return pa.Table.from_arrays(
+            [pa.array(ed[hit]), pa.array(sv[pos[hit]] + 1),
+             pa.array(np.full(int(hit.sum()), BFS_BIG))],
+            names=["node", "dist", "prev"])
+
+    def state_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("dist").cast(pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("node").cast(pa.int64()), d, d],
+            names=["node", "dist", "prev"])
+
+    for _hop in range(max_hops):
+        cand = frontier.map_batches(frontier_emit,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .union(adj).groupby("key").map_groups(
+                expand, batch_format="pyarrow")
+        merged = state.map_batches(state_rows, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+            .union(cand).groupby("node").min(["dist", "prev"]) \
+            .map_batches(
+                lambda b: b.rename_columns(["node", "dist", "prev"]),
+                batch_format="pyarrow", zero_copy_batch=True) \
+            .repartition(STATE_BLOCKS).materialize()
+        frontier = merged.map_batches(
+            lambda b: b.filter(pc.less(b.column("dist"),
+                                       b.column("prev")))
+            .select(["node", "dist"]),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        state = merged.select_columns(["node", "dist"])
+        if frontier.count() == 0:
+            break
+    return state
