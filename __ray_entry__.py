@@ -1236,20 +1236,26 @@ def _part_coreness(sf_dir: str):
     return coreness(_copurchase_edges(sf_dir))
 
 
-def _part_distances(sf_dir: str):
-    """Multi-source BFS hop distance over the support->=2 co-purchase
-    subgraph (edges sharing at least two orders — the >=1 graph is too
-    dense to have any depth) from the deterministic seed set
-    node % 53 == 0.  Live recursive-CTE SQL oracle; unreached parts are
-    absent on both sides (shared max_hops=32 truncation)."""
+def _support2_edges(sf_dir: str):
+    """Support->=2 co-purchase subgraph (edges sharing at least two
+    orders): the >=1 graph is near-complete at every sf; requiring
+    repeat co-purchase leaves real structure (depth, communities)."""
     import pyarrow.compute as pc
 
-    from webtext.functions.graph import _edge_degrees, bfs_distances
-
-    edges = _copurchase_edges(sf_dir).map_batches(
+    return _copurchase_edges(sf_dir).map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("n_orders"), 2))
         .select(["p1", "p2"]),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+
+def _part_distances(sf_dir: str):
+    """Multi-source BFS hop distance over the support->=2 co-purchase
+    subgraph from the deterministic seed set node % 53 == 0.  Live
+    recursive-CTE SQL oracle; unreached parts are absent on both sides
+    (shared max_hops=32 truncation)."""
+    from webtext.functions.graph import _edge_degrees, bfs_distances
+
+    edges = _support2_edges(sf_dir)
     def seed_filter(b):
         import pyarrow as pa
         node = b.column("node").to_numpy(zero_copy_only=False)
@@ -1258,6 +1264,15 @@ def _part_distances(sf_dir: str):
     seeds = _edge_degrees(edges).map_batches(
         seed_filter, batch_format="pyarrow", zero_copy_batch=True)
     return bfs_distances(edges, seeds)
+
+
+def _part_communities(sf_dir: str):
+    """Deterministic synchronous label propagation (10 rounds, most
+    frequent neighbour label, ties -> min) over the support->=2
+    co-purchase subgraph; golden = independent dense simulation."""
+    from webtext.functions.graph import lpa_communities
+
+    return lpa_communities(_support2_edges(sf_dir))
 
 
 def _graph_walks(sf_dir: str):
@@ -2306,6 +2321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_coreness": lambda sf: _part_coreness(sf),
         # multi-source BFS trust distance (live recursive-CTE oracle)
         "part_distances": lambda sf: _part_distances(sf),
+        # label-propagation communities (link-farm cluster signal)
+        "part_communities": lambda sf: _part_communities(sf),
         # per-customer repeat-purchase cadence (relational LAG rollup)
         "customer_order_gaps": lambda sf: _order_gaps(sf),
         # weighted sampling over a JOIN (weight exists only post-join)
@@ -2479,6 +2496,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_extracted", "dup_cluster_stats", "hll_users",
             "hll_users_by_type", "incremental_near_dedup",
             "pca_top_component", "kmv_distinct", "part_coreness",
+            "part_communities",
             "effective_rank", "pagerank_weighted",
             "whiten_embeddings", "ivf_recall_audit",
             "minhash_recall_audit", "hll_error_audit",

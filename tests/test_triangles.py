@@ -296,3 +296,56 @@ def test_bfs_block_split_invariant(ray_session):
     edges = sorted({tuple(sorted(rng.sample(range(1, 40), 2)))
                     for _ in range(70)})
     assert _bfs(edges, {5}, nparts=1) == _bfs(edges, {5}, nparts=7)
+
+
+# --------------------------------------------------------- lpa_communities
+
+def _lpa_ref(edges, rounds=10):
+    from collections import Counter
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v, ns in adj.items():
+            cnt = Counter(label[u] for u in ns)
+            top = max(cnt.values())
+            nxt[v] = min(l for l, c in cnt.items() if c == top)
+        if nxt == label:
+            break
+        label = nxt
+    return label
+
+
+def _lpa(edges, nparts=3):
+    from webtext.functions.graph import lpa_communities
+    out = lpa_communities(_edge_ds(edges, nparts)).to_pandas()
+    return {int(r.node): int(r.community) for r in out.itertuples()}
+
+
+def test_lpa_two_cliques_with_bridge(ray_session):
+    # two K4s joined by one bridge edge: each clique collapses to its
+    # min label
+    k1 = list(itertools.combinations([1, 2, 3, 4], 2))
+    k2 = list(itertools.combinations([10, 11, 12, 13], 2))
+    got = _lpa(k1 + k2 + [(4, 10)])
+    assert got == _lpa_ref(k1 + k2 + [(4, 10)])
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[11], got[12], got[13]}) == 1
+    assert got[1] != got[11]
+
+
+def test_lpa_brute_force_differential(ray_session):
+    rng = random.Random("lpa:differential")
+    edges = sorted({tuple(sorted(rng.sample(range(1, 50), 2)))
+                    for _ in range(130)})
+    assert _lpa(edges) == _lpa_ref(edges)
+
+
+def test_lpa_block_split_invariant(ray_session):
+    rng = random.Random("lpa:splits")
+    edges = sorted({tuple(sorted(rng.sample(range(1, 35), 2)))
+                    for _ in range(90)})
+    assert _lpa(edges, nparts=1) == _lpa(edges, nparts=7)

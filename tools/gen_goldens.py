@@ -755,6 +755,46 @@ def golden_part_coreness(sf_dir: str) -> pa.Table:
         "coreness": pa.array([core[n] for n in nodes], pa.int64())})
 
 
+def golden_part_communities(sf_dir: str) -> pa.Table:
+    """Independent dense simulation of deterministic synchronous LPA
+    (10 rounds; most frequent neighbour label, ties -> smallest) over
+    the support->=2 co-purchase subgraph — dict/Counter machinery,
+    nothing shared with the engine's bucketed exchanges."""
+    from collections import Counter, defaultdict
+
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"])
+    per_order: dict = defaultdict(set)
+    for o, p in zip(li["l_orderkey"].to_pylist(),
+                    li["l_partkey"].to_pylist()):
+        per_order[o].add(p)
+    pair_orders: Counter = Counter()
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pair_orders[(a, b)] += 1
+    adj: dict = defaultdict(set)
+    for (a, b), n in pair_orders.items():
+        if n >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    label = {v: v for v in adj}
+    for _ in range(10):
+        nxt = {}
+        for v, ns in adj.items():
+            cnt = Counter(label[u] for u in ns)
+            top = max(cnt.values())
+            nxt[v] = min(l for l, c in cnt.items() if c == top)
+        if nxt == label:
+            break
+        label = nxt
+    nodes = sorted(label)
+    return pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "community": pa.array([label[n] for n in nodes], pa.int64())})
+
+
 def golden_pagerank_weighted(sf_dir: str) -> pa.Table:
     """Dense single-process PERSONALIZED fixed-point PageRank:
     teleport mass proportional to each part node's integer retail
@@ -2304,6 +2344,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["pagerank"] = golden_pagerank(sf_dir)
     g["pagerank_weighted"] = golden_pagerank_weighted(sf_dir)
     g["part_coreness"] = golden_part_coreness(sf_dir)
+    g["part_communities"] = golden_part_communities(sf_dir)
 
     g["hll_users"] = golden_hll_users(sf_dir)
     g["hll_users_by_type"] = golden_hll_users_by_type(sf_dir)

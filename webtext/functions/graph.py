@@ -1551,3 +1551,163 @@ def bfs_distances(edges, seeds, max_hops: int = 32,
         if frontier.count() == 0:
             break
     return state
+
+
+LPA_ROUNDS = 10
+
+
+def lpa_communities(edges, rounds: int = LPA_ROUNDS,
+                    n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(node, community): deterministic synchronous label propagation
+    (Raghavan et al. 2007) over an undirected (p1, p2) distinct-edge
+    graph — init label(v) = v; each round every node adopts the most
+    frequent label among its neighbours, ties broken by the SMALLEST
+    label.  Exactly ``rounds`` synchronous rounds (synchronous LPA can
+    2-cycle on bipartite-ish structure, so a convergence witness would
+    not terminate; a fixed round count is deterministic and matches the
+    golden's independent dense simulation — the pagerank fixed-iters
+    posture).  An early exit fires only on a NO-CHANGE round, which is
+    provably a fixed point, so it never alters the result.
+
+    The community detector of the curation stack: reciprocal-link farms
+    collapse into one label within a couple of rounds while organic
+    pages keep diverse neighbourhoods.
+
+    Shape per round = the coreness cost class: one hash(nbr) attach
+    exchange whose cells pre-reduce to (node, label, count) partials,
+    then one hash(node) exchange that sums partials per (node, label)
+    and takes the vectorized argmax (lexsort by (node, -count, label),
+    first row per node run).  State rides compacted STATE_BLOCKS
+    blocks; adjacency re-ships per round."""
+
+    edges = edges.materialize()
+
+    def nbr_keyed(batch: pa.Table) -> pa.Table:
+        p1 = _col_i64(batch, "p1")
+        p2 = _col_i64(batch, "p2")
+        node = np.concatenate([p1, p2])
+        nbr = np.concatenate([p2, p1])
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(nbr, n_buckets)), pa.array(node),
+             pa.array(nbr),
+             pa.array(np.full(len(node), -1, dtype=np.int64))],
+            names=["key", "node", "nbr", "c"])
+
+    adj_by_nbr = edges.map_batches(nbr_keyed, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+        .repartition(STATE_BLOCKS).materialize()
+
+    def state_for_attach(state):
+        def f(batch: pa.Table) -> pa.Table:
+            node = _col_i64(batch, "node")
+            return pa.Table.from_arrays(
+                [pa.array(_ibucket(node, n_buckets)), pa.array(node),
+                 pa.array(node),
+                 batch.column("community").cast(pa.int64())],
+                names=["key", "node", "nbr", "c"])
+        return state.map_batches(f, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def attach_label(group: pa.Table) -> pa.Table:
+        """Edge rows pick up the NEIGHBOUR's label from the co-located
+        state rows, pre-reduce to (node, label, count) partials, and
+        re-key to the scored node's cell."""
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        nbr = group.column("nbr").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        is_state = c >= 0
+        sk, sv = nbr[is_state], c[is_state]
+        order = np.argsort(sk, kind="stable")
+        sk, sv = sk[order], sv[order]
+        en, eb = node[~is_state], nbr[~is_state]
+        if len(en) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["key", "node", "lab", "cnt", "prev"])
+        lab = sv[np.searchsorted(sk, eb)]
+        po = np.lexsort((lab, en))
+        en, lab = en[po], lab[po]
+        first = np.r_[True, (en[1:] != en[:-1]) | (lab[1:] != lab[:-1])]
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.r_[starts, len(en)]).astype(np.int64)
+        en, lab = en[starts], lab[starts]
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(en, n_buckets)), pa.array(en),
+             pa.array(lab), pa.array(cnt),
+             pa.array(np.full(len(en), -1, dtype=np.int64))],
+            names=["key", "node", "lab", "cnt", "prev"])
+
+    def state_with_prev(state):
+        def f(batch: pa.Table) -> pa.Table:
+            node = _col_i64(batch, "node")
+            neg = np.full(len(node), -1, dtype=np.int64)
+            return pa.Table.from_arrays(
+                [pa.array(_ibucket(node, n_buckets)), pa.array(node),
+                 pa.array(neg), pa.array(np.zeros_like(neg)),
+                 batch.column("community").cast(pa.int64())],
+                names=["key", "node", "lab", "cnt", "prev"])
+        return state.map_batches(f, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def mode_cell(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        lab = group.column("lab").to_numpy(zero_copy_only=False)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        prev = group.column("prev").to_numpy(zero_copy_only=False)
+        is_state = prev >= 0
+        sk, sp = node[is_state], prev[is_state]
+        so = np.argsort(sk, kind="stable")
+        sk, sp = sk[so], sp[so]
+        en, el, ec = node[~is_state], lab[~is_state], cnt[~is_state]
+        if len(en):
+            # sum split partials per (node, label), then argmax with
+            # min-label tie-break: lexsort by (node, -total, label)
+            po = np.lexsort((el, en))
+            en, el, ec = en[po], el[po], ec[po]
+            first = np.r_[True,
+                          (en[1:] != en[:-1]) | (el[1:] != el[:-1])]
+            starts = np.flatnonzero(first)
+            tot = np.add.reduceat(ec, starts)
+            gn, gl = en[starts], el[starts]
+            wo = np.lexsort((gl, -tot, gn))
+            gn, gl = gn[wo], gl[wo]
+            nstarts = np.r_[True, gn[1:] != gn[:-1]]
+            wn, wl = gn[nstarts], gl[nstarts]
+            out = sp.copy()
+            pos = np.searchsorted(wn, sk)
+            hit = pos < len(wn)
+            pos = np.minimum(pos, max(len(wn) - 1, 0))
+            hit &= wn[pos] == sk
+            out[hit] = wl[pos[hit]]
+        else:
+            out = sp
+        return pa.Table.from_arrays(
+            [pa.array(sk), pa.array(out),
+             pa.array((out != sp).astype(np.int64))],
+            names=["node", "community", "changed"])
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        node = _col_i64(batch, "node")
+        return pa.Table.from_arrays(
+            [pa.array(node), pa.array(node)],
+            names=["node", "community"])
+
+    state = _edge_degrees(edges, n_buckets).map_batches(
+        init_state, batch_format="pyarrow", zero_copy_batch=True) \
+        .repartition(STATE_BLOCKS).materialize()
+
+    for _rnd in range(rounds):
+        valued = state_for_attach(state).union(adj_by_nbr) \
+            .groupby("key").map_groups(attach_label,
+                                       batch_format="pyarrow")
+        nxt = state_with_prev(state).union(valued) \
+            .groupby("key").map_groups(mode_cell,
+                                       batch_format="pyarrow") \
+            .repartition(STATE_BLOCKS).materialize()
+        changed = nxt.sum("changed")
+        state = nxt.select_columns(["node", "community"]).materialize()
+        if not changed:      # fixed point: further rounds are no-ops
+            break
+    return state
