@@ -1266,6 +1266,19 @@ def _part_distances(sf_dir: str):
     return bfs_distances(edges, seeds)
 
 
+def _zorder_stats(sf_dir: str):
+    """Z-order layout pruning witness over lineitem's (partkey,
+    suppkey) plane: per-zbucket row count + both keys' min/max — the
+    footer stats a 100-TB scan would prune files by."""
+    import ray.data
+
+    from webtext.pipelines.relational import zorder_stats
+
+    return zorder_stats(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"]))
+
+
 def _part_communities(sf_dir: str):
     """Deterministic synchronous label propagation (10 rounds, most
     frequent neighbour label, ties -> min) over the support->=2
@@ -2403,6 +2416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational skeleton (U5/U9/A1/A2/A3/E12 shapes)
         "topk_per_group": lambda sf: rel.topk_per_group(_docs(sf)),
         "ordered_dedup": lambda sf: rel.ordered_dedup(_docs(sf)),
+        # Z-order layout pruning witness (Delta/Iceberg OPTIMIZE ZORDER)
+        "zorder_stats": lambda sf: _zorder_stats(sf),
         "union_sources": union_q,
         "token_intersect": lambda sf: rel.string_intersect(
             rel.tokens_of(curation.split_by_mod(
@@ -4136,6 +4151,33 @@ def oracle_sql() -> dict[str, str]:
               FROM events e JOIN orders o
                 ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             ) t WHERE rn = 1""",
+        # Z-order: the 32-term bit-interleave is generated to match
+        # zorder_stats' vectorized loop term for term; the bucket
+        # shift adapts to the occupied key width (floor(log2(max))+1
+        # = bit_length for positive ints, exact at powers of two)
+        "zorder_stats": f"""
+            WITH w AS (
+              SELECT greatest(
+                CAST(floor(log2(max(l_partkey))) AS BIGINT) + 1,
+                CAST(floor(log2(max(l_suppkey))) AS BIGINT) + 1)
+                AS wd
+              FROM lineitem),
+            z AS (
+              SELECT ({" | ".join(
+                  f"(((l_partkey >> {i}) & 1) << {2 * i + 1}) | "
+                  f"(((l_suppkey >> {i}) & 1) << {2 * i})"
+                  for i in range(16))})
+                     >> greatest(2 * (SELECT wd FROM w) - 8, 0)
+                     AS zbucket,
+                     l_partkey, l_suppkey
+              FROM lineitem)
+            SELECT zbucket::BIGINT AS zbucket,
+                   count(*)::BIGINT AS n_rows,
+                   min(l_partkey)::BIGINT AS a_min,
+                   max(l_partkey)::BIGINT AS a_max,
+                   min(l_suppkey)::BIGINT AS b_min,
+                   max(l_suppkey)::BIGINT AS b_max
+            FROM z GROUP BY zbucket""",
         # multi-source BFS: bounded recursive CTE; the UNION-distinct
         # row set is (node, dist) pairs, min(dist) per node afterwards;
         # both sides truncate at the same max_hops=32

@@ -221,7 +221,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "pagerank_weighted", "butterfly_count",
                  "copurchase_edges", "part_triangles",
                  "part_assortativity", "graph_walks", "part_coreness",
-                 "part_distances", "part_communities",
+                 "part_distances", "part_communities", "zorder_stats",
                  "sample_stratified", "pricing_summary",
                  "order_line_join", "region_customers",
                  "supplier_shipments", "brand_volume",

@@ -1402,3 +1402,41 @@ def test_join_pps_sample_weight_needs_join(ray_session):
     assert (1, 2) in kept           # saturating weight always kept
     assert (1, 1) not in kept       # zero weight never kept
     assert (99, 1) not in kept      # dangling key dropped by the join
+
+
+def test_zorder_stats_brute_force(ray_session):
+    import random
+
+    import ray.data
+
+    from webtext.pipelines.relational import zorder_stats
+
+    rng = random.Random("zorder")
+    a = [rng.randrange(0, 4000) for _ in range(600)]
+    b = [rng.randrange(0, 250) for _ in range(600)]
+    ds = ray.data.from_arrow(pa.table(
+        {"l_partkey": pa.array(a, pa.int64()),
+         "l_suppkey": pa.array(b, pa.int64())})).repartition(5)
+    got = {int(r["zbucket"]): (r["n_rows"], r["a_min"], r["a_max"],
+                               r["b_min"], r["b_max"])
+           for r in zorder_stats(ds).take_all()}
+
+    w = max(max(a).bit_length(), max(b).bit_length())
+    shift = max(2 * w - 8, 0)
+
+    def z(x, y):
+        out = 0
+        for i in range(16):
+            out |= ((x >> i) & 1) << (2 * i + 1)
+            out |= ((y >> i) & 1) << (2 * i)
+        return out >> shift
+
+    want = {}
+    for x, y in zip(a, b):
+        k = z(x, y)
+        n, amin, amax, bmin, bmax = want.get(
+            k, (0, 1 << 60, -1, 1 << 60, -1))
+        want[k] = (n + 1, min(amin, x), max(amax, x),
+                   min(bmin, y), max(bmax, y))
+    assert got == want
+    assert len(got) > 4          # the layout actually fans out

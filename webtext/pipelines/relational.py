@@ -922,3 +922,64 @@ def id_gaps(ds, col: str = "l_orderkey"):
         .map_batches(block_pass, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .groupby("is_marker").map_groups(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout statistics — multi-dimensional scan pruning
+# --------------------------------------------------------------------------
+
+ZORDER_BITS = 16          # bits interleaved per dimension
+ZORDER_BUCKET_BITS = 8    # leading z-bits that define a layout bucket
+
+
+def zorder_stats(ds, col_a: str = "l_partkey",
+                 col_b: str = "l_suppkey"):
+    """(zbucket, n_rows, a_min, a_max, b_min, b_max): the pruning
+    witness of a Z-order (Morton-curve) data layout over two int key
+    columns — rows are bucketed by the leading ``ZORDER_BUCKET_BITS``
+    bits of the bit-interleave of the two keys' low ``ZORDER_BITS``
+    bits, and the per-bucket min/max of BOTH keys shows each bucket
+    covering a small rectangle of the key space (the property that
+    lets a 100-TB scan with predicates on either/both keys skip most
+    files via footer min/max stats, Delta/Iceberg OPTIMIZE ZORDER
+    semantics).  Writing the layout is this keying + sort(z) +
+    partitioned write_parquet (the jobs/compact.py posture); the query
+    surface returns the stats table the pruning decision would read.
+
+    Shape: the z-key is a pure vectorized bit-interleave map (no
+    Python rows, no shuffle); the stats are ONE native
+    groupby(zbucket) with min/max/count aggregates — combiner-friendly
+    per-block partials, constant-size output (2^ZORDER_BUCKET_BITS
+    rows)."""
+
+    from ray.data.aggregate import Count
+
+    # bucket by the leading bits of the OCCUPIED width (bit_length of
+    # the global max), else small key domains collapse into one
+    # bucket; two scalar max aggregates — constant-size driver reads
+    w = max(int(ds.max(col_a)).bit_length(),
+            int(ds.max(col_b)).bit_length())
+    shift = max(2 * w - ZORDER_BUCKET_BITS, 0)
+
+    def zkey(batch: pa.Table) -> pa.Table:
+        a = batch.column(col_a).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        b = batch.column(col_b).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        z = np.zeros(len(a), dtype=np.int64)
+        for i in range(ZORDER_BITS):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return pa.Table.from_arrays(
+            [pa.array(z >> shift), pa.array(a), pa.array(b)],
+            names=["zbucket", "a", "b"])
+
+    agg = ds.select_columns([col_a, col_b]) \
+        .map_batches(zkey, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("zbucket") \
+        .aggregate(Count(), Min("a"), Max("a"), Min("b"), Max("b"))
+    return agg.map_batches(
+        lambda b: b.rename_columns(
+            ["zbucket", "n_rows", "a_min", "a_max", "b_min", "b_max"]),
+        batch_format="pyarrow", zero_copy_batch=True)
