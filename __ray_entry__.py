@@ -2092,6 +2092,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_indexed": ivf_indexed,
         "knn_pq": pq_q,
         "cosine_nn": lambda sf: ann.nearest_neighbor_ids(_emb(sf)),
+        # hybrid lexical+semantic retrieval fused by integer-micros RRF
+        "hybrid_rrf": lambda sf: ann.hybrid_rrf(
+            _docs_cols(sf, ["doc_id", "text"]), _emb(sf),
+            textstats.BM25_QUERY),
         # greedy k-center diversity coreset (differential golden)
         "kcenter_select": lambda sf: ann.kcenter_select(_emb(sf)),
         # embedding-space decontamination: corpus (id%100>=10) vs
@@ -2574,6 +2578,58 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = left_id
             JOIN sizes sb ON sb.doc_id = right_id
             WHERE i * 10 >= (sa.n + sb.n - i) * 9""",
+        # RRF: ranks re-derived with row_number over the same orderings
+        # the component oracles pin; integer-micros contributions
+        "hybrid_rrf": """
+            WITH lex AS (
+            WITH stats AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(len(string_split(text, ' ')))::DOUBLE AS tot
+              FROM documents),
+            dl AS (SELECT doc_id,
+                     len(string_split(text, ' '))::DOUBLE AS dl
+                   FROM documents),
+            posting AS (
+              SELECT doc_id, token, count(*)::DOUBLE AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents) u
+              WHERE token IN ('hash', 'join', 'merge', 'sort')
+              GROUP BY doc_id, token),
+            df AS (SELECT token, count(*)::DOUBLE AS df
+                   FROM posting GROUP BY token),
+            contrib AS (
+              SELECT p.doc_id, CAST(floor(
+                ((((s.n - d.df) + 0.5) / (d.df + 0.5)) *
+                 ((p.tf * (1.2 + 1.0)) /
+                  (p.tf + 1.2 * ((1.0 - 0.75) +
+                                 0.75 * (l.dl / (s.tot / s.n))))))
+                * 1000000.0 + 0.5) AS BIGINT) AS c
+              FROM posting p JOIN df d ON p.token = d.token
+              JOIN dl l ON l.doc_id = p.doc_id CROSS JOIN stats s)
+            SELECT doc_id, SUM(c)::BIGINT AS score_micro FROM contrib
+            GROUP BY doc_id ORDER BY score_micro DESC, doc_id
+            LIMIT 20),
+            lexr AS (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY score_micro DESC, doc_id) AS r
+              FROM lex),
+            semr AS (
+              SELECT vec_id AS doc_id, r FROM (
+                SELECT e.vec_id, row_number() OVER (
+                  ORDER BY list_cosine_similarity(
+                    e.embedding, q.embedding) DESC, e.vec_id) AS r
+                FROM embeddings e,
+                  (SELECT embedding FROM embeddings
+                   WHERE vec_id = 0) q
+                WHERE e.vec_id <> 0) t
+              WHERE r <= 10),
+            u AS (
+              SELECT doc_id, 1000000 // (60 + r) AS c FROM lexr
+              UNION ALL
+              SELECT doc_id, 1000000 // (60 + r) FROM semr)
+            SELECT doc_id, SUM(c)::BIGINT AS rrf_micro FROM u
+            GROUP BY doc_id
+            ORDER BY rrf_micro DESC, doc_id LIMIT 10""",
         "knn_cosine": """
             SELECT e.vec_id, e.label FROM embeddings e,
               (SELECT embedding FROM embeddings WHERE vec_id = 0) q

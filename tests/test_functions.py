@@ -2107,3 +2107,32 @@ def test_pq_recall_audit_identity_codebook(ray_session):
                         n_queries=3, k=3, m=2, ksub=8)
     assert a.to_pylist() == b.to_pylist()
     assert all(r["recall_micro"] == 1_000_000 for r in a.to_pylist())
+
+
+def test_hybrid_rrf_hand_fusion(ray_session):
+    """RRF over two tiny crafted lists: hand-computed integer micros."""
+    import ray.data
+
+    from webtext.functions.ann import hybrid_rrf
+
+    # docs crafted so bm25 ranks doc 1 > doc 2 ("hash" twice vs once);
+    # embeddings crafted so cosine ranks 2 > 3 vs query vec 0
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "hash hash join x"},
+        {"doc_id": 2, "text": "hash y z w"},
+        {"doc_id": 3, "text": "nothing relevant here at all"},
+    ])
+    embs = ray.data.from_items([
+        {"vec_id": 0, "embedding": [1.0, 0.0], "label": 0},
+        {"vec_id": 2, "embedding": [0.9, 0.1], "label": 0},
+        {"vec_id": 3, "embedding": [0.0, 1.0], "label": 0},
+    ])
+    out = {int(r["doc_id"]): int(r["rrf_micro"])
+           for r in hybrid_rrf(docs, embs,
+                               ("hash", "join")).to_pylist()}
+    m = 1_000_000
+    assert out == {
+        1: m // 61,             # lex rank 1 only
+        2: m // 62 + m // 61,   # lex rank 2 + sem rank 1
+        3: m // 62,             # sem rank 2 only
+    }

@@ -1904,3 +1904,43 @@ def pq_recall_audit(ds, n_queries: int = 16, k: int = 10, m: int = 8,
     return pa.table({"qid": pa.array(out_q, pa.int64()),
                      "n_hits": pa.array(out_h, pa.int64()),
                      "recall_micro": pa.array(out_r, pa.int64())})
+
+
+RRF_K = 60
+
+
+def hybrid_rrf(docs_ds, emb_ds, terms, k_lex: int = 20,
+               k_sem: int = 10, k_out: int = 10, rrf_k: int = RRF_K):
+    """(doc_id, rrf_micro): hybrid lexical + semantic retrieval fused
+    by Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
+    two-tower search composition: BM25 top-``k_lex`` over the text
+    corpus and exact cosine top-``k_sem`` over the embedding table
+    (vec_id doubles as doc_id), each list contributing the INTEGER
+    1e6 // (rrf_k + rank) micros so the fused score is an exact int64
+    in any summation order (the bm25_topk fixed-point posture; the
+    float 1/(k+r) is not reproducible across engines, its floor in
+    micros is).  Final order: fused score descending, doc_id ascending,
+    top ``k_out``.
+
+    Scale shape: both retrievals are the already-scale-shaped
+    distributed operators (per-block partial top-k; broadcast query
+    vector); fusion itself touches only the two CONSTANT-SIZE ranked
+    lists (k_lex + k_sem rows on the driver — the centroid-sized
+    exception, never corpus-shaped)."""
+    from .textstats import bm25_topk
+
+    lex = bm25_topk(docs_ds, tuple(terms), k=k_lex).take_all()
+    sem = knn_brute(emb_ds, get_query_vector(emb_ds, 0),
+                    k=k_sem).take_all()
+
+    score: dict[int, int] = {}
+    for rank, row in enumerate(lex, 1):
+        did = int(row["doc_id"])
+        score[did] = score.get(did, 0) + 1_000_000 // (rrf_k + rank)
+    for rank, row in enumerate(sem, 1):
+        did = int(row["vec_id"])
+        score[did] = score.get(did, 0) + 1_000_000 // (rrf_k + rank)
+    top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:k_out]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in top], pa.int64()),
+        "rrf_micro": pa.array([s for _, s in top], pa.int64())})
