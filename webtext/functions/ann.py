@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from .dedup import (_ibucket, _pair_bucket,  # module scope: worker code
                     connected_components)    # is shipped by value and
-# cannot lazy-import webtext
+from .textstats import bm25_topk             # cannot lazy-import webtext
 
 
 def _matrix(batch: pa.Table, column: str = "embedding") -> np.ndarray:
@@ -1927,8 +1927,6 @@ def hybrid_rrf(docs_ds, emb_ds, terms, k_lex: int = 20,
     vector); fusion itself touches only the two CONSTANT-SIZE ranked
     lists (k_lex + k_sem rows on the driver — the centroid-sized
     exception, never corpus-shaped)."""
-    from .textstats import bm25_topk
-
     lex = bm25_topk(docs_ds, tuple(terms), k=k_lex).take_all()
     sem = knn_brute(emb_ds, get_query_vector(emb_ds, 0),
                     k=k_sem).take_all()
