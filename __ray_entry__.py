@@ -1309,6 +1309,19 @@ def _zorder_stats(sf_dir: str):
         columns=["l_partkey", "l_suppkey"]))
 
 
+def _assoc_rules(sf_dir: str):
+    """Market-basket association rules (directed confidence + lift in
+    exact integer micros) over the order->part baskets, joint support
+    >= 2; live SQL oracle."""
+    import ray.data
+
+    from webtext.functions.graph import association_rules
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    return association_rules(li, _copurchase_edges(sf_dir))
+
+
 def _part_communities(sf_dir: str):
     """Deterministic synchronous label propagation (10 rounds, most
     frequent neighbour label, ties -> min) over the support->=2
@@ -2371,6 +2384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_distances": lambda sf: _part_distances(sf),
         # label-propagation communities (link-farm cluster signal)
         "part_communities": lambda sf: _part_communities(sf),
+        # market-basket association rules (confidence + lift, micros)
+        "association_rules": lambda sf: _assoc_rules(sf),
         # per-customer repeat-purchase cadence (relational LAG rollup)
         "customer_order_gaps": lambda sf: _order_gaps(sf),
         # weighted sampling over a JOIN (weight exists only post-join)
@@ -4265,6 +4280,30 @@ def oracle_sql() -> dict[str, str]:
                    min(l_suppkey)::BIGINT AS b_min,
                    max(l_suppkey)::BIGINT AS b_max
             FROM z GROUP BY zbucket""",
+        "association_rules": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            nn AS (SELECT count(DISTINCT l_orderkey) AS n
+                   FROM lineitem),
+            ps AS (SELECT l_partkey AS part, count(*) AS n_part
+                   FROM op GROUP BY 1),
+            pair AS (SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+                            count(*) AS n_ab
+                     FROM op a JOIN op b
+                       ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey <> b.l_partkey
+                     GROUP BY 1, 2
+                     HAVING count(*) >= 2)
+            SELECT p.ante::BIGINT AS ante, p.cons::BIGINT AS cons,
+                   p.n_ab::BIGINT AS n_ab,
+                   sa.n_part::BIGINT AS n_ante,
+                   (1000000 * p.n_ab // sa.n_part)::BIGINT
+                     AS conf_micro,
+                   (1000000 * p.n_ab * (SELECT n FROM nn)
+                    // (sa.n_part * sb.n_part))::BIGINT AS lift_micro
+            FROM pair p
+            JOIN ps sa ON sa.part = p.ante
+            JOIN ps sb ON sb.part = p.cons""",
         # multi-source BFS: bounded recursive CTE; the UNION-distinct
         # row set is (node, dist) pairs, min(dist) per node afterwards;
         # both sides truncate at the same max_hops=32

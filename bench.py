@@ -222,7 +222,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "copurchase_edges", "part_triangles",
                  "part_assortativity", "graph_walks", "part_coreness",
                  "part_distances", "part_communities", "zorder_stats",
-                 "hybrid_rrf",
+                 "hybrid_rrf", "association_rules",
                  "sample_stratified", "pricing_summary",
                  "order_line_join", "region_customers",
                  "supplier_shipments", "brand_volume",

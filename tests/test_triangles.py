@@ -349,3 +349,29 @@ def test_lpa_block_split_invariant(ray_session):
     edges = sorted({tuple(sorted(rng.sample(range(1, 35), 2)))
                     for _ in range(90)})
     assert _lpa(edges, nparts=1) == _lpa(edges, nparts=7)
+
+
+# ------------------------------------------------------- association_rules
+
+def test_association_rules_hand_computed(ray_session):
+    """Three baskets: {1,2,3}, {1,2}, {1,4} — pair (1,2) has support 2;
+    every other pair has support 1 and drops at min_support=2."""
+    from webtext.functions.graph import association_rules, \
+        copurchase_edges
+
+    rows = []
+    for o, parts in [(10, [1, 2, 3]), (11, [1, 2]), (12, [1, 4])]:
+        rows += [{"l_orderkey": o, "l_partkey": p} for p in parts]
+    li = ray.data.from_items(rows).repartition(3)
+    edges = copurchase_edges(li)
+    got = {(int(r["ante"]), int(r["cons"])):
+           (int(r["n_ab"]), int(r["n_ante"]),
+            int(r["conf_micro"]), int(r["lift_micro"]))
+           for r in association_rules(li, edges).take_all()}
+    m = 1_000_000
+    # N=3 orders; n_1=3, n_2=2; conf(1->2)=2/3, conf(2->1)=2/2;
+    # lift = 2*3/(3*2) = 1.0 both ways
+    assert got == {
+        (1, 2): (2, 3, m * 2 // 3, m * 2 * 3 // (3 * 2)),
+        (2, 1): (2, 2, m * 2 // 2, m * 2 * 3 // (3 * 2)),
+    }

@@ -1711,3 +1711,181 @@ def lpa_communities(edges, rounds: int = LPA_ROUNDS,
         if not changed:      # fixed point: further rounds are no-ops
             break
     return state
+
+
+ASSOC_MICRO = 1_000_000
+
+
+def association_rules(lineitem, edges, min_support: int = 2,
+                      n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(ante, cons, n_ab, n_ante, conf_micro, lift_micro): market-
+    basket association rules over the order→part baskets — for every
+    DIRECTED part pair whose joint support n_ab (distinct orders
+    containing both) is >= ``min_support``:
+
+        conf(a→b) = n_ab / n_a          (floor micros)
+        lift(a,b) = n_ab · N / (n_a·n_b) (floor micros, N = #orders)
+
+    computed entirely in int64 (1e6·n_ab·N stays below 2^63 while
+    n_ab·N < 9.2e12 — beyond that scale the micros quantum drops to
+    1e3, documented not silently changed).  ``edges`` is the
+    (p1, p2, n_orders) co-purchase projection (persist-once artifact);
+    ``lineitem`` supplies per-part and total distinct-order counts.
+
+    Shape: per-part supports come from hash(order) cells (an order's
+    lines co-locate, so in-cell (order, part) dedup is globally exact;
+    cells partition the order space, so per-cell distinct-order counts
+    SUM exactly to N) followed by one native groupby(part).sum; rule
+    rows then pick up n_ante and n_cons via the two chained bucketed
+    emit-union attaches (the local_supplier_volume pattern) — no
+    broadcast of anything sf-proportional, N alone rides as a driver
+    scalar."""
+
+    def op_emit(batch: pa.Table) -> pa.Table:
+        o = _col_i64(batch, "l_orderkey")
+        p = _col_i64(batch, "l_partkey")
+        t = pa.Table.from_arrays([pa.array(o), pa.array(p)],
+                                 names=["o", "p"])
+        t = t.group_by(["o", "p"]).aggregate([]) \
+            .rename_columns(["o", "p"])
+        return t.append_column(
+            "bucket", pa.array(_ibucket(
+                t.column("o").to_numpy(zero_copy_only=False),
+                n_buckets)))
+
+    def support_cell(group: pa.Table) -> pa.Table:
+        """Globally-exact in-cell dedup → per-part partial counts plus
+        one distinct-order partial row (part = -1)."""
+        o = group.column("o").to_numpy(zero_copy_only=False)
+        p = group.column("p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.ones(len(o), dtype=bool)
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        parts, cnt = np.unique(p, return_counts=True)
+        n_orders = len(np.unique(o))
+        return pa.Table.from_arrays(
+            [pa.array(np.r_[parts, np.int64(-1)]),
+             pa.array(np.r_[cnt.astype(np.int64),
+                            np.int64(n_orders)])],
+            names=["part", "n"])
+
+    supports = lineitem.select_columns(["l_orderkey", "l_partkey"]) \
+        .map_batches(op_emit, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(support_cell,
+                                      batch_format="pyarrow") \
+        .groupby("part").sum("n").materialize()
+    total_n = int(supports.map_batches(
+        lambda b: b.filter(pc.equal(b.column("part"), -1)),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()[0]["sum(n)"])
+
+    def rules_emit(batch: pa.Table) -> pa.Table:
+        """Both rule directions for pairs at/above min_support, keyed
+        by hash(ante) for the first attach."""
+        p1 = _col_i64(batch, "p1")
+        p2 = _col_i64(batch, "p2")
+        w = _col_i64(batch, "n_orders")
+        m = w >= min_support
+        p1, p2, w = p1[m], p2[m], w[m]
+        ante = np.concatenate([p1, p2])
+        cons = np.concatenate([p2, p1])
+        nab = np.concatenate([w, w])
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(ante, n_buckets)), pa.array(ante),
+             pa.array(cons), pa.array(nab),
+             pa.array(np.full(len(ante), -1, dtype=np.int64)),
+             pa.array(np.full(len(ante), -1, dtype=np.int64))],
+            names=["bucket", "ante", "cons", "n_ab",
+                   "n_ante", "n_cons"])
+
+    def counts_emit(keyed_on: str):
+        def f(batch: pa.Table) -> pa.Table:
+            part = _col_i64(batch, "part")
+            n = batch.column("sum(n)" if "sum(n)" in batch.column_names
+                             else "n").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            m = part >= 0
+            part, n = part[m], n[m]
+            neg = np.full(len(part), -1, dtype=np.int64)
+            cols = {"bucket": _ibucket(part, n_buckets),
+                    "ante": part if keyed_on == "ante" else neg,
+                    "cons": part if keyed_on == "cons" else neg,
+                    "n_ab": neg,
+                    "n_ante": n if keyed_on == "ante" else neg,
+                    "n_cons": n if keyed_on == "cons" else neg}
+            return pa.Table.from_arrays(
+                [pa.array(cols[c]) for c in
+                 ["bucket", "ante", "cons", "n_ab",
+                  "n_ante", "n_cons"]],
+                names=["bucket", "ante", "cons", "n_ab",
+                       "n_ante", "n_cons"])
+        return f
+
+    def attach(col: str, nxt_key: str | None):
+        def cell(group: pa.Table) -> pa.Table:
+            nab = group.column("n_ab").to_numpy(zero_copy_only=False)
+            is_dim = nab < 0
+            key = group.column(col).to_numpy(
+                zero_copy_only=False)
+            dimv = group.column(f"n_{col}").to_numpy(
+                zero_copy_only=False)
+            dk, dv = key[is_dim], dimv[is_dim]
+            o = np.argsort(dk, kind="stable")
+            dk, dv = dk[o], dv[o]
+            rules = group.filter(pa.array(~is_dim))
+            rk = rules.column(col).to_numpy(zero_copy_only=False)
+            if len(rk) == 0 or len(dk) == 0:
+                got = np.full(len(rk), -1, dtype=np.int64)
+            else:
+                pos = np.searchsorted(dk, rk)
+                hit = pos < len(dk)
+                pos = np.minimum(pos, len(dk) - 1)
+                hit &= dk[pos] == rk
+                got = np.where(hit, dv[pos], np.int64(-1))
+            cols = {c: rules.column(c) for c in rules.column_names}
+            cols[f"n_{col}"] = pa.array(got)
+            if nxt_key is not None:
+                nk = rules.column(nxt_key).to_numpy(
+                    zero_copy_only=False)
+                cols["bucket"] = pa.array(_ibucket(nk, n_buckets))
+            return pa.Table.from_arrays(
+                [pa.array(cols[c]) if not isinstance(
+                    cols[c], (pa.Array, pa.ChunkedArray)) else cols[c]
+                 for c in ["bucket", "ante", "cons", "n_ab",
+                           "n_ante", "n_cons"]],
+                names=["bucket", "ante", "cons", "n_ab",
+                       "n_ante", "n_cons"])
+        return cell
+
+    step1 = edges.map_batches(rules_emit, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .union(supports.map_batches(counts_emit("ante"),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)) \
+        .groupby("bucket").map_groups(attach("ante", "cons"),
+                                      batch_format="pyarrow")
+    step2 = step1.union(supports.map_batches(
+        counts_emit("cons"), batch_format="pyarrow",
+        zero_copy_batch=True)) \
+        .groupby("bucket").map_groups(attach("cons", None),
+                                      batch_format="pyarrow")
+
+    def finish(batch: pa.Table, *, _N=total_n) -> pa.Table:
+        nab = batch.column("n_ab").to_numpy(zero_copy_only=False)
+        na = batch.column("n_ante").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_cons").to_numpy(zero_copy_only=False)
+        conf = (np.int64(ASSOC_MICRO) * nab) // na
+        lift = (np.int64(ASSOC_MICRO) * nab * np.int64(_N)) \
+            // (na * nb)
+        return pa.Table.from_arrays(
+            [batch.column("ante"), batch.column("cons"),
+             pa.array(nab), pa.array(na),
+             pa.array(conf), pa.array(lift)],
+            names=["ante", "cons", "n_ab", "n_ante",
+                   "conf_micro", "lift_micro"])
+
+    return step2.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True)
