@@ -935,6 +935,26 @@ def _events_user_paths(sf_dir: str):
         columns=["user_id", "ts", "event_id", "event_type"]))
 
 
+def _events_cusum(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import cusum_changepoints
+
+    return cusum_changepoints(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"]))
+
+
+def _events_top_trigrams(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import top_event_trigrams
+
+    return top_event_trigrams(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]))
+
+
 def _events_conversion(sf_dir: str):
     import ray.data
 
@@ -2357,6 +2377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_by_type": lambda sf: _events_ks_by_type(sf),
         "conversion_latency": lambda sf: _events_conversion(sf),
         "user_paths": lambda sf: _events_user_paths(sf),
+        "cusum_changepoints": lambda sf: _events_cusum(sf),
+        "top_event_trigrams": lambda sf: _events_top_trigrams(sf),
         # daily-active-users HLL (window x sketch composition)
         "hll_users_windowed": lambda sf: _events_hll_windowed(sf),
         # semi-structured JSON props field extraction + aggregate
@@ -3839,6 +3861,44 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>'
                               ORDER BY ts, event_id) AS path
             FROM events GROUP BY 1""",
+        # offline CUSUM changepoint per type over the daily cents
+        # series: argmax_k |n*prefix_k - k*total|, ties -> earliest
+        # day (DuckDB sums promote to HUGEINT, matching the Ray
+        # finish's Python big-int walk)
+        "cusum_changepoints": """
+            WITH d AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     SUM(CAST(round(value*100) AS BIGINT)) AS x
+              FROM events GROUP BY 1, 2),
+            p AS (
+              SELECT event_type, day,
+                     SUM(x) OVER (PARTITION BY event_type
+                                  ORDER BY day) AS pre,
+                     SUM(x) OVER (PARTITION BY event_type) AS tot,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS k,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM d)
+            SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+                   CAST(abs(n*pre - k*tot) AS BIGINT) AS score
+            FROM p
+            QUALIFY row_number() OVER (
+              PARTITION BY event_type
+              ORDER BY abs(n*pre - k*tot) DESC, day) = 1""",
+        # top-50 consecutive event-type trigrams per user stream;
+        # lead() past the partition end is NULL and '||' propagates
+        # it, so boundary pairs drop in the WHERE
+        "top_event_trigrams": """
+            SELECT trigram, count(*)::BIGINT AS n
+            FROM (SELECT event_type || '>' ||
+                         lead(event_type, 1) OVER w || '>' ||
+                         lead(event_type, 2) OVER w AS trigram
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)) t
+            WHERE trigram IS NOT NULL
+            GROUP BY trigram
+            ORDER BY n DESC, trigram LIMIT 50""",
         # exactly-k smallest md5 keys, ties to the smaller doc_id
         "exact_k_sample": """
             SELECT doc_id FROM documents

@@ -201,6 +201,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "dd_quantiles", "latest_events", "event_cooccurrence",
                  "robust_outliers", "ks_drift", "ks_by_type",
                  "user_paths", "conversion_latency",
+                 "cusum_changepoints", "top_event_trigrams",
                  "user_growth",
                  "distinct_users", "pivot_events", "hll_users",
                  "hll_users_windowed",

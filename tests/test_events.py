@@ -927,3 +927,72 @@ def test_conversion_latency_at_or_after(ray_session):
            for r in conversion_latency(
                ray.data.from_items(rows).repartition(3)).take_all()}
     assert got == {1: 4_000_000, 3: 0}
+
+
+def test_cusum_changepoints_crafted(ray_session):
+    """A flat series shifted up mid-way: the changepoint is the last
+    day of the low regime (prefix deviation peaks there), ties break
+    to the earliest day, and the score matches the hand big-int
+    |n*prefix_k - k*total| walk.  Block-split invariant."""
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import cusum_changepoints
+
+    D = lambda d: dt.datetime(2026, 4, 1 + d)
+    # type 'a': days 0-3 at 1.00, days 4-5 at 100.00 (cents 100/10000)
+    rows = [{"event_type": "a", "ts": D(d),
+             "value": 1.0 if d < 4 else 100.0} for d in range(6)]
+    # type 'b': constant series -> every interior k scores equally,
+    # earliest day wins
+    rows += [{"event_type": "b", "ts": D(d), "value": 2.0}
+             for d in range(3)]
+    ds = ray.data.from_items(rows)
+    got = {r["event_type"]: (r["cp_day"], r["score"])
+           for r in cusum_changepoints(ds).to_pylist()}
+    # a: daily cents [100,100,100,100,10000,10000], tot=20400, n=6
+    # k=4: |6*400 - 4*20400| = 79200  (the max)
+    assert got["a"] == ("2026-04-04", 79200)
+    # b: cents [200,200,200] tot=600 n=3: k=1 |3*200-600|=0, all 0
+    assert got["b"] == ("2026-04-01", 0)
+    got2 = {r["event_type"]: (r["cp_day"], r["score"])
+            for r in cusum_changepoints(ds.repartition(5)).to_pylist()}
+    assert got2 == got
+
+
+def test_top_event_trigrams_crafted(ray_session):
+    """Trigrams never cross a user boundary, (ts, event_id) orders
+    within a user, and the (n desc, trigram asc) tie-break is
+    deterministic.  Block-split invariant."""
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import top_event_trigrams
+
+    T = lambda m: dt.datetime(2026, 1, 1, 0, m)
+    rows = [
+        # u1: a b c d  -> a>b>c, b>c>d (the two c's tie on ts:
+        # event_id 2 before 3)
+        {"event_id": 1, "user_id": 1, "ts": T(0), "event_type": "a"},
+        {"event_id": 2, "user_id": 1, "ts": T(1), "event_type": "b"},
+        {"event_id": 3, "user_id": 1, "ts": T(1), "event_type": "c"},
+        {"event_id": 4, "user_id": 1, "ts": T(2), "event_type": "d"},
+        # u2: a b c -> a>b>c again (count 2)
+        {"event_id": 5, "user_id": 2, "ts": T(0), "event_type": "a"},
+        {"event_id": 6, "user_id": 2, "ts": T(1), "event_type": "b"},
+        {"event_id": 7, "user_id": 2, "ts": T(2), "event_type": "c"},
+        # u3: two events only -> no trigram
+        {"event_id": 8, "user_id": 3, "ts": T(0), "event_type": "x"},
+        {"event_id": 9, "user_id": 3, "ts": T(1), "event_type": "y"},
+    ]
+    ds = ray.data.from_items(rows)
+    got = [(r["trigram"], r["n"])
+           for r in top_event_trigrams(ds, k=10,
+                                       n_buckets=4).take_all()]
+    assert got == [("a>b>c", 2), ("b>c>d", 1)]
+    got2 = [(r["trigram"], r["n"])
+            for r in top_event_trigrams(ds.repartition(4), k=10,
+                                        n_buckets=4).take_all()]
+    assert got2 == got

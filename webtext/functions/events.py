@@ -1541,3 +1541,149 @@ def conversion_latency(ds, from_type: str = "signup",
         .map_batches(emit, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .groupby("bucket").map_groups(resolve, batch_format="pyarrow")
+
+
+def cusum_changepoints(ds):
+    """(event_type, cp_day, score): offline CUSUM changepoint per
+    event type over its DAILY value series — the calendar day ``k``
+    maximizing ``|n·prefix_k − k·total|`` over the type's day-ordered
+    daily cents sums (the max-|CUSUM| deviation-from-uniform
+    statistic, scaled by ``n`` so it stays integer; ties break to the
+    earliest day).  This is the drift monitor a feed owner reads to
+    find WHEN a pipeline's value distribution shifted, complementing
+    `ks_drift`/`ks_by_type` which say only THAT it shifted.
+
+    Reduction posture (the `ks_by_type` convention): per-batch
+    (type, epoch_day, cents) sum partials — a combiner, all numpy —
+    then ONE native groupby whose result has one row per DISTINCT
+    (type, day), bounded by |types| × calendar days, never corpus
+    size; a constant-size driver finish walks each type's day-ordered
+    series once in Python big-int arithmetic (the oracle's HUGEINT
+    exactly — in int64 ``n·prefix`` would wrap once a type's cents
+    total exceeds ~9.2e18/n_days).  The emitted ``score`` column is
+    int64 and therefore shares that bound; documented, not silently
+    wrapped — the finish raises on overflow rather than truncate.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // _DAY_US
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        types = np.asarray(batch.column("event_type").to_pylist(),
+                           dtype=object)
+        order = np.lexsort((day, types))
+        t, d, c = types[order], day[order], cents[order]
+        new = np.append(True, (t[1:] != t[:-1]) | (d[1:] != d[:-1]))
+        starts = np.nonzero(new)[0]
+        sums = np.add.reduceat(c, starts)
+        return pa.Table.from_arrays(
+            [pa.array(t[starts].astype(str), pa.string()),
+             pa.array(d[starts]), pa.array(sums.astype(np.int64))],
+            names=["g", "day", "x"])
+
+    rows = ds.select_columns(["event_type", "ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["g", "day"]).sum("x").take_all()
+    # distinct (type, day) table — constant-bounded driver finish
+    from collections import defaultdict
+    series: dict[str, dict[int, int]] = defaultdict(dict)
+    for r in rows:
+        g, d, x = r["g"], int(r["day"]), int(r["sum(x)"])
+        series[g][d] = series[g].get(d, 0) + x
+    out_g, out_day, out_score = [], [], []
+    i64max = (1 << 63) - 1
+    for g in sorted(series):
+        days = sorted(series[g])
+        n = len(days)
+        tot = sum(series[g].values())
+        pre = 0
+        best = -1
+        best_day = None
+        for k, d in enumerate(days, start=1):
+            pre += series[g][d]
+            s = abs(n * pre - k * tot)      # Python big-int: exact
+            if s > best:
+                best, best_day = s, d
+        if best > i64max:
+            raise OverflowError(
+                f"cusum score {best} for {g!r} exceeds int64; "
+                "rescale the value unit before emitting")
+        out_g.append(g)
+        out_day.append(str(np.datetime64("1970-01-01")
+                           + np.timedelta64(int(best_day), "D")))
+        out_score.append(best)
+    return pa.table({"event_type": pa.array(out_g, pa.string()),
+                     "cp_day": pa.array(out_day, pa.string()),
+                     "score": pa.array(out_score, pa.int64())})
+
+
+def top_event_trigrams(ds, k: int = 50, n_buckets: int = 256):
+    """(trigram, n): corpus-wide counts of length-3 CONSECUTIVE
+    event-type sequences within a user's (ts, event_id)-ordered
+    stream, top-``k`` by (n desc, trigram asc) — the sequential-
+    pattern census behind funnel discovery (`event_transitions` is
+    its bigram sibling; three steps is where intent chains like
+    view>click>purchase become visible).
+
+    ONE hash(user)%``n_buckets`` exchange of (user, ts, event_id,
+    type) rows; each cell lexsorts once, forms trigrams with two
+    shifted Arrow gathers + one ``binary_join_element_wise`` (pairs
+    crossing a user boundary masked out — no per-user loop), and
+    pre-counts with Arrow ``value_counts`` so the second exchange
+    ships (trigram, partial_n) rows only; one native groupby-sum and
+    a tiny deterministic sort+limit finish (the `top_bigrams`
+    convention)."""
+    def emit(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(uid, n_buckets)), pa.array(uid),
+             batch.column("ts").cast(pa.timestamp("us"))
+             .cast(pa.int64()),
+             batch.column("event_id").cast(pa.int64()),
+             batch.column("event_type")],
+            names=["bucket", "user_id", "ts_us", "event_id",
+                   "event_type"])
+
+    def count_cell(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["trigram", "n"])
+        if group.num_rows < 3:
+            return empty
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        types = group.column("event_type").take(pa.array(order))
+        types = (types.combine_chunks()
+                 if isinstance(types, pa.ChunkedArray) else types)
+        m = len(u) - 2
+        keep = (u[:m] == u[1:m + 1]) & (u[:m] == u[2:])
+        if not keep.any():
+            return empty
+        mask = pa.array(keep)
+        t0 = types.slice(0, m).filter(mask)
+        t1 = types.slice(1, m).filter(mask)
+        t2 = types.slice(2, m).filter(mask)
+        tri = pc.binary_join_element_wise(t0, t1, t2, ">")
+        vc = pc.value_counts(tri)
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["trigram", "n"])
+
+    partials = ds.select_columns(
+        ["user_id", "ts", "event_id", "event_type"]) \
+        .map_batches(emit, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(count_cell,
+                                      batch_format="pyarrow")
+    summed = partials.groupby("trigram").sum("n").map_batches(
+        lambda b: b.rename_columns(["trigram", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return summed.sort(["n", "trigram"],
+                       descending=[True, False]).limit(k)
