@@ -675,6 +675,15 @@ def _ivf_recall(sf_dir: str):
     return ann.ivf_recall_audit(_emb(sf_dir), index_path=path)
 
 
+def _ndcg_audit(sf_dir: str):
+    from webtext.functions import ann
+
+    path = _ivf_index_path(sf_dir)
+    if not os.path.exists(path):
+        ann.ivf_build_index(_emb(sf_dir), path, nlist=16)
+    return ann.ndcg_audit(_emb(sf_dir), index_path=path)
+
+
 def _pq_recall(sf_dir: str):
     from webtext.functions import ann
 
@@ -2336,6 +2345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_recall_audit": lambda sf: _ivf_recall(sf),
         # quantization-loss twin: PQ/ADC recall vs exact L2
         "pq_recall_audit": lambda sf: _pq_recall(sf),
+        "ndcg_audit": lambda sf: _ndcg_audit(sf),
         # event-stream windows (beyond the reference: time-windowed ops)
         "windowed_events": lambda sf: _events_windowed(sf),
         "hopping_events": lambda sf: _events_hopping(sf),
@@ -2588,7 +2598,8 @@ def oracle_sql() -> dict[str, str]:
             "whiten_embeddings", "ivf_recall_audit",
             "minhash_recall_audit", "hll_error_audit",
             "cms_error_audit", "bloom_fp_audit",
-            "quantile_sketch_audit", "pq_recall_audit")
+            "quantile_sketch_audit", "pq_recall_audit",
+            "ndcg_audit")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

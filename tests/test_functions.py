@@ -2136,3 +2136,43 @@ def test_hybrid_rrf_hand_fusion(ray_session):
         2: m // 62 + m // 61,   # lex rank 2 + sem rank 1
         3: m // 62,             # sem rank 2 only
     }
+
+
+def test_ndcg_audit_full_probe_is_perfect(ray_session):
+    """Probing every list makes the IVF ranking ≡ exact → nDCG 1.0 and
+    DCG == IDCG for every query; blocking-invariant."""
+    import ray.data
+
+    from webtext.functions.ann import _dcg_discounts, ndcg_audit
+
+    rows = [{"vec_id": i, "label": 0,
+             "embedding": [((i * 13) % 7) / 7.0,
+                           ((i * 29) % 11) / 11.0]}
+            for i in range(40)]
+    a = ndcg_audit(ray.data.from_items(rows).repartition(1),
+                   n_queries=4, k=5, nlist=4, nprobe=4)
+    b = ndcg_audit(ray.data.from_items(rows).repartition(6),
+                   n_queries=4, k=5, nlist=4, nprobe=4)
+    assert a.to_pylist() == b.to_pylist()
+    disc = _dcg_discounts(5)
+    ideal = sum((5 - i) * disc[i] for i in range(5))
+    for r in a.to_pylist():
+        assert r["ndcg_micro"] == 1_000_000
+        assert r["dcg_units"] == ideal
+
+
+def test_ndcg_audit_rank_aware_vs_recall():
+    """The discount table is the pinned round(1e6/log2(r+1)) integers,
+    and a reversed-order list (recall 1.0) scores visibly below 1.0 —
+    the property recall@k cannot see."""
+    from webtext.functions.ann import _dcg_discounts
+
+    disc = _dcg_discounts(10)
+    assert disc == [1000000, 630930, 500000, 430677, 386853,
+                    356207, 333333, 315465, 301030, 289065]
+    k = 10
+    ideal = sum((k - i) * disc[i] for i in range(k))
+    # exact list reversed: gain of position i is (i+1)
+    reversed_dcg = sum((i + 1) * disc[i] for i in range(k))
+    assert 0 < reversed_dcg < ideal
+    assert (1_000_000 * reversed_dcg) // ideal < 900_000

@@ -308,6 +308,59 @@ def golden_ivf_recall_audit(sf_dir, n_queries=16, k=10, nlist=16,
                      "recall_micro": pa.array(out_r, pa.int64())})
 
 
+def golden_ndcg_audit(sf_dir, n_queries=16, k=10, nlist=16,
+                      nprobe=4, iters=5):
+    """Independent dense nDCG@k audit of the IVF probe ranking: same
+    spec-constant k-means as golden_ivf_recall_audit, ORDERED exact and
+    probed top-k lists under the lexsort((id, -sim)) tie rule, linear
+    gains k..1 from the exact order, integer position discounts
+    round(1e6/log2(r+1)) derived here with math.log2 (independent of
+    the engine's _dcg_discounts), ndcg = 1e6*DCG // IDCG."""
+    import math
+
+    ids, labels, mat = emb_matrix(sf_dir)
+    seed_ids = sorted(set(int(i) for i in
+                          np.linspace(0, ids.max(), nlist).astype(int)))
+    cents = np.stack([mat[ids == s][0] for s in seed_ids])
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        q = np.rint(mat * KMEANS_SCALE).astype(np.int64)
+        tot = np.zeros((len(cents), mat.shape[1]), dtype=np.int64)
+        np.add.at(tot, assign, q)
+        cnt = np.bincount(assign, minlength=len(cents)).astype(np.int64)
+        new = cents.copy()
+        nz = cnt > 0
+        new[nz] = (tot[nz] / KMEANS_SCALE) / cnt[nz, None]
+        cents = new
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    disc = [round(1_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+    out_q, out_d, out_n = [], [], []
+    for qi in range(n_queries):
+        query = mat[ids == qi][0]
+        keep = ids != qi
+        sims = cos(mat[keep], query)
+        kids = ids[keep]
+        exact = kids[np.lexsort((kids, -sims))[:k]].tolist()
+        probe = set(np.argsort(((cents - query) ** 2).sum(axis=1))
+                    [:nprobe].tolist())
+        keep2 = keep & np.isin(assign, list(probe))
+        sims2 = cos(mat[keep2], query)
+        kids2 = ids[keep2]
+        approx = kids2[np.lexsort((kids2, -sims2))[:k]].tolist()
+        rel = {int(doc): k - r for r, doc in enumerate(exact)}
+        dcg = sum(rel.get(int(doc), 0) * disc[i]
+                  for i, doc in enumerate(approx))
+        idcg = sum((k - i) * disc[i] for i in range(len(exact)))
+        out_q.append(qi)
+        out_d.append(dcg)
+        out_n.append((1_000_000 * dcg) // idcg if idcg else 0)
+    return pa.table({"qid": pa.array(out_q, pa.int64()),
+                     "dcg_units": pa.array(out_d, pa.int64()),
+                     "ndcg_micro": pa.array(out_n, pa.int64())})
+
+
 def golden_knn_pq(sf_dir, k=10, m=8, ksub=16, iters=5):
     """Independent reimplementation of ann.knn_pq: per-subspace k-means
     with deterministic linspace seeds and fixed-point int64 partial
@@ -2366,6 +2419,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["whiten_embeddings"] = golden_whiten_embeddings(sf_dir)
     g["ivf_recall_audit"] = golden_ivf_recall_audit(sf_dir)
     g["pq_recall_audit"] = golden_pq_recall_audit(sf_dir)
+    g["ndcg_audit"] = golden_ndcg_audit(sf_dir)
     g["minhash_recall_audit"] = golden_minhash_recall_audit(sf_dir)
 
     return g

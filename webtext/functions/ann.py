@@ -1942,3 +1942,131 @@ def hybrid_rrf(docs_ds, emb_ds, terms, k_lex: int = 20,
     return pa.table({
         "doc_id": pa.array([d for d, _ in top], pa.int64()),
         "rrf_micro": pa.array([s for _, s in top], pa.int64())})
+
+
+def _dcg_discounts(k: int) -> list[int]:
+    """Integer position discounts round(1e6 / log2(rank+1)) for ranks
+    1..k.  Deterministic across independent reimplementations: the
+    quotients sit far from the .5 rounding boundary (closest is
+    301029.9956 at rank 9), so a correctly-rounded log2 on any IEEE
+    platform yields the same integers."""
+    import math
+
+    return [round(1_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def ndcg_audit(ds, n_queries: int = 16, k: int = 10,
+               nlist: int = 16, nprobe: int = 4,
+               index_path: str | None = None):
+    """(qid, dcg_units, ndcg_micro): RANK-AWARE quality of the IVF
+    probe ranking against exact brute-force cosine — nDCG@k with the
+    exact list as graded ground truth (relevance of the exact rank-r
+    neighbour = k−r+1, linear gains), completing the audit family:
+    `ivf_recall_audit` counts WHICH true neighbours survive the probe
+    filter, this measures WHERE the survivors land (an approximate
+    index that returns all ten true neighbours in reversed order has
+    recall 1.0 but visibly sub-1 nDCG).  Queries are the vectors with
+    vec_id < n_queries; both rankings use the lexsort((vec_id, −sim))
+    tie rule of knn_cosine/knn_ivf.
+
+    All scoring integer: position discounts are round(1e6/log2(r+1))
+    micros (`_dcg_discounts` — reimplementation-stable integers),
+    DCG = Σ gain·disc over the approx list, IDCG the same sum over
+    the ideal order, ndcg_micro = 1e6·DCG // IDCG.
+
+    Scale shape = ivf_recall_audit exactly: two streaming corpus scans
+    (exact and probe-filtered) with the (n_queries × d) query matrix +
+    centroids broadcast ONCE via ray.put; per block one matmul and a
+    per-query local top-k partial; one constant-cardinality
+    groupby(qid) merge (≤ n_queries·k·blocks partial rows); the nDCG
+    arithmetic touches only the two constant-size ranked lists on the
+    driver."""
+    import ray
+
+    q_rows = ds.filter(expr=f"vec_id < {int(n_queries)}") \
+        .select_columns(["vec_id", "embedding"]).take_all()
+    q_rows.sort(key=lambda r: int(r["vec_id"]))
+    qids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    if index_path is not None:
+        cents = ivf_load_index(index_path)
+    else:
+        cents = kmeans_fit_distributed(ds, nlist)
+    probes = np.argsort(((cents[None, :, :] - Q[:, None, :]) ** 2)
+                        .sum(axis=2), axis=1)[:, :nprobe]
+    ref = ray.put((qids, Q, cents, probes))
+
+    def partials(restrict_probe: bool):
+        def f(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            qid, qm, cc, pr = (_ref if isinstance(_ref, tuple)
+                               else ray.get(_ref))
+            mat = _matrix(batch)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            out_q, out_i, out_s = [], [], []
+            assign = _assign_clusters(mat, cc) if restrict_probe \
+                else None
+            for qi in range(len(qid)):
+                keep = ids != qid[qi]          # exclude the query row
+                if restrict_probe:
+                    keep &= np.isin(assign, pr[qi])
+                m, di = mat[keep], ids[keep]
+                if not len(di):
+                    continue
+                sims = _cos(m, qm[qi])
+                order = np.lexsort((di, -sims))[:k]
+                out_q.append(np.full(len(order), qid[qi],
+                                     dtype=np.int64))
+                out_i.append(di[order])
+                out_s.append(sims[order])
+            if not out_q:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                     pa.array([], pa.float64())],
+                    names=["qid", "vec_id", "sim"])
+            return pa.Table.from_arrays(
+                [pa.array(np.concatenate(out_q)),
+                 pa.array(np.concatenate(out_i)),
+                 pa.array(np.concatenate(out_s))],
+                names=["qid", "vec_id", "sim"])
+        return f
+
+    def final_ranked(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = group.column("sim").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.Table.from_arrays(
+            [group.column("qid").take(pa.array(order)),
+             pa.array(ids[order]),
+             pa.array(np.arange(1, len(order) + 1, dtype=np.int64))],
+            names=["qid", "vec_id", "rank"])
+
+    def ranked(restrict_probe: bool) -> dict[int, list[int]]:
+        rows = ds.select_columns(["vec_id", "embedding"]) \
+            .map_batches(partials(restrict_probe),
+                         batch_format="pyarrow", zero_copy_batch=True) \
+            .groupby("qid").map_groups(final_ranked,
+                                       batch_format="pyarrow") \
+            .take_all()                 # ≤ n_queries·k rows, constant
+        by_q: dict[int, list[tuple[int, int]]] = {}
+        for r in rows:
+            by_q.setdefault(int(r["qid"]), []).append(
+                (int(r["rank"]), int(r["vec_id"])))
+        return {q: [v for _, v in sorted(lst)]
+                for q, lst in by_q.items()}
+
+    exact = ranked(False)
+    approx = ranked(True)
+    disc = _dcg_discounts(k)
+    out_q, out_d, out_n = [], [], []
+    for qi in qids.tolist():
+        ex = exact.get(qi, [])
+        rel = {d: k - r for r, d in enumerate(ex)}   # k..k-len+1
+        dcg = sum(rel.get(d, 0) * disc[i]
+                  for i, d in enumerate(approx.get(qi, [])))
+        idcg = sum((k - i) * disc[i] for i in range(len(ex)))
+        out_q.append(qi)
+        out_d.append(dcg)
+        out_n.append((1_000_000 * dcg) // idcg if idcg else 0)
+    return pa.table({"qid": pa.array(out_q, pa.int64()),
+                     "dcg_units": pa.array(out_d, pa.int64()),
+                     "ndcg_micro": pa.array(out_n, pa.int64())})
