@@ -1298,7 +1298,22 @@ def coreness(edges, n_buckets: int = N_SHUFFLE_BUCKETS,
     round; state stays node-sized and rides compacted STATE_BLOCKS
     blocks (the pagerank round discipline — without the compaction the
     per-round groupby pays for hundreds of tiny upstream blocks); the
-    changed-count is an exact integer Dataset.sum."""
+    changed-count is an exact integer Dataset.sum.
+
+    Cost audit (sf0.1 co-purchase graph, 20k nodes / 1.2M edges, 32
+    cpus): 38 rounds to exact convergence at ~1.4 s/round — ROUND-
+    LATENCY bound at test scale (the changed-count trace, env
+    ``WEBTEXT_TRACE_ROUNDS=1``, shows a long low-change tail and a late
+    cascade regrowing to ~7k changes before converging, so the round
+    count is inherent to the synchronous dynamics, not slack).  A
+    frontier variant (ship only changed nodes' edges, keep per-node
+    neighbour-value histograms as state) was considered and rejected:
+    the histogram state is edge-sized and the union→groupby discipline
+    re-shuffles ALL state rows every round, so its per-round bytes
+    equal the static-adjacency re-ship it would replace; holding the
+    histograms in a stateful actor pool would cut the traffic but
+    abandons the restartable-parquet round discipline every other
+    fixed-point op here shares."""
 
     edges = edges.materialize()     # degrees + static keyed adjacency
 
@@ -1421,7 +1436,11 @@ def coreness(edges, n_buckets: int = N_SHUFFLE_BUCKETS,
         batch_format="pyarrow", zero_copy_batch=True) \
         .repartition(STATE_BLOCKS).materialize()
 
+    import os
+    import time as _time
+    trace = os.environ.get("WEBTEXT_TRACE_ROUNDS")
     for _rnd in range(max_rounds):
+        t0 = _time.perf_counter()
         valued = state_for_attach(state).union(adj_by_nbr) \
             .groupby("key").map_groups(attach_val,
                                        batch_format="pyarrow")
@@ -1431,6 +1450,11 @@ def coreness(edges, n_buckets: int = N_SHUFFLE_BUCKETS,
             .repartition(STATE_BLOCKS).materialize()
         changed = nxt.sum("changed")
         state = nxt.select_columns(["node", "coreness"]).materialize()
+        if trace:
+            import sys
+            print(f"[coreness] round {_rnd}: changed={changed} "
+                  f"({_time.perf_counter() - t0:.2f}s)",
+                  file=sys.stderr)
         if not changed:
             return state
     raise RuntimeError(
