@@ -2271,6 +2271,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .topk_tokens_per_group(_docs_cols(sf, ["lang", "text"])),
         "vocab_coverage": lambda sf: textstats.vocab_coverage(
             _docs_cols(sf, ["doc_id", "text"]), 50),
+        # exact greedy max-coverage doc selection (submodular (1-1/e));
+        # bigram units — the 31-token synthetic vocab saturates in one
+        # pick, bigrams (916) exercise a real greedy trajectory
+        "coverage_select": lambda sf: textstats.coverage_select(
+            _docs_cols(sf, ["doc_id", "text"]), unit="bigram"),
         # per-document TF-IDF keyword extraction (rational idf)
         "tfidf_top_terms": lambda sf: textstats.tfidf_top_terms(
             _docs_cols(sf, ["doc_id", "text"])),
@@ -2586,7 +2591,8 @@ def oracle_sql() -> dict[str, str]:
             "host_cocitation", "host_coupling",
             "doc_authority", "authority_sample",
             "nb_classify", "bloom_dedup", "hits_scores",
-            "dd_quantiles", "kcenter_select", "dup_mapping",
+            "dd_quantiles", "kcenter_select", "coverage_select",
+            "dup_mapping",
             "lineage_report", "hll_users_windowed",
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs", "media_dedup_apply",

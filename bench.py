@@ -173,6 +173,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "token_burstiness", "gini_by_source", "vocab_growth",
                  "hapax_stats",
                  "prefix_filter_pairs", "source_overlap",
+                 "coverage_select",
                  "dup_mapping", "top_bigrams", "vocab_divergence",
                  "incremental_dedup", "incremental_near_dedup",
                  "dup_cluster_stats",

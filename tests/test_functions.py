@@ -2176,3 +2176,50 @@ def test_ndcg_audit_rank_aware_vs_recall():
     reversed_dcg = sum((i + 1) * disc[i] for i in range(k))
     assert 0 < reversed_dcg < ideal
     assert (1_000_000 * reversed_dcg) // ideal < 900_000
+
+
+def test_coverage_select_greedy_and_blocking(ray_session):
+    """Sequential-greedy equivalence: gain-desc/doc-asc tie-break,
+    stop at zero gain, covered is cumulative; result independent of
+    block layout (the block winner IS the global argmax candidate)."""
+    import ray.data
+
+    from webtext.functions.textstats import coverage_select
+
+    rows = [
+        {"doc_id": 4, "text": "a b c d"},   # 4 tokens
+        {"doc_id": 2, "text": "e f g h"},   # also 4 -> tie, doc 2 wins
+        {"doc_id": 3, "text": "a b e f"},   # fully covered after both
+        {"doc_id": 7, "text": "x"},
+    ]
+    got = coverage_select(ray.data.from_items(rows).repartition(1),
+                          k=10).to_pylist()
+    want = [
+        {"rank": 1, "doc_id": 2, "gain": 4, "covered": 4},
+        {"rank": 2, "doc_id": 4, "gain": 4, "covered": 8},
+        {"rank": 3, "doc_id": 7, "gain": 1, "covered": 9},
+    ]
+    assert got == want
+    got4 = coverage_select(ray.data.from_items(rows).repartition(4),
+                           k=10).to_pylist()
+    assert got4 == want
+
+
+def test_coverage_select_bigram_unit(ray_session):
+    """Bigram units never cross documents; single-token docs
+    contribute no bigrams and are never picked."""
+    import ray.data
+
+    from webtext.functions.textstats import coverage_select
+
+    rows = [
+        {"doc_id": 1, "text": "a b c"},     # bigrams: 'a b', 'b c'
+        {"doc_id": 2, "text": "b c a"},     # 'b c', 'c a'
+        {"doc_id": 3, "text": "z"},         # no bigrams
+    ]
+    got = coverage_select(ray.data.from_items(rows).repartition(2),
+                          k=5, unit="bigram").to_pylist()
+    assert got == [
+        {"rank": 1, "doc_id": 1, "gain": 2, "covered": 2},
+        {"rank": 2, "doc_id": 2, "gain": 1, "covered": 3},
+    ]

@@ -1157,6 +1157,38 @@ def golden_hits(sf_dir: str) -> pa.Table:
                      "auth": pa.array(auth, pa.int64())})
 
 
+def golden_coverage_select(sf_dir, k=20):
+    """Pure-Python sequential greedy max-coverage over BIGRAM units —
+    differential oracle for webtext/functions/textstats.py
+    coverage_select(unit='bigram'): same split-by-single-space token
+    convention, adjacent pairs joined by ' ', same (gain desc, doc_id
+    asc) tie-break, same stop-at-zero-gain rule."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    sets = {}
+    for i, s in zip(ids, t.column("text").to_pylist()):
+        a = s.split(" ")
+        sets[int(i)] = {f"{x} {y}" for x, y in zip(a, a[1:])}
+    covered: set = set()
+    rows = []
+    for rank in range(1, k + 1):
+        best_id, best_gain = None, -1
+        for did in sorted(sets):
+            g = len(sets[did] - covered)
+            if g > best_gain:
+                best_id, best_gain = did, g
+        if best_gain == 0:
+            break
+        covered |= sets[best_id]
+        rows.append((rank, best_id, best_gain, len(covered)))
+    return pa.table({
+        "rank": pa.array([r for r, _, _, _ in rows], pa.int64()),
+        "doc_id": pa.array([d for _, d, _, _ in rows], pa.int64()),
+        "gain": pa.array([g for _, _, g, _ in rows], pa.int64()),
+        "covered": pa.array([c for _, _, _, c in rows], pa.int64())})
+
+
 def golden_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
     """Dense single-process greedy k-center (farthest-point, Gonzalez)
     — differential oracle for webtext/functions/ann.py kcenter_select:
@@ -2406,6 +2438,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["hits_scores"] = golden_hits(sf_dir)
     g["dd_quantiles"] = golden_dd_quantiles(sf_dir)
     g["kcenter_select"] = golden_kcenter(sf_dir)
+    g["coverage_select"] = golden_coverage_select(sf_dir)
     g["lineage_report"] = golden_lineage(sf_dir)
     g["hll_users_windowed"] = golden_hll_users_windowed(sf_dir)
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)

@@ -2189,3 +2189,146 @@ def hapax_stats(ds):
         .map_batches(lambda b: b.rename_columns(
             ["source", "vocab_size", "n_hapax", "n_tokens"]),
             batch_format="pyarrow", zero_copy_batch=True)
+
+
+def coverage_select(ds, k: int = 20, unit: str = "token"):
+    """(rank, doc_id, gain, covered): EXACT greedy maximum-coverage
+    document selection — pick ``k`` documents one at a time, each the
+    document adding the most NOT-YET-COVERED distinct units (ties →
+    min doc_id), stopping early when the best marginal gain hits 0.
+    ``unit`` = 'token' (whitespace tokens) or 'bigram' (adjacent token
+    pairs joined by a space — the right granularity when the token
+    vocabulary is small enough that one document saturates it).
+    The submodular data-selection primitive (Nemhauser's greedy is a
+    (1−1/e)-approximation to optimal coverage): the classic recipe for
+    picking a small vocabulary-spanning subset to seed tokenizer
+    training or eval sets.  ``covered`` is the running distinct-token
+    total after each pick.
+
+    Scale shape: ONE preprocessing pass builds the materialized
+    (doc_id, distinct-token list) table — per batch an Arrow
+    (row, token) group_by distinct, re-listed by row, so every doc's
+    token set lives in exactly one row and a block-local argmax is a
+    true per-doc argmax.  Each greedy round is then one streaming scan:
+    the covered set (≤ Σ picked docs' vocab — selection-sized, never
+    corpus-sized) broadcast once via ray.put, per block ONE is_in +
+    bincount for every doc's marginal gain and a block-winner row
+    carrying its uncovered tokens; the driver reduces #blocks candidate
+    rows (constant) and never touches the corpus.  k scans total —
+    exactness over the pass-count economy of lazy/stochastic greedy
+    (documented trade; the greedy order IS the oracle contract)."""
+    import ray
+
+    if unit not in ("token", "bigram"):
+        raise ValueError(f"unknown coverage unit {unit!r}")
+
+    def doc_token_sets(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if unit == "bigram":
+            # adjacent pairs within a row: shifted gathers, row-
+            # boundary pairs masked (the top_bigrams construction)
+            n = len(flat)
+            if n <= 1:
+                units = flat.slice(0, 0)
+                rows = np.zeros(0, dtype=np.int64)
+            else:
+                ends = np.cumsum(lens) - 1
+                keep = np.ones(n - 1, dtype=bool)
+                keep[ends[ends < n - 1]] = False
+                left = flat.slice(0, n - 1).filter(pa.array(keep))
+                right = flat.slice(1).filter(pa.array(keep))
+                units = pc.binary_join_element_wise(left, right, " ")
+                rows = np.repeat(
+                    np.arange(len(lens), dtype=np.int64),
+                    np.maximum(lens - 1, 0))
+        else:
+            units = flat
+            rows = np.repeat(np.arange(len(lens), dtype=np.int64),
+                             lens)
+        pairs = pa.Table.from_arrays(
+            [pa.array(rows), units], names=["row", "token"])
+        dist = pairs.group_by(["row", "token"]).aggregate([])
+        dist = dist.sort_by([("row", "ascending"),
+                             ("token", "ascending")])
+        r = dist.column("row").to_numpy(zero_copy_only=False)
+        # rows with zero distinct tokens (empty text) still get a row
+        counts = np.bincount(r, minlength=len(lens)).astype(np.int32)
+        offsets = np.append(np.int32(0), np.cumsum(counts,
+                                                   dtype=np.int32))
+        tok_col = dist.column("token")
+        tok_col = (tok_col.combine_chunks()
+                   if isinstance(tok_col, pa.ChunkedArray) else tok_col)
+        lst = pa.ListArray.from_arrays(pa.array(offsets), tok_col)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), lst], names=["doc_id", "tokens"])
+
+    sets = ds.map_batches(doc_token_sets, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    covered: set[str] = set()
+    out_rank, out_doc, out_gain, out_cov = [], [], [], []
+    for rank in range(1, k + 1):
+        ref = ray.put(sorted(covered))
+
+        def block_winner(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            cov = _ref if isinstance(_ref, list) else ray.get(_ref)
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.list_(pa.string()))],
+                names=["doc_id", "gain", "toks"])
+            if batch.num_rows == 0:
+                return empty
+            toks = batch.column("tokens")
+            toks = (toks.combine_chunks()
+                    if isinstance(toks, pa.ChunkedArray) else toks)
+            lens = pc.list_value_length(toks) \
+                .to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(toks)
+            if cov:
+                new = pc.invert(pc.is_in(
+                    flat, value_set=pa.array(cov, pa.string()))) \
+                    .to_numpy(zero_copy_only=False)
+            else:
+                new = np.ones(len(flat), dtype=bool)
+            rows = np.repeat(np.arange(len(lens), dtype=np.int64),
+                             lens)
+            gain = np.bincount(rows, weights=new,
+                               minlength=len(lens)).astype(np.int64)
+            ids = batch.column("doc_id").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            best = np.lexsort((ids, -gain))[0]
+            win_toks = toks.slice(best, 1)
+            if cov:
+                # keep only the winner's UNCOVERED tokens (flatten
+                # respects the slice offset; .values would not)
+                inner = pc.list_flatten(win_toks) \
+                    .filter(pa.array(new[rows == best]))
+                win_toks = pa.ListArray.from_arrays(
+                    pa.array([0, len(inner)], pa.int32()), inner)
+            return pa.Table.from_arrays(
+                [pa.array([int(ids[best])], pa.int64()),
+                 pa.array([int(gain[best])], pa.int64()),
+                 win_toks.cast(pa.list_(pa.string()))],
+                names=["doc_id", "gain", "toks"])
+
+        cands = sets.map_batches(block_winner, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all()
+        if not cands:
+            break
+        cands.sort(key=lambda r: (-int(r["gain"]), int(r["doc_id"])))
+        top = cands[0]
+        if int(top["gain"]) == 0:
+            break
+        covered.update(top["toks"])
+        out_rank.append(rank)
+        out_doc.append(int(top["doc_id"]))
+        out_gain.append(int(top["gain"]))
+        out_cov.append(len(covered))
+    return pa.table({"rank": pa.array(out_rank, pa.int64()),
+                     "doc_id": pa.array(out_doc, pa.int64()),
+                     "gain": pa.array(out_gain, pa.int64()),
+                     "covered": pa.array(out_cov, pa.int64())})
