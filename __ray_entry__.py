@@ -2297,6 +2297,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source length-concentration (Gini) audit
         "gini_by_source": lambda sf: textstats.gini_by_source(
             _docs_cols(sf, ["source", "n_chars", "doc_id"])),
+        # per-source token-concentration (Herfindahl) audit
+        "hhi_by_source": lambda sf: textstats.hhi_by_source(
+            _docs_cols(sf, ["source", "text"])),
+        # k-anonymity release audit over (lang, source, length-bucket)
+        "k_anonymity": lambda sf: curation.k_anonymity(
+            _docs_cols(sf, ["lang", "source", "n_chars"])),
         # Heaps'-law vocabulary growth curve
         "vocab_growth": lambda sf: textstats.vocab_growth(
             _docs_cols(sf, ["doc_id", "text"])),
@@ -3842,6 +3848,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST((2*six - (n+1)*sx) * 1000000 // (n*sx)
                         AS BIGINT) AS gini_micro
             FROM s""",
+        # Herfindahl token concentration per source; HUGEINT SUM(n*n)
+        # mirrors the Ray side's Python big-int squares, // the floor
+        "hhi_by_source": """
+            WITH t AS (SELECT source,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            c AS (SELECT source, tok, count(*)::HUGEINT AS n
+                  FROM t GROUP BY 1, 2)
+            SELECT source, count(*)::BIGINT AS vocab,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   CAST((1000000 * SUM(n*n)) // (SUM(n)*SUM(n))
+                        AS BIGINT) AS hhi_micro
+            FROM c GROUP BY source ORDER BY source""",
+        # QI equivalence classes below k: re-identifiable rows
+        "k_anonymity": """
+            SELECT lang, source,
+                   CAST(n_chars AS BIGINT) // 200 AS chars_bucket,
+                   count(*)::BIGINT AS n
+            FROM documents
+            GROUP BY 1, 2, 3
+            HAVING count(*) < 5
+            ORDER BY lang, source, chars_bucket""",
         # exact dispersion index over per-doc counts (zeros contribute
         # nothing to either sum); HUGEINT mirrors the Python big-ints
         "token_burstiness": """

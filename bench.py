@@ -170,7 +170,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "dup_doc_filter", "dedup_substrings",
                  "token_frequencies", "topk_tokens_per_lang",
                  "vocab_coverage", "tfidf_top_terms",
-                 "token_burstiness", "gini_by_source", "vocab_growth",
+                 "token_burstiness", "gini_by_source", "hhi_by_source",
+                 "k_anonymity", "vocab_growth",
                  "hapax_stats",
                  "prefix_filter_pairs", "source_overlap",
                  "coverage_select",

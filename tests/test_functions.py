@@ -2223,3 +2223,44 @@ def test_coverage_select_bigram_unit(ray_session):
         {"rank": 1, "doc_id": 1, "gain": 2, "covered": 2},
         {"rank": 2, "doc_id": 2, "gain": 1, "covered": 3},
     ]
+
+
+def test_hhi_by_source_crafted(ray_session):
+    """Degenerate one-token feed scores exactly 1e6; an even two-token
+    feed scores 500000; counts merge across blocks before squaring."""
+    import ray.data
+
+    from webtext.functions.textstats import hhi_by_source
+
+    rows = [
+        {"source": "mono", "text": "x x x"},
+        {"source": "mono", "text": "x"},            # still all 'x'
+        {"source": "even", "text": "a b"},
+        {"source": "even", "text": "b a"},          # a:2 b:2
+    ]
+    got = {r["source"]: r for r in
+           hhi_by_source(ray.data.from_items(rows).repartition(4))
+           .to_pylist()}
+    assert got["mono"] == {"source": "mono", "vocab": 1,
+                           "n_tokens": 4, "hhi_micro": 1_000_000}
+    assert got["even"] == {"source": "even", "vocab": 2,
+                           "n_tokens": 4, "hhi_micro": 500_000}
+
+
+def test_k_anonymity_crafted(ray_session):
+    """Only classes below k are reported, bucketing is floor-division,
+    and counts are global across blocks."""
+    import ray.data
+
+    from webtext.functions.curation import k_anonymity
+
+    rows = ([{"lang": "en", "source": "s0", "n_chars": 150}] * 5
+            + [{"lang": "en", "source": "s0", "n_chars": 250}] * 2
+            + [{"lang": "fr", "source": "s1", "n_chars": 399}])
+    got = k_anonymity(ray.data.from_items(rows).repartition(3),
+                      k=5, chars_bucket=200).take_all()
+    # the 5-row class (en, s0, 0) is k-anonymous -> absent
+    assert got == [
+        {"lang": "en", "source": "s0", "chars_bucket": 1, "n": 2},
+        {"lang": "fr", "source": "s1", "chars_bucket": 1, "n": 1},
+    ]

@@ -776,3 +776,40 @@ def pps_sample(ds, k: int = 100, weight_col: str = "n_chars",
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def k_anonymity(ds, k: int = 5, chars_bucket: int = 200):
+    """(lang, source, chars_bucket, n): the equivalence classes of the
+    quasi-identifier tuple (lang, source, n_chars//``chars_bucket``)
+    whose size is BELOW ``k`` — the k-anonymity release audit
+    (Sweeney 2002): rows in these classes are re-identifiable by the
+    QI combination alone and must be suppressed or generalized before
+    a per-document metadata release.  Ordered by (lang, source,
+    chars_bucket) for a deterministic report; `redact_pii`'s
+    dataset-level sibling (that op scrubs values IN text, this one
+    finds rows whose mere attribute combination leaks).
+
+    Shape: a pure combiner — per batch one vectorized bucket map +
+    Arrow group_by partial counts, ONE native groupby-sum over the
+    QI-domain-bounded class table (never corpus-sized), then a scalar
+    filter n < k.  No driver materialization of anything row-shaped."""
+    def partial(batch: pa.Table) -> pa.Table:
+        cb = pc.divide(batch.column("n_chars").cast(pa.int64()),
+                       chars_bucket)
+        t = pa.Table.from_arrays(
+            [batch.column("lang"), batch.column("source"), cb],
+            names=["lang", "source", "chars_bucket"])
+        agg = t.group_by(["lang", "source", "chars_bucket"]) \
+            .aggregate([("chars_bucket", "count")])
+        return agg.rename_columns(
+            ["lang", "source", "chars_bucket", "n"])
+
+    summed = ds.select_columns(["lang", "source", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["lang", "source", "chars_bucket"]).sum("n") \
+        .map_batches(lambda b: b.rename_columns(
+            ["lang", "source", "chars_bucket", "n"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return summed.filter(expr=f"n < {int(k)}") \
+        .sort(["lang", "source", "chars_bucket"])

@@ -2332,3 +2332,56 @@ def coverage_select(ds, k: int = 20, unit: str = "token"):
                      "doc_id": pa.array(out_doc, pa.int64()),
                      "gain": pa.array(out_gain, pa.int64()),
                      "covered": pa.array(out_cov, pa.int64())})
+
+
+def hhi_by_source(ds):
+    """(source, vocab, n_tokens, hhi_micro): the Herfindahl–Hirschman
+    concentration of each source's TOKEN distribution — HHI =
+    Σ_t n_t² / N² in floor micros (1e6 = a one-token degenerate feed,
+    1e6/vocab = perfectly even) — `gini_by_source`'s vocabulary-side
+    sibling: gini reads byte concentration across documents, HHI reads
+    repetition concentration across the vocabulary (template/boiler-
+    plate feeds spike it long before dedup sees exact copies).
+
+    Per-batch (source, token) count partials (one Arrow group_by
+    combiner) → ONE native groupby-sum whose result is vocab × sources
+    rows, never corpus-sized — then a driver finish sums n_t² per
+    source in Python big-ints (n_t² alone overflows int64 once a
+    token passes ~3e9 occurrences; the oracle's HUGEINT promotion is
+    matched exactly, floor division included)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = batch.column("source")
+        rep = pa.Table.from_arrays(
+            [src.take(pa.array(np.repeat(
+                np.arange(len(lens), dtype=np.int64), lens))),
+             pc.list_flatten(toks)],
+            names=["source", "token"])
+        agg = rep.group_by(["source", "token"]).aggregate(
+            [("token", "count")])
+        return agg.rename_columns(["source", "token", "n"])
+
+    rows = ds.select_columns(["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["source", "token"]).sum("n").take_all()
+    from collections import defaultdict
+    sq: dict[str, int] = defaultdict(int)
+    tot: dict[str, int] = defaultdict(int)
+    voc: dict[str, int] = defaultdict(int)
+    for r in rows:
+        n = int(r["sum(n)"])
+        sq[r["source"]] += n * n          # Python big-int: exact
+        tot[r["source"]] += n
+        voc[r["source"]] += 1
+    out_s = sorted(sq)
+    return pa.table({
+        "source": pa.array(out_s, pa.string()),
+        "vocab": pa.array([voc[s] for s in out_s], pa.int64()),
+        "n_tokens": pa.array([tot[s] for s in out_s], pa.int64()),
+        "hhi_micro": pa.array(
+            [(1_000_000 * sq[s]) // (tot[s] * tot[s]) for s in out_s],
+            pa.int64())})
