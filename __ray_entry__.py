@@ -944,6 +944,42 @@ def _events_user_paths(sf_dir: str):
         columns=["user_id", "ts", "event_id", "event_type"]))
 
 
+def _crawl_diff(sf_dir: str):
+    """Two snapshot fixtures carved deterministically from the one
+    documents table: old = even doc_ids, new = doc_id % 3 != 0 with
+    every 7th doc's text uppercased (the 'changed' population)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from webtext.functions.dedup import crawl_diff
+
+    def old_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 2 == 0))
+
+    def new_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ids % 3 != 0))
+        ids = ids[ids % 3 != 0]
+        text = pc.if_else(pa.array(ids % 7 == 0),
+                          pc.utf8_upper(batch.column("text")),
+                          batch.column("text"))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), text], names=["doc_id", "text"])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return crawl_diff(
+        ds.map_batches(old_side, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ds.map_batches(new_side, batch_format="pyarrow",
+                       zero_copy_batch=True))
+
+
 def _events_cusum(sf_dir: str):
     import ray.data
 
@@ -2310,6 +2346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_stats": lambda sf: textstats.hapax_stats(
             _docs_cols(sf, ["source", "text"])),
         "incremental_dedup": lambda sf: _incremental_dedup(sf),
+        "crawl_diff": lambda sf: _crawl_diff(sf),
         "bloom_dedup": lambda sf: _bloom_dedup(sf),
         "nb_classify": lambda sf: lm.nb_classify(
             _docs_cols(sf, ["doc_id", "lang", "text"])),
@@ -3008,6 +3045,25 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_absq
             FROM m, generate_series(1, 64) s(i)
             GROUP BY vec_id, mx""",
+        # three-way snapshot diff over the deterministic old/new
+        # fixtures; 'changed' = full-md5 inequality (Ray compares the
+        # 63-bit truncation — collision-equivalent in practice, the
+        # md5-key convention of incremental_dedup)
+        "crawl_diff": """
+            WITH old AS (SELECT doc_id, md5(text) AS fp
+                         FROM documents WHERE doc_id % 2 = 0),
+                 noo AS (SELECT doc_id,
+                                md5(CASE WHEN doc_id % 7 = 0
+                                         THEN upper(text)
+                                         ELSE text END) AS fp
+                         FROM documents WHERE doc_id % 3 <> 0)
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM old o FULL JOIN noo n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+               OR o.fp <> n.fp""",
         "incremental_dedup": """
             SELECT min(doc_id) AS doc_id, fp FROM (
               SELECT doc_id, md5(text) AS fp FROM documents

@@ -177,6 +177,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "coverage_select",
                  "dup_mapping", "top_bigrams", "vocab_divergence",
                  "incremental_dedup", "incremental_near_dedup",
+                 "crawl_diff",
                  "dup_cluster_stats",
                  "inverted_index", "bm25_topk",
                  "length_histogram", "quality_score",

@@ -2264,3 +2264,26 @@ def test_k_anonymity_crafted(ray_session):
         {"lang": "en", "source": "s0", "chars_bucket": 1, "n": 2},
         {"lang": "fr", "source": "s1", "chars_bucket": 1, "n": 1},
     ]
+
+
+def test_crawl_diff_three_way(ray_session):
+    """added/removed/changed classified per id run; unchanged docs
+    emit nothing; texts travel only as fingerprints.  Block-split
+    invariant."""
+    import ray.data
+
+    from webtext.functions.dedup import crawl_diff
+
+    old = [{"doc_id": 1, "text": "same"},
+           {"doc_id": 2, "text": "old body"},
+           {"doc_id": 3, "text": "gone"}]
+    new = [{"doc_id": 1, "text": "same"},
+           {"doc_id": 2, "text": "new body"},
+           {"doc_id": 4, "text": "fresh"}]
+    for parts in (1, 3):
+        got = sorted(
+            (r["doc_id"], r["change"]) for r in crawl_diff(
+                ray.data.from_items(old).repartition(parts),
+                ray.data.from_items(new).repartition(parts),
+                n_buckets=4).take_all())
+        assert got == [(2, "changed"), (3, "removed"), (4, "added")]

@@ -1473,3 +1473,84 @@ def minhash_recall_audit(ds, threshold: float = 0.5):
         "n_hits": pa.array([nh], pa.int64()),
         "recall_micro": pa.array([(1_000_000 * nh) // max(1, ne)],
                                  pa.int64())})
+
+
+def crawl_diff(old_ds, new_ds, n_buckets: int = N_SHUFFLE_BUCKETS):
+    """(doc_id, change): three-way diff of two crawl snapshots —
+    'added' (doc only in the new crawl), 'removed' (only in the old),
+    'changed' (in both with different content) — the crawl-ops
+    primitive behind refresh scheduling and incremental re-extraction
+    (`incremental_dedup` answers "which new docs are novel?"; this
+    answers "what happened to the corpus?").  Unchanged docs emit
+    nothing, so the output is diff-sized, not corpus-sized.
+
+    Scale shape: each side maps to (hash(doc_id)%``n_buckets``,
+    doc_id, md5-fingerprint, side) rows — texts NEVER travel, only
+    16-byte fingerprints (the exact_dedup_hashed posture) — then ONE
+    bucketed exchange; each cell lexsorts by (doc_id, side) and
+    classifies every id run vectorized (run length + side pattern →
+    added/removed/changed), no per-doc Python.  Output ordered by
+    doc_id within each cell; global order is the oracle's ORDER BY
+    after the driver's canonical sort."""
+    import hashlib as _h
+
+    def emit(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            fps = np.fromiter(
+                (int.from_bytes(
+                    _h.md5(t.encode("utf-8")).digest()[:8], "big")
+                 & 0x7FFFFFFFFFFFFFFF
+                 for t in batch.column("text").to_pylist()),
+                dtype=np.int64, count=len(ids))
+            return pa.Table.from_arrays(
+                [pa.array(_ibucket(ids, n_buckets)), pa.array(ids),
+                 pa.array(fps),
+                 pa.array(np.full(len(ids), side, dtype=np.int64))],
+                names=["bucket", "doc_id", "fp", "side"])
+        return f
+
+    def classify(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        fp = group.column("fp").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ids))
+        ids, fp, side = ids[order], fp[order], side[order]
+        starts = np.nonzero(np.append(True, ids[1:] != ids[:-1]))[0]
+        lens = np.diff(np.append(starts, len(ids)))
+        # run of 1: side 0 -> removed, side 1 -> added; run of 2:
+        # (old, new) in that order by the lexsort -> changed iff fps
+        # differ
+        single = lens == 1
+        s_idx = starts[single]
+        out_ids, out_ch = [], []
+        if len(s_idx):
+            out_ids.append(ids[s_idx])
+            out_ch.append(np.where(side[s_idx] == 0,
+                                   "removed", "added"))
+        both = starts[~single]
+        if len(both):
+            diff = fp[both] != fp[both + 1]
+            out_ids.append(ids[both][diff])
+            out_ch.append(np.full(int(diff.sum()), "changed",
+                                  dtype=object))
+        if not out_ids:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.string())],
+                names=["doc_id", "change"])
+        oi = np.concatenate(out_ids)
+        oc = np.concatenate(out_ch)
+        o = np.argsort(oi, kind="stable")
+        return pa.Table.from_arrays(
+            [pa.array(oi[o]), pa.array(oc[o].astype(str), pa.string())],
+            names=["doc_id", "change"])
+
+    old_rows = old_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(emit(0), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    new_rows = new_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(emit(1), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return old_rows.union(new_rows) \
+        .groupby("bucket").map_groups(classify, batch_format="pyarrow")
