@@ -2207,6 +2207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.BM25_QUERY),
         # greedy k-center diversity coreset (differential golden)
         "kcenter_select": lambda sf: ann.kcenter_select(_emb(sf)),
+        # contrastive hard-negative mining (top-k wrong-label cosine)
+        "hard_negatives": lambda sf: ann.hard_negatives(_emb(sf)),
         # embedding-space decontamination: corpus (id%100>=10) vs
         # benchmark slice (id%100<10), n-gram decontaminate's mod split
         "semantic_decontaminate": lambda sf: ann.semantic_decontaminate(
@@ -2635,7 +2637,7 @@ def oracle_sql() -> dict[str, str]:
             "doc_authority", "authority_sample",
             "nb_classify", "bloom_dedup", "hits_scores",
             "dd_quantiles", "kcenter_select", "coverage_select",
-            "dup_mapping",
+            "hard_negatives", "dup_mapping",
             "lineage_report", "hll_users_windowed",
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs", "media_dedup_apply",

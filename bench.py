@@ -149,6 +149,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "knn_cosine", "knn_ivf", "knn_ivf_indexed", "cosine_nn",
                  "cosine_dup_pairs", "lsh_cosine_pairs",
                  "kcenter_select", "semantic_decontaminate",
+                 "hard_negatives",
                  "embedding_dim_stats",
                  "token_count",
                  "token_count_bpe", "bpe_merges", "bpe_token_count",

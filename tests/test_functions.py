@@ -2287,3 +2287,27 @@ def test_crawl_diff_three_way(ray_session):
                 ray.data.from_items(new).repartition(parts),
                 n_buckets=4).take_all())
         assert got == [(2, "changed"), (3, "removed"), (4, "added")]
+
+
+def test_hard_negatives_label_exclusion(ray_session):
+    """Negatives never share the query's label, ranking is cosine desc
+    with the min-id tie rule, and the result is blocking-invariant."""
+    import ray.data
+
+    from webtext.functions.ann import hard_negatives
+
+    # label 0 points near +x; label 1 points near +y; query 0 (label
+    # 0) must pick label-1 vectors ordered by closeness to +x
+    rows = [
+        {"vec_id": 0, "label": 0, "embedding": [1.0, 0.0]},
+        {"vec_id": 1, "label": 0, "embedding": [0.9, 0.1]},
+        {"vec_id": 2, "label": 1, "embedding": [0.5, 0.5]},
+        {"vec_id": 3, "label": 1, "embedding": [0.1, 0.9]},
+        {"vec_id": 4, "label": 1, "embedding": [0.5, 0.5]},  # tie w/ 2
+    ]
+    for parts in (1, 4):
+        got = [(r["qid"], r["vec_id"], r["rank"]) for r in
+               hard_negatives(ray.data.from_items(rows)
+                              .repartition(parts),
+                              n_queries=1, k=3).take_all()]
+        assert got == [(0, 2, 1), (0, 4, 2), (0, 3, 3)]

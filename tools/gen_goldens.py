@@ -1189,6 +1189,28 @@ def golden_coverage_select(sf_dir, k=20):
         "covered": pa.array([c for _, _, _, c in rows], pa.int64())})
 
 
+def golden_hard_negatives(sf_dir, n_queries=16, k=5):
+    """Dense single-process hard-negative mining — differential oracle
+    for webtext/functions/ann.py hard_negatives: per query the top-k
+    cosine neighbours with a different label, lexsort((id, -sim)) tie
+    rule, 1-based ranks."""
+    ids, labels, mat = emb_matrix(sf_dir)
+    out_q, out_i, out_r = [], [], []
+    for qi in range(n_queries):
+        qpos = int(np.flatnonzero(ids == qi)[0])
+        keep = (labels != labels[qpos]) & (ids != qi)
+        sims = cos(mat[keep], mat[qpos])
+        kids = ids[keep]
+        order = np.lexsort((kids, -sims))[:k]
+        for r, pos in enumerate(order, 1):
+            out_q.append(qi)
+            out_i.append(int(kids[pos]))
+            out_r.append(r)
+    return pa.table({"qid": pa.array(out_q, pa.int64()),
+                     "vec_id": pa.array(out_i, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64())})
+
+
 def golden_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
     """Dense single-process greedy k-center (farthest-point, Gonzalez)
     — differential oracle for webtext/functions/ann.py kcenter_select:
@@ -2439,6 +2461,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["dd_quantiles"] = golden_dd_quantiles(sf_dir)
     g["kcenter_select"] = golden_kcenter(sf_dir)
     g["coverage_select"] = golden_coverage_select(sf_dir)
+    g["hard_negatives"] = golden_hard_negatives(sf_dir)
     g["lineage_report"] = golden_lineage(sf_dir)
     g["hll_users_windowed"] = golden_hll_users_windowed(sf_dir)
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)

@@ -2070,3 +2070,75 @@ def ndcg_audit(ds, n_queries: int = 16, k: int = 10,
     return pa.table({"qid": pa.array(out_q, pa.int64()),
                      "dcg_units": pa.array(out_d, pa.int64()),
                      "ndcg_micro": pa.array(out_n, pa.int64())})
+
+
+def hard_negatives(ds, n_queries: int = 16, k: int = 5):
+    """(qid, vec_id, rank): for each query vector (vec_id <
+    ``n_queries``), its top-``k`` most-similar vectors with a
+    DIFFERENT label — hard-negative mining, the contrastive-training
+    data op (the highest-cosine wrong-label neighbours are exactly the
+    negatives that teach an embedding model its decision boundary;
+    random negatives are trivially separable).  Ranking = cosine desc,
+    ties → min vec_id (the knn_cosine tie rule); the query row itself
+    is label-excluded by construction when labels match, and id-
+    excluded regardless.
+
+    Scale shape: the ivf_recall_audit exact-pass posture — the
+    (n_queries × d) query matrix AND the n_queries label vector
+    broadcast once via ray.put; ONE streaming corpus scan, per block
+    one matmul + a per-query wrong-label top-k partial; one
+    constant-cardinality groupby(qid) merge over ≤ n_queries·k·blocks
+    partial rows."""
+    import ray
+
+    q_rows = ds.filter(expr=f"vec_id < {int(n_queries)}") \
+        .select_columns(["vec_id", "label", "embedding"]).take_all()
+    q_rows.sort(key=lambda r: int(r["vec_id"]))
+    qids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    qlab = np.array([int(r["label"]) for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    ref = ray.put((qids, qlab, Q))
+
+    def partial(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        qid, ql, qm = (_ref if isinstance(_ref, tuple)
+                       else ray.get(_ref))
+        mat = _matrix(batch)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        labels = batch.column("label").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(qid)):
+            keep = (labels != ql[qi]) & (ids != qid[qi])
+            m, di = mat[keep], ids[keep]
+            if not len(di):
+                continue
+            sims = _cos(m, qm[qi])
+            order = np.lexsort((di, -sims))[:k]
+            out_q.append(np.full(len(order), qid[qi], dtype=np.int64))
+            out_i.append(di[order])
+            out_s.append(sims[order])
+        if not out_q:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=["qid", "vec_id", "sim"])
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(out_q)),
+             pa.array(np.concatenate(out_i)),
+             pa.array(np.concatenate(out_s))],
+            names=["qid", "vec_id", "sim"])
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = group.column("sim").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.Table.from_arrays(
+            [group.column("qid").take(pa.array(order)),
+             pa.array(ids[order]),
+             pa.array(np.arange(1, len(order) + 1, dtype=np.int64))],
+            names=["qid", "vec_id", "rank"])
+
+    return ds.select_columns(["vec_id", "label", "embedding"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("qid").map_groups(final_topk, batch_format="pyarrow")
