@@ -1243,7 +1243,8 @@ def graph_walks(edges, steps: int = 3,
             [b.column("node").cast(pa.int64()),
              b.column("node").cast(pa.int64())],
             names=["node", "start"]),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .repartition(STATE_BLOCKS).materialize()
 
     out = [state.map_batches(
         lambda b, _s=0: b.append_column(
@@ -1254,7 +1255,7 @@ def graph_walks(edges, steps: int = 3,
                                   zero_copy_batch=True) \
             .union(adj) \
             .groupby("key").map_groups(hop(t), batch_format="pyarrow") \
-            .materialize()
+            .repartition(STATE_BLOCKS).materialize()
         out.append(state.map_batches(
             lambda b, _s=t + 1: b.append_column(
                 "step",
