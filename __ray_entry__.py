@@ -90,6 +90,24 @@ def _incremental_dedup(sf_dir: str):
         split_by_mod(docs, mod=100, lt=50))
 
 
+def _incremental_dedup_indexed(sf_dir: str):
+    """Same rows as _incremental_dedup through the PERSISTED distinct-
+    fingerprint index (build-once/query-many) — only the new crawl
+    hashes per run."""
+    from webtext.functions.curation import split_by_mod
+    from webtext.pipelines.dedup_pipeline import (
+        build_fingerprint_index, incremental_dedup)
+
+    docs = _docs_cols(sf_dir, ["doc_id", "text"])
+    path = _fp_index_path(sf_dir)
+    if not os.path.exists(path):
+        build_fingerprint_index(
+            split_by_mod(docs, mod=100, lt=50), path)
+    return incremental_dedup(
+        split_by_mod(docs, mod=100, lt=50, invert=True),
+        split_by_mod(docs, mod=100, lt=50), hist_fp_path=path)
+
+
 def _bloom_dedup(sf_dir: str):
     """Same daily-crawl split as _incremental_dedup, screened through
     the constant-memory Bloom filter instead of the exact anti-join."""
@@ -1615,6 +1633,13 @@ def _near_band_index_path(sf_dir: str) -> str:
     return f"/tmp/webtext_nearband_{_sf_tag(sf_dir)}_{tag}"
 
 
+def _fp_index_path(sf_dir: str) -> str:
+    """Persisted historical distinct-fingerprint table for
+    incremental_dedup (parquet DIRECTORY, code-tag keyed)."""
+    tag = _code_tag("webtext/pipelines/dedup_pipeline.py")
+    return f"/tmp/webtext_fpindex_{_sf_tag(sf_dir)}_{tag}"
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1672,6 +1697,14 @@ def prewarm(sf_dir: str) -> None:
         build_near_dedup_index(
             split_by_mod(_docs_cols(sf_dir, ["doc_id", "text"]),
                          mod=100, lt=50), band_path)
+    fp_path = _fp_index_path(sf_dir)
+    if not os.path.exists(fp_path):
+        from webtext.functions.curation import split_by_mod
+        from webtext.pipelines.dedup_pipeline import \
+            build_fingerprint_index
+        build_fingerprint_index(
+            split_by_mod(_docs_cols(sf_dir, ["doc_id", "text"]),
+                         mod=100, lt=50), fp_path)
     _committed_run(sf_dir, seed=42)
     _committed_run(sf_dir, seed=43)
     _keyword_fixture(sf_dir)
@@ -2348,6 +2381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_stats": lambda sf: textstats.hapax_stats(
             _docs_cols(sf, ["source", "text"])),
         "incremental_dedup": lambda sf: _incremental_dedup(sf),
+        "incremental_dedup_indexed":
+            lambda sf: _incremental_dedup_indexed(sf),
         "crawl_diff": lambda sf: _crawl_diff(sf),
         "bloom_dedup": lambda sf: _bloom_dedup(sf),
         "nb_classify": lambda sf: lm.nb_classify(
@@ -3067,6 +3102,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.doc_id IS NULL OR n.doc_id IS NULL
                OR o.fp <> n.fp""",
         "incremental_dedup": """
+            SELECT min(doc_id) AS doc_id, fp FROM (
+              SELECT doc_id, md5(text) AS fp FROM documents
+              WHERE doc_id % 100 >= 50) n
+            WHERE fp NOT IN (SELECT md5(text) FROM documents
+                             WHERE doc_id % 100 < 50)
+            GROUP BY fp""",
+        # the indexed path is row-identical to the inline pass by
+        # construction (fingerprints are pure functions of the text) —
+        # same oracle
+        "incremental_dedup_indexed": """
             SELECT min(doc_id) AS doc_id, fp FROM (
               SELECT doc_id, md5(text) AS fp FROM documents
               WHERE doc_id % 100 >= 50) n

@@ -177,7 +177,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "prefix_filter_pairs", "source_overlap",
                  "coverage_select",
                  "dup_mapping", "top_bigrams", "vocab_divergence",
-                 "incremental_dedup", "incremental_near_dedup",
+                 "incremental_dedup", "incremental_dedup_indexed",
+                 "incremental_near_dedup",
                  "crawl_diff",
                  "dup_cluster_stats",
                  "inverted_index", "bm25_topk",

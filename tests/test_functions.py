@@ -2311,3 +2311,29 @@ def test_hard_negatives_label_exclusion(ray_session):
                               .repartition(parts),
                               n_queries=1, k=3).take_all()]
         assert got == [(0, 2, 1), (0, 4, 2), (0, 3, 3)]
+
+
+def test_incremental_dedup_indexed_identical(ray_session, tmp_path):
+    """A query through the persisted fingerprint index is row-identical
+    to the inline historical pass, and the build is idempotent."""
+    import ray.data
+
+    from webtext.pipelines.dedup_pipeline import (
+        build_fingerprint_index, incremental_dedup)
+
+    hist = ray.data.from_items(
+        [{"doc_id": 1, "text": "seen before"},
+         {"doc_id": 2, "text": "also seen"}])
+    new = ray.data.from_items(
+        [{"doc_id": 10, "text": "seen before"},   # dropped: historical
+         {"doc_id": 11, "text": "fresh"},
+         {"doc_id": 12, "text": "fresh"}])        # first-wins -> 11
+    path = str(tmp_path / "fpidx")
+    build_fingerprint_index(hist, path)
+    build_fingerprint_index(hist, path)   # no-op second build
+    inline = sorted(r["doc_id"] for r in
+                    incremental_dedup(new, hist).take_all())
+    indexed = sorted(r["doc_id"] for r in
+                     incremental_dedup(new, hist,
+                                       hist_fp_path=path).take_all())
+    assert inline == indexed == [11]

@@ -108,10 +108,42 @@ def _fp_batch(batch: pa.Table) -> pa.Table:
         names=["doc_id", "fp"])
 
 
-def incremental_dedup(new_ds, seen_ds):
+def build_fingerprint_index(hist_ds, path: str) -> None:
+    """Persist the HISTORICAL side's DISTINCT md5 fingerprints as
+    partitioned parquet — the build-once/query-many lifecycle for
+    incremental_dedup (the exact twin of build_near_dedup_index): a
+    daily run reads the stored keys instead of re-reading and
+    re-hashing the whole historical corpus's TEXT.  Distinctness costs
+    one exchange at build time and shrinks the artifact to the unique-
+    content count; fingerprints are pure functions of the text, so a
+    query through the loaded index is row-identical to the inline pass.
+
+    Atomic publish: write to a private tmp dir, rename into place."""
+    import shutil
+
+    if os.path.exists(path):
+        return
+    tmp = f"{path}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    hist_ds.map_batches(_fp_batch, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .select_columns(["fp"]).groupby("fp").count() \
+        .select_columns(["fp"]).write_parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:  # another builder won the race — keep theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def incremental_dedup(new_ds, seen_ds, hist_fp_path: str | None = None):
     """The daily-crawl shape: drop documents whose exact content was
     already ingested in a previous run, then first-wins-dedup the
     remainder.  Returns (doc_id, fp) — min doc_id per fresh fingerprint.
+
+    ``hist_fp_path`` (from build_fingerprint_index) skips the
+    historical fingerprint pass entirely — at scale that pass re-reads
+    the WHOLE corpus's text every run; with the persisted key table
+    only the new crawl hashes per run.
 
     Scale shape: both sides reduce to md5 keys before any shuffle (the
     historical index ships fingerprints, never text); the anti-join is
@@ -121,9 +153,14 @@ def incremental_dedup(new_ds, seen_ds):
 
     new_f = new_ds.map_batches(_fp_batch, batch_format="pyarrow",
                                zero_copy_batch=True)
-    seen_f = seen_ds.map_batches(_fp_batch, batch_format="pyarrow",
-                                 zero_copy_batch=True) \
-        .select_columns(["fp"])
+    if hist_fp_path is not None and os.path.exists(hist_fp_path):
+        import ray.data
+
+        seen_f = ray.data.read_parquet(hist_fp_path)
+    else:
+        seen_f = seen_ds.map_batches(_fp_batch, batch_format="pyarrow",
+                                     zero_copy_batch=True) \
+            .select_columns(["fp"])
     fresh = semi_join(new_f, seen_f, "fp", "fp", anti=True)
     agg = fresh.groupby("fp").min("doc_id")
     return agg.map_batches(
