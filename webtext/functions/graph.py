@@ -1805,7 +1805,8 @@ def association_rules(lineitem, edges, min_support: int = 2,
                      zero_copy_batch=True) \
         .groupby("bucket").map_groups(support_cell,
                                       batch_format="pyarrow") \
-        .groupby("part").sum("n").materialize()
+        .groupby("part").sum("n") \
+        .repartition(STATE_BLOCKS).materialize()
     total_n = int(supports.map_batches(
         lambda b: b.filter(pc.equal(b.column("part"), -1)),
         batch_format="pyarrow", zero_copy_batch=True)
