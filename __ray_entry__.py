@@ -693,6 +693,15 @@ def _ivf_recall(sf_dir: str):
     return ann.ivf_recall_audit(_emb(sf_dir), index_path=path)
 
 
+def _cluster_census(sf_dir: str):
+    from webtext.functions import ann
+
+    path = _ivf_index_path(sf_dir)
+    if not os.path.exists(path):
+        ann.ivf_build_index(_emb(sf_dir), path, nlist=16)
+    return ann.cluster_census(_emb(sf_dir), index_path=path)
+
+
 def _ndcg_audit(sf_dir: str):
     from webtext.functions import ann
 
@@ -2242,6 +2251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_select": lambda sf: ann.kcenter_select(_emb(sf)),
         # contrastive hard-negative mining (top-k wrong-label cosine)
         "hard_negatives": lambda sf: ann.hard_negatives(_emb(sf)),
+        # corpus map: per-IVF-cluster membership + inertia census
+        "cluster_census": lambda sf: _cluster_census(sf),
         # embedding-space decontamination: corpus (id%100>=10) vs
         # benchmark slice (id%100<10), n-gram decontaminate's mod split
         "semantic_decontaminate": lambda sf: ann.semantic_decontaminate(
@@ -2672,7 +2683,7 @@ def oracle_sql() -> dict[str, str]:
             "doc_authority", "authority_sample",
             "nb_classify", "bloom_dedup", "hits_scores",
             "dd_quantiles", "kcenter_select", "coverage_select",
-            "hard_negatives", "dup_mapping",
+            "hard_negatives", "cluster_census", "dup_mapping",
             "lineage_report", "hll_users_windowed",
             "pack_sequences", "media_resize", "frame_sample",
             "media_phash_pairs", "media_dedup_apply",

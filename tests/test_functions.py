@@ -2337,3 +2337,23 @@ def test_incremental_dedup_indexed_identical(ray_session, tmp_path):
                      incremental_dedup(new, hist,
                                        hist_fp_path=path).take_all())
     assert inline == indexed == [11]
+
+
+def test_cluster_census_counts_and_blocking(ray_session):
+    """Memberships sum to the corpus size, inertia is the quantized
+    per-vector d^2 sum, and the census is blocking-invariant."""
+    import numpy as np
+    import ray.data
+
+    from webtext.functions.ann import cluster_census
+
+    rows = [{"vec_id": i, "label": 0,
+             "embedding": [float(i % 4), float((i * 3) % 5)]}
+            for i in range(40)]
+    a = cluster_census(ray.data.from_items(rows).repartition(1),
+                       nlist=4).take_all()
+    b = cluster_census(ray.data.from_items(rows).repartition(7),
+                       nlist=4).take_all()
+    assert a == b
+    assert sum(r["n"] for r in a) == 40
+    assert all(r["inertia_micro"] >= 0 for r in a)

@@ -1211,6 +1211,40 @@ def golden_hard_negatives(sf_dir, n_queries=16, k=5):
                      "rank": pa.array(out_r, pa.int64())})
 
 
+def golden_cluster_census(sf_dir, nlist=16, iters=5):
+    """Dense cluster census over the same spec-constant k-means as
+    golden_ivf_recall_audit: nearest-centroid assignment, per-cluster
+    counts, inertia summed from per-vector floor(d^2 * 1e6) int64."""
+    ids, labels, mat = emb_matrix(sf_dir)
+    seed_ids = sorted(set(int(i) for i in
+                          np.linspace(0, ids.max(), nlist).astype(int)))
+    cents = np.stack([mat[ids == s][0] for s in seed_ids])
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        q = np.rint(mat * KMEANS_SCALE).astype(np.int64)
+        tot = np.zeros((len(cents), mat.shape[1]), dtype=np.int64)
+        np.add.at(tot, assign, q)
+        cnt = np.bincount(assign, minlength=len(cents)).astype(np.int64)
+        new = cents.copy()
+        nz = cnt > 0
+        new[nz] = (tot[nz] / KMEANS_SCALE) / cnt[nz, None]
+        cents = new
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    # same gather-then-reduce float path as the engine partial, so the
+    # per-vector quantization is bit-equal
+    d2 = ((mat - cents[assign]) ** 2).sum(axis=1)
+    d2_micro = np.floor(d2 * 1_000_000.0).astype(np.int64)
+    n = np.bincount(assign, minlength=nlist).astype(np.int64)
+    iner = np.zeros(nlist, dtype=np.int64)
+    np.add.at(iner, assign, d2_micro)
+    nz = np.flatnonzero(n > 0)
+    return pa.table({"cluster": pa.array(nz.astype(np.int64)),
+                     "n": pa.array(n[nz]),
+                     "inertia_micro": pa.array(iner[nz])})
+
+
 def golden_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
     """Dense single-process greedy k-center (farthest-point, Gonzalez)
     — differential oracle for webtext/functions/ann.py kcenter_select:
@@ -2462,6 +2496,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["kcenter_select"] = golden_kcenter(sf_dir)
     g["coverage_select"] = golden_coverage_select(sf_dir)
     g["hard_negatives"] = golden_hard_negatives(sf_dir)
+    g["cluster_census"] = golden_cluster_census(sf_dir)
     g["lineage_report"] = golden_lineage(sf_dir)
     g["hll_users_windowed"] = golden_hll_users_windowed(sf_dir)
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)

@@ -2142,3 +2142,51 @@ def hard_negatives(ds, n_queries: int = 16, k: int = 5):
         .map_batches(partial, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .groupby("qid").map_groups(final_topk, batch_format="pyarrow")
+
+
+def cluster_census(ds, nlist: int = 16, index_path: str | None = None):
+    """(cluster, n, inertia_micro): the corpus map — every embedding
+    assigned to its nearest k-means centroid (the persisted IVF
+    codebook), with per-cluster membership counts and the summed
+    squared distance to the centroid in floor micros (the within-
+    cluster inertia a curator watches to decide whether a cluster is
+    tight enough to be a topic or needs splitting).  Clusters with no
+    members emit no row.
+
+    Shape: centroids broadcast once (index load or one distributed
+    fit); ONE streaming scan — per block a nearest-centroid assign
+    (`_assign_clusters`, the shared spec formula) + a bincount/
+    fixed-point-sum partial of at most nlist rows; one native
+    groupby(cluster).sum over nlist × blocks partial rows.  Inertia
+    quantizes per VECTOR (floor(d²·1e6) int64) before summation, so
+    the reduce is order-invariant and the dense golden bit-equal."""
+    import ray
+
+    if index_path is not None:
+        cents = ivf_load_index(index_path)
+    else:
+        cents = kmeans_fit_distributed(ds, nlist)
+    ref = ray.put(cents)
+
+    def partial(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        cc = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        mat = _matrix(batch)
+        assign = _assign_clusters(mat, cc)
+        d2 = ((mat - cc[assign]) ** 2).sum(axis=1)
+        d2_micro = np.floor(d2 * 1_000_000.0).astype(np.int64)
+        n = np.bincount(assign, minlength=len(cc)).astype(np.int64)
+        iner = np.zeros(len(cc), dtype=np.int64)
+        np.add.at(iner, assign, d2_micro)
+        nz = n > 0
+        return pa.Table.from_arrays(
+            [pa.array(np.flatnonzero(nz).astype(np.int64)),
+             pa.array(n[nz]), pa.array(iner[nz])],
+            names=["cluster", "n", "inertia_micro"])
+
+    summed = ds.select_columns(["embedding"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("cluster").sum(["n", "inertia_micro"])
+    return summed.map_batches(
+        lambda b: b.rename_columns(["cluster", "n", "inertia_micro"]),
+        batch_format="pyarrow", zero_copy_batch=True).sort("cluster")
