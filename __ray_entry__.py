@@ -2379,6 +2379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source length-concentration (Gini) audit
         "gini_by_source": lambda sf: textstats.gini_by_source(
             _docs_cols(sf, ["source", "n_chars", "doc_id"])),
+        # Borda rank-aggregation quality blend (top-k consensus docs)
+        "borda_blend": lambda sf: textstats.borda_blend(
+            _docs_cols(sf, ["doc_id", "n_chars", "text"])),
         # per-source token-concentration (Herfindahl) audit
         "hhi_by_source": lambda sf: textstats.hhi_by_source(
             _docs_cols(sf, ["source", "text"])),
@@ -3962,6 +3965,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST((2*six - (n+1)*sx) * 1000000 // (n*sx)
                         AS BIGINT) AS gini_micro
             FROM s""",
+        # Borda blend: sum of three descending dense ranks, top-k
+        "borda_blend": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS t
+                         FROM documents),
+            agg AS (SELECT doc_id, count(*) AS n_tok,
+                           count(DISTINCT t) AS n_dist
+                    FROM tok GROUP BY 1),
+            r AS (SELECT d.doc_id,
+                    dense_rank() OVER (ORDER BY d.n_chars DESC) +
+                    dense_rank() OVER (ORDER BY a.n_tok DESC) +
+                    dense_rank() OVER (ORDER BY a.n_dist DESC)
+                      AS borda
+                  FROM documents d JOIN agg a USING (doc_id))
+            SELECT doc_id, borda::BIGINT AS borda
+            FROM r ORDER BY borda, doc_id LIMIT 100""",
         # Herfindahl token concentration per source; HUGEINT SUM(n*n)
         # mirrors the Ray side's Python big-int squares, // the floor
         "hhi_by_source": """

@@ -175,7 +175,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "k_anonymity", "vocab_growth",
                  "hapax_stats",
                  "prefix_filter_pairs", "source_overlap",
-                 "coverage_select",
+                 "coverage_select", "borda_blend",
                  "dup_mapping", "top_bigrams", "vocab_divergence",
                  "incremental_dedup", "incremental_dedup_indexed",
                  "incremental_near_dedup",

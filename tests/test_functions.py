@@ -2357,3 +2357,26 @@ def test_cluster_census_counts_and_blocking(ray_session):
     assert a == b
     assert sum(r["n"] for r in a) == 40
     assert all(r["inertia_micro"] >= 0 for r in a)
+
+
+def test_borda_blend_dense_ranks(ray_session):
+    """Dense (not ordinal) ranks: tied metric values share a rank;
+    blend = sum of the three descending ranks, ties -> min doc_id;
+    blocking-invariant."""
+    import ray.data
+
+    from webtext.functions.textstats import borda_blend
+
+    rows = [
+        # doc 1: chars 30, tok 3, dist 3 -> ranks (1, 1, 1) = 3
+        {"doc_id": 1, "n_chars": 30, "text": "a b c"},
+        # doc 2: chars 20, tok 3, dist 2 -> ranks (2, 1, 2) = 5
+        {"doc_id": 2, "n_chars": 20, "text": "a a b"},
+        # doc 3: chars 20, tok 2, dist 2 -> ranks (2, 2, 2) = 6
+        {"doc_id": 3, "n_chars": 20, "text": "a b"},
+    ]
+    for parts in (1, 3):
+        got = [(r["doc_id"], r["borda"]) for r in
+               borda_blend(ray.data.from_items(rows)
+                           .repartition(parts), k=10).take_all()]
+        assert got == [(1, 3), (2, 5), (3, 6)]

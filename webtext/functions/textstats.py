@@ -2385,3 +2385,73 @@ def hhi_by_source(ds):
         "hhi_micro": pa.array(
             [(1_000_000 * sq[s]) // (tot[s] * tot[s]) for s in out_s],
             pa.int64())})
+
+
+def borda_blend(ds, k: int = 100):
+    """(doc_id, borda): multi-signal quality blending by Borda rank
+    aggregation — each document's three size/diversity signals
+    (n_chars, token count, distinct-token count) are converted to
+    corpus-wide DENSE ranks (1 = best, descending metric order) and
+    summed; the top-``k`` lowest sums (ties → min doc_id) are the
+    consensus-best documents.  Rank aggregation is the
+    float-free way to blend incommensurable quality signals (no
+    weights to tune, outlier-robust, and exactly reproducible — the
+    reason this op avoids z-score or min-max blends).
+
+    Shape: pass 1 computes the per-doc metric triple (one vectorized
+    map, materialized narrow); three DISTINCT-VALUE count exchanges
+    build the rank LUTs — each bounded by the metric's value domain,
+    never corpus size — whose sorted values broadcast once via
+    ray.put; pass 2 maps metrics → ranks with searchsorted, and a
+    per-block partial top-k (k rows per block) feeds one tiny
+    sort+limit finish."""
+    import ray
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        dist = pa.Table.from_arrays(
+            [pa.array(rows), flat], names=["row", "token"]) \
+            .group_by(["row", "token"]).aggregate([])
+        nd = np.bincount(dist.column("row").to_numpy(
+            zero_copy_only=False), minlength=len(lens)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id").cast(pa.int64()),
+             batch.column("n_chars").cast(pa.int64()),
+             pa.array(lens.astype(np.int64)), pa.array(nd)],
+            names=["doc_id", "m1", "m2", "m3"])
+
+    mt = ds.select_columns(["doc_id", "n_chars", "text"]) \
+        .map_batches(metrics, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    luts = []
+    for col in ("m1", "m2", "m3"):
+        vals = mt.select_columns([col]).groupby(col).count() \
+            .select_columns([col]).take_all()
+        arr = np.sort(np.array([int(r[col]) for r in vals],
+                               dtype=np.int64))
+        luts.append(arr)
+    ref = ray.put(tuple(luts))
+
+    def ranked_topk(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        l1, l2, l3 = (_ref if isinstance(_ref, tuple)
+                      else ray.get(_ref))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        borda = np.zeros(len(ids), dtype=np.int64)
+        for lut, col in ((l1, "m1"), (l2, "m2"), (l3, "m3")):
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            # dense rank, descending: 1 = largest distinct value
+            borda += len(lut) - np.searchsorted(lut, v, side="left")
+        order = np.lexsort((ids, borda))[:k]
+        return pa.Table.from_arrays(
+            [pa.array(ids[order]), pa.array(borda[order])],
+            names=["doc_id", "borda"])
+
+    return mt.map_batches(ranked_topk, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .sort(["borda", "doc_id"]).limit(k)
