@@ -1027,6 +1027,16 @@ def _events_top_trigrams(sf_dir: str):
         columns=["user_id", "ts", "event_id", "event_type"]))
 
 
+def _events_dow(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import dow_profile
+
+    return dow_profile(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"]))
+
+
 def _events_conversion(sf_dir: str):
     import ray.data
 
@@ -2388,6 +2398,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-anonymity release audit over (lang, source, length-bucket)
         "k_anonymity": lambda sf: curation.k_anonymity(
             _docs_cols(sf, ["lang", "source", "n_chars"])),
+        # l-diversity: QI classes whose sensitive attr is near-constant
+        "l_diversity": lambda sf: curation.l_diversity(
+            _docs_cols(sf, ["source", "n_chars", "lang"])),
         # Heaps'-law vocabulary growth curve
         "vocab_growth": lambda sf: textstats.vocab_growth(
             _docs_cols(sf, ["doc_id", "text"])),
@@ -2487,6 +2500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_latency": lambda sf: _events_conversion(sf),
         "user_paths": lambda sf: _events_user_paths(sf),
         "cusum_changepoints": lambda sf: _events_cusum(sf),
+        "dow_profile": lambda sf: _events_dow(sf),
         "top_event_trigrams": lambda sf: _events_top_trigrams(sf),
         # daily-active-users HLL (window x sketch composition)
         "hll_users_windowed": lambda sf: _events_hll_windowed(sf),
@@ -3994,6 +4008,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * SUM(n*n)) // (SUM(n)*SUM(n))
                         AS BIGINT) AS hhi_micro
             FROM c GROUP BY source ORDER BY source""",
+        # QI classes with < l distinct sensitive (lang) values;
+        # isodow(Monday=1) matches the Ray side's Thursday-anchor mod
+        "l_diversity": """
+            WITH c AS (SELECT source,
+                              CAST(n_chars AS BIGINT) // 200
+                                AS chars_bucket,
+                              count(*)::BIGINT AS n_rows,
+                              count(DISTINCT lang)::BIGINT AS n_langs
+                       FROM documents GROUP BY 1, 2)
+            SELECT source, chars_bucket, n_rows, n_langs FROM c
+            WHERE n_langs < 3
+            ORDER BY source, chars_bucket""",
+        "dow_profile": """
+            SELECT event_type, isodow(ts)::BIGINT AS dow,
+                   count(*)::BIGINT AS n,
+                   SUM(CAST(round(value*100) AS BIGINT))::BIGINT
+                     AS sum_cents
+            FROM events GROUP BY 1, 2
+            ORDER BY event_type, dow""",
         # QI equivalence classes below k: re-identifiable rows
         "k_anonymity": """
             SELECT lang, source,

@@ -207,6 +207,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "robust_outliers", "ks_drift", "ks_by_type",
                  "user_paths", "conversion_latency",
                  "cusum_changepoints", "top_event_trigrams",
+                 "dow_profile", "l_diversity",
                  "user_growth",
                  "distinct_users", "pivot_events", "hll_users",
                  "hll_users_windowed",

@@ -996,3 +996,26 @@ def test_top_event_trigrams_crafted(ray_session):
             for r in top_event_trigrams(ds.repartition(4), k=10,
                                         n_buckets=4).take_all()]
     assert got2 == got
+
+
+def test_dow_profile_thursday_anchor(ray_session):
+    """1970-01-01 is a Thursday (ISO dow 4); counts and exact cents
+    totals aggregate per (type, dow) across blocks."""
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import dow_profile
+
+    rows = [
+        # 2026-01-05 is a Monday
+        {"event_type": "a", "ts": dt.datetime(2026, 1, 5), "value": 1.5},
+        {"event_type": "a", "ts": dt.datetime(2026, 1, 12), "value": 2.0},
+        {"event_type": "a", "ts": dt.datetime(2026, 1, 11), "value": 4.0},  # Sunday
+        {"event_type": "b", "ts": dt.datetime(1970, 1, 1), "value": 0.25},  # Thursday
+    ]
+    got = [(r["event_type"], r["dow"], r["n"], r["sum_cents"])
+           for r in dow_profile(
+               ray.data.from_items(rows).repartition(3)).take_all()]
+    assert got == [("a", 1, 2, 350), ("a", 7, 1, 400),
+                   ("b", 4, 1, 25)]

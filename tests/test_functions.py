@@ -2380,3 +2380,19 @@ def test_borda_blend_dense_ranks(ray_session):
                borda_blend(ray.data.from_items(rows)
                            .repartition(parts), k=10).take_all()]
         assert got == [(1, 3), (2, 5), (3, 6)]
+
+
+def test_l_diversity_crafted(ray_session):
+    """A large class with a single sensitive value is flagged; a small
+    class with >= l distinct values is not."""
+    import ray.data
+
+    from webtext.functions.curation import l_diversity
+
+    rows = ([{"source": "s0", "n_chars": 10, "lang": "en"}] * 6
+            + [{"source": "s1", "n_chars": 10, "lang": l}
+               for l in ("en", "fr", "de")])
+    got = l_diversity(ray.data.from_items(rows).repartition(3),
+                      l=3, chars_bucket=200).take_all()
+    assert got == [{"source": "s0", "chars_bucket": 0,
+                    "n_rows": 6, "n_langs": 1}]

@@ -813,3 +813,55 @@ def k_anonymity(ds, k: int = 5, chars_bucket: int = 200):
             batch_format="pyarrow", zero_copy_batch=True)
     return summed.filter(expr=f"n < {int(k)}") \
         .sort(["lang", "source", "chars_bucket"])
+
+
+def l_diversity(ds, l: int = 3, chars_bucket: int = 200):
+    """(source, chars_bucket, n_rows, n_langs): k_anonymity's
+    companion (Machanavajjhala 2007): equivalence classes of the
+    (source, n_chars//``chars_bucket``) quasi-identifier whose
+    SENSITIVE attribute (lang) takes fewer than ``l`` distinct values
+    — classes where knowing someone's QI pins their sensitive value
+    even when the class itself is large (the failure k-anonymity
+    can't see).  Ordered report, deterministic.
+
+    Shape: per batch one Arrow group_by over (source, bucket, lang) —
+    the partial is distinct-triple counts, bounded by the QI × lang
+    domain — then ONE native groupby-sum; the per-class row count and
+    distinct-lang count both derive from that bounded table in a
+    second TINY native groupby (rows = distinct triples, never corpus
+    size)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        cb = pc.divide(batch.column("n_chars").cast(pa.int64()),
+                       chars_bucket)
+        t = pa.Table.from_arrays(
+            [batch.column("source"), cb, batch.column("lang")],
+            names=["source", "chars_bucket", "lang"])
+        agg = t.group_by(["source", "chars_bucket", "lang"]) \
+            .aggregate([("lang", "count")])
+        return agg.rename_columns(
+            ["source", "chars_bucket", "lang", "n"])
+
+    triples = ds.select_columns(["source", "n_chars", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["source", "chars_bucket", "lang"]).sum("n") \
+        .map_batches(lambda b: b.rename_columns(
+            ["source", "chars_bucket", "lang", "n"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("source"), batch.column("chars_bucket"),
+             batch.column("n"),
+             pa.array(np.ones(batch.num_rows, dtype=np.int64))],
+            names=["source", "chars_bucket", "n_rows", "n_langs"])
+
+    classes = triples.map_batches(fold, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .groupby(["source", "chars_bucket"]) \
+        .sum(["n_rows", "n_langs"]) \
+        .map_batches(lambda b: b.rename_columns(
+            ["source", "chars_bucket", "n_rows", "n_langs"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return classes.filter(expr=f"n_langs < {int(l)}") \
+        .sort(["source", "chars_bucket"])

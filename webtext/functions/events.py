@@ -1687,3 +1687,46 @@ def top_event_trigrams(ds, k: int = 50, n_buckets: int = 256):
         batch_format="pyarrow", zero_copy_batch=True)
     return summed.sort(["n", "trigram"],
                        descending=[True, False]).limit(k)
+
+
+def dow_profile(ds):
+    """(event_type, dow, n, sum_cents): the weekly seasonality profile
+    — event counts and exact cents totals per (type, ISO day-of-week,
+    Monday=1) — the calendar fingerprint a drift monitor baselines
+    before `cusum_changepoints` flags a shift (weekday/weekend mix
+    changes masquerade as value drift otherwise).
+
+    Pure combiner: per batch one vectorized epoch-day → weekday map
+    (the 1970-01-01 Thursday anchor, no calendar library) + lexsort
+    reduceat partials, then ONE native groupby over the ≤ |types|×7
+    row table."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // _DAY_US
+        dow = (day + 3) % 7 + 1          # epoch day 0 = Thursday = 4
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        types = np.asarray(batch.column("event_type").to_pylist(),
+                           dtype=object)
+        order = np.lexsort((dow, types))
+        t, d, c = types[order], dow[order], cents[order]
+        new = np.append(True, (t[1:] != t[:-1]) | (d[1:] != d[:-1]))
+        starts = np.nonzero(new)[0]
+        n = np.diff(np.append(starts, len(t)))
+        sums = np.add.reduceat(c, starts)
+        return pa.Table.from_arrays(
+            [pa.array(t[starts].astype(str), pa.string()),
+             pa.array(d[starts]), pa.array(n.astype(np.int64)),
+             pa.array(sums.astype(np.int64))],
+            names=["event_type", "dow", "n", "sum_cents"])
+
+    return ds.select_columns(["event_type", "ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["event_type", "dow"]).sum(["n", "sum_cents"]) \
+        .map_batches(lambda b: b.rename_columns(
+            ["event_type", "dow", "n", "sum_cents"]),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(["event_type", "dow"])
