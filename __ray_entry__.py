@@ -1027,6 +1027,15 @@ def _events_top_trigrams(sf_dir: str):
         columns=["user_id", "ts", "event_id", "event_type"]))
 
 
+def _events_volume_spikes(sf_dir: str):
+    import ray.data
+
+    from webtext.pipelines.relational import volume_spikes
+
+    return volume_spikes(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]))
+
+
 def _events_dow(sf_dir: str):
     import ray.data
 
@@ -2495,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_events": lambda sf: _events_latest(sf),
         "event_cooccurrence": lambda sf: _events_cooccurrence(sf),
         "robust_outliers": lambda sf: _events_robust_outliers(sf),
+        "volume_spikes": lambda sf: _events_volume_spikes(sf),
         "ks_drift": lambda sf: _events_ks_drift(sf),
         "ks_by_type": lambda sf: _events_ks_by_type(sf),
         "conversion_latency": lambda sf: _events_conversion(sf),
@@ -4185,6 +4195,24 @@ def oracle_sql() -> dict[str, str]:
               AS d_micro""",
         # robust (median/MAD) outlier screen: all-integer comparison,
         # exact on both engines — no sd, no divide
+        # daily-count spike screen: |n - median| > 3*MAD per type,
+        # both statistics exact quantile_disc over the daily table
+        "volume_spikes": """
+            WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type, quantile_disc(n, 0.5) AS med
+                  FROM d GROUP BY 1),
+            dev AS (SELECT d.event_type, d.day, d.n,
+                           abs(d.n - s.med)::BIGINT AS dev_n
+                    FROM d JOIN s USING (event_type)),
+            m AS (SELECT event_type, quantile_disc(dev_n, 0.5) AS mad
+                  FROM dev GROUP BY 1)
+            SELECT dev.event_type, strftime(dev.day, '%Y-%m-%d')
+                     AS day, dev.n, dev.dev_n
+            FROM dev JOIN m USING (event_type)
+            WHERE dev.dev_n > 3 * m.mad
+            ORDER BY event_type, day""",
         "robust_outliers": """
             WITH c AS (SELECT event_id,
                               event_type,

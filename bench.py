@@ -204,7 +204,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "percent_rank_events", "active_spans",
                  "winsorize_events", "mode_by_type", "mad_by_type",
                  "dd_quantiles", "latest_events", "event_cooccurrence",
-                 "robust_outliers", "ks_drift", "ks_by_type",
+                 "robust_outliers", "volume_spikes",
+                 "ks_drift", "ks_by_type",
                  "user_paths", "conversion_latency",
                  "cusum_changepoints", "top_event_trigrams",
                  "dow_profile", "l_diversity",

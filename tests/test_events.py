@@ -1019,3 +1019,29 @@ def test_dow_profile_thursday_anchor(ray_session):
                ray.data.from_items(rows).repartition(3)).take_all()]
     assert got == [("a", 1, 2, 350), ("a", 7, 1, 400),
                    ("b", 4, 1, 25)]
+
+
+def test_volume_spikes_crafted(ray_session):
+    """A day with a count far above the type's median daily count is
+    flagged; normal days are not; exact integer median/MAD."""
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.pipelines.relational import volume_spikes
+
+    rows = []
+    # type 'a': 7 quiet days at 2 events, one day at 50
+    eid = 0
+    for d in range(7):
+        for _ in range(2):
+            rows.append({"event_type": "a",
+                         "ts": dt.datetime(2026, 5, 1 + d), "value": 0})
+    for _ in range(50):
+        rows.append({"event_type": "a",
+                     "ts": dt.datetime(2026, 5, 8), "value": 0})
+    got = [(r["event_type"], r["day"], r["n"], r["dev_n"]) for r in
+           volume_spikes(ray.data.from_items(rows).repartition(4))
+           .take_all()]
+    # median daily n = 2, MAD = 0 -> the 50-day deviates by 48 > 0
+    assert got == [("a", "2026-05-08", 50, 48)]

@@ -983,3 +983,93 @@ def zorder_stats(ds, col_a: str = "l_partkey",
         lambda b: b.rename_columns(
             ["zbucket", "n_rows", "a_min", "a_max", "b_min", "b_max"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def volume_spikes(ds, k: int = 3):
+    """(event_type, day, n, dev_n): calendar days whose event VOLUME
+    deviates from the type's median daily count by more than ``k``×
+    the type's MAD of daily counts — the feed-health spike/outage
+    monitor (`robust_outliers` screens row VALUES; this screens the
+    arrival process itself, where a scraper ban or a double-ingest
+    shows up first).  All-integer comparison, exact on both engines.
+
+    Shape: one combiner pass builds the (type, day, n) daily-count
+    table — bounded by |types| × calendar days, never corpus size —
+    and every subsequent step (two group_quantiles passes for median
+    and MAD, the LUT deviation map, the final filter) runs over that
+    bounded table; the corpus is scanned exactly once."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        types = np.asarray(batch.column("event_type").to_pylist(),
+                           dtype=object)
+        order = np.lexsort((day, types))
+        t, d = types[order], day[order]
+        new = np.append(True, (t[1:] != t[:-1]) | (d[1:] != d[:-1]))
+        starts = np.nonzero(new)[0]
+        n = np.diff(np.append(starts, len(t)))
+        return pa.Table.from_arrays(
+            [pa.array(t[starts].astype(str), pa.string()),
+             pa.array(d[starts]), pa.array(n.astype(np.int64))],
+            names=["event_type", "day", "n"])
+
+    daily = ds.select_columns(["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["event_type", "day"]).sum("n") \
+        .map_batches(lambda b: b.rename_columns(
+            ["event_type", "day", "n"]),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()                  # bounded; consumed three times
+
+    med = {r["event_type"]: int(r["q50"])
+           for r in group_quantiles(daily, "event_type", "n",
+                                    (0.5,)).take_all()}
+    med_ref = ray.put(med)
+
+    def dev(batch: pa.Table, *, _ref=med_ref) -> pa.Table:
+        t = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        enc = pc.dictionary_encode(
+            batch.column("event_type")).combine_chunks()
+        lut = np.array([t.get(g, 0)
+                        for g in enc.dictionary.to_pylist()],
+                       dtype=np.int64)
+        codes = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "dev_n", pa.array(np.abs(n - lut[codes])))
+
+    d_ds = daily.map_batches(dev, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    mad = {r["event_type"]: int(r["q50"])
+           for r in group_quantiles(d_ds, "event_type", "dev_n",
+                                    (0.5,)).take_all()}
+    mad_ref = ray.put(mad)
+
+    def flag(batch: pa.Table, *, _ref=mad_ref) -> pa.Table:
+        t = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        enc = pc.dictionary_encode(
+            batch.column("event_type")).combine_chunks()
+        lut = np.array([t.get(g, 0)
+                        for g in enc.dictionary.to_pylist()],
+                       dtype=np.int64)
+        codes = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        devs = batch.column("dev_n").to_numpy(zero_copy_only=False)
+        kept = batch.filter(pa.array(devs > k * lut[codes]))
+        day = kept.column("day").to_numpy(zero_copy_only=False)
+        dates = (np.datetime64("1970-01-01")
+                 + day.astype("timedelta64[D]")).astype(str)
+        return pa.Table.from_arrays(
+            [kept.column("event_type"),
+             pa.array(dates.tolist(), pa.string()),
+             kept.column("n"), kept.column("dev_n")],
+            names=["event_type", "day", "n", "dev_n"])
+
+    return d_ds.map_batches(flag, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .sort(["event_type", "day"])
