@@ -2467,6 +2467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quantization-loss twin: PQ/ADC recall vs exact L2
         "pq_recall_audit": lambda sf: _pq_recall(sf),
         "ndcg_audit": lambda sf: _ndcg_audit(sf),
+        # Matryoshka dimension-pruning recall audit (first-16-dims)
+        "dim_truncation_audit":
+            lambda sf: ann.dim_truncation_audit(_emb(sf)),
         # event-stream windows (beyond the reference: time-windowed ops)
         "windowed_events": lambda sf: _events_windowed(sf),
         "hopping_events": lambda sf: _events_hopping(sf),
@@ -2723,7 +2726,7 @@ def oracle_sql() -> dict[str, str]:
             "minhash_recall_audit", "hll_error_audit",
             "cms_error_audit", "bloom_fp_audit",
             "quantile_sketch_audit", "pq_recall_audit",
-            "ndcg_audit")
+            "ndcg_audit", "dim_truncation_audit")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

@@ -220,7 +220,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "quantize_embeddings",
                  "pca_top_component", "effective_rank",
                  "whiten_embeddings", "ivf_recall_audit", "pq_recall_audit",
-                 "ndcg_audit", "cluster_census",
+                 "ndcg_audit", "cluster_census", "dim_truncation_audit",
                  "asof_join", "range_join", "group_quantiles",
                  "global_quantiles",
                  "graph_degrees", "pagerank", "hits_scores",

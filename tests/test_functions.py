@@ -2396,3 +2396,24 @@ def test_l_diversity_crafted(ray_session):
                       l=3, chars_bucket=200).take_all()
     assert got == [{"source": "s0", "chars_bucket": 0,
                     "n_rows": 6, "n_langs": 1}]
+
+
+def test_dim_truncation_audit_full_dims_is_exact(ray_session):
+    """keep_dims == full dimensionality makes the truncated ranking
+    identical -> recall 1.0 everywhere; blocking-invariant."""
+    import ray.data
+
+    from webtext.functions.ann import dim_truncation_audit
+
+    rows = [{"vec_id": i, "label": 0,
+             "embedding": [((i * 13) % 7) / 7.0,
+                           ((i * 29) % 11) / 11.0]}
+            for i in range(30)]
+    a = dim_truncation_audit(
+        ray.data.from_items(rows).repartition(1),
+        n_queries=4, k=5, keep_dims=2)
+    b = dim_truncation_audit(
+        ray.data.from_items(rows).repartition(5),
+        n_queries=4, k=5, keep_dims=2)
+    assert a.to_pylist() == b.to_pylist()
+    assert all(r["recall_micro"] == 1_000_000 for r in a.to_pylist())

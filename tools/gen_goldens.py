@@ -1245,6 +1245,31 @@ def golden_cluster_census(sf_dir, nlist=16, iters=5):
                      "inertia_micro": pa.array(iner[nz])})
 
 
+def golden_dim_truncation_audit(sf_dir, n_queries=16, k=10,
+                                keep_dims=16):
+    """Dense truncated-dimension recall audit: full-dim vs first-
+    keep_dims brute cosine top-k, lexsort((id, -sim)) tie rule,
+    floor-micros recall."""
+    ids, labels, mat = emb_matrix(sf_dir)
+    out_q, out_h, out_r = [], [], []
+    for qi in range(n_queries):
+        qpos = int(np.flatnonzero(ids == qi)[0])
+        keep = ids != qi
+        kids = ids[keep]
+        full_s = cos(mat[keep], mat[qpos])
+        full = set(kids[np.lexsort((kids, -full_s))[:k]].tolist())
+        tm = mat[:, :keep_dims]
+        tr_s = cos(tm[keep], tm[qpos])
+        tr = set(kids[np.lexsort((kids, -tr_s))[:k]].tolist())
+        hits = len(full & tr)
+        out_q.append(qi)
+        out_h.append(hits)
+        out_r.append((1_000_000 * hits) // max(1, len(full)))
+    return pa.table({"qid": pa.array(out_q, pa.int64()),
+                     "n_hits": pa.array(out_h, pa.int64()),
+                     "recall_micro": pa.array(out_r, pa.int64())})
+
+
 def golden_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
     """Dense single-process greedy k-center (farthest-point, Gonzalez)
     — differential oracle for webtext/functions/ann.py kcenter_select:
@@ -2497,6 +2522,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["coverage_select"] = golden_coverage_select(sf_dir)
     g["hard_negatives"] = golden_hard_negatives(sf_dir)
     g["cluster_census"] = golden_cluster_census(sf_dir)
+    g["dim_truncation_audit"] = golden_dim_truncation_audit(sf_dir)
     g["lineage_report"] = golden_lineage(sf_dir)
     g["hll_users_windowed"] = golden_hll_users_windowed(sf_dir)
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)

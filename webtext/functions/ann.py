@@ -2190,3 +2190,96 @@ def cluster_census(ds, nlist: int = 16, index_path: str | None = None):
     return summed.map_batches(
         lambda b: b.rename_columns(["cluster", "n", "inertia_micro"]),
         batch_format="pyarrow", zero_copy_batch=True).sort("cluster")
+
+
+def dim_truncation_audit(ds, n_queries: int = 16, k: int = 10,
+                         keep_dims: int = 16):
+    """(qid, n_hits, recall_micro): measured recall@k of brute-force
+    cosine over only the FIRST ``keep_dims`` embedding dimensions
+    against full-dimension cosine — the Matryoshka/dimension-pruning
+    audit (truncating stored dims is the cheapest index shrink there
+    is; this measures what ranking quality it costs BEFORE committing
+    the smaller index).  Queries are the vectors with vec_id <
+    n_queries; both sides rank with the lexsort((vec_id, −sim)) tie
+    rule of knn_cosine.
+
+    Scale shape = ivf_recall_audit: query matrix broadcast once, two
+    streaming corpus scans (full-dim and truncated) with per-block
+    local top-k partials, one constant-cardinality groupby(qid) merge;
+    the truncated pass slices each block's matrix view — no copy, no
+    re-read."""
+    import ray
+
+    q_rows = ds.filter(expr=f"vec_id < {int(n_queries)}") \
+        .select_columns(["vec_id", "embedding"]).take_all()
+    q_rows.sort(key=lambda r: int(r["vec_id"]))
+    qids = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    ref = ray.put((qids, Q))
+
+    def partials_s(dims: int | None):
+        def f(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            qid, qm = (_ref if isinstance(_ref, tuple)
+                       else ray.get(_ref))
+            mat = _matrix(batch)
+            if dims is not None:
+                mat = mat[:, :dims]
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            out_q, out_i, out_s = [], [], []
+            for qi in range(len(qid)):
+                keep = ids != qid[qi]
+                m, di = mat[keep], ids[keep]
+                if not len(di):
+                    continue
+                q = qm[qi] if dims is None else qm[qi][:dims]
+                sims = _cos(m, q)
+                order = np.lexsort((di, -sims))[:k]
+                out_q.append(np.full(len(order), qid[qi],
+                                     dtype=np.int64))
+                out_i.append(di[order])
+                out_s.append(sims[order])
+            if not out_q:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                     pa.array([], pa.float64())],
+                    names=["qid", "vec_id", "sim"])
+            return pa.Table.from_arrays(
+                [pa.array(np.concatenate(out_q)),
+                 pa.array(np.concatenate(out_i)),
+                 pa.array(np.concatenate(out_s))],
+                names=["qid", "vec_id", "sim"])
+        return f
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = group.column("sim").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.Table.from_arrays(
+            [group.column("qid").take(pa.array(order)),
+             pa.array(ids[order])],
+            names=["qid", "vec_id"])
+
+    def ranked(dims: int | None):
+        return ds.select_columns(["vec_id", "embedding"]) \
+            .map_batches(partials_s(dims), batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby("qid").map_groups(final_topk,
+                                       batch_format="pyarrow") \
+            .take_all()
+
+    full = {}
+    for r in ranked(None):
+        full.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    trunc = {}
+    for r in ranked(keep_dims):
+        trunc.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    out_q, out_h, out_r = [], [], []
+    for qi in qids.tolist():
+        e = full.get(qi, set())
+        hits = len(e & trunc.get(qi, set()))
+        out_q.append(qi)
+        out_h.append(hits)
+        out_r.append((1_000_000 * hits) // max(1, len(e)))
+    return pa.table({"qid": pa.array(out_q, pa.int64()),
+                     "n_hits": pa.array(out_h, pa.int64()),
+                     "recall_micro": pa.array(out_r, pa.int64())})
