@@ -2398,6 +2398,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source length-concentration (Gini) audit
         "gini_by_source": lambda sf: textstats.gini_by_source(
             _docs_cols(sf, ["source", "n_chars", "doc_id"])),
+        # exactly-k weighted sample (Efraimidis-Spirakis exp keys)
+        "weighted_k_sample": lambda sf: textstats.weighted_k_sample(
+            _docs_cols(sf, ["doc_id", "n_chars"])),
         # Borda rank-aggregation quality blend (top-k consensus docs)
         "borda_blend": lambda sf: textstats.borda_blend(
             _docs_cols(sf, ["doc_id", "n_chars", "text"])),
@@ -2726,7 +2729,8 @@ def oracle_sql() -> dict[str, str]:
             "minhash_recall_audit", "hll_error_audit",
             "cms_error_audit", "bloom_fp_audit",
             "quantile_sketch_audit", "pq_recall_audit",
-            "ndcg_audit", "dim_truncation_audit")
+            "ndcg_audit", "dim_truncation_audit",
+            "weighted_k_sample")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

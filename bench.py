@@ -156,6 +156,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "winnow_fingerprint",
                  "containment_pairs", "sample_by_hash",
                  "exact_k_sample", "stratified_k_sample",
+                 "weighted_k_sample",
                  "pack_sequences", "chunk_documents",
                  "training_pipeline", "curation_pipeline",
                  "hash_embed_nn",

@@ -2417,3 +2417,21 @@ def test_dim_truncation_audit_full_dims_is_exact(ray_session):
         n_queries=4, k=5, keep_dims=2)
     assert a.to_pylist() == b.to_pylist()
     assert all(r["recall_micro"] == 1_000_000 for r in a.to_pylist())
+
+
+def test_weighted_k_sample_weight_bias_and_blocking(ray_session):
+    """Exactly k rows, blocking-invariant, and heavier docs win more
+    often (statistical sanity at a deterministic fixed seed set)."""
+    import ray.data
+
+    from webtext.functions.textstats import weighted_k_sample
+
+    rows = ([{"doc_id": i, "n_chars": 10_000} for i in range(100)]
+            + [{"doc_id": i, "n_chars": 1} for i in range(100, 200)])
+    a = sorted(r["doc_id"] for r in weighted_k_sample(
+        ray.data.from_items(rows).repartition(1), k=50).take_all())
+    b = sorted(r["doc_id"] for r in weighted_k_sample(
+        ray.data.from_items(rows).repartition(7), k=50).take_all())
+    assert a == b and len(a) == 50
+    heavy = sum(1 for d in a if d < 100)
+    assert heavy >= 45   # 10,000:1 weights -> light docs are rare

@@ -1270,6 +1270,27 @@ def golden_dim_truncation_audit(sf_dir, n_queries=16, k=10,
                      "recall_micro": pa.array(out_r, pa.int64())})
 
 
+def golden_weighted_k_sample(sf_dir, k=100):
+    """Dense Efraimidis-Spirakis exactly-k weighted sample: same
+    content-addressed md5 uniforms, w = max(n_chars, 1), k smallest
+    -ln(u)/w keys, ties to min doc_id."""
+    import hashlib
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "n_chars"])
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    u = np.asarray(
+        [int.from_bytes(hashlib.md5(str(d).encode()).digest()[:8],
+                        "big") >> 1 for d in ids],
+        dtype=np.float64) / float(1 << 63)
+    u = np.maximum(u, 1e-18)
+    w = np.maximum(np.asarray(t.column("n_chars").to_pylist(),
+                              dtype=np.int64), 1).astype(np.float64)
+    e = -np.log(u) / w
+    order = np.lexsort((ids, e))[:k]
+    return pa.table({"doc_id": pa.array(ids[order])})
+
+
 def golden_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
     """Dense single-process greedy k-center (farthest-point, Gonzalez)
     — differential oracle for webtext/functions/ann.py kcenter_select:
@@ -2523,6 +2544,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["hard_negatives"] = golden_hard_negatives(sf_dir)
     g["cluster_census"] = golden_cluster_census(sf_dir)
     g["dim_truncation_audit"] = golden_dim_truncation_audit(sf_dir)
+    g["weighted_k_sample"] = golden_weighted_k_sample(sf_dir)
     g["lineage_report"] = golden_lineage(sf_dir)
     g["hll_users_windowed"] = golden_hll_users_windowed(sf_dir)
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)

@@ -2455,3 +2455,55 @@ def borda_blend(ds, k: int = 100):
     return mt.map_batches(ranked_topk, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .sort(["borda", "doc_id"]).limit(k)
+
+
+def weighted_k_sample(ds, k: int = 100):
+    """(doc_id,): an EXACTLY-k weighted sample WITHOUT replacement —
+    Efraimidis–Spirakis (2006) exponential keys: each document draws
+    e_i = −ln(u_i)/w_i with u_i the content-addressed md5 uniform
+    (md5(str(doc_id)) top-63-bits / 2⁶³) and w_i = max(n_chars, 1);
+    the k SMALLEST e_i win (ties → min doc_id).  This is the exact-
+    count sibling of `pps_sample` (Poisson, expected-size) and the
+    weighted sibling of `exact_k_sample` (uniform): inclusion
+    probability ∝ weight, size exactly k, membership stable under
+    re-sharding/cluster size (content-addressed, no RNG state).
+    The float64 key is a pure per-row map — never a distributed
+    reduce — so the only cross-engine contract is the golden's
+    identical numpy formula.
+
+    Per-block partial top-k (≤ k (key, id) rows per block), one
+    single-block final merge over ≤ k·#blocks rows — the
+    exact_k_sample shape."""
+    def keys_of(batch: pa.Table):
+        ids = batch.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        u = np.asarray(
+            [int.from_bytes(hashlib.md5(str(d).encode()).digest()[:8],
+                            "big") >> 1 for d in ids],
+            dtype=np.float64) / float(1 << 63)
+        u = np.maximum(u, 1e-18)            # guard the measure-zero 0
+        w = np.maximum(batch.column("n_chars").cast(pa.int64())
+                       .to_numpy(zero_copy_only=False), 1) \
+            .astype(np.float64)
+        return ids, -np.log(u) / w
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, e = keys_of(batch)
+        order = np.lexsort((ids, e))[:k]
+        return pa.Table.from_arrays(
+            [pa.array(e[order]), pa.array(ids[order])],
+            names=["e", "doc_id"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        e = batch.column("e").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, e))[:k]
+        return pa.Table.from_arrays([pa.array(ids[order])],
+                                    names=["doc_id"])
+
+    return ds.select_columns(["doc_id", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .repartition(1) \
+        .map_batches(final, batch_size=None, batch_format="pyarrow",
+                     zero_copy_batch=True)
