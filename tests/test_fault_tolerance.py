@@ -143,3 +143,26 @@ def test_compact_output_row_preserving(ray_session, small_corpus_dir,
 
     with pytest.raises(FileExistsError):
         compact_output(src, dst)
+
+
+def test_read_output_as_of_snapshot(ray_session, tmp_path):
+    """as_of=N reads exactly the first N committed rounds in commit
+    order — the dataset a consumer saw after round N — and later
+    rounds stay invisible to that snapshot."""
+    from webtext.pipelines import read_output, run_extraction
+    from webtext.synth import write_corpus
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    write_corpus(inp, n_per_family=4, seed=11, rows_per_file=10)
+    run_extraction(inp, out, shards_per_round=2)
+
+    full = read_output(out).take_all()
+    snap1 = read_output(out, as_of=1).take_all()
+    snap_all = read_output(out, as_of=10_000).take_all()
+    assert 0 < len(snap1) < len(full)
+    assert len(snap_all) == len(full)
+    # the snapshot is a strict prefix by round: every snap1 doc_id is
+    # in the full read
+    full_ids = {r["doc_id"] for r in full}
+    assert {r["doc_id"] for r in snap1} <= full_ids

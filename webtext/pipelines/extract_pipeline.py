@@ -228,15 +228,32 @@ def _collect_round_metrics(round_dir: str, round_shards: list[str],
     return records
 
 
-def read_output(output_dir: str, statuses=KEPT_STATUSES):
+def read_output(output_dir: str, statuses=KEPT_STATUSES,
+                as_of: int | None = None):
     """Dataset over committed rounds only (uncommitted partials are
-    invisible), filtered to kept statuses."""
+    invisible), filtered to kept statuses.
+
+    ``as_of`` = snapshot time travel at round granularity (the
+    Iceberg-style read the immutable manifest makes free): only the
+    first ``as_of`` committed rounds IN COMMIT ORDER are visible —
+    the exact dataset a consumer saw after that round's commit,
+    regardless of how many rounds a resumed run appended since.
+    None (default) reads every committed round."""
     import ray.data
 
     import glob
 
     manifest = CommitManifest(output_dir)
-    round_dirs = sorted({r["round_dir"] for r in manifest.records()})
+    seen: set[str] = set()
+    ordered: list[str] = []
+    for r in manifest.records():        # append order = commit order
+        d = r["round_dir"]
+        if d not in seen:
+            seen.add(d)
+            ordered.append(d)
+    if as_of is not None:
+        ordered = ordered[:as_of]
+    round_dirs = sorted(ordered)
     files = [
         f
         for d in round_dirs
