@@ -2270,6 +2270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_select": lambda sf: ann.kcenter_select(_emb(sf)),
         # contrastive hard-negative mining (top-k wrong-label cosine)
         "hard_negatives": lambda sf: ann.hard_negatives(_emb(sf)),
+        # segment drift: per-label centroid vs global, cosine micros
+        "label_centroid_drift":
+            lambda sf: ann.label_centroid_drift(_emb(sf)),
         # corpus map: per-IVF-cluster membership + inertia census
         "cluster_census": lambda sf: _cluster_census(sf),
         # embedding-space decontamination: corpus (id%100>=10) vs
@@ -2730,7 +2733,7 @@ def oracle_sql() -> dict[str, str]:
             "cms_error_audit", "bloom_fp_audit",
             "quantile_sketch_audit", "pq_recall_audit",
             "ndcg_audit", "dim_truncation_audit",
-            "weighted_k_sample")
+            "weighted_k_sample", "label_centroid_drift")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

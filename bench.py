@@ -217,6 +217,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "hll_error_audit", "cms_error_audit", "bloom_fp_audit",
                  "quantile_sketch_audit",
                  "outlier_events", "label_centroids",
+                 "label_centroid_drift",
                  "centroid_classify",
                  "quantize_embeddings",
                  "pca_top_component", "effective_rank",

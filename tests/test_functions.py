@@ -2435,3 +2435,25 @@ def test_weighted_k_sample_weight_bias_and_blocking(ray_session):
     assert a == b and len(a) == 50
     heavy = sum(1 for d in a if d < 100)
     assert heavy >= 45   # 10,000:1 weights -> light docs are rare
+
+
+def test_label_centroid_drift_zero_for_identical(ray_session):
+    """A label whose members all equal the global centroid direction
+    drifts 0; a perpendicular one drifts to ~1e6; blocking-invariant."""
+    import ray.data
+
+    from webtext.functions.ann import label_centroid_drift
+
+    rows = ([{"vec_id": i, "label": 0, "embedding": [1.0, 0.0]}
+             for i in range(8)]
+            + [{"vec_id": 8 + i, "label": 1, "embedding": [0.0, 1.0]}
+               for i in range(2)])
+    a = label_centroid_drift(
+        ray.data.from_items(rows).repartition(1)).to_pylist()
+    b = label_centroid_drift(
+        ray.data.from_items(rows).repartition(5)).to_pylist()
+    assert a == b
+    d = {r["label"]: r["drift_micro"] for r in a}
+    # global centroid = (0.8, 0.2): label 0 is much closer than label 1
+    assert d[0] < 40_000 < d[1]
+    assert {r["label"]: r["n"] for r in a} == {0: 8, 1: 2}

@@ -1291,6 +1291,29 @@ def golden_weighted_k_sample(sf_dir, k=100):
     return pa.table({"doc_id": pa.array(ids[order])})
 
 
+def golden_label_centroid_drift(sf_dir, scale=1_000_000_000):
+    """Dense label-centroid drift: same half-away-from-zero fixed-point
+    sums as label_centroids, global centroid from the summed label
+    sums, floor-micros cosine distance."""
+    ids, labels, mat = emb_matrix(sf_dir)
+    x = mat * float(scale)
+    fp = np.where(x >= 0, np.floor(x + 0.5),
+                  np.ceil(x - 0.5)).astype(np.int64)
+    uniq = np.unique(labels)
+    sums = np.zeros((len(uniq), mat.shape[1]), dtype=np.int64)
+    inv = np.searchsorted(uniq, labels)
+    np.add.at(sums, inv, fp)
+    n = np.bincount(inv).astype(np.int64)
+    g = sums.sum(axis=0).astype(np.float64) / float(n.sum())
+    cents = sums.astype(np.float64) / n[:, None].astype(np.float64)
+    num = cents @ g
+    den = np.sqrt((cents * cents).sum(axis=1)) * np.sqrt(g @ g)
+    drift = np.floor((1.0 - num / den) * 1_000_000.0).astype(np.int64)
+    return pa.table({"label": pa.array(uniq.astype(np.int64)),
+                     "n": pa.array(n),
+                     "drift_micro": pa.array(drift)})
+
+
 def golden_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
     """Dense single-process greedy k-center (farthest-point, Gonzalez)
     — differential oracle for webtext/functions/ann.py kcenter_select:
@@ -2545,6 +2568,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["cluster_census"] = golden_cluster_census(sf_dir)
     g["dim_truncation_audit"] = golden_dim_truncation_audit(sf_dir)
     g["weighted_k_sample"] = golden_weighted_k_sample(sf_dir)
+    g["label_centroid_drift"] = golden_label_centroid_drift(sf_dir)
     g["lineage_report"] = golden_lineage(sf_dir)
     g["hll_users_windowed"] = golden_hll_users_windowed(sf_dir)
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)

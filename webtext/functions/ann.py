@@ -2283,3 +2283,44 @@ def dim_truncation_audit(ds, n_queries: int = 16, k: int = 10,
     return pa.table({"qid": pa.array(out_q, pa.int64()),
                      "n_hits": pa.array(out_h, pa.int64()),
                      "recall_micro": pa.array(out_r, pa.int64())})
+
+
+def label_centroid_drift(ds, scale: int = CENTROID_SCALE):
+    """(label, n, drift_micro): how far each label's embedding
+    centroid sits from the GLOBAL centroid, as floor-micros cosine
+    distance (1 − cos) — the segment-drift audit an embedding-space
+    owner reads to spot a feed whose vectors wander (new encoder
+    version, topical shift, poisoning) before any downstream ANN
+    metric moves.
+
+    Rides `label_centroids` unchanged: the only distributed work is
+    that op's exact fixed-point partial-centroid exchange; the global
+    centroid is the label-sums' sum (exact int64 addition), and the
+    per-label cosine runs on the driver over the |labels| × dim
+    integer table — constant-size, never corpus-shaped.  The division
+    by counts happens once, in float64, identically in the dense
+    golden, so the emitted micros are bit-stable."""
+    rows = label_centroids(ds, scale).take_all()
+    by_label: dict[int, dict[int, int]] = {}
+    counts: dict[int, int] = {}
+    dims = 0
+    for r in rows:
+        lab, d = int(r["label"]), int(r["dim"])
+        by_label.setdefault(lab, {})[d] = int(r["sum_fp"])
+        counts[lab] = int(r["n"])
+        dims = max(dims, d)
+    labels = sorted(by_label)
+    sums = np.array([[by_label[l].get(d, 0)
+                      for d in range(1, dims + 1)] for l in labels],
+                    dtype=np.int64)
+    n = np.array([counts[l] for l in labels], dtype=np.int64)
+    total = sums.sum(axis=0).astype(np.float64)   # exact int64 sum
+    total_n = int(n.sum())
+    g = total / float(total_n)
+    cents = sums.astype(np.float64) / n[:, None].astype(np.float64)
+    num = cents @ g
+    den = np.sqrt((cents * cents).sum(axis=1)) * np.sqrt(g @ g)
+    drift = np.floor((1.0 - num / den) * 1_000_000.0).astype(np.int64)
+    return pa.table({"label": pa.array(np.array(labels, np.int64)),
+                     "n": pa.array(n),
+                     "drift_micro": pa.array(drift)})
