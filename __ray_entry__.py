@@ -1036,6 +1036,15 @@ def _events_volume_spikes(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "ts"]))
 
 
+def _events_bootstrap(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import poisson_bootstrap
+
+    return poisson_bootstrap(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]))
+
+
 def _events_dow(sf_dir: str):
     import ray.data
 
@@ -2520,6 +2529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_paths": lambda sf: _events_user_paths(sf),
         "cusum_changepoints": lambda sf: _events_cusum(sf),
         "dow_profile": lambda sf: _events_dow(sf),
+        "poisson_bootstrap": lambda sf: _events_bootstrap(sf),
         "top_event_trigrams": lambda sf: _events_top_trigrams(sf),
         # daily-active-users HLL (window x sketch composition)
         "hll_users_windowed": lambda sf: _events_hll_windowed(sf),
@@ -2733,7 +2743,8 @@ def oracle_sql() -> dict[str, str]:
             "cms_error_audit", "bloom_fp_audit",
             "quantile_sketch_audit", "pq_recall_audit",
             "ndcg_audit", "dim_truncation_audit",
-            "weighted_k_sample", "label_centroid_drift")
+            "weighted_k_sample", "label_centroid_drift",
+            "poisson_bootstrap")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

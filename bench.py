@@ -209,7 +209,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "ks_drift", "ks_by_type",
                  "user_paths", "conversion_latency",
                  "cusum_changepoints", "top_event_trigrams",
-                 "dow_profile", "l_diversity",
+                 "dow_profile", "l_diversity", "poisson_bootstrap",
                  "user_growth",
                  "distinct_users", "pivot_events", "hll_users",
                  "hll_users_windowed",

@@ -1045,3 +1045,23 @@ def test_volume_spikes_crafted(ray_session):
            .take_all()]
     # median daily n = 2, MAD = 0 -> the 50-day deviates by 48 > 0
     assert got == [("a", "2026-05-08", 50, 48)]
+
+
+def test_poisson_bootstrap_blocking_invariant(ray_session):
+    """Replica multiplicities are content-addressed per (event_id,
+    replica): the B replica sums are identical under any block layout,
+    sizes hover near N, and sums stay near B x the true total."""
+    import ray.data
+
+    from webtext.functions.events import poisson_bootstrap
+
+    rows = [{"event_id": i, "value": 1.0} for i in range(500)]
+    a = poisson_bootstrap(ray.data.from_items(rows).repartition(1),
+                          n_replicas=8).take_all()
+    b = poisson_bootstrap(ray.data.from_items(rows).repartition(7),
+                          n_replicas=8).take_all()
+    assert a == b
+    assert len(a) == 8
+    for r in a:
+        assert 350 < r["n"] < 650          # Poisson(1) around N=500
+        assert r["sum_cents"] == 100 * r["n"]   # every value is 1.00

@@ -1314,6 +1314,34 @@ def golden_label_centroid_drift(sf_dir, scale=1_000_000_000):
                      "drift_micro": pa.array(drift)})
 
 
+def golden_poisson_bootstrap(sf_dir, n_replicas=32):
+    """Dense Poisson-bootstrap replicas: same splitmix64 uniforms over
+    (event_id*B + b), same Poisson(1) CDF inversion, int64 sums."""
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "value"])
+    ids = np.asarray(t.column("event_id").to_pylist(),
+                     dtype=np.int64).astype(np.uint64)
+    cents = np.rint(np.asarray(t.column("value").to_pylist(),
+                               dtype=np.float64) * 100.0).astype(np.int64)
+    fact = [1.0]
+    for i in range(1, 8):
+        fact.append(fact[-1] * i)
+    cdf = np.cumsum([np.exp(-1.0) / f for f in fact])
+    b = np.arange(n_replicas, dtype=np.uint64)
+    x = ids[:, None] * np.uint64(n_replicas) + b[None, :]
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    u = z.astype(np.float64) / float(2**64)
+    w = np.searchsorted(cdf, u).astype(np.int64)
+    return pa.table({
+        "replica": pa.array(np.arange(n_replicas, dtype=np.int64)),
+        "n": pa.array(w.sum(axis=0)),
+        "sum_cents": pa.array((w * cents[:, None]).sum(axis=0))})
+
+
 def golden_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
     """Dense single-process greedy k-center (farthest-point, Gonzalez)
     — differential oracle for webtext/functions/ann.py kcenter_select:
@@ -2569,6 +2597,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["dim_truncation_audit"] = golden_dim_truncation_audit(sf_dir)
     g["weighted_k_sample"] = golden_weighted_k_sample(sf_dir)
     g["label_centroid_drift"] = golden_label_centroid_drift(sf_dir)
+    g["poisson_bootstrap"] = golden_poisson_bootstrap(sf_dir)
     g["lineage_report"] = golden_lineage(sf_dir)
     g["hll_users_windowed"] = golden_hll_users_windowed(sf_dir)
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)

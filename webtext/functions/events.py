@@ -1730,3 +1730,60 @@ def dow_profile(ds):
             ["event_type", "dow", "n", "sum_cents"]),
             batch_format="pyarrow", zero_copy_batch=True) \
         .sort(["event_type", "dow"])
+
+
+def poisson_bootstrap(ds, n_replicas: int = 32):
+    """(replica, n, sum_cents): the Poisson bootstrap — ``n_replicas``
+    deterministic resamples of the events value stream, each row
+    appearing in replica b with multiplicity ~ Poisson(1) — the
+    distributed-native way to put a confidence interval on any
+    streaming aggregate (classic bootstrap resampling needs the whole
+    dataset in one place; Poisson multiplicities are independent per
+    row, so each replica is just a weighted combiner pass).  A
+    consumer derives the CI from the B replica (sum, n) rows.
+
+    Determinism is content-addressed (no RNG state): row r's
+    multiplicity in replica b inverts the Poisson(1) CDF at the
+    splitmix64 uniform of (event_id·B + b) — blocking/parallelism
+    invariant, golden-replayable.  All shipped numbers are int64
+    (cents × small multiplicities); the shuffle carries B partial
+    rows per block, never events."""
+    cdf = np.cumsum([np.exp(-1.0) / _fact(i) for i in range(8)])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        b = np.arange(n_replicas, dtype=np.uint64)
+        x = ids[:, None] * np.uint64(n_replicas) + b[None, :]
+        # splitmix64 finalizer (the _hash64 integer path)
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        z = x
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        u = z.astype(np.float64) / float(2**64)
+        w = np.searchsorted(cdf, u).astype(np.int64)   # Poisson(1) draw
+        return pa.Table.from_arrays(
+            [pa.array(np.arange(n_replicas, dtype=np.int64)),
+             pa.array(w.sum(axis=0)),
+             pa.array((w * cents[:, None]).sum(axis=0))],
+            names=["replica", "n", "sum_cents"])
+
+    return ds.select_columns(["event_id", "value"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("replica").sum(["n", "sum_cents"]) \
+        .map_batches(lambda b: b.rename_columns(
+            ["replica", "n", "sum_cents"]),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("replica")
+
+
+def _fact(i: int) -> float:
+    out = 1.0
+    for j in range(2, i + 1):
+        out *= j
+    return out
