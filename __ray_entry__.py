@@ -1328,6 +1328,16 @@ def _graph_edges(sf_dir: str):
         columns=["l_partkey", "l_suppkey"]))
 
 
+def _graph_degrees_fused(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.graph import lineitem_degrees
+
+    return lineitem_degrees(ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey"]))
+
+
 def _copurchase_path(sf_dir: str) -> str:
     tag = _code_tag("webtext/functions/graph.py")
     return f"/tmp/webtext_copurchase_{_sf_tag(sf_dir)}_{tag}"
@@ -2541,7 +2551,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": lambda sf: _events_asof(sf),
         "range_join": lambda sf: _events_range_join(sf),
         # graph ops over the lineitem part->supplier digraph
-        "graph_degrees": lambda sf: graph.degrees(_graph_edges(sf)),
+        # fused one-exchange path (edge-collapse cancels algebraically
+        # against the degree sum; same oracle as degrees∘lineitem_edges)
+        "graph_degrees": lambda sf: _graph_degrees_fused(sf),
         # exact bipartite butterfly (2x2 biclique) motif census
         "butterfly_count": lambda sf: _graph_butterflies(sf),
         # market-basket projection of the order<->part bipartite graph

@@ -198,3 +198,24 @@ def test_pagerank_personalized_concentrates_on_seed(ray_session):
     assert got[2] > got[4]          # seed beats unseeded source
     assert got[1] > got[3]          # seed's sink beats unseeded sink
     assert got[4] == 0 and got[3] == 0
+
+
+def test_lineitem_degrees_fused_equals_composition(ray_session):
+    """The one-exchange fused path is row-identical to
+    degrees(lineitem_edges(x)) — the edge-collapse groupby cancels
+    against the degree sum; block-split invariant."""
+    import ray.data
+
+    from webtext.functions.graph import (degrees, lineitem_degrees,
+                                         lineitem_edges)
+
+    rows = [{"l_partkey": p, "l_suppkey": s}
+            for p, s in [(1, 1), (1, 1), (1, 2), (2, 1), (3, 3),
+                         (3, 3), (3, 1)]]
+    ds = ray.data.from_items(rows)
+    want = sorted((r["node"], r["out_deg"], r["in_deg"]) for r in
+                  degrees(lineitem_edges(ds)).take_all())
+    for parts in (1, 4):
+        got = sorted((r["node"], r["out_deg"], r["in_deg"]) for r in
+                     lineitem_degrees(ds.repartition(parts)).take_all())
+        assert got == want

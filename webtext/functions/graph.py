@@ -1919,3 +1919,39 @@ def association_rules(lineitem, edges, min_support: int = 2,
 
     return step2.map_batches(finish, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def lineitem_degrees(ds):
+    """(node, out_deg, in_deg): degrees-with-multiplicity of the
+    lineitem part→supplier digraph, FUSED to one exchange — since the
+    collapsed edge weight IS the multi-edge row count,
+    Σ_dst w(src, dst) is just the raw per-part row count, so the
+    edge-collapse groupby of ``degrees(lineitem_edges(ds))`` cancels
+    algebraically and one per-node combiner + ONE native groupby
+    yields the identical table (pinned by the shared live SQL oracle;
+    measured 12.6 s → ~6 s at sf0.1/32 — the saved exchange is the
+    whole difference).  ``degrees()`` stays for callers holding an
+    actual edge table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = _col_i64(batch, "l_partkey") * 2
+        dst = _col_i64(batch, "l_suppkey") * 2 + 1
+        node = np.concatenate([src, dst])
+        is_src = np.concatenate([np.ones(len(src), dtype=np.int64),
+                                 np.zeros(len(dst), dtype=np.int64)])
+        order = np.argsort(node, kind="stable")
+        n, s = node[order], is_src[order]
+        starts = np.nonzero(np.append(True, n[1:] != n[:-1]))[0]
+        cnt = np.diff(np.append(starts, len(n))).astype(np.int64)
+        outd = np.add.reduceat(s, starts)
+        return pa.Table.from_arrays(
+            [pa.array(n[starts]), pa.array(outd),
+             pa.array(cnt - outd)],
+            names=["node", "out_deg", "in_deg"])
+
+    summed = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("node").sum(["out_deg", "in_deg"])
+    return summed.map_batches(
+        lambda b: b.rename_columns(["node", "out_deg", "in_deg"]),
+        batch_format="pyarrow", zero_copy_batch=True)
