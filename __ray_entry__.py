@@ -1036,6 +1036,16 @@ def _events_volume_spikes(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "ts"]))
 
 
+def _events_attribution(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import attribution_split
+
+    return attribution_split(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"]))
+
+
 def _events_bootstrap(sf_dir: str):
     import ray.data
 
@@ -2540,6 +2550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_changepoints": lambda sf: _events_cusum(sf),
         "dow_profile": lambda sf: _events_dow(sf),
         "poisson_bootstrap": lambda sf: _events_bootstrap(sf),
+        "attribution_split": lambda sf: _events_attribution(sf),
         "top_event_trigrams": lambda sf: _events_top_trigrams(sf),
         # daily-active-users HLL (window x sketch composition)
         "hll_users_windowed": lambda sf: _events_hll_windowed(sf),
@@ -4063,6 +4074,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, chars_bucket, n_rows, n_langs FROM c
             WHERE n_langs < 3
             ORDER BY source, chars_bucket""",
+        # first/last prior 'view' per 'purchase' under the exact
+        # (ts, event_id) tie order; no-touch conversions drop
+        "attribution_split": """
+            WITH o AS (SELECT user_id, ts, event_id, event_type,
+                              CAST(round(value*100) AS BIGINT)
+                                AS cents,
+                              row_number() OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos
+                       FROM events),
+            p AS (SELECT *,
+                    max(CASE WHEN event_type = 'view'
+                             THEN pos END) OVER w AS lpos,
+                    min(CASE WHEN event_type = 'view'
+                             THEN pos END) OVER w AS fpos
+                  FROM o
+                  WINDOW w AS (PARTITION BY user_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING))
+            SELECT p.user_id, p.event_id AS convert_id,
+                   f.event_id AS first_touch_id,
+                   l.event_id AS last_touch_id, p.cents
+            FROM p
+            JOIN o f ON f.user_id = p.user_id AND f.pos = p.fpos
+            JOIN o l ON l.user_id = p.user_id AND l.pos = p.lpos
+            WHERE p.event_type = 'purchase'
+              AND p.fpos IS NOT NULL""",
         "dow_profile": """
             SELECT event_type, isodow(ts)::BIGINT AS dow,
                    count(*)::BIGINT AS n,

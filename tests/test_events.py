@@ -1065,3 +1065,49 @@ def test_poisson_bootstrap_blocking_invariant(ray_session):
     for r in a:
         assert 350 < r["n"] < 650          # Poisson(1) around N=500
         assert r["sum_cents"] == 100 * r["n"]   # every value is 1.00
+
+
+def test_attribution_split_crafted(ray_session):
+    """First/last prior touch under (ts, event_id) tie order; same-ts
+    smaller-id touches count as 'before'; no-touch conversions drop;
+    user runs never leak into each other (the K-offset reset)."""
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import attribution_split
+
+    T = lambda m: dt.datetime(2026, 1, 1, 0, m)
+    rows = [
+        # u1: view(1) view(2) purchase(3) view(4) purchase(5)
+        {"event_id": 1, "user_id": 1, "ts": T(0),
+         "event_type": "view", "value": 0.0},
+        {"event_id": 2, "user_id": 1, "ts": T(1),
+         "event_type": "view", "value": 0.0},
+        {"event_id": 3, "user_id": 1, "ts": T(2),
+         "event_type": "purchase", "value": 10.0},
+        {"event_id": 4, "user_id": 1, "ts": T(3),
+         "event_type": "view", "value": 0.0},
+        {"event_id": 5, "user_id": 1, "ts": T(4),
+         "event_type": "purchase", "value": 2.5},
+        # u2: purchase with NO prior view -> dropped; a later view
+        # must not attribute backwards
+        {"event_id": 6, "user_id": 2, "ts": T(0),
+         "event_type": "purchase", "value": 9.0},
+        {"event_id": 7, "user_id": 2, "ts": T(1),
+         "event_type": "view", "value": 0.0},
+        # u3: view ties purchase's ts with smaller event_id -> counts
+        {"event_id": 8, "user_id": 3, "ts": T(0),
+         "event_type": "view", "value": 0.0},
+        {"event_id": 9, "user_id": 3, "ts": T(0),
+         "event_type": "purchase", "value": 1.0},
+    ]
+    for parts in (1, 4):
+        got = sorted(
+            (r["user_id"], r["convert_id"], r["first_touch_id"],
+             r["last_touch_id"], r["cents"])
+            for r in attribution_split(
+                ray.data.from_items(rows).repartition(parts),
+                n_buckets=4).take_all())
+        assert got == [(1, 3, 1, 2, 1000), (1, 5, 1, 4, 250),
+                       (3, 9, 8, 8, 100)]

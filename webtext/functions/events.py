@@ -1787,3 +1787,84 @@ def _fact(i: int) -> float:
     for j in range(2, i + 1):
         out *= j
     return out
+
+
+def attribution_split(ds, touch_type: str = "view",
+                      convert_type: str = "purchase",
+                      n_buckets: int = 256):
+    """(user_id, convert_id, first_touch_id, last_touch_id, cents):
+    marketing-style conversion attribution — for each ``convert_type``
+    event, the converting user's FIRST and LAST ``touch_type`` event
+    at-or-before it in (ts, event_id) order, with the conversion's
+    exact cents value ready to credit under either first- or
+    last-touch policy.  Conversions with no prior touch emit nothing.
+
+    ONE hash(user)%``n_buckets`` exchange (a user's touches and
+    conversions co-locate), then per cell one lexsort + two segmented
+    prefix scans, both loop-free via the K-offset trick: accumulate
+    max over (value + K·run_id) with K > any in-run value, subtract
+    K·run_id back — values from earlier user runs land at or below
+    the in-run "none" sentinel, so runs reset exactly without a
+    per-user loop."""
+    def emit(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(uid, n_buckets)), pa.array(uid),
+             batch.column("ts").cast(pa.timestamp("us"))
+             .cast(pa.int64()),
+             batch.column("event_id").cast(pa.int64()),
+             batch.column("event_type"), pa.array(cents)],
+            names=["bucket", "user_id", "ts_us", "event_id",
+                   "event_type", "cents"])
+
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.int64()),
+         pa.array([], pa.int64()), pa.array([], pa.int64()),
+         pa.array([], pa.int64())],
+        names=["user_id", "convert_id", "first_touch_id",
+               "last_touch_id", "cents"])
+
+    def resolve(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = np.asarray(group.column("event_type").to_pylist(),
+                           dtype=object)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, e, ty, c = uid[order], eid[order], types[order], cents[order]
+        n = len(u)
+        pos = np.arange(n, dtype=np.int64)
+        starts = np.append(True, u[1:] != u[:-1])
+        run_id = (np.cumsum(starts) - 1).astype(np.int64)
+        is_touch = ty == touch_type
+        K = np.int64(n + 2)
+        # last touch so far: segmented prefix max of pos (-1 = none)
+        tp = np.where(is_touch, pos, np.int64(-1))
+        lpos = np.maximum.accumulate(tp + K * run_id) - K * run_id
+        # first touch so far: segmented prefix max of (n - pos)
+        fp = np.where(is_touch, np.int64(n) - pos, np.int64(0))
+        fmax = np.maximum.accumulate(fp + K * run_id) - K * run_id
+        is_conv = ty == convert_type
+        ok = is_conv & (fmax > 0)
+        if not ok.any():
+            return empty
+        fpos = (np.int64(n) - fmax[ok]).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(u[ok]), pa.array(e[ok]),
+             pa.array(e[fpos]), pa.array(e[lpos[ok]]),
+             pa.array(c[ok])],
+            names=["user_id", "convert_id", "first_touch_id",
+                   "last_touch_id", "cents"])
+
+    return ds.select_columns(
+        ["user_id", "ts", "event_id", "event_type", "value"]) \
+        .map_batches(emit, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(resolve, batch_format="pyarrow")
