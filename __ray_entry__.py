@@ -1036,6 +1036,16 @@ def _events_volume_spikes(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "ts"]))
 
 
+def _events_ltv(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import ltv_cohorts
+
+    return ltv_cohorts(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"]))
+
+
 def _events_attribution(sf_dir: str):
     import ray.data
 
@@ -2551,6 +2561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_profile": lambda sf: _events_dow(sf),
         "poisson_bootstrap": lambda sf: _events_bootstrap(sf),
         "attribution_split": lambda sf: _events_attribution(sf),
+        "ltv_cohorts": lambda sf: _events_ltv(sf),
         "top_event_trigrams": lambda sf: _events_top_trigrams(sf),
         # daily-active-users HLL (window x sketch composition)
         "hll_users_windowed": lambda sf: _events_hll_windowed(sf),
@@ -4074,6 +4085,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, chars_bucket, n_rows, n_langs FROM c
             WHERE n_langs < 3
             ORDER BY source, chars_bucket""",
+        # retention triangle carrying exact purchase cents; cohort =
+        # first-seen day over ANY event type
+        "ltv_cohorts": """
+            WITH f AS (SELECT user_id,
+                              min(CAST(ts AS DATE)) AS cohort_day
+                       FROM events GROUP BY 1),
+            d AS (SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+                         SUM(CASE WHEN e.event_type = 'purchase'
+                                  THEN CAST(round(e.value*100)
+                                            AS BIGINT)
+                                  ELSE 0 END) AS cents
+                  FROM events e GROUP BY 1, 2)
+            SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+                   (d.day - f.cohort_day)::BIGINT AS day_offset,
+                   count(*)::BIGINT AS n_users,
+                   SUM(d.cents)::BIGINT AS sum_cents
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY cohort, day_offset""",
         # first/last prior 'view' per 'purchase' under the exact
         # (ts, event_id) tie order; no-touch conversions drop
         "attribution_split": """

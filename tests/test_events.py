@@ -1111,3 +1111,35 @@ def test_attribution_split_crafted(ray_session):
                 n_buckets=4).take_all())
         assert got == [(1, 3, 1, 2, 1000), (1, 5, 1, 4, 250),
                        (3, 9, 8, 8, 100)]
+
+
+def test_ltv_cohorts_crafted(ray_session):
+    """Cohort = first-seen day over ANY type; offsets carry that day's
+    exact purchase cents; non-purchase days still count the user as
+    active with 0 cents.  Block-split invariant."""
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import ltv_cohorts
+
+    D = lambda d, h=0: dt.datetime(2026, 6, 1 + d, h)
+    rows = [
+        # u1: signup day0 (cohort), purchase 2.50 day0, view day2,
+        # purchase 1.00 day2 (same day as the view)
+        {"user_id": 1, "ts": D(0), "event_type": "signup", "value": 0.0},
+        {"user_id": 1, "ts": D(0, 5), "event_type": "purchase",
+         "value": 2.5},
+        {"user_id": 1, "ts": D(2), "event_type": "view", "value": 9.9},
+        {"user_id": 1, "ts": D(2, 6), "event_type": "purchase",
+         "value": 1.0},
+        # u2: view-only day0 -> active, 0 cents
+        {"user_id": 2, "ts": D(0), "event_type": "view", "value": 5.0},
+    ]
+    for parts in (1, 3):
+        got = [(r["cohort"], r["day_offset"], r["n_users"],
+                r["sum_cents"]) for r in ltv_cohorts(
+               ray.data.from_items(rows).repartition(parts),
+               n_buckets=4).take_all()]
+        assert got == [("2026-06-01", 0, 2, 250),
+                       ("2026-06-01", 2, 1, 100)]

@@ -1868,3 +1868,76 @@ def attribution_split(ds, touch_type: str = "view",
         .map_batches(emit, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .groupby("bucket").map_groups(resolve, batch_format="pyarrow")
+
+
+def ltv_cohorts(ds, value_type: str = "purchase", n_buckets: int = 256):
+    """(cohort, day_offset, n_users, sum_cents): the lifetime-value
+    triangle — users grouped by first-seen calendar day (ANY event
+    type starts the clock), with each later day-offset's distinct
+    active users and the exact cents total of that day's
+    ``value_type`` events — `retention_cohorts` carrying money (the
+    revenue-weighted retention a growth team actually reads).
+
+    ONE bucketed all-to-all (hash(user) co-locates a user's events):
+    in-bucket the user's first day comes from one np.minimum.at, the
+    distinct (user, day) activity pairs from one packed np.unique, and
+    the per-(user, day) purchase cents from one lexsort reduceat —
+    the shuffle out ships one row per distinct (user, day); a native
+    groupby(cohort, offset) sums users and cents exactly."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        is_val = np.asarray(
+            batch.column("event_type").to_pylist(),
+            dtype=object) == value_type
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(uid, n_buckets)), pa.array(uid),
+             batch.column("ts").cast(pa.timestamp("us"))
+             .cast(pa.int64()),
+             pa.array(np.where(is_val, cents, 0))],
+            names=["bucket", "user_id", "ts_us", "vcents"])
+
+    def cohort_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        vc = group.column("vcents").to_numpy(zero_copy_only=False)
+        day = ts // _DAY_US
+        users, codes = np.unique(uid, return_inverse=True)
+        d0 = np.full(len(users), np.iinfo(np.int64).max,
+                     dtype=np.int64)
+        np.minimum.at(d0, codes, day)
+        # per distinct (user, day): activity row + that day's cents
+        packed = codes.astype(np.int64) * (1 << 40) + day
+        order = np.argsort(packed, kind="stable")
+        p, v = packed[order], vc[order]
+        starts = np.nonzero(np.append(True, p[1:] != p[:-1]))[0]
+        sums = np.add.reduceat(v, starts)
+        pu = (p[starts] >> 40).astype(np.int64)
+        pd_ = (p[starts] & ((1 << 40) - 1)).astype(np.int64)
+        cohort_day = d0[pu]
+        offset = pd_ - cohort_day
+        dates = (np.datetime64("1970-01-01")
+                 + cohort_day.astype("timedelta64[D]")).astype(str)
+        return pa.Table.from_arrays(
+            [pa.array(dates.tolist(), pa.string()),
+             pa.array(offset),
+             pa.array(np.ones(len(offset), dtype=np.int64)),
+             pa.array(sums.astype(np.int64))],
+            names=["cohort", "day_offset", "n_users", "sum_cents"])
+
+    rows = ds.select_columns(
+        ["user_id", "ts", "event_type", "value"]) \
+        .map_batches(add_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(cohort_bucket,
+                                      batch_format="pyarrow")
+    summed = rows.groupby(["cohort", "day_offset"]) \
+        .sum(["n_users", "sum_cents"])
+    return summed.map_batches(
+        lambda b: b.rename_columns(
+            ["cohort", "day_offset", "n_users", "sum_cents"]),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(["cohort", "day_offset"])
