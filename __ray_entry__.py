@@ -1036,6 +1036,16 @@ def _events_volume_spikes(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "ts"]))
 
 
+def _events_rfm(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import rfm_stats
+
+    return rfm_stats(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"]))
+
+
 def _events_ltv(sf_dir: str):
     import ray.data
 
@@ -2562,6 +2572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poisson_bootstrap": lambda sf: _events_bootstrap(sf),
         "attribution_split": lambda sf: _events_attribution(sf),
         "ltv_cohorts": lambda sf: _events_ltv(sf),
+        "rfm_stats": lambda sf: _events_rfm(sf),
         "top_event_trigrams": lambda sf: _events_top_trigrams(sf),
         # daily-active-users HLL (window x sketch composition)
         "hll_users_windowed": lambda sf: _events_hll_windowed(sf),
@@ -4085,6 +4096,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, chars_bucket, n_rows, n_langs FROM c
             WHERE n_langs < 3
             ORDER BY source, chars_bucket""",
+        # RFM base anchored to the corpus max purchase ts (whole-day
+        # floor division, exact)
+        "rfm_stats": """
+            WITH p AS (SELECT user_id, ts,
+                              CAST(round(value*100) AS BIGINT) AS cents
+                       FROM events WHERE event_type = 'purchase'),
+            a AS (SELECT max(ts) AS anchor FROM p)
+            SELECT p.user_id,
+                   ((epoch_us(a.anchor) - epoch_us(max(p.ts)))
+                    // 86400000000)::BIGINT AS recency_days,
+                   count(*)::BIGINT AS frequency,
+                   SUM(p.cents)::BIGINT AS monetary_cents
+            FROM p, a
+            GROUP BY p.user_id, a.anchor""",
         # retention triangle carrying exact purchase cents; cohort =
         # first-seen day over ANY event type
         "ltv_cohorts": """

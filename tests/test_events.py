@@ -1143,3 +1143,33 @@ def test_ltv_cohorts_crafted(ray_session):
                n_buckets=4).take_all()]
         assert got == [("2026-06-01", 0, 2, 250),
                        ("2026-06-01", 2, 1, 100)]
+
+
+def test_rfm_stats_crafted(ray_session):
+    """Recency anchors to the corpus max purchase ts; frequency and
+    cents count only the value type; no-purchase users emit nothing.
+    Block-split invariant."""
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import rfm_stats
+
+    D = lambda d: dt.datetime(2026, 7, 1 + d)
+    rows = [
+        {"user_id": 1, "ts": D(0), "event_type": "purchase",
+         "value": 2.0},
+        {"user_id": 1, "ts": D(3), "event_type": "purchase",
+         "value": 1.5},
+        {"user_id": 1, "ts": D(9), "event_type": "view", "value": 99.0},
+        {"user_id": 2, "ts": D(9), "event_type": "purchase",
+         "value": 0.25},                 # anchor = this ts
+        {"user_id": 3, "ts": D(5), "event_type": "view", "value": 1.0},
+    ]
+    for parts in (1, 3):
+        got = sorted(
+            (r["user_id"], r["recency_days"], r["frequency"],
+             r["monetary_cents"]) for r in rfm_stats(
+                ray.data.from_items(rows).repartition(parts))
+            .take_all())
+        assert got == [(1, 6, 2, 350), (2, 0, 1, 25)]

@@ -1941,3 +1941,70 @@ def ltv_cohorts(ds, value_type: str = "purchase", n_buckets: int = 256):
             ["cohort", "day_offset", "n_users", "sum_cents"]),
         batch_format="pyarrow", zero_copy_batch=True) \
         .sort(["cohort", "day_offset"])
+
+
+def rfm_stats(ds, value_type: str = "purchase"):
+    """(user_id, recency_days, frequency, monetary_cents): the classic
+    RFM segmentation base — per user, whole days since their LAST
+    ``value_type`` event (anchored to the corpus-wide max event ts, so
+    the number is deterministic, no wall clock), their count of such
+    events, and their exact cents total.  Users with no ``value_type``
+    events emit nothing (they have no R to measure).
+
+    One pass, one exchange: per-batch (user, last_ts, n, cents)
+    combiner partials (lexsort + reduceat, all numpy) → one native
+    groupby(user) with max/sum/sum; the anchor is a scalar Dataset.max
+    over the SAME filtered stream, and the day conversion is a final
+    cheap map."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        is_val = np.asarray(batch.column("event_type").to_pylist(),
+                            dtype=object) == value_type
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[is_val]
+        ts = batch.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)[is_val]
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)[is_val]
+        if not len(uid):
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["user_id", "last_ts", "frequency",
+                       "monetary_cents"])
+        order = np.lexsort((ts, uid))
+        u, t, c = uid[order], ts[order], cents[order]
+        starts = np.nonzero(np.append(True, u[1:] != u[:-1]))[0]
+        n = np.diff(np.append(starts, len(u)))
+        ends = np.append(starts[1:], len(u)) - 1
+        return pa.Table.from_arrays(
+            [pa.array(u[starts]), pa.array(t[ends]),
+             pa.array(n.astype(np.int64)),
+             pa.array(np.add.reduceat(c, starts))],
+            names=["user_id", "last_ts", "frequency",
+                   "monetary_cents"])
+
+    partials = ds.select_columns(["user_id", "ts", "event_type",
+                                  "value"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+    anchor = partials.aggregate(Max("last_ts"))["max(last_ts)"]
+    summed = partials.groupby("user_id").aggregate(
+        Max("last_ts"), Sum("frequency"), Sum("monetary_cents"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        last = batch.column("max(last_ts)") \
+            .to_numpy(zero_copy_only=False)
+        rec = (np.int64(anchor) - last) // _DAY_US
+        return pa.Table.from_arrays(
+            [batch.column("user_id").cast(pa.int64()),
+             pa.array(rec.astype(np.int64)),
+             batch.column("sum(frequency)").cast(pa.int64()),
+             batch.column("sum(monetary_cents)").cast(pa.int64())],
+            names=["user_id", "recency_days", "frequency",
+                   "monetary_cents"])
+
+    return summed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
