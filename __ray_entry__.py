@@ -1036,6 +1036,16 @@ def _events_volume_spikes(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "ts"]))
 
 
+def _events_session_table(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import session_table
+
+    return session_table(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"]))
+
+
 def _events_rfm(sf_dir: str):
     import ray.data
 
@@ -2573,6 +2583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_split": lambda sf: _events_attribution(sf),
         "ltv_cohorts": lambda sf: _events_ltv(sf),
         "rfm_stats": lambda sf: _events_rfm(sf),
+        "session_table": lambda sf: _events_session_table(sf),
         "top_event_trigrams": lambda sf: _events_top_trigrams(sf),
         # daily-active-users HLL (window x sketch composition)
         "hll_users_windowed": lambda sf: _events_hll_windowed(sf),
@@ -4096,6 +4107,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, chars_bucket, n_rows, n_langs FROM c
             WHERE n_langs < 3
             ORDER BY source, chars_bucket""",
+        # per-session fact rows: break on 30-min gaps under the
+        # (ts, event_id) order, 1-based per-user index
+        "session_table": """
+            WITH o AS (SELECT user_id, ts, event_id,
+                              CASE WHEN lag(ts) OVER w IS NULL
+                                   OR epoch_us(ts)
+                                      - epoch_us(lag(ts) OVER w)
+                                      > 1800000000
+                                   THEN 1 ELSE 0 END AS brk
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         SUM(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                           AS session_idx
+                  FROM o)
+            SELECT user_id, session_idx::BIGINT AS session_idx,
+                   epoch_us(min(ts))::BIGINT AS start_us,
+                   epoch_us(max(ts))::BIGINT AS end_us,
+                   count(*)::BIGINT AS n_events
+            FROM s GROUP BY 1, 2""",
         # RFM base anchored to the corpus max purchase ts (whole-day
         # floor division, exact)
         "rfm_stats": """

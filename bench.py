@@ -199,7 +199,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "ordered_dedup", "union_sources",
                  "token_intersect", "sort_limit",
                  "group_counts", "failure_filter", "windowed_events",
-                 "hopping_events", "sessionize", "running_totals",
+                 "hopping_events", "sessionize", "session_table",
+                 "running_totals",
                  "rolling_sums", "lag_deltas", "ntile_events",
                  "dense_rank_events", "zscore_events",
                  "percent_rank_events", "active_spans",

@@ -1173,3 +1173,36 @@ def test_rfm_stats_crafted(ray_session):
                 ray.data.from_items(rows).repartition(parts))
             .take_all())
         assert got == [(1, 6, 2, 350), (2, 0, 1, 25)]
+
+
+def test_session_table_crafted(ray_session):
+    """Breaks on >30-min gaps and on user changes; inclusive bounds;
+    1-based per-user index; ties ordered by event_id.  Block-split
+    invariant."""
+    import datetime as dt
+
+    import ray.data
+
+    from webtext.functions.events import session_table
+
+    T = lambda m: dt.datetime(2026, 1, 1, 0, 0) + dt.timedelta(minutes=m)
+    E = lambda i, u, m: {"event_id": i, "user_id": u, "ts": T(m)}
+    rows = [
+        E(1, 1, 0), E(2, 1, 10),        # u1 session 1 (0-10)
+        E(3, 1, 50),                    # 40-min gap -> session 2
+        E(4, 2, 0),                     # u2 session 1
+    ]
+    want = [
+        (1, 1, 0, 10 * 60_000_000, 2),
+        (1, 2, 50 * 60_000_000, 50 * 60_000_000, 1),
+        (2, 1, 0, 0, 1),
+    ]
+    base = int(T(0).timestamp() * 1_000_000)
+    for parts in (1, 3):
+        got = sorted(
+            (r["user_id"], r["session_idx"], r["start_us"] - base,
+             r["end_us"] - base, r["n_events"])
+            for r in session_table(
+                ray.data.from_items(rows).repartition(parts),
+                n_buckets=4).take_all())
+        assert got == want

@@ -2008,3 +2008,62 @@ def rfm_stats(ds, value_type: str = "purchase"):
 
     return summed.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def session_table(ds, gap_minutes: int = SESSION_GAP_MINUTES,
+                  n_buckets: int = 256):
+    """(user_id, session_idx, start_us, end_us, n_events): the
+    materialized per-SESSION fact table — `sessionize` answers "how
+    many sessions per user", this emits each session itself (1-based
+    index in (ts, event_id) order, inclusive bounds, event count) —
+    the table product analytics joins everything else against.
+
+    ONE hash(user) exchange; in-bucket one lexsort, one vectorized
+    break vector (user change OR gap > ``gap_minutes``), a segmented
+    cumulative sum for the session index (global cumsum of breaks
+    minus each user run's base — no per-user loop), and reduceat
+    min/max/count per session run."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def emit(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(uid, n_buckets)), pa.array(uid),
+             batch.column("ts").cast(pa.timestamp("us"))
+             .cast(pa.int64()),
+             batch.column("event_id").cast(pa.int64())],
+            names=["bucket", "user_id", "ts_us", "event_id"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], ts[order]
+        n = len(u)
+        new_user = np.append(True, u[1:] != u[:-1])
+        brk = new_user | np.append(
+            False, (t[1:] - t[:-1]) > gap_us)
+        csum = np.cumsum(brk)                      # global session no.
+        # per-user 1-based index: subtract the cumsum just before the
+        # user's first row
+        user_starts = np.nonzero(new_user)[0]
+        run_id = np.cumsum(new_user) - 1
+        base = (csum[user_starts] - 1)[run_id]
+        sid = csum - base
+        sess_starts = np.nonzero(brk)[0]
+        cnt = np.diff(np.append(sess_starts, n))
+        ends = np.append(sess_starts[1:], n) - 1
+        return pa.Table.from_arrays(
+            [pa.array(u[sess_starts]),
+             pa.array(sid[sess_starts]),
+             pa.array(t[sess_starts]), pa.array(t[ends]),
+             pa.array(cnt.astype(np.int64))],
+            names=["user_id", "session_idx", "start_us", "end_us",
+                   "n_events"])
+
+    return ds.select_columns(["user_id", "ts", "event_id"]) \
+        .map_batches(emit, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("bucket").map_groups(sessions, batch_format="pyarrow")
