@@ -2463,6 +2463,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exactly-k weighted sample (Efraimidis-Spirakis exp keys)
         "weighted_k_sample": lambda sf: textstats.weighted_k_sample(
             _docs_cols(sf, ["doc_id", "n_chars"])),
+        # integer-rational ARI readability per doc (pure map)
+        "readability": lambda sf: textstats.readability(
+            _docs_cols(sf, ["doc_id", "n_chars", "text"])),
         # Borda rank-aggregation quality blend (top-k consensus docs)
         "borda_blend": lambda sf: textstats.borda_blend(
             _docs_cols(sf, ["doc_id", "n_chars", "text"])),
@@ -4066,6 +4069,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST((2*six - (n+1)*sx) * 1000000 // (n*sx)
                         AS BIGINT) AS gini_micro
             FROM s""",
+        # ARI pinned as the integer-rational form (// floors match)
+        "readability": """
+            SELECT doc_id,
+                   ((4710000 * CAST(n_chars AS BIGINT))
+                      // len(string_split(text, ' '))
+                    + (500000 * len(string_split(text, ' ')))
+                      // greatest(length(text)
+                                  - length(replace(text, '.', '')), 1)
+                    - 21430000)::BIGINT AS ari_micro
+            FROM documents""",
         # Borda blend: sum of three descending dense ranks, top-k
         "borda_blend": """
             WITH tok AS (SELECT doc_id,

@@ -184,7 +184,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "dup_cluster_stats",
                  "inverted_index", "bm25_topk",
                  "length_histogram", "quality_score",
-                 "gopher_quality", "lang_mismatch",
+                 "gopher_quality", "lang_mismatch", "readability",
                  "compression_ratio", "charclass_stats",
                  "tokenizer_fertility", "source_stats",
                  "perplexity_buckets", "dice_collocations",

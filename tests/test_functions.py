@@ -2457,3 +2457,24 @@ def test_label_centroid_drift_zero_for_identical(ray_session):
     # global centroid = (0.8, 0.2): label 0 is much closer than label 1
     assert d[0] < 40_000 < d[1]
     assert {r["label"]: r["n"] for r in a} == {0: 8, 1: 2}
+
+
+def test_readability_integer_rational(ray_session):
+    """The pinned integer-rational ARI: floors, the min-1 sentence
+    guard, and per-doc independence across blocks."""
+    import ray.data
+
+    from webtext.functions.textstats import readability
+
+    rows = [
+        # 10 chars, 2 words, 1 period: 4710000*10//2 + 500000*2//1
+        # - 21430000 = 23550000 + 1000000 - 21430000 = 3120000
+        {"doc_id": 1, "n_chars": 10, "text": "ab cdefg."},
+        # no period -> sentence guard = 1
+        {"doc_id": 2, "n_chars": 4, "text": "a b"},
+    ]
+    got = {r["doc_id"]: r["ari_micro"] for r in readability(
+        ray.data.from_items(rows).repartition(2)).take_all()}
+    assert got[1] == 3_120_000
+    assert got[2] == (4_710_000 * 4) // 2 + (500_000 * 2) // 1 \
+        - 21_430_000

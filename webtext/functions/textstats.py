@@ -2507,3 +2507,34 @@ def weighted_k_sample(ds, k: int = 100):
         .repartition(1) \
         .map_batches(final, batch_size=None, batch_format="pyarrow",
                      zero_copy_batch=True)
+
+
+def readability(ds):
+    """(doc_id, ari_micro): Automated Readability Index in exact
+    integer micros — the grade-level proxy quality pipelines use to
+    stratify corpora (very low ARI = fragment/listing noise, very high
+    = OCR garbage or code).  Pinned as the INTEGER-RATIONAL form so
+    both engines agree bit-for-bit:
+    ``(4_710_000·chars)//words + (500_000·words)//sentences −
+    21_430_000`` with chars = n_chars, words = whitespace tokens,
+    sentences = max(#'.', 1).
+
+    Pure per-doc map — Arrow count_substring + list_value_length, no
+    shuffle at all."""
+    def f(batch: pa.Table) -> pa.Table:
+        chars = batch.column("n_chars").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        words = pc.list_value_length(_tokens(batch)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sents = pc.count_substring(batch.column("text"), ".") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = np.maximum(words, 1)
+        s = np.maximum(sents, 1)
+        ari = (4_710_000 * chars) // w + (500_000 * w) // s \
+            - 21_430_000
+        return pa.Table.from_arrays(
+            [batch.column("doc_id").cast(pa.int64()), pa.array(ari)],
+            names=["doc_id", "ari_micro"])
+
+    return ds.select_columns(["doc_id", "n_chars", "text"]) \
+        .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
