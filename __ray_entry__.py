@@ -1027,6 +1027,12 @@ def _events_top_trigrams(sf_dir: str):
         columns=["user_id", "ts", "event_id", "event_type"]))
 
 
+def _ref_integrity(sf_dir: str):
+    from webtext.pipelines.relational import ref_integrity
+
+    return ref_integrity(sf_dir)
+
+
 def _events_volume_spikes(sf_dir: str):
     import ray.data
 
@@ -2576,6 +2582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_cooccurrence": lambda sf: _events_cooccurrence(sf),
         "robust_outliers": lambda sf: _events_robust_outliers(sf),
         "volume_spikes": lambda sf: _events_volume_spikes(sf),
+        # star-schema FK orphan audit (keys-only anti-joins)
+        "ref_integrity": lambda sf: _ref_integrity(sf),
         "ks_drift": lambda sf: _events_ks_drift(sf),
         "ks_by_type": lambda sf: _events_ks_by_type(sf),
         "conversion_latency": lambda sf: _events_conversion(sf),
@@ -4367,6 +4375,38 @@ def oracle_sql() -> dict[str, str]:
               AS d_micro""",
         # robust (median/MAD) outlier screen: all-integer comparison,
         # exact on both engines — no sd, no divide
+        # six FK edges; orphan counts by NOT IN over parent keys
+        "ref_integrity": """
+            SELECT 'orders->customer' AS relationship,
+                   (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+                   (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+                      (SELECT c_custkey FROM customer))::BIGINT
+                     AS n_orphans
+            UNION ALL SELECT 'lineitem->orders',
+                   (SELECT count(*) FROM lineitem)::BIGINT,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey NOT IN
+                      (SELECT o_orderkey FROM orders))::BIGINT
+            UNION ALL SELECT 'lineitem->part',
+                   (SELECT count(*) FROM lineitem)::BIGINT,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_partkey NOT IN
+                      (SELECT p_partkey FROM part))::BIGINT
+            UNION ALL SELECT 'lineitem->supplier',
+                   (SELECT count(*) FROM lineitem)::BIGINT,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_suppkey NOT IN
+                      (SELECT s_suppkey FROM supplier))::BIGINT
+            UNION ALL SELECT 'customer->nation',
+                   (SELECT count(*) FROM customer)::BIGINT,
+                   (SELECT count(*) FROM customer
+                    WHERE c_nationkey NOT IN
+                      (SELECT n_nationkey FROM nation))::BIGINT
+            UNION ALL SELECT 'supplier->nation',
+                   (SELECT count(*) FROM supplier)::BIGINT,
+                   (SELECT count(*) FROM supplier
+                    WHERE s_nationkey NOT IN
+                      (SELECT n_nationkey FROM nation))::BIGINT""",
         # daily-count spike screen: |n - median| > 3*MAD per type,
         # both statistics exact quantile_disc over the daily table
         "volume_spikes": """

@@ -242,7 +242,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "shipping_priority", "normalize_text",
                  "pricing_rollup", "pricing_cube",
                  "order_line_left", "order_line_full",
-                 "profile_columns", "small_quantity_revenue",
+                 "profile_columns", "ref_integrity",
+                 "small_quantity_revenue",
                  "local_supplier_volume", "returned_item_report",
                  "forecast_revenue", "promo_revenue",
                  "large_volume_orders", "customer_order_counts",

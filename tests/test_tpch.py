@@ -1440,3 +1440,37 @@ def test_zorder_stats_brute_force(ray_session):
                    min(bmin, y), max(bmax, y))
     assert got == want
     assert len(got) > 4          # the layout actually fans out
+
+
+def test_ref_integrity_detects_orphans(ray_session, tmp_path):
+    """Planted orphan keys are counted exactly; clean edges audit to
+    zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webtext.pipelines.relational import ref_integrity
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({"c_custkey": [1, 2],
+                             "c_nationkey": [0, 99]}),
+                   f"{d}/customer.parquet")
+    pq.write_table(pa.table({"o_orderkey": [10, 11, 12],
+                             "o_custkey": [1, 2, 7]}),
+                   f"{d}/orders.parquet")
+    pq.write_table(pa.table({"l_orderkey": [10, 13],
+                             "l_partkey": [5, 5],
+                             "l_suppkey": [3, 3]}),
+                   f"{d}/lineitem.parquet")
+    pq.write_table(pa.table({"p_partkey": [5]}), f"{d}/part.parquet")
+    pq.write_table(pa.table({"s_suppkey": [3],
+                             "s_nationkey": [0]}),
+                   f"{d}/supplier.parquet")
+    pq.write_table(pa.table({"n_nationkey": [0]}),
+                   f"{d}/nation.parquet")
+    got = {r["relationship"]: (r["n_rows"], r["n_orphans"])
+           for r in ref_integrity(d, n_buckets=4).to_pylist()}
+    assert got["orders->customer"] == (3, 1)      # custkey 7
+    assert got["lineitem->orders"] == (2, 1)      # orderkey 13
+    assert got["lineitem->part"] == (2, 0)
+    assert got["lineitem->supplier"] == (2, 0)
+    assert got["customer->nation"] == (2, 1)      # nationkey 99

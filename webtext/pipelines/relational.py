@@ -1073,3 +1073,50 @@ def volume_spikes(ds, k: int = 3):
     return d_ds.map_batches(flag, batch_format="pyarrow",
                             zero_copy_batch=True) \
         .sort(["event_type", "day"])
+
+
+def ref_integrity(sf_dir: str, n_buckets: int = 256):
+    """(relationship, n_rows, n_orphans): referential-integrity audit
+    across the star schema — for each foreign-key edge (orders→
+    customer, lineitem→orders, lineitem→part, lineitem→supplier,
+    customer→nation, supplier→nation), the child row count and the
+    number of child rows whose key has NO parent — the load-validation
+    every warehouse runs before trusting a fresh ingest (zeros are the
+    point: the audit PROVES them).
+
+    Shape per edge: the existing keys-only bucketed `semi_join`
+    (anti=True) — the parent side reduces to per-block distinct keys
+    before the shuffle, child rows are projected to their key column
+    first, and the orphan count is a scalar `count()`; nothing wider
+    than a key column ever moves."""
+    import ray.data
+
+    edges = [
+        ("orders->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("customer->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    out_r, out_n, out_o = [], [], []
+    for name, child, ck, parent, pk in edges:
+        child_ds = ray.data.read_parquet(
+            f"{sf_dir}/{child}.parquet", columns=[ck])
+        parent_ds = ray.data.read_parquet(
+            f"{sf_dir}/{parent}.parquet", columns=[pk])
+        n_rows = child_ds.count()
+        orphans = semi_join(child_ds, parent_ds, ck, pk,
+                            anti=True, n_buckets=n_buckets).count()
+        out_r.append(name)
+        out_n.append(n_rows)
+        out_o.append(orphans)
+    return pa.table({"relationship": pa.array(out_r, pa.string()),
+                     "n_rows": pa.array(out_n, pa.int64()),
+                     "n_orphans": pa.array(out_o, pa.int64())})
