@@ -1027,6 +1027,12 @@ def _events_top_trigrams(sf_dir: str):
         columns=["user_id", "ts", "event_id", "event_type"]))
 
 
+def _cms_join_estimate(sf_dir: str):
+    from webtext.functions.sketches import cms_join_estimate
+
+    return cms_join_estimate(_docs_cols(sf_dir, ["text"]))
+
+
 def _ref_integrity(sf_dir: str):
     from webtext.pipelines.relational import ref_integrity
 
@@ -2568,6 +2574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch-error audits: measured HLL error / CMS overestimate /
         # Bloom false-positive rate vs exact ground truth
         "hll_error_audit": lambda sf: _events_hll_audit(sf),
+        "cms_join_estimate": lambda sf: _cms_join_estimate(sf),
         "cms_error_audit": lambda sf: _cms_audit(sf),
         "bloom_fp_audit": lambda sf: _bloom_audit(sf),
         "quantile_sketch_audit": lambda sf: _quantile_audit(sf),
@@ -2811,7 +2818,7 @@ def oracle_sql() -> dict[str, str]:
             "quantile_sketch_audit", "pq_recall_audit",
             "ndcg_audit", "dim_truncation_audit",
             "weighted_k_sample", "label_centroid_drift",
-            "poisson_bootstrap")
+            "poisson_bootstrap", "cms_join_estimate")
     }
     # the indexed IVF path is bit-identical to the inline fit by
     # construction — same golden table

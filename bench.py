@@ -216,7 +216,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "distinct_users", "pivot_events", "hll_users",
                  "hll_users_windowed",
                  "cms_token_estimates", "kmv_distinct",
-                 "hll_error_audit", "cms_error_audit", "bloom_fp_audit",
+                 "hll_error_audit", "cms_error_audit",
+                 "cms_join_estimate", "bloom_fp_audit",
                  "quantile_sketch_audit",
                  "outlier_events", "label_centroids",
                  "label_centroid_drift",

@@ -2478,3 +2478,22 @@ def test_readability_integer_rational(ray_session):
     assert got[1] == 3_120_000
     assert got[2] == (4_710_000 * 4) // 2 + (500_000 * 2) // 1 \
         - 21_430_000
+
+
+def test_cms_join_estimate_bounds(ray_session):
+    """The inner-product estimate is an UPPER bound (err >= 0) at any
+    width, and exact (err == 0) when the width swallows the vocab."""
+    import ray.data
+
+    from webtext.functions.sketches import cms_join_estimate
+
+    rows = [{"text": "a a a b"}, {"text": "a b c"}]
+    # exact: a=4 -> 16, b=2 -> 4, c=1 -> 1 => 21
+    wide = cms_join_estimate(
+        ray.data.from_items(rows).repartition(2), w=8192).to_pylist()[0]
+    assert wide == {"exact_join": 21, "cms_est": 21, "err_micro": 0}
+    tiny = cms_join_estimate(
+        ray.data.from_items(rows).repartition(2), w=1).to_pylist()[0]
+    # everything collides into one cell: est = (4+2+1)^2 = 49
+    assert tiny == {"exact_join": 21, "cms_est": 49,
+                    "err_micro": (1_000_000 * 28) // 21}

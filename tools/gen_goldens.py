@@ -1342,6 +1342,34 @@ def golden_poisson_bootstrap(sf_dir, n_replicas=32):
         "sum_cents": pa.array((w * cents[:, None]).sum(axis=0))})
 
 
+def golden_cms_join_estimate(sf_dir, d=4, w=8):
+    """Independent CMS join-size estimation audit: exact self-join
+    size sum(cnt^2) via a Counter in Python big-ints, the same keyed-
+    blake2b row hashes, dense sketch, min-over-rows inner product."""
+    import collections
+    import hashlib as _hl
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    counts = collections.Counter()
+    for t in texts:
+        counts.update(t.split(" "))
+    exact = sum(n * n for n in counts.values())
+    sketch = np.zeros((d, w), dtype=np.int64)
+    for tok, n in counts.items():
+        for i in range(d):
+            h = int.from_bytes(_hl.blake2b(
+                tok.encode("utf-8"), key=i.to_bytes(8, "little"),
+                digest_size=8).digest(), "little")
+            sketch[i, h % w] += n
+    est = min(int((sketch[i].astype(object) ** 2).sum())
+              for i in range(d))
+    err = (1_000_000 * (est - exact)) // max(1, exact)
+    return pa.table({"exact_join": pa.array([exact], pa.int64()),
+                     "cms_est": pa.array([est], pa.int64()),
+                     "err_micro": pa.array([err], pa.int64())})
+
+
 def golden_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
     """Dense single-process greedy k-center (farthest-point, Gonzalez)
     — differential oracle for webtext/functions/ann.py kcenter_select:
@@ -2598,6 +2626,7 @@ def build_goldens(sf_dir: str) -> dict[str, pa.Table]:
     g["weighted_k_sample"] = golden_weighted_k_sample(sf_dir)
     g["label_centroid_drift"] = golden_label_centroid_drift(sf_dir)
     g["poisson_bootstrap"] = golden_poisson_bootstrap(sf_dir)
+    g["cms_join_estimate"] = golden_cms_join_estimate(sf_dir)
     g["lineage_report"] = golden_lineage(sf_dir)
     g["hll_users_windowed"] = golden_hll_users_windowed(sf_dir)
     g["bloom_dedup"] = golden_bloom_dedup(sf_dir)

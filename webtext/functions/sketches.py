@@ -841,3 +841,38 @@ def quantile_sketch_audit(ds, group_col: str = "event_type",
         "exact_cents": pa.array(out["exact_cents"], pa.int64()),
         "est_cents": pa.array(out["est_cents"], pa.int64()),
         "err_micro": pa.array(out["err_micro"], pa.int64())})
+
+
+def cms_join_estimate(ds, d: int = CMS_D, w: int = 8):
+    """(exact_join, cms_est, err_micro): the classic sketched
+    JOIN-SIZE estimation audit (AMS/CMS inner product): the token
+    self-join size J = Σ_t cnt_t² — the quantity a query planner needs
+    before picking a join strategy — estimated as min over sketch rows
+    of Σ_cells n_cell² and compared against the exact value.  The
+    inner-product estimate is an upper bound (collisions only add
+    cross terms), so err_micro ≥ 0 always; the deliberately tiny
+    default width makes the bias VISIBLE, the same posture as
+    cms_error_audit (at the production 8192 width the estimate is
+    exact on the driver vocabularies).
+
+    Shape: the estimate side is the d·w-cell cms_sketch (constant at
+    any corpus size); the exact side is the vocab-bounded
+    (token, n) combiner + one native groupby, squared and summed in
+    driver Python big-ints (cnt² wraps int64 past ~3e9-occurrence
+    tokens; the golden's arbitrary-precision walk matches exactly)."""
+    from .textstats import token_frequencies
+
+    rows = token_frequencies(ds, k=1_000_000_000).take_all()
+    exact = sum(int(r["n"]) ** 2 for r in rows)    # Python big-int
+    sketch = {r["cell"]: int(r["n"])
+              for r in cms_sketch(ds, d, w).take_all()}
+    est = None
+    for i in range(d):
+        s = sum(v * v for c, v in sketch.items()
+                if i * w <= c < (i + 1) * w)
+        est = s if est is None else min(est, s)
+    err = (1_000_000 * (est - exact)) // max(1, exact)
+    return pa.table({
+        "exact_join": pa.array([exact], pa.int64()),
+        "cms_est": pa.array([est], pa.int64()),
+        "err_micro": pa.array([err], pa.int64())})
