@@ -1058,6 +1058,16 @@ def _events_session_table(sf_dir: str):
         columns=["user_id", "ts", "event_id"]))
 
 
+def _events_ab(sf_dir: str):
+    import ray.data
+
+    from webtext.functions.events import ab_test_summary
+
+    return ab_test_summary(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"]))
+
+
 def _events_rfm(sf_dir: str):
     import ray.data
 
@@ -2601,6 +2611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_split": lambda sf: _events_attribution(sf),
         "ltv_cohorts": lambda sf: _events_ltv(sf),
         "rfm_stats": lambda sf: _events_rfm(sf),
+        "ab_test_summary": lambda sf: _events_ab(sf),
         "session_table": lambda sf: _events_session_table(sf),
         "top_event_trigrams": lambda sf: _events_top_trigrams(sf),
         # daily-active-users HLL (window x sketch composition)
@@ -4158,6 +4169,24 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(max(ts))::BIGINT AS end_us,
                    count(*)::BIGINT AS n_events
             FROM s GROUP BY 1, 2""",
+        # content-addressed A/B coin (md5_number_upper & 63-bit mask,
+        # the _u63 convention) % 2; cents-per-user in floor micros
+        "ab_test_summary": """
+            WITH p AS (SELECT user_id,
+                              CAST(round(value*100) AS BIGINT)
+                                AS cents,
+                              CAST(md5_number_upper(
+                                     CAST(user_id AS VARCHAR) || 'ab')
+                                   & 9223372036854775807 AS BIGINT)
+                                % 2 AS variant
+                       FROM events WHERE event_type = 'purchase')
+            SELECT variant, count(DISTINCT user_id)::BIGINT AS n_users,
+                   count(*)::BIGINT AS n_events,
+                   SUM(cents)::BIGINT AS sum_cents,
+                   ((1000000 * SUM(cents))
+                    // count(DISTINCT user_id))::BIGINT
+                     AS cents_per_user_micro
+            FROM p GROUP BY variant ORDER BY variant""",
         # RFM base anchored to the corpus max purchase ts (whole-day
         # floor division, exact)
         "rfm_stats": """

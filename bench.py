@@ -210,6 +210,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
                  "ks_drift", "ks_by_type",
                  "user_paths", "conversion_latency",
                  "attribution_split", "ltv_cohorts", "rfm_stats",
+                 "ab_test_summary",
                  "cusum_changepoints", "top_event_trigrams",
                  "dow_profile", "l_diversity", "poisson_bootstrap",
                  "user_growth",

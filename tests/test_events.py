@@ -1206,3 +1206,42 @@ def test_session_table_crafted(ray_session):
                 ray.data.from_items(rows).repartition(parts),
                 n_buckets=4).take_all())
         assert got == want
+
+
+def test_ab_test_summary_crafted(ray_session):
+    """The md5 coin is content-addressed (block-invariant), distinct
+    users count once per variant however many purchases they make, and
+    cents-per-user floors in micros."""
+    import hashlib
+
+    import ray.data
+
+    from webtext.functions.events import ab_test_summary
+
+    def coin(u):
+        return (int.from_bytes(
+            hashlib.md5(f"{u}ab".encode()).digest()[:8], "little")
+            & 0x7FFFFFFFFFFFFFFF) % 2
+
+    rows = []
+    for u in range(1, 9):
+        rows.append({"user_id": u, "event_type": "purchase",
+                     "value": 1.0})
+        rows.append({"user_id": u, "event_type": "purchase",
+                     "value": 0.5})
+        rows.append({"user_id": u, "event_type": "view",
+                     "value": 99.0})
+    per_variant = {0: 0, 1: 0}
+    for u in range(1, 9):
+        per_variant[coin(u)] += 1
+    for parts in (1, 4):
+        got = {r["variant"]: r for r in ab_test_summary(
+            ray.data.from_items(rows).repartition(parts)).to_pylist()}
+        for v in (0, 1):
+            if per_variant[v] == 0:
+                assert v not in got
+                continue
+            assert got[v]["n_users"] == per_variant[v]
+            assert got[v]["n_events"] == 2 * per_variant[v]
+            assert got[v]["sum_cents"] == 150 * per_variant[v]
+            assert got[v]["cents_per_user_micro"] == 150_000_000

@@ -2067,3 +2067,84 @@ def session_table(ds, gap_minutes: int = SESSION_GAP_MINUTES,
         .map_batches(emit, batch_format="pyarrow",
                      zero_copy_batch=True) \
         .groupby("bucket").map_groups(sessions, batch_format="pyarrow")
+
+
+def ab_test_summary(ds, value_type: str = "purchase"):
+    """(variant, n_users, n_events, sum_cents, cents_per_user_micro):
+    the A/B experiment readout — users deterministically split into
+    two variants by the content-addressed md5 coin
+    (md5_u63(str(user_id)+'ab') % 2 — re-sharding/cluster-size
+    invariant, no RNG state, and crucially INDEPENDENT of user_id
+    parity or any business attribute), with each variant's distinct
+    converting users, ``value_type`` event count, exact cents total,
+    and integer-micros cents-per-user.  Pair with `poisson_bootstrap`
+    for the CI on the difference.
+
+    One combiner pass (per-batch distinct-user partials can't be
+    exact for n_users, so users ship as per-batch DISTINCT (variant,
+    user) rows — bounded by distinct users, never events) + two
+    native groupbys over variant-keyed tiny tables."""
+    import hashlib as _h
+
+    def emit(batch: pa.Table) -> pa.Table:
+        is_val = np.asarray(batch.column("event_type").to_pylist(),
+                            dtype=object) == value_type
+        uid = batch.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[is_val]
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)[is_val]
+        uniq = np.unique(uid)
+        var_u = np.fromiter(
+            ((int.from_bytes(_h.md5(f"{u}ab".encode()).digest()[:8],
+                             "little") & 0x7FFFFFFFFFFFFFFF) % 2
+             for u in uniq.tolist()), dtype=np.int64, count=len(uniq))
+        var = var_u[np.searchsorted(uniq, uid)]
+        order = np.argsort(var, kind="stable")
+        v, c = var[order], cents[order]
+        starts = np.nonzero(np.append(True, v[1:] != v[:-1]))[0]
+        ev = pa.Table.from_arrays(
+            [pa.array(v[starts]),
+             pa.array(np.diff(np.append(starts, len(v)))
+                      .astype(np.int64)),
+             pa.array(np.add.reduceat(c, starts)
+                      if len(c) else np.array([], np.int64))],
+            names=["variant", "n_events", "sum_cents"]) \
+            if len(v) else pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["variant", "n_events", "sum_cents"])
+        users = pa.Table.from_arrays(
+            [pa.array(var_u), pa.array(uniq)],
+            names=["variant", "user_id"])
+        return ev, users
+
+    def emit_events(batch: pa.Table) -> pa.Table:
+        return emit(batch)[0]
+
+    def emit_users(batch: pa.Table) -> pa.Table:
+        return emit(batch)[1]
+
+    src = ds.select_columns(["user_id", "event_type", "value"]) \
+        .materialize()
+    ev = src.map_batches(emit_events, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("variant").sum(["n_events", "sum_cents"]) \
+        .map_batches(lambda b: b.rename_columns(
+            ["variant", "n_events", "sum_cents"]),
+            batch_format="pyarrow", zero_copy_batch=True).take_all()
+    nu = src.map_batches(emit_users, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["variant", "user_id"]).count() \
+        .groupby("variant").count().take_all()
+    users = {int(r["variant"]): int(r["count()"]) for r in nu}
+    out = sorted((int(r["variant"]), int(r["n_events"]),
+                  int(r["sum_cents"])) for r in ev)
+    return pa.table({
+        "variant": pa.array([v for v, _, _ in out], pa.int64()),
+        "n_users": pa.array([users[v] for v, _, _ in out], pa.int64()),
+        "n_events": pa.array([n for _, n, _ in out], pa.int64()),
+        "sum_cents": pa.array([s for _, _, s in out], pa.int64()),
+        "cents_per_user_micro": pa.array(
+            [(1_000_000 * s) // users[v] for v, _, s in out],
+            pa.int64())})
