@@ -245,6 +245,35 @@ def test_coreness_block_split_invariant(ray_session):
     assert _coreness(edges, nparts=1) == _coreness(edges, nparts=7)
 
 
+def test_coreness_exchange_path_matches_local(ray_session):
+    """local_state_max=0 forces the bucketed state-only exchange path;
+    it must be row-identical to the gated broadcast path AND to the
+    literal peeling reference (both paths share the persisted
+    adjacency slices with dual role assignment — see coreness doc)."""
+    from webtext.functions.graph import coreness
+    rng = random.Random("coreness:exchange")
+    edges = sorted({tuple(sorted(rng.sample(range(1, 45), 2)))
+                    for _ in range(260)})
+    out = coreness(_edge_ds(edges, 5), local_state_max=0).to_pandas()
+    got = {int(r.node): int(r.coreness) for r in out.itertuples()}
+    assert got == _peel(edges)
+    assert got == _coreness(edges)
+
+
+def test_coreness_max_rounds_backstop_raises(ray_session):
+    """An explicit too-small cap still raises (never returns an
+    unconverged table) on both paths."""
+    import pytest
+
+    from webtext.functions.graph import coreness
+    edges = list(itertools.combinations(range(1, 8), 2)) + [(1, 9)]
+    with pytest.raises(RuntimeError, match="no convergence"):
+        coreness(_edge_ds(edges, 3), max_rounds=1).to_pandas()
+    with pytest.raises(RuntimeError, match="no convergence"):
+        coreness(_edge_ds(edges, 3), max_rounds=1,
+                 local_state_max=0).to_pandas()
+
+
 # ------------------------------------------------------------ bfs_distances
 
 def _bfs_ref(edges, seeds):

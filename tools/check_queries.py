@@ -1,6 +1,6 @@
 """Driver-style correctness harness: run each __ray_entry__ query and its
 DuckDB oracle at a given sf, compare row-count + schema + order-insensitive
-values.  Usage: python tools/check_queries.py [sf_dir]"""
+values.  Usage: python tools/check_queries.py [sf_dir] [only_query ...]"""
 
 from __future__ import annotations
 
@@ -32,7 +32,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
@@ -53,6 +53,8 @@ def main(sf_dir: str) -> int:
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     oracles = {k: v.replace("/goldens/sf0.01/", f"/goldens/{tag}/")
                for k, v in oracles.items()}
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failed = []
     for name, fn in qs.items():
         try:
@@ -85,4 +87,5 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1] if len(sys.argv) > 1
-                  else "/root/testdata/sf0.01"))
+                  else "/root/testdata/sf0.01",
+                  sys.argv[2:] or None))
