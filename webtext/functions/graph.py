@@ -207,59 +207,80 @@ def _pr_next_ranks(base: int, out: pa.Table) -> pa.Table:
         names=["node", "rank", "outdeg"])
 
 
-def _pr_bucket_join(group: pa.Table) -> pa.Table:
-    """In-bucket share-to-edge attach, single-consumption form: rank
-    rows (dst == -1) carry (src=node, outdeg in w, rank-derived share);
-    edge rows look their src's share up via searchsorted and emit
-    per-dst partial contributions.  Every rank row ALSO re-emits its
-    node as a (node, contrib=0, outdeg) row, so the downstream
+def _pr_bucket_join(dir_path: str):
+    """In-bucket share-to-edge attach over the PERSISTED static edge
+    slice (round-5 shape — the per-round exchange carries only rank
+    rows; the edge slice is read in-cell from its bucket file, never
+    re-shuffled): rank rows carry (src=node, outdeg, rank-derived
+    share); the slice's edges look their src's share up via
+    searchsorted and emit per-dst partial contributions, pre-summed
+    per dst before the global shuffle.  Every rank row ALSO re-emits
+    its node as a (node, contrib=0, outdeg) row, so the downstream
     groupby(node).sum sees every node and the carried outdeg without a
     second pass over the rank state — rank state is consumed exactly
-    once per round, which is what lets the whole fixed point run as one
-    lazy streaming plan (a twice-consumed lazy dataset would re-execute
-    its lineage per consumer)."""
-    src = _col_i64(group, "src")
-    dst = _col_i64(group, "dst")
-    w = _col_i64(group, "w")
-    share = _col_i64(group, "share")
-    # optional per-node teleport column (personalized variant): rank
-    # rows carry their node's base_next, contribution rows carry 0
-    has_base = "base" in group.column_names
-    base = _col_i64(group, "base") if has_base else None
-    is_rank = dst == -1
-    rsrc, rshare, rdeg = src[is_rank], share[is_rank], w[is_rank]
-    rbase = base[is_rank] if has_base else None
-    order = np.argsort(rsrc, kind="stable")
-    rsrc, rshare, rdeg = rsrc[order], rshare[order], rdeg[order]
-    if has_base:
-        rbase = rbase[order]
-    esrc, edst, ew = src[~is_rank], dst[~is_rank], w[~is_rank]
-    node_rows = [rsrc, np.zeros(len(rsrc), dtype=np.int64), rdeg]
-    base_rows = [rbase] if has_base else None
-    if len(esrc) and len(rsrc):
-        pos = np.searchsorted(rsrc, esrc)
-        # every edge src has a rank row in this bucket by construction
-        contrib = rshare[pos] * ew
-        # in-bucket combiner: pre-sum per dst before the global shuffle
-        t = pa.Table.from_arrays([pa.array(edst), pa.array(contrib)],
-                                 names=["node", "contrib"])
-        agg = t.group_by("node").aggregate([("contrib", "sum")])
-        cn = agg.column("node").to_numpy(zero_copy_only=False)
-        cc = agg.column("contrib_sum").to_numpy(zero_copy_only=False)
-        node_rows = [np.concatenate([node_rows[0], cn]),
-                     np.concatenate([node_rows[1], cc]),
-                     np.concatenate([node_rows[2],
-                                     np.zeros(len(cn), dtype=np.int64)])]
+    once per round, keeping each round one streaming plan."""
+    def f(group: pa.Table) -> pa.Table:
+        b = int(group.column("bucket")[0].as_py())
+        esrc, edst, ew = _load_bucket(dir_path, b, 3)
+        rsrc = _col_i64(group, "src")
+        rshare = _col_i64(group, "share")
+        rdeg = _col_i64(group, "outdeg")
+        # optional per-node teleport column (personalized variant)
+        has_base = "base" in group.column_names
+        rbase = _col_i64(group, "base") if has_base else None
+        order = np.argsort(rsrc, kind="stable")
+        rsrc, rshare, rdeg = rsrc[order], rshare[order], rdeg[order]
         if has_base:
-            base_rows = [np.concatenate(
-                [base_rows[0], np.zeros(len(cn), dtype=np.int64)])]
-    cols = [pa.array(node_rows[0]), pa.array(node_rows[1]),
-            pa.array(node_rows[2])]
-    names = ["node", "contrib", "outdeg"]
-    if has_base:
-        cols.append(pa.array(base_rows[0]))
-        names.append("base")
-    return pa.Table.from_arrays(cols, names=names)
+            rbase = rbase[order]
+        node_rows = [rsrc, np.zeros(len(rsrc), dtype=np.int64), rdeg]
+        base_rows = [rbase] if has_base else None
+        if len(esrc) and len(rsrc):
+            pos = np.searchsorted(rsrc, esrc)
+            # every edge src has a rank row in this bucket by
+            # construction (both are keyed by hash(src))
+            contrib = rshare[pos] * ew
+            t = pa.Table.from_arrays(
+                [pa.array(edst), pa.array(contrib)],
+                names=["node", "contrib"])
+            agg = t.group_by("node").aggregate([("contrib", "sum")])
+            cn = agg.column("node").to_numpy(zero_copy_only=False)
+            cc = agg.column("contrib_sum") \
+                .to_numpy(zero_copy_only=False)
+            node_rows = [np.concatenate([node_rows[0], cn]),
+                         np.concatenate([node_rows[1], cc]),
+                         np.concatenate(
+                             [node_rows[2],
+                              np.zeros(len(cn), dtype=np.int64)])]
+            if has_base:
+                base_rows = [np.concatenate(
+                    [base_rows[0], np.zeros(len(cn), dtype=np.int64)])]
+        cols = [pa.array(node_rows[0]), pa.array(node_rows[1]),
+                pa.array(node_rows[2])]
+        names = ["node", "contrib", "outdeg"]
+        if has_base:
+            cols.append(pa.array(base_rows[0]))
+            names.append("base")
+        return pa.Table.from_arrays(cols, names=names)
+    return f
+
+
+def _persist_src_edges(edges, n_buckets: int):
+    """Persist (src, dst, w) edge rows keyed by hash(src) as static
+    per-bucket slices (see _persist_keyed_buckets) — built once per
+    fixed-point invocation, read in-cell every round."""
+    def edges_keyed(batch: pa.Table) -> pa.Table:
+        src = _col_i64(batch, "src")
+        return pa.Table.from_arrays(
+            [pa.array(_ibucket(src, n_buckets)), pa.array(src),
+             batch.column("dst").cast(pa.int64()),
+             batch.column("w").cast(pa.int64())],
+            names=["key", "src", "dst", "w"])
+
+    dir_path, _, _ = _persist_keyed_buckets(
+        edges.map_batches(edges_keyed, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["src", "dst", "w"], n_buckets=n_buckets)
+    return dir_path
 
 
 def pagerank(edges, iters: int = PAGERANK_ITERS,
@@ -276,14 +297,17 @@ def pagerank(edges, iters: int = PAGERANK_ITERS,
     is int64, so sums are order-invariant and the distributed result is
     bit-identical to the dense golden.
 
-    Per round: one constant-fan-out bucketed map_groups (rank rows ride
-    the shuffle once, edges once) emits BOTH the per-dst contribution
-    partials and each node's zero-row with its carried outdeg, then one
-    NATIVE groupby(node).sum merges them.  Rank state is consumed
-    exactly once per round, so the whole ``iters``-round fixed point is
-    a single lazy streaming plan — no per-round materialize barrier, no
-    second union pass (the round-3 restructure; the iteration count is
-    fixed, so no driver-side decision ever forces execution)."""
+    Per round: one constant-fan-out bucketed map_groups over the RANK
+    rows only — the static (src, dst, w) edges are persisted once as
+    per-bucket slices (round-5 restructure, ``_persist_src_edges``)
+    and read in-cell, never re-shuffled — emitting BOTH the per-dst
+    contribution partials and each node's zero-row with its carried
+    outdeg, then one NATIVE groupby(node).sum merges them.  Rank state
+    is consumed exactly once per round.  Per-round shuffle bytes:
+    O(nodes) state + O(per-cell distinct dst) partials, not O(E)."""
+    import shutil
+
+    edges = edges.materialize()     # degrees + the one-time persist
     deg = degrees(edges)
 
     def init_rank(base):
@@ -311,40 +335,33 @@ def pagerank(edges, iters: int = PAGERANK_ITERS,
         outdeg = _col_i64(batch, "outdeg")
         share = np.where(outdeg > 0, rank // np.maximum(outdeg, 1),
                          np.int64(0))
-        neg = np.full(len(node), -1, dtype=np.int64)
         return pa.Table.from_arrays(
             [pa.array(_ibucket(node, n_buckets)), pa.array(node),
-             pa.array(neg), pa.array(outdeg), pa.array(share)],
-            names=["bucket", "src", "dst", "w", "share"])
+             pa.array(outdeg), pa.array(share)],
+            names=["bucket", "src", "outdeg", "share"])
 
-    def edges_emit(batch: pa.Table) -> pa.Table:
-        src = _col_i64(batch, "src")
-        return pa.Table.from_arrays(
-            [pa.array(_ibucket(src, n_buckets)),
-             pa.array(src),
-             batch.column("dst").cast(pa.int64()),
-             batch.column("w").cast(pa.int64()),
-             pa.array(np.zeros(len(src), dtype=np.int64))],
-            names=["bucket", "src", "dst", "w", "share"])
-
-    ebatches = edges.map_batches(edges_emit, batch_format="pyarrow",
-                                 zero_copy_batch=True) \
-        .repartition(STATE_BLOCKS).materialize()
-    base_next = (np.int64(3) * np.int64(base)) // np.int64(PR_D_DEN)
-    for _ in range(iters):
-        joined = ranks.map_batches(ranks_emit, batch_format="pyarrow",
-                                   zero_copy_batch=True).union(ebatches)
-        merged = joined.groupby("bucket").map_groups(
-            _pr_bucket_join, batch_format="pyarrow") \
-            .groupby("node").sum(["contrib", "outdeg"])
-        # materialize per round: a 16-all-to-all lazy megaplan is
-        # bit-identical but measured 2x SLOWER on the streaming
-        # executor than eager rounds (BASELINE.md round-3 cont. 3) —
-        # the barrier buys scheduler locality
-        ranks = merged.map_batches(
-            lambda b: _pr_next_ranks(base_next, b),
-            batch_format="pyarrow", zero_copy_batch=True) \
-            .repartition(STATE_BLOCKS).materialize()
+    dir_path = _persist_src_edges(edges, n_buckets)
+    cell = _pr_bucket_join(dir_path)
+    try:
+        base_next = (np.int64(3) * np.int64(base)) \
+            // np.int64(PR_D_DEN)
+        for _ in range(iters):
+            merged = ranks.map_batches(
+                ranks_emit, batch_format="pyarrow",
+                zero_copy_batch=True) \
+                .groupby("bucket").map_groups(
+                    cell, batch_format="pyarrow") \
+                .groupby("node").sum(["contrib", "outdeg"])
+            # materialize per round: a 16-all-to-all lazy megaplan is
+            # bit-identical but measured 2x SLOWER on the streaming
+            # executor than eager rounds (BASELINE.md round-3 cont. 3)
+            # — the barrier buys scheduler locality
+            ranks = merged.map_batches(
+                lambda b: _pr_next_ranks(base_next, b),
+                batch_format="pyarrow", zero_copy_batch=True) \
+                .repartition(STATE_BLOCKS).materialize()
+    finally:
+        shutil.rmtree(dir_path, ignore_errors=True)
 
     return ranks.select_columns(["node", "rank"])
 
@@ -378,13 +395,17 @@ def pagerank_personalized(edges, weights,
     split multiply (`_split_mul_div`) so p_v is exact wherever
     (scale mod W)·max(w) < 2^63 — w up to ~9·10⁶ at the default scale.
     Same per-round shape as `pagerank` (rank state consumed once, one
-    bucketed map_groups + one native groupby per round) with the
-    per-node teleport riding the state as one extra int64 column; the
-    weight attach is a bucketed emit-union join (weights are
-    sf-proportional — never broadcast).  Uniform weights reproduce
-    `pagerank` bit-for-bit (pinned by test)."""
+    bucketed map_groups over rank rows only — static edges persisted
+    once per invocation, read in-cell — plus one native groupby per
+    round) with the per-node teleport riding the state as one extra
+    int64 column; the weight attach is a bucketed emit-union join
+    (weights are sf-proportional — never broadcast).  Uniform weights
+    reproduce `pagerank` bit-for-bit (pinned by test)."""
+    import shutil
+
     import ray.data  # noqa: F401
 
+    edges = edges.materialize()     # degrees + the one-time persist
     deg = degrees(edges).materialize()
 
     # bucketed left attach of w onto the degree table (default 0)
@@ -454,25 +475,10 @@ def pagerank_personalized(edges, weights,
         base = _col_i64(batch, "base")
         share = np.where(outdeg > 0, rank // np.maximum(outdeg, 1),
                          np.int64(0))
-        neg = np.full(len(node), -1, dtype=np.int64)
         return pa.Table.from_arrays(
             [pa.array(_ibucket(node, n_buckets)), pa.array(node),
-             pa.array(neg), pa.array(outdeg), pa.array(share),
-             pa.array(base)],
-            names=["bucket", "src", "dst", "w", "share", "base"])
-
-    def edges_emit(batch: pa.Table) -> pa.Table:
-        src = _col_i64(batch, "src")
-        z = np.zeros(len(src), dtype=np.int64)
-        return pa.Table.from_arrays(
-            [pa.array(_ibucket(src, n_buckets)), pa.array(src),
-             batch.column("dst").cast(pa.int64()),
-             batch.column("w").cast(pa.int64()),
-             pa.array(z), pa.array(z)],
-            names=["bucket", "src", "dst", "w", "share", "base"])
-
-    ebatches = edges.map_batches(edges_emit, batch_format="pyarrow",
-                                 zero_copy_batch=True)         .repartition(STATE_BLOCKS).materialize()
+             pa.array(outdeg), pa.array(share), pa.array(base)],
+            names=["bucket", "src", "outdeg", "share", "base"])
 
     def next_ranks(out: pa.Table) -> pa.Table:
         inflow = _col_i64(out, "sum(contrib)")
@@ -484,13 +490,22 @@ def pagerank_personalized(edges, weights,
              pa.array(base)],
             names=["node", "rank", "outdeg", "base"])
 
-    for _ in range(iters):
-        joined = ranks.map_batches(ranks_emit, batch_format="pyarrow",
-                                   zero_copy_batch=True).union(ebatches)
-        merged = joined.groupby("bucket").map_groups(
-            _pr_bucket_join, batch_format="pyarrow")             .groupby("node").sum(["contrib", "outdeg", "base"])
-        ranks = merged.map_batches(next_ranks, batch_format="pyarrow",
-                                   zero_copy_batch=True)             .repartition(STATE_BLOCKS).materialize()
+    dir_path = _persist_src_edges(edges, n_buckets)
+    cell = _pr_bucket_join(dir_path)
+    try:
+        for _ in range(iters):
+            merged = ranks.map_batches(
+                ranks_emit, batch_format="pyarrow",
+                zero_copy_batch=True) \
+                .groupby("bucket").map_groups(
+                    cell, batch_format="pyarrow") \
+                .groupby("node").sum(["contrib", "outdeg", "base"])
+            ranks = merged.map_batches(
+                next_ranks, batch_format="pyarrow",
+                zero_copy_batch=True) \
+                .repartition(STATE_BLOCKS).materialize()
+    finally:
+        shutil.rmtree(dir_path, ignore_errors=True)
 
     return ranks.select_columns(["node", "rank"])
 
@@ -500,51 +515,49 @@ HITS_ITERS = 5
 
 
 def _hits_emit_state(n_buckets: int):
-    """(bucket, key, other, w, val): state rows carry other = -1."""
+    """(bucket, key, val): state rows keyed by hash(own node)."""
     def f(batch: pa.Table) -> pa.Table:
         node = _col_i64(batch, "node")
         val = _col_i64(batch, "val")
-        neg = np.full(len(node), -1, dtype=np.int64)
-        zero = np.zeros(len(node), dtype=np.int64)
         return pa.Table.from_arrays(
             [pa.array(_ibucket(node, n_buckets)), pa.array(node),
-             pa.array(neg), pa.array(zero), pa.array(val)],
-            names=["bucket", "key", "other", "w", "val"])
+             pa.array(val)],
+            names=["bucket", "key", "val"])
     return f
 
 
-def _hits_bucket_join(group: pa.Table) -> pa.Table:
-    """In-bucket value-to-edge attach (the _pr_bucket_join shape minus
-    the outdeg division): state rows map key→val; edge rows emit
-    (other, val[key]·w) partials, pre-summed per other before the
-    global shuffle; every state node also re-emits a zero row so the
-    downstream groupby sees the full node set — state is consumed
-    exactly once per half-step."""
-    key = _col_i64(group, "key")
-    other = _col_i64(group, "other")
-    w = _col_i64(group, "w")
-    val = _col_i64(group, "val")
-    is_state = other == -1
-    sk, sv = key[is_state], val[is_state]
-    order = np.argsort(sk, kind="stable")
-    sk, sv = sk[order], sv[order]
-    ek, eo, ew = key[~is_state], other[~is_state], w[~is_state]
-    nodes = [sk]
-    contribs = [np.zeros(len(sk), dtype=np.int64)]
-    if len(ek) and len(sk):
-        pos = np.searchsorted(sk, ek)
-        t = pa.Table.from_arrays(
-            [pa.array(eo), pa.array(sv[pos] * ew)],
+def _hits_bucket_join(dir_path: str):
+    """In-bucket value-to-edge attach over the PERSISTED static edge
+    slice (the _pr_bucket_join shape minus the outdeg division; the
+    half-step exchange carries only node-sized state rows): state rows
+    map key→val; the slice's edges emit (other, val[key]·w) partials,
+    pre-summed per other before the global shuffle; every state node
+    also re-emits a zero row so the downstream groupby sees the full
+    node set — state is consumed exactly once per half-step."""
+    def f(group: pa.Table) -> pa.Table:
+        b = int(group.column("bucket")[0].as_py())
+        ek, eo, ew = _load_bucket(dir_path, b, 3)
+        key = _col_i64(group, "key")
+        val = _col_i64(group, "val")
+        order = np.argsort(key, kind="stable")
+        sk, sv = key[order], val[order]
+        nodes = [sk]
+        contribs = [np.zeros(len(sk), dtype=np.int64)]
+        if len(ek) and len(sk):
+            pos = np.searchsorted(sk, ek)
+            t = pa.Table.from_arrays(
+                [pa.array(eo), pa.array(sv[pos] * ew)],
+                names=["node", "contrib"])
+            agg = t.group_by("node").aggregate([("contrib", "sum")])
+            nodes.append(agg.column("node")
+                         .to_numpy(zero_copy_only=False))
+            contribs.append(agg.column("contrib_sum")
+                            .to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(nodes)),
+             pa.array(np.concatenate(contribs))],
             names=["node", "contrib"])
-        agg = t.group_by("node").aggregate([("contrib", "sum")])
-        nodes.append(agg.column("node")
-                     .to_numpy(zero_copy_only=False))
-        contribs.append(agg.column("contrib_sum")
-                        .to_numpy(zero_copy_only=False))
-    return pa.Table.from_arrays(
-        [pa.array(np.concatenate(nodes)),
-         pa.array(np.concatenate(contribs))],
-        names=["node", "contrib"])
+    return f
 
 
 def hits(edges, iters: int = HITS_ITERS, scale: int = HITS_SCALE,
@@ -556,11 +569,13 @@ def hits(edges, iters: int = HITS_ITERS, scale: int = HITS_SCALE,
     driver graph: hubs = parts, authorities = suppliers).
 
     Same fixed-point posture as pagerank: integer state, one
-    constant-fan-out bucketed map_groups per half-step (state rows keyed
-    by the edge endpoint being read — src for the auth step, dst for
-    the hub step — riding the shuffle once alongside the matching
-    pre-keyed edge copy), one NATIVE groupby(node).sum, per-round
-    materialize of the compacted STATE_BLOCKS state.  Normalization:
+    constant-fan-out bucketed map_groups per half-step over the STATE
+    rows only (keyed by the edge endpoint being read — src for the
+    auth step, dst for the hub step; the matching pre-keyed edge copy
+    is persisted once per invocation as per-bucket slices and read
+    in-cell, never re-shuffled — round-5 restructure), one NATIVE
+    groupby(node).sum, per-round materialize of the compacted
+    STATE_BLOCKS state.  Normalization:
     the raw L1 mass S is an EXACT int64 sum (one driver scalar per
     half-step; bound: max in-/out-weight per node must stay below
     2^63/scale ≈ 9.2e6 — documented, far above every tested graph);
@@ -591,26 +606,26 @@ def hits(edges, iters: int = HITS_ITERS, scale: int = HITS_SCALE,
             return pa.Table.from_arrays(
                 [pa.array(_ibucket(k, n_buckets)), pa.array(k),
                  batch.column(other_col).cast(pa.int64()),
-                 batch.column("w").cast(pa.int64()),
-                 pa.array(np.zeros(len(k), dtype=np.int64))],
-                names=["bucket", "key", "other", "w", "val"])
+                 batch.column("w").cast(pa.int64())],
+                names=["key", "k", "other", "w"])
         return f
 
-    fwd = edges.map_batches(edge_copy("src", "dst"),
-                            batch_format="pyarrow",
-                            zero_copy_batch=True) \
-        .repartition(STATE_BLOCKS).materialize()
-    rev = edges.map_batches(edge_copy("dst", "src"),
-                            batch_format="pyarrow",
-                            zero_copy_batch=True) \
-        .repartition(STATE_BLOCKS).materialize()
+    fwd_dir, _, _ = _persist_keyed_buckets(
+        edges.map_batches(edge_copy("src", "dst"),
+                          batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["k", "other", "w"], n_buckets=n_buckets)
+    rev_dir, _, _ = _persist_keyed_buckets(
+        edges.map_batches(edge_copy("dst", "src"),
+                          batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["k", "other", "w"], n_buckets=n_buckets)
     emit = _hits_emit_state(n_buckets)
 
-    def half(state, keyed_edges):
+    def half(state, edge_dir):
         raw = state.map_batches(emit, batch_format="pyarrow",
                                 zero_copy_batch=True) \
-            .union(keyed_edges) \
-            .groupby("bucket").map_groups(_hits_bucket_join,
+            .groupby("bucket").map_groups(_hits_bucket_join(edge_dir),
                                           batch_format="pyarrow") \
             .groupby("node").sum("contrib") \
             .map_batches(
@@ -638,9 +653,17 @@ def hits(edges, iters: int = HITS_ITERS, scale: int = HITS_SCALE,
     # L1 sum; the returned dataset is only the cheap rescale map over
     # those STATE_BLOCKS blocks, so re-consumption costs nothing and a
     # second materialize per half-step would just add a pass
-    for _ in range(iters):
-        auth = half(hub, fwd)          # auth ← hubs over u→v
-        hub = half(auth, rev)          # hub  ← auths over u→v
+    try:
+        for _ in range(iters):
+            auth = half(hub, fwd_dir)      # auth ← hubs over u→v
+            hub = half(auth, rev_dir)      # hub  ← auths over u→v
+        # hub/auth are lazy rescale maps over the MATERIALIZED raw
+        # half-step outputs — nothing downstream touches the slice
+        # dirs, so they can go now
+    finally:
+        import shutil
+        shutil.rmtree(fwd_dir, ignore_errors=True)
+        shutil.rmtree(rev_dir, ignore_errors=True)
     tag_h = hub.map_batches(
         lambda b: pa.Table.from_arrays(
             [b.column("node"), b.column("val"),
