@@ -1474,3 +1474,39 @@ def test_ref_integrity_detects_orphans(ray_session, tmp_path):
     assert got["lineitem->part"] == (2, 0)
     assert got["lineitem->supplier"] == (2, 0)
     assert got["customer->nation"] == (2, 1)      # nationkey 99
+
+
+def test_ref_integrity_exchange_fallback_matches(ray_session,
+                                                 tmp_path, monkeypatch):
+    """Forcing the gate to zero routes every edge through the
+    one-exchange fallback; the audit must be identical to the
+    broadcast path (same planted-orphan fixture as above)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import webtext.pipelines.relational as R
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({"c_custkey": [1, 2],
+                             "c_nationkey": [0, 99]}),
+                   f"{d}/customer.parquet")
+    pq.write_table(pa.table({"o_orderkey": [10, 11, 12],
+                             "o_custkey": [1, 2, 7]}),
+                   f"{d}/orders.parquet")
+    pq.write_table(pa.table({"l_orderkey": [10, 13],
+                             "l_partkey": [5, 5],
+                             "l_suppkey": [3, 3]}),
+                   f"{d}/lineitem.parquet")
+    pq.write_table(pa.table({"p_partkey": [5]}), f"{d}/part.parquet")
+    pq.write_table(pa.table({"s_suppkey": [3],
+                             "s_nationkey": [0]}),
+                   f"{d}/supplier.parquet")
+    pq.write_table(pa.table({"n_nationkey": [0]}),
+                   f"{d}/nation.parquet")
+    want = {r["relationship"]: (r["n_rows"], r["n_orphans"])
+            for r in R.ref_integrity(d, n_buckets=4).to_pylist()}
+    monkeypatch.setattr(R, "REF_PARENT_BROADCAST_MAX", 0)
+    got = {r["relationship"]: (r["n_rows"], r["n_orphans"])
+           for r in R.ref_integrity(d, n_buckets=4).to_pylist()}
+    assert got == want
+    assert got["orders->customer"] == (3, 1)

@@ -1455,7 +1455,8 @@ def _coreness_local(deg, dir_path, present, deps, n_buckets,
 
     import ray
 
-    t = pa.concat_tables(ray.get(deg.to_arrow_refs()))
+    t = pa.concat_tables([b for b in ray.get(deg.to_arrow_refs())
+                          if b.num_columns])
     sn = t.column("node").cast(pa.int64()).to_numpy(
         zero_copy_only=False)
     sv = t.column("deg").cast(pa.int64()).to_numpy(

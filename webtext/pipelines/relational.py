@@ -1084,11 +1084,25 @@ def ref_integrity(sf_dir: str, n_buckets: int = 256):
     every warehouse runs before trusting a fresh ingest (zeros are the
     point: the audit PROVES them).
 
-    Shape per edge: the existing keys-only bucketed `semi_join`
-    (anti=True) — the parent side reduces to per-block distinct keys
-    before the shuffle, child rows are projected to their key column
-    first, and the orphan count is a scalar `count()`; nothing wider
-    than a key column ever moves."""
+    Shape (round-5 re-orchestration — the first registration ran six
+    sequential semi_join jobs with 12 blocking counts and scanned
+    lineitem three times; 15.3 s at sf0.1): ROUTED, two streaming jobs
+    total for all six edges.  Parent key sets whose table row count
+    (a metadata-only count) fits ``REF_PARENT_BROADCAST_MAX`` are
+    collected in ONE union job of per-block distinct partials and
+    ray.put-broadcast (the `_edges_with_degrees` gate pattern —
+    dimension tables are orders of magnitude below the fact side);
+    then ONE union job scans every child table exactly once with only
+    its key columns, testing membership per block against the
+    broadcast sorted arrays and emitting a single (edge, n_rows,
+    n_orphans) partial row per block×edge — no shuffle at all, and
+    the driver fold is a bounded aggregate.  Any edge whose parent
+    outgrows the gate (none at TPC-H shapes; possible for fact→fact
+    edges at 100 TB) routes to `_ref_integrity_exchange`: one
+    constant-fan-out exchange keyed by edge·n_buckets + hash(key)
+    that co-locates pre-reduced child counts with per-block-distinct
+    parent keys — still one job for all routed edges, lineitem still
+    scanned once."""
     import ray.data
 
     edges = [
@@ -1105,18 +1119,181 @@ def ref_integrity(sf_dir: str, n_buckets: int = 256):
         ("supplier->nation", "supplier", "s_nationkey",
          "nation", "n_nationkey"),
     ]
-    out_r, out_n, out_o = [], [], []
-    for name, child, ck, parent, pk in edges:
-        child_ds = ray.data.read_parquet(
-            f"{sf_dir}/{child}.parquet", columns=[ck])
-        parent_ds = ray.data.read_parquet(
-            f"{sf_dir}/{parent}.parquet", columns=[pk])
-        n_rows = child_ds.count()
-        orphans = semi_join(child_ds, parent_ds, ck, pk,
-                            anti=True, n_buckets=n_buckets).count()
-        out_r.append(name)
-        out_n.append(n_rows)
-        out_o.append(orphans)
-    return pa.table({"relationship": pa.array(out_r, pa.string()),
-                     "n_rows": pa.array(out_n, pa.int64()),
-                     "n_orphans": pa.array(out_o, pa.int64())})
+    bcast, routed = [], []
+    for e in edges:
+        n_parent = ray.data.read_parquet(
+            f"{sf_dir}/{e[3]}.parquet", columns=[e[4]]).count()
+        (bcast if n_parent <= REF_PARENT_BROADCAST_MAX
+         else routed).append(e)
+    out = _ref_integrity_broadcast(sf_dir, bcast) if bcast else {}
+    if routed:
+        out.update(_ref_integrity_exchange(sf_dir, routed, n_buckets))
+    return pa.table({
+        "relationship": pa.array([e[0] for e in edges], pa.string()),
+        "n_rows": pa.array([out[e[0]][0] for e in edges], pa.int64()),
+        "n_orphans": pa.array([out[e[0]][1] for e in edges],
+                              pa.int64())})
+
+
+REF_PARENT_BROADCAST_MAX = 5_000_000    # keys; ~40 MB int64 per edge
+
+
+def _ref_integrity_broadcast(sf_dir: str, edges):
+    """Zero-shuffle path: gated parent key sets broadcast once, child
+    tables scanned once each, per-block (edge, n_rows, n_orphans)
+    partials folded on the driver (≤ blocks × edges rows)."""
+    import ray
+    import ray.data
+
+    # job A: one union of per-block-distinct (edge, key) parent
+    # partials; the driver unique is gated by the metadata counts
+    parent_roles: dict[str, list] = {}
+    for i, e in enumerate(edges):
+        parent_roles.setdefault(e[3], []).append((i, e[4]))
+
+    def pemit(trs):
+        def f(batch: pa.Table) -> pa.Table:
+            es, ks = [], []
+            for i, col in trs:
+                u = np.unique(batch.column(col).cast(pa.int64())
+                              .to_numpy(zero_copy_only=False))
+                es.append(np.full(len(u), i, dtype=np.int64))
+                ks.append(u)
+            return pa.Table.from_arrays(
+                [pa.array(np.concatenate(es)),
+                 pa.array(np.concatenate(ks))],
+                names=["edge", "key"])
+        return f
+
+    pds = None
+    for tname, trs in parent_roles.items():
+        cols = sorted({c for _, c in trs})
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/{tname}.parquet", columns=cols) \
+            .map_batches(pemit(trs), batch_format="pyarrow",
+                         zero_copy_batch=True)
+        pds = ds if pds is None else pds.union(ds)
+    # union emits some zero-column placeholder blocks — drop them
+    pt = pa.concat_tables([t for t in ray.get(pds.to_arrow_refs())
+                           if t.num_columns])
+    pe = pt.column("edge").to_numpy(zero_copy_only=False)
+    pk = pt.column("key").to_numpy(zero_copy_only=False)
+    refs = {i: ray.put(np.unique(pk[pe == i]))
+            for i in range(len(edges))}
+
+    # job B: one union scanning each child table once; membership is
+    # a searchsorted against the broadcast sorted parent array
+    child_roles: dict[str, list] = {}
+    for i, e in enumerate(edges):
+        child_roles.setdefault(e[1], []).append((i, e[2]))
+
+    def cemit(trs):
+        def f(batch: pa.Table) -> pa.Table:
+            es, nr, no = [], [], []
+            for i, col in trs:
+                k = batch.column(col).cast(pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+                parents = ray.get(refs[i])
+                if len(parents):
+                    pos = np.clip(np.searchsorted(parents, k),
+                                  0, len(parents) - 1)
+                    orphans = int((parents[pos] != k).sum())
+                else:
+                    orphans = len(k)
+                es.append(i)
+                nr.append(len(k))
+                no.append(orphans)
+            return pa.Table.from_arrays(
+                [pa.array(es, pa.int64()), pa.array(nr, pa.int64()),
+                 pa.array(no, pa.int64())],
+                names=["edge", "n_rows", "n_orphans"])
+        return f
+
+    cds = None
+    for tname, trs in child_roles.items():
+        cols = sorted({c for _, c in trs})
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/{tname}.parquet", columns=cols) \
+            .map_batches(cemit(trs), batch_format="pyarrow",
+                         zero_copy_batch=True)
+        cds = ds if cds is None else cds.union(ds)
+    agg = {i: [0, 0] for i in range(len(edges))}
+    for r in cds.take_all():
+        agg[int(r["edge"])][0] += int(r["n_rows"])
+        agg[int(r["edge"])][1] += int(r["n_orphans"])
+    return {edges[i][0]: (agg[i][0], agg[i][1])
+            for i in range(len(edges))}
+
+
+def _ref_integrity_exchange(sf_dir: str, edges, n_buckets: int):
+    """One-exchange fallback for edges whose parent key set outgrows
+    the broadcast gate: every table scanned once, child counts and
+    per-block-distinct parent keys co-located by
+    cell = edge·n_buckets + hash(key), orphans counted in-cell."""
+    import ray.data
+
+    roles: dict[str, list] = {}
+    for i, (_, child, ck, parent, pk) in enumerate(edges):
+        roles.setdefault(child, []).append((i, ck, 0))
+        roles.setdefault(parent, []).append((i, pk, 1))
+
+    def emit(table_roles):
+        def f(batch: pa.Table) -> pa.Table:
+            cells, keys, isp, cnt = [], [], [], []
+            for i, col, is_parent in table_roles:
+                k = batch.column(col).cast(pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+                if is_parent:
+                    u = np.unique(k)
+                    c = np.zeros(len(u), dtype=np.int64)
+                else:
+                    u, c = np.unique(k, return_counts=True)
+                cells.append(np.int64(i) * np.int64(n_buckets)
+                             + _ibucket(u, n_buckets))
+                keys.append(u)
+                isp.append(np.full(len(u), is_parent, dtype=np.int64))
+                cnt.append(c.astype(np.int64))
+            return pa.Table.from_arrays(
+                [pa.array(np.concatenate(cells)),
+                 pa.array(np.concatenate(keys)),
+                 pa.array(np.concatenate(isp)),
+                 pa.array(np.concatenate(cnt))],
+                names=["cell", "key", "is_parent", "cnt"])
+        return f
+
+    parts = None
+    for tname, trs in roles.items():
+        cols = sorted({c for _, c, _ in trs})
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/{tname}.parquet", columns=cols) \
+            .map_batches(emit(trs), batch_format="pyarrow",
+                         zero_copy_batch=True)
+        parts = ds if parts is None else parts.union(ds)
+
+    def audit_cell(group: pa.Table) -> pa.Table:
+        cell = int(group.column("cell")[0].as_py())
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        isp = group.column("is_parent") \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        pk = np.unique(key[isp])
+        ck, cc = key[~isp], cnt[~isp]
+        if len(pk):
+            pos = np.clip(np.searchsorted(pk, ck), 0, len(pk) - 1)
+            orphan = pk[pos] != ck
+        else:
+            orphan = np.ones(len(ck), dtype=bool)
+        return pa.table({
+            "edge": pa.array([cell // n_buckets], pa.int64()),
+            "n_rows": pa.array([int(cc.sum())], pa.int64()),
+            "n_orphans": pa.array([int(cc[orphan].sum())], pa.int64()),
+        })
+
+    rows = parts.groupby("cell").map_groups(
+        audit_cell, batch_format="pyarrow").take_all()
+    agg = {i: [0, 0] for i in range(len(edges))}
+    for r in rows:
+        agg[int(r["edge"])][0] += int(r["n_rows"])
+        agg[int(r["edge"])][1] += int(r["n_orphans"])
+    return {edges[i][0]: (agg[i][0], agg[i][1])
+            for i in range(len(edges))}
