@@ -1510,3 +1510,30 @@ def test_ref_integrity_exchange_fallback_matches(ray_session,
            for r in R.ref_integrity(d, n_buckets=4).to_pylist()}
     assert got == want
     assert got["orders->customer"] == (3, 1)
+
+
+def test_attach_routed_fallback_matches_broadcast(ray_session,
+                                                  monkeypatch):
+    """Forcing DIM_BROADCAST_MAX_ROWS to zero routes every dimension
+    attach through the bucketed emit-union fallback; volume_shipping
+    must produce the identical table either way (the routed-attach
+    equality pin for the whole Q5/Q7/Q8/Q9 family)."""
+    import ray.data
+
+    import webtext.pipelines.tpch as T
+
+    sf = "/root/testdata/sf0.001"
+    rp = lambda t: ray.data.read_parquet(f"{sf}/{t}.parquet")  # noqa: E731
+
+    def run():
+        return sorted(
+            (r["supp_nation"], r["cust_nation"], r["l_year"],
+             r["revenue_cents"])
+            for r in T.volume_shipping(
+                rp("customer"), rp("orders"), rp("lineitem"),
+                rp("supplier"), rp("nation")).take_all())
+
+    want = run()
+    monkeypatch.setattr(T, "DIM_BROADCAST_MAX_ROWS", 0)
+    got = run()
+    assert got == want and len(got) > 0

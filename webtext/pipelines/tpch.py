@@ -849,17 +849,83 @@ def _bucket_attach(fact, dim, key_col: str, attach_col: str,
                                 carry_cols)
 
 
+# routed-attach gate: a dimension side of ≤ this many rows broadcasts
+# once as a sorted (key, value) int64 LUT (≤ ~64 MB via ray.put, one
+# copy per node, read zero-copy in every task); a larger side rides
+# the bucketed emit-union attach.  The `_edges_with_degrees` /
+# ref_integrity routing posture: at every tested sf the TPC-H
+# dimension tables (nation/supplier/customer/part/orders) fit the
+# gate, while a 100-TB orders or customer table routes to the shuffle
+# plan automatically.  Both paths are inner joins over unique dim
+# keys, pinned row-identical by test.
+DIM_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _attach_routed(fact, dim, key_col: str, attach_col: str,
+                   carry_cols: tuple[str, ...], n_dim_rows: int):
+    """Routed dimension attach (round-5): the caller passes the RAW
+    dimension row count (a metadata-only Dataset.count on the source
+    read); under ``DIM_BROADCAST_MAX_ROWS`` the (possibly filtered /
+    derived) ``dim`` dataset is collected once, sorted, ray.put and
+    joined in-block with zero exchange — above it, the plan falls back
+    to `_bucket_attach` unchanged.  This is what turned the Q5/Q7/Q8/
+    Q9 deep-join chains from 3-4 sort shuffles each into one (or
+    zero) at bench scales without giving up the shuffle plan at
+    100 TB."""
+    if n_dim_rows > DIM_BROADCAST_MAX_ROWS:
+        return _bucket_attach(fact, dim, key_col, attach_col,
+                              carry_cols)
+    import ray
+
+    dt = pa.concat_tables([b for b in ray.get(dim.to_arrow_refs())
+                           if b.num_columns])
+    dk = dt.column(key_col).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    dv = dt.column(attach_col).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    order = np.argsort(dk, kind="stable")
+    ref = ray.put((np.ascontiguousarray(dk[order]),
+                   np.ascontiguousarray(dv[order])))
+    out_names = [attach_col] + list(carry_cols)
+
+    def lut_join(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        lut = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        sk, sv = lut
+        fk = batch.column(key_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(sk) == 0 or len(fk) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()) for _ in out_names],
+                names=out_names)
+        pos = np.clip(np.searchsorted(sk, fk), 0, len(sk) - 1)
+        hit = sk[pos] == fk
+        hit_arr = pa.array(hit)
+        cols = [pa.array(sv[pos[hit]])]
+        for c in carry_cols:
+            cols.append(batch.column(c).cast(pa.int64())
+                        .filter(hit_arr))
+        return pa.Table.from_arrays(cols, names=out_names)
+
+    return fact.map_batches(lut_join, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def local_supplier_volume(customer, orders, lineitem, supplier, nation):
     """TPC-H Q5 shape: revenue per nation from lineitems whose supplier
     and customer share that nation.  Output (n_name, revenue_cents).
 
-    Deep-join pipeline: three bucketed dimension attaches chained on
-    DIFFERENT keys — orderkey → custkey → suppkey — each a
-    constant-fan-out emit-union groupby (orders / customer / supplier
-    all scale with the corpus, so none is broadcast); only the nation
-    name table (25 rows at every TPC-H scale) broadcasts.  The lineitem
-    side enters pre-combined per (orderkey, suppkey)."""
+    Deep-join pipeline: three ROUTED dimension attaches chained on
+    DIFFERENT keys — orderkey → custkey → suppkey — each broadcast as
+    a sorted LUT under the DIM_BROADCAST_MAX_ROWS gate (all three fit
+    at every tested sf) and a constant-fan-out emit-union groupby past
+    it (orders / customer / supplier all scale with the corpus, so the
+    gate is what keeps the 100-TB plan a shuffle).  The lineitem side
+    enters pre-combined per (orderkey, suppkey)."""
     import ray
+
+    n_orders = orders.count()       # metadata-only on source reads
+    n_cust = customer.count()
+    n_supp = supplier.count()
 
     def line_partial(batch: pa.Table) -> pa.Table:
         okey = batch.column("l_orderkey").cast(pa.int64())
@@ -878,22 +944,22 @@ def local_supplier_volume(customer, orders, lineitem, supplier, nation):
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
         .map_batches(line_partial, batch_format="pyarrow",
                      zero_copy_batch=True)
-    with_cust = _bucket_attach(
+    with_cust = _attach_routed(
         lines, orders.select_columns(["o_orderkey", "o_custkey"])
         .map_batches(lambda b: b.rename_columns(
             ["l_orderkey", "custkey"]), batch_format="pyarrow",
             zero_copy_batch=True),
-        "l_orderkey", "custkey", ("suppkey", "rev"))
-    with_cnat = _bucket_attach(
+        "l_orderkey", "custkey", ("suppkey", "rev"), n_orders)
+    with_cnat = _attach_routed(
         with_cust, customer.select_columns(["c_custkey", "c_nationkey"])
         .map_batches(lambda b: b.rename_columns(["custkey", "c_nat"]),
                      batch_format="pyarrow", zero_copy_batch=True),
-        "custkey", "c_nat", ("suppkey", "rev"))
-    with_snat = _bucket_attach(
+        "custkey", "c_nat", ("suppkey", "rev"), n_cust)
+    with_snat = _attach_routed(
         with_cnat, supplier.select_columns(["s_suppkey", "s_nationkey"])
         .map_batches(lambda b: b.rename_columns(["suppkey", "s_nat"]),
                      batch_format="pyarrow", zero_copy_batch=True),
-        "suppkey", "s_nat", ("c_nat", "rev"))
+        "suppkey", "s_nat", ("c_nat", "rev"), n_supp)
 
     names = {r["n_nationkey"]: r["n_name"] for r in
              nation.select_columns(["n_nationkey", "n_name"]).take_all()}
@@ -1675,12 +1741,18 @@ def volume_shipping(customer, orders, lineitem, supplier, nation):
     year.  Output: (supp_nation, cust_nation, l_year, revenue_cents).
 
     Scale shape: the Q5 deep-join chain with the ship year carried as
-    an extra int64 through three bucketed attaches (orderkey →
-    custkey → suppkey; orders/customer/supplier are all corpus-sized
-    and ride the shuffle, never a broadcast); the pair × year
-    aggregate is a native groupby over ≤ nations² × years rows, and
-    only the constant 25-row nation name table broadcasts."""
+    an extra int64 through three ROUTED attaches (orderkey → custkey
+    → suppkey; each broadcasts a sorted LUT under the
+    DIM_BROADCAST_MAX_ROWS gate, and rides the bucketed emit-union
+    shuffle past it — orders/customer/supplier all scale with the
+    corpus, so the gate keeps the 100-TB plan honest); the pair ×
+    year aggregate is a native groupby over ≤ nations² × years rows,
+    and the constant 25-row nation name table broadcasts."""
     import ray
+
+    n_orders = orders.count()       # metadata-only on source reads
+    n_cust = customer.count()
+    n_supp = supplier.count()
 
     def line_partial(batch: pa.Table) -> pa.Table:
         okey = batch.column("l_orderkey").cast(pa.int64())
@@ -1704,22 +1776,23 @@ def volume_shipping(customer, orders, lineitem, supplier, nation):
         ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
          "l_discount"]).map_batches(
         line_partial, batch_format="pyarrow", zero_copy_batch=True)
-    with_cust = _bucket_attach(
+    with_cust = _attach_routed(
         lines, orders.select_columns(["o_orderkey", "o_custkey"])
         .map_batches(lambda b: b.rename_columns(
             ["l_orderkey", "custkey"]), batch_format="pyarrow",
             zero_copy_batch=True),
-        "l_orderkey", "custkey", ("suppkey", "l_year", "rev"))
-    with_cnat = _bucket_attach(
+        "l_orderkey", "custkey", ("suppkey", "l_year", "rev"),
+        n_orders)
+    with_cnat = _attach_routed(
         with_cust, customer.select_columns(["c_custkey", "c_nationkey"])
         .map_batches(lambda b: b.rename_columns(["custkey", "c_nat"]),
                      batch_format="pyarrow", zero_copy_batch=True),
-        "custkey", "c_nat", ("suppkey", "l_year", "rev"))
-    with_snat = _bucket_attach(
+        "custkey", "c_nat", ("suppkey", "l_year", "rev"), n_cust)
+    with_snat = _attach_routed(
         with_cnat, supplier.select_columns(["s_suppkey", "s_nationkey"])
         .map_batches(lambda b: b.rename_columns(["suppkey", "s_nat"]),
                      batch_format="pyarrow", zero_copy_batch=True),
-        "suppkey", "s_nat", ("c_nat", "l_year", "rev"))
+        "suppkey", "s_nat", ("c_nat", "l_year", "rev"), n_supp)
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         s_nat = batch.column("s_nat").to_numpy(zero_copy_only=False)
@@ -1771,20 +1844,26 @@ def market_share(customer, orders, lineitem, supplier, part, nation,
     two integers is the bit-stable contract (same rule as
     promo_revenue).
 
-    Scale shape — the repo's deepest join (6 tables), all bucketed:
+    Scale shape — the repo's deepest join (6 tables), all ROUTED
+    (LUT broadcast under the DIM_BROADCAST_MAX_ROWS gate, bucketed
+    emit-union shuffle past it):
     1. lineitem pre-aggregates per (batch, orderkey, suppkey, partkey);
-    2. is-selected flag attaches from part on hash(partkey) and
-       non-selected rows drop BEFORE any further shuffle;
-    3. (custkey, order year) attach from orders on hash(orderkey) —
-       PACKED into one int64 (custkey*64 + year-1970) so the generic
-       single-attach join carries it in one column, unpacked in the
-       next emit (years are bounded by the 64 pack base, asserted);
-    4. customer nation attaches on hash(custkey), supplier nation on
-       hash(suppkey);
+    2. is-selected flag attaches from part and non-selected rows drop
+       BEFORE any further shuffle or attach;
+    3. (custkey, order year) attach from orders — PACKED into one
+       int64 (custkey*64 + year-1970) so the single-attach join
+       carries it in one column, unpacked in the next emit (years are
+       bounded by the 64 pack base, asserted);
+    4. customer nation then supplier nation attach;
     5. the constant 25-row nation→region map broadcasts; per-year
        numerator/denominator collapse through one-row-per-batch
        combiners and a native groupby."""
     import ray
+
+    n_part = part.count()           # metadata-only on source reads
+    n_orders = orders.count()
+    n_cust = customer.count()
+    n_supp = supplier.count()
 
     def line_partial(batch: pa.Table) -> pa.Table:
         okey = batch.column("l_orderkey").cast(pa.int64())
@@ -1809,7 +1888,7 @@ def market_share(customer, orders, lineitem, supplier, part, nation,
             [batch.column("p_partkey").cast(pa.int64()), sel],
             names=["partkey", "is_sel"])
 
-    flagged = _bucket_attach(
+    flagged = _attach_routed(
         lineitem.select_columns(
             ["l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice",
              "l_discount"]).map_batches(
@@ -1817,7 +1896,7 @@ def market_share(customer, orders, lineitem, supplier, part, nation,
             zero_copy_batch=True),
         part.select_columns(["p_partkey", "p_type"]).map_batches(
             part_emit, batch_format="pyarrow", zero_copy_batch=True),
-        "partkey", "is_sel", ("okey", "suppkey", "rev"))
+        "partkey", "is_sel", ("okey", "suppkey", "rev"), n_part)
 
     def keep_selected(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch.column("is_sel"),
@@ -1842,11 +1921,11 @@ def market_share(customer, orders, lineitem, supplier, part, nation,
              pa.array(packed)],
             names=["okey", "cust_year"])
 
-    with_cy = _bucket_attach(
+    with_cy = _attach_routed(
         selected, orders.select_columns(
             ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
             orders_emit, batch_format="pyarrow", zero_copy_batch=True),
-        "okey", "cust_year", ("suppkey", "rev"))
+        "okey", "cust_year", ("suppkey", "rev"), n_orders)
 
     def unpack(batch: pa.Table) -> pa.Table:
         packed = batch.column("cust_year").to_numpy(
@@ -1856,18 +1935,18 @@ def market_share(customer, orders, lineitem, supplier, part, nation,
              batch.column("suppkey"), batch.column("rev")],
             names=["custkey", "o_year", "suppkey", "rev"])
 
-    with_cnat = _bucket_attach(
+    with_cnat = _attach_routed(
         with_cy.map_batches(unpack, batch_format="pyarrow",
                             zero_copy_batch=True),
         customer.select_columns(["c_custkey", "c_nationkey"])
         .map_batches(lambda b: b.rename_columns(["custkey", "c_nat"]),
                      batch_format="pyarrow", zero_copy_batch=True),
-        "custkey", "c_nat", ("o_year", "suppkey", "rev"))
-    with_snat = _bucket_attach(
+        "custkey", "c_nat", ("o_year", "suppkey", "rev"), n_cust)
+    with_snat = _attach_routed(
         with_cnat, supplier.select_columns(["s_suppkey", "s_nationkey"])
         .map_batches(lambda b: b.rename_columns(["suppkey", "s_nat"]),
                      batch_format="pyarrow", zero_copy_batch=True),
-        "suppkey", "s_nat", ("c_nat", "o_year", "rev"))
+        "suppkey", "s_nat", ("c_nat", "o_year", "rev"), n_supp)
 
     regions = {r["n_nationkey"]: r["n_regionkey"] for r in
                nation.select_columns(["n_nationkey", "n_regionkey"])
@@ -2519,12 +2598,17 @@ def nation_profit(lineitem, part, supplier, orders, nation,
     Scale shape (the deepest join chain in the suite, same posture as
     local_supplier_volume, tpch.py:852): lineitem pre-combines per
     (orderkey, partkey, suppkey) inside map_batches, then THREE chained
-    bucketed dimension attaches on DIFFERENT keys — part (name-filtered
-    BEFORE the shuffle, so non-matching parts never ship) → supplier →
-    orders — each a constant-fan-out hash(key)%256 emit-union groupby;
-    only the 25-row nation name table broadcasts.  The (nat, year)
-    rollup is a per-batch combiner + one tiny native groupby."""
+    ROUTED dimension attaches on DIFFERENT keys — part (name-filtered
+    BEFORE the attach, so non-matching parts never ship) → supplier →
+    orders — each a broadcast LUT under the DIM_BROADCAST_MAX_ROWS
+    gate and a constant-fan-out hash(key)%256 emit-union groupby past
+    it; the 25-row nation name table always broadcasts.  The (nat,
+    year) rollup is a per-batch combiner + one tiny native groupby."""
     import ray
+
+    n_part = part.count()           # metadata-only on source reads
+    n_supp = supplier.count()
+    n_orders = orders.count()
 
     def line_partial(batch: pa.Table) -> pa.Table:
         okey = batch.column("l_orderkey").cast(pa.int64())
@@ -2560,12 +2644,12 @@ def nation_profit(lineitem, part, supplier, orders, nation,
              pa.array(retail)],
             names=["pkey", "retail"])
 
-    with_retail = _bucket_attach(
+    with_retail = _attach_routed(
         lines, part.select_columns(["p_partkey", "p_name",
                                     "p_retailprice"])
         .map_batches(part_emit, batch_format="pyarrow",
                      zero_copy_batch=True),
-        "pkey", "retail", ("okey", "skey", "rev", "qty"))
+        "pkey", "retail", ("okey", "skey", "rev", "qty"), n_part)
 
     def profit_fold(batch: pa.Table) -> pa.Table:
         rev = batch.column("rev").to_numpy(zero_copy_only=False)
@@ -2579,11 +2663,11 @@ def nation_profit(lineitem, part, supplier, orders, nation,
     folded = with_retail.map_batches(profit_fold,
                                      batch_format="pyarrow",
                                      zero_copy_batch=True)
-    with_nat = _bucket_attach(
+    with_nat = _attach_routed(
         folded, supplier.select_columns(["s_suppkey", "s_nationkey"])
         .map_batches(lambda b: b.rename_columns(["skey", "s_nat"]),
                      batch_format="pyarrow", zero_copy_batch=True),
-        "skey", "s_nat", ("okey", "profit"))
+        "skey", "s_nat", ("okey", "profit"), n_supp)
 
     def orders_emit(batch: pa.Table) -> pa.Table:
         dt = batch.column("o_orderdate").cast(pa.timestamp("us"))
@@ -2592,11 +2676,11 @@ def nation_profit(lineitem, part, supplier, orders, nation,
             [batch.column("o_orderkey").cast(pa.int64()), years],
             names=["okey", "o_year"])
 
-    with_year = _bucket_attach(
+    with_year = _attach_routed(
         with_nat, orders.select_columns(["o_orderkey", "o_orderdate"])
         .map_batches(orders_emit, batch_format="pyarrow",
                      zero_copy_batch=True),
-        "okey", "o_year", ("s_nat", "profit"))
+        "okey", "o_year", ("s_nat", "profit"), n_orders)
 
     def rollup_partial(batch: pa.Table) -> pa.Table:
         nat = batch.column("s_nat").to_numpy(zero_copy_only=False)
