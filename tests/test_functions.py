@@ -2289,6 +2289,25 @@ def test_crawl_diff_three_way(ray_session):
         assert got == [(2, "changed"), (3, "removed"), (4, "added")]
 
 
+def test_crawl_diff_duplicate_id_raises(ray_session):
+    """A doc_id duplicated within one snapshot violates the uniqueness
+    contract and must raise, never silently misclassify (two old rows
+    with differing text and no new row would otherwise emit
+    'changed')."""
+    import pytest
+    import ray.data
+
+    from webtext.functions.dedup import crawl_diff
+
+    old = [{"doc_id": 2, "text": "v1"}, {"doc_id": 2, "text": "v2"}]
+    new = [{"doc_id": 1, "text": "x"}]
+    with pytest.raises((ValueError, Exception)) as ei:
+        crawl_diff(ray.data.from_items(old),
+                   ray.data.from_items(new), n_buckets=2).take_all()
+    assert "uniqueness" in str(ei.value) or "length-2 run" \
+        in str(ei.value) or "more than once" in str(ei.value)
+
+
 def test_hard_negatives_label_exclusion(ray_session):
     """Negatives never share the query's label, ranking is cosine desc
     with the min-id tie rule, and the result is blocking-invariant."""

@@ -1491,7 +1491,15 @@ def crawl_diff(old_ds, new_ds, n_buckets: int = N_SHUFFLE_BUCKETS):
     classifies every id run vectorized (run length + side pattern →
     added/removed/changed), no per-doc Python.  Output ordered by
     doc_id within each cell; global order is the oracle's ORDER BY
-    after the driver's canonical sort."""
+    after the driver's canonical sort.
+
+    CONTRACT: ``doc_id`` is unique within each snapshot (the crawl
+    invariant every caller here satisfies).  A duplicated id on one
+    side would make the run-length classification ambiguous, so each
+    cell ASSERTS the pattern — every length-2 run must be one old +
+    one new row, and no run may exceed 2 — raising ValueError instead
+    of silently mislabelling (e.g. two old rows with differing text
+    and no new row would otherwise emit 'changed', not 'removed')."""
     import hashlib as _h
 
     def emit(side: int):
@@ -1519,6 +1527,20 @@ def crawl_diff(old_ds, new_ds, n_buckets: int = N_SHUFFLE_BUCKETS):
         ids, fp, side = ids[order], fp[order], side[order]
         starts = np.nonzero(np.append(True, ids[1:] != ids[:-1]))[0]
         lens = np.diff(np.append(starts, len(ids)))
+        # per-snapshot doc_id uniqueness contract (see docstring):
+        # runs longer than 2 are impossible, and a length-2 run must
+        # be exactly (old, new)
+        if len(lens) and int(lens.max()) > 2:
+            bad = ids[starts[np.argmax(lens)]]
+            raise ValueError(
+                f"crawl_diff: doc_id {bad} appears more than once "
+                "within one snapshot (uniqueness contract violated)")
+        pairs = starts[lens == 2]
+        if len(pairs) and not (
+                (side[pairs] == 0) & (side[pairs + 1] == 1)).all():
+            raise ValueError(
+                "crawl_diff: duplicated doc_id within one snapshot "
+                "(a length-2 run is not one old + one new row)")
         # run of 1: side 0 -> removed, side 1 -> added; run of 2:
         # (old, new) in that order by the lexsort -> changed iff fps
         # differ

@@ -1946,10 +1946,11 @@ def ltv_cohorts(ds, value_type: str = "purchase", n_buckets: int = 256):
 def rfm_stats(ds, value_type: str = "purchase"):
     """(user_id, recency_days, frequency, monetary_cents): the classic
     RFM segmentation base — per user, whole days since their LAST
-    ``value_type`` event (anchored to the corpus-wide max event ts, so
-    the number is deterministic, no wall clock), their count of such
-    events, and their exact cents total.  Users with no ``value_type``
-    events emit nothing (they have no R to measure).
+    ``value_type`` event (anchored to the max ``value_type`` event ts
+    across the corpus — the same filtered stream being aggregated —
+    so the number is deterministic, no wall clock), their count of
+    such events, and their exact cents total.  Users with no
+    ``value_type`` events emit nothing (they have no R to measure).
 
     One pass, one exchange: per-batch (user, last_ts, n, cents)
     combiner partials (lexsort + reduceat, all numpy) → one native

@@ -2019,8 +2019,10 @@ def association_rules(lineitem, edges, min_support: int = 2,
         lift(a,b) = n_ab · N / (n_a·n_b) (floor micros, N = #orders)
 
     computed entirely in int64 (1e6·n_ab·N stays below 2^63 while
-    n_ab·N < 9.2e12 — beyond that scale the micros quantum drops to
-    1e3, documented not silently changed).  ``edges`` is the
+    n_ab·N < 9.2e12 — past that bound `finish` RAISES, the
+    cusum_changepoints guard posture, with the documented remedy of
+    dropping the micros quantum to 1e3 alongside a regenerated
+    oracle; never a silent wrap).  ``edges`` is the
     (p1, p2, n_orders) co-purchase projection (persist-once artifact);
     ``lineitem`` supplies per-part and total distinct-order counts.
 
@@ -2170,6 +2172,15 @@ def association_rules(lineitem, edges, min_support: int = 2,
         nab = batch.column("n_ab").to_numpy(zero_copy_only=False)
         na = batch.column("n_ante").to_numpy(zero_copy_only=False)
         nb = batch.column("n_cons").to_numpy(zero_copy_only=False)
+        # int64 bound guard (the cusum_changepoints posture): the lift
+        # numerator is 1e6·n_ab·N — past n_ab·N ≈ 9.2e12 it would
+        # wrap silently, so raise instead (documented, not silent)
+        if len(nab) and int(nab.max()) * int(_N) > (2**63 - 1) \
+                // ASSOC_MICRO:
+            raise ValueError(
+                "association_rules: 1e6*n_ab*N exceeds the int64 "
+                f"bound (n_ab_max={int(nab.max())}, N={int(_N)}); "
+                "drop ASSOC_MICRO to 1e3 and regenerate the oracle")
         conf = (np.int64(ASSOC_MICRO) * nab) // na
         lift = (np.int64(ASSOC_MICRO) * nab * np.int64(_N)) \
             // (na * nb)

@@ -959,6 +959,16 @@ def zorder_stats(ds, col_a: str = "l_partkey",
     # bucket; two scalar max aggregates — constant-size driver reads
     w = max(int(ds.max(col_a)).bit_length(),
             int(ds.max(col_b)).bit_length())
+    if w > ZORDER_BITS:
+        # the interleave below only consumes the low ZORDER_BITS of
+        # each key; past that width the leading bits would silently
+        # stop entering the z-key and zbucket would no longer cover
+        # key-space rectangles — refuse loudly instead (raise the
+        # constant AND regenerate the matching SQL oracle interleave
+        # together; they must stay in lockstep)
+        raise ValueError(
+            f"zorder_stats: key width {w} bits exceeds "
+            f"ZORDER_BITS={ZORDER_BITS}; widen the interleave")
     shift = max(2 * w - ZORDER_BUCKET_BITS, 0)
 
     def zkey(batch: pa.Table) -> pa.Table:
