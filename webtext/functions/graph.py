@@ -75,6 +75,23 @@ _BUCKET_CACHE: dict = {}
 _BUCKET_CACHE_MAX = 96          # ≤ ~96 slices/worker; cleared on overflow
 
 
+def _rebind(ds):
+    """Execute ``ds`` and re-register its blocks as a FRESH leaf
+    Dataset (``from_arrow_refs`` over ``to_arrow_refs`` — a driver-side
+    metadata operation; blocks stay in the object store, nothing is
+    pulled).  A MaterializedDataset still carries its logical plan, and
+    a round loop that keeps unioning/grouping over last round's state
+    re-PLANS the whole history every round — measured on the sf0.1
+    support-2 LPA: per-round wall DOUBLING, 0.4 s → ~8 s by round 10,
+    entirely optimizer/plan cost, data constant.  Re-binding the block
+    refs resets the plan to a leaf and keeps every round O(state).
+    Round-loop state must always pass through this, not bare
+    ``materialize()``."""
+    import ray.data
+
+    return ray.data.from_arrow_refs(ds.to_arrow_refs())
+
+
 def _bucket_file(dir_path: str, b: int) -> str:
     return os.path.join(dir_path, f"b{int(b)}.parquet")
 
@@ -356,6 +373,10 @@ def pagerank(edges, iters: int = PAGERANK_ITERS,
             # bit-identical but measured 2x SLOWER on the streaming
             # executor than eager rounds (BASELINE.md round-3 cont. 3)
             # — the barrier buys scheduler locality
+            # materialize, not _rebind: rank state is consumed ONCE
+            # per round, so the logical plan grows linearly (mild) and
+            # the from_arrow_refs re-registration measured SLOWER
+            # (+1.6 s/round) than the barrier it replaces
             ranks = merged.map_batches(
                 lambda b: _pr_next_ranks(base_next, b),
                 batch_format="pyarrow", zero_copy_batch=True) \
@@ -500,6 +521,8 @@ def pagerank_personalized(edges, weights,
                 .groupby("bucket").map_groups(
                     cell, batch_format="pyarrow") \
                 .groupby("node").sum(["contrib", "outdeg", "base"])
+            # materialize, not _rebind (see pagerank): single
+            # consumption per round, linear plan growth only
             ranks = merged.map_batches(
                 next_ranks, batch_format="pyarrow",
                 zero_copy_batch=True) \
@@ -623,6 +646,8 @@ def hits(edges, iters: int = HITS_ITERS, scale: int = HITS_SCALE,
     emit = _hits_emit_state(n_buckets)
 
     def half(state, edge_dir):
+        # materialize, not _rebind (see pagerank): each half-step
+        # consumes its state exactly once, so plan growth is linear
         raw = state.map_batches(emit, batch_format="pyarrow",
                                 zero_copy_batch=True) \
             .groupby("bucket").map_groups(_hits_bucket_join(edge_dir),
@@ -1379,6 +1404,9 @@ def graph_walks(edges, steps: int = 3,
             "step", pa.array(np.full(b.num_rows, _s, dtype=np.int64))),
         batch_format="pyarrow", zero_copy_batch=True)]
     for t in range(steps):
+        # materialize, not _rebind (see pagerank): walk state is
+        # consumed once per step (the out[] emission is a lazy map
+        # over these materialized blocks)
         state = state.map_batches(state_emit, batch_format="pyarrow",
                                   zero_copy_batch=True) \
             .union(adj) \
@@ -1714,12 +1742,12 @@ def _coreness_exchange(deg, dir_path, n_buckets, max_rounds, trace):
         valued = state_for_attach(state) \
             .groupby("key").map_groups(attach_val,
                                        batch_format="pyarrow")
-        nxt = state_with_prev(state).union(valued) \
-            .groupby("key").map_groups(hindex_cell,
-                                       batch_format="pyarrow") \
-            .repartition(STATE_BLOCKS).materialize()
+        nxt = _rebind(state_with_prev(state).union(valued)
+                      .groupby("key").map_groups(
+                          hindex_cell, batch_format="pyarrow")
+                      .repartition(STATE_BLOCKS))
         changed = nxt.sum("changed")
-        state = nxt.select_columns(["node", "coreness"]).materialize()
+        state = nxt.select_columns(["node", "coreness"])
         if trace:
             import sys
             print(f"[coreness] round {_rnd}: changed={changed} "
@@ -1743,17 +1771,20 @@ def bfs_distances(edges, seeds, max_hops: int = 32,
     nodes are absent, matching a bounded recursive-CTE SQL oracle when
     both sides share ``max_hops``.
 
-    Shape per hop (the coreness cost class but with NATIVE reduce):
-    frontier rows — ONLY the nodes whose distance improved last hop,
-    geometrically shrinking — key by hash(node) and meet the static
-    adjacency in one map_groups exchange that emits (neighbour,
-    dist+1) candidates; candidates union the running state into ONE
-    native groupby(node).min over (dist, prev), so settlement is a C++
+    Shape per hop (the coreness cost class but with NATIVE reduce;
+    round-5: the static adjacency is persisted once as per-bucket
+    slices and read in-cell, never re-shuffled): frontier rows — ONLY
+    the nodes whose distance improved last hop, geometrically
+    shrinking — key by hash(node) into one map_groups exchange whose
+    cells load their slice and emit (neighbour, dist+1) candidates;
+    candidates union the running state into ONE native
+    groupby(node).min over (dist, prev), so settlement is a C++
     aggregate, not Python.  prev rides along (state rows carry
     prev = dist, candidates prev = BFS_BIG), making "improved" a
     vectorized new < prev compare — the exact changed-count witness.
-    Adjacency re-ships per hop; state and adjacency ride compacted
-    STATE_BLOCKS blocks; hop count is bounded by the graph diameter."""
+    State rides compacted STATE_BLOCKS blocks; hop count is bounded
+    by the graph diameter."""
+    import shutil
 
     def adj_emit(batch: pa.Table) -> pa.Table:
         p1 = _col_i64(batch, "p1")
@@ -1762,13 +1793,13 @@ def bfs_distances(edges, seeds, max_hops: int = 32,
         dst = np.concatenate([p2, p1])
         return pa.Table.from_arrays(
             [pa.array(_ibucket(src, n_buckets)), pa.array(src),
-             pa.array(dst),
-             pa.array(np.full(len(src), -1, dtype=np.int64))],
-            names=["key", "src", "dst", "dist"])
+             pa.array(dst)],
+            names=["key", "src", "dst"])
 
-    adj = edges.map_batches(adj_emit, batch_format="pyarrow",
-                            zero_copy_batch=True) \
-        .repartition(STATE_BLOCKS).materialize()
+    dir_path, _, _ = _persist_keyed_buckets(
+        edges.map_batches(adj_emit, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["src", "dst"], n_buckets=n_buckets)
 
     def seed_state(batch: pa.Table) -> pa.Table:
         node = _col_i64(batch, "node")
@@ -1786,21 +1817,19 @@ def bfs_distances(edges, seeds, max_hops: int = 32,
         node = _col_i64(batch, "node")
         return pa.Table.from_arrays(
             [pa.array(_ibucket(node, n_buckets)), pa.array(node),
-             pa.array(node),
              batch.column("dist").cast(pa.int64())],
-            names=["key", "src", "dst", "dist"])
+            names=["key", "src", "dist"])
 
     def expand(group: pa.Table) -> pa.Table:
-        """Adjacency rows whose src is in the co-located frontier emit
-        (dst, frontier_dist + 1) candidates."""
-        src = group.column("src").to_numpy(zero_copy_only=False)
-        dst = group.column("dst").to_numpy(zero_copy_only=False)
-        dist = group.column("dist").to_numpy(zero_copy_only=False)
-        is_state = dist >= 0
-        sk, sv = src[is_state], dist[is_state]
+        """The cell's persisted slice rows whose src is in the
+        co-located frontier emit (dst, frontier_dist + 1)
+        candidates."""
+        b = int(group.column("key")[0].as_py())
+        es, ed = _load_bucket(dir_path, b, 2)
+        sk = group.column("src").to_numpy(zero_copy_only=False)
+        sv = group.column("dist").to_numpy(zero_copy_only=False)
         order = np.argsort(sk, kind="stable")
         sk, sv = sk[order], sv[order]
-        es, ed = src[~is_state], dst[~is_state]
         if len(es) == 0 or len(sk) == 0:
             return pa.Table.from_arrays(
                 [pa.array([], pa.int64()), pa.array([], pa.int64()),
@@ -1821,27 +1850,32 @@ def bfs_distances(edges, seeds, max_hops: int = 32,
             [batch.column("node").cast(pa.int64()), d, d],
             names=["node", "dist", "prev"])
 
-    for _hop in range(max_hops):
-        cand = frontier.map_batches(frontier_emit,
-                                    batch_format="pyarrow",
-                                    zero_copy_batch=True) \
-            .union(adj).groupby("key").map_groups(
-                expand, batch_format="pyarrow")
-        merged = state.map_batches(state_rows, batch_format="pyarrow",
-                                   zero_copy_batch=True) \
-            .union(cand).groupby("node").min(["dist", "prev"]) \
-            .map_batches(
-                lambda b: b.rename_columns(["node", "dist", "prev"]),
-                batch_format="pyarrow", zero_copy_batch=True) \
-            .repartition(STATE_BLOCKS).materialize()
-        frontier = merged.map_batches(
-            lambda b: b.filter(pc.less(b.column("dist"),
-                                       b.column("prev")))
-            .select(["node", "dist"]),
-            batch_format="pyarrow", zero_copy_batch=True).materialize()
-        state = merged.select_columns(["node", "dist"])
-        if frontier.count() == 0:
-            break
+    try:
+        for _hop in range(max_hops):
+            cand = frontier.map_batches(frontier_emit,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True) \
+                .groupby("key").map_groups(
+                    expand, batch_format="pyarrow")
+            merged = _rebind(
+                state.map_batches(state_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                .union(cand).groupby("node").min(["dist", "prev"])
+                .map_batches(
+                    lambda b: b.rename_columns(
+                        ["node", "dist", "prev"]),
+                    batch_format="pyarrow", zero_copy_batch=True)
+                .repartition(STATE_BLOCKS))
+            frontier = merged.map_batches(
+                lambda b: b.filter(pc.less(b.column("dist"),
+                                           b.column("prev")))
+                .select(["node", "dist"]),
+                batch_format="pyarrow", zero_copy_batch=True)
+            state = merged.select_columns(["node", "dist"])
+            if frontier.count() == 0:
+                break
+    finally:
+        shutil.rmtree(dir_path, ignore_errors=True)
     return state
 
 
@@ -1865,60 +1899,63 @@ def lpa_communities(edges, rounds: int = LPA_ROUNDS,
     collapse into one label within a couple of rounds while organic
     pages keep diverse neighbourhoods.
 
-    Shape per round = the coreness cost class: one hash(nbr) attach
-    exchange whose cells pre-reduce to (node, label, count) partials,
-    then one hash(node) exchange that sums partials per (node, label)
-    and takes the vectorized argmax (lexsort by (node, -count, label),
-    first row per node run).  State rides compacted STATE_BLOCKS
-    blocks; adjacency re-ships per round."""
+    Shape per round = the coreness cost class (round-5 restructure —
+    same persisted-slice fix): one hash(own node) exchange of STATE
+    rows only, whose cells read their static adjacency slice
+    (``_persist_keyed_buckets``, built once) and pre-reduce to (node,
+    label, count) partials, then one hash(node) exchange that sums
+    partials per (node, label) and takes the vectorized argmax
+    (lexsort by (node, -count, label), first row per node run).
+    State rides compacted STATE_BLOCKS blocks; the adjacency is never
+    re-shuffled."""
+    import shutil
 
     edges = edges.materialize()
 
-    def nbr_keyed(batch: pa.Table) -> pa.Table:
+    def node_keyed(batch: pa.Table) -> pa.Table:
         p1 = _col_i64(batch, "p1")
         p2 = _col_i64(batch, "p2")
         node = np.concatenate([p1, p2])
         nbr = np.concatenate([p2, p1])
         return pa.Table.from_arrays(
-            [pa.array(_ibucket(nbr, n_buckets)), pa.array(node),
-             pa.array(nbr),
-             pa.array(np.full(len(node), -1, dtype=np.int64))],
-            names=["key", "node", "nbr", "c"])
+            [pa.array(_ibucket(node, n_buckets)), pa.array(node),
+             pa.array(nbr)],
+            names=["key", "node", "nbr"])
 
-    adj_by_nbr = edges.map_batches(nbr_keyed, batch_format="pyarrow",
-                                   zero_copy_batch=True) \
-        .repartition(STATE_BLOCKS).materialize()
+    dir_path, _, _ = _persist_keyed_buckets(
+        edges.map_batches(node_keyed, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["node", "nbr"], n_buckets=n_buckets)
 
     def state_for_attach(state):
         def f(batch: pa.Table) -> pa.Table:
             node = _col_i64(batch, "node")
             return pa.Table.from_arrays(
                 [pa.array(_ibucket(node, n_buckets)), pa.array(node),
-                 pa.array(node),
                  batch.column("community").cast(pa.int64())],
-                names=["key", "node", "nbr", "c"])
+                names=["key", "node", "c"])
         return state.map_batches(f, batch_format="pyarrow",
                                  zero_copy_batch=True)
 
     def attach_label(group: pa.Table) -> pa.Table:
-        """Edge rows pick up the NEIGHBOUR's label from the co-located
-        state rows, pre-reduce to (node, label, count) partials, and
+        """The cell's persisted slice rows (u, w) — hash(u) = this
+        bucket — read u's label from the co-located state rows,
+        pre-reduce to (scored node w, label, count) partials, and
         re-key to the scored node's cell."""
+        b = int(group.column("key")[0].as_py())
+        fnode, fnbr = _load_bucket(dir_path, b, 2)
         node = group.column("node").to_numpy(zero_copy_only=False)
-        nbr = group.column("nbr").to_numpy(zero_copy_only=False)
         c = group.column("c").to_numpy(zero_copy_only=False)
-        is_state = c >= 0
-        sk, sv = nbr[is_state], c[is_state]
-        order = np.argsort(sk, kind="stable")
-        sk, sv = sk[order], sv[order]
-        en, eb = node[~is_state], nbr[~is_state]
-        if len(en) == 0:
+        order = np.argsort(node, kind="stable")
+        sk, sv = node[order], c[order]
+        if len(fnode) == 0 or len(sk) == 0:
             return pa.Table.from_arrays(
                 [pa.array([], pa.int64()), pa.array([], pa.int64()),
                  pa.array([], pa.int64()), pa.array([], pa.int64()),
                  pa.array([], pa.int64())],
                 names=["key", "node", "lab", "cnt", "prev"])
-        lab = sv[np.searchsorted(sk, eb)]
+        lab = sv[np.searchsorted(sk, fnode)]
+        en = fnbr
         po = np.lexsort((lab, en))
         en, lab = en[po], lab[po]
         first = np.r_[True, (en[1:] != en[:-1]) | (lab[1:] != lab[:-1])]
@@ -1990,18 +2027,21 @@ def lpa_communities(edges, rounds: int = LPA_ROUNDS,
         init_state, batch_format="pyarrow", zero_copy_batch=True) \
         .repartition(STATE_BLOCKS).materialize()
 
-    for _rnd in range(rounds):
-        valued = state_for_attach(state).union(adj_by_nbr) \
-            .groupby("key").map_groups(attach_label,
-                                       batch_format="pyarrow")
-        nxt = state_with_prev(state).union(valued) \
-            .groupby("key").map_groups(mode_cell,
-                                       batch_format="pyarrow") \
-            .repartition(STATE_BLOCKS).materialize()
-        changed = nxt.sum("changed")
-        state = nxt.select_columns(["node", "community"]).materialize()
-        if not changed:      # fixed point: further rounds are no-ops
-            break
+    try:
+        for _rnd in range(rounds):
+            valued = state_for_attach(state) \
+                .groupby("key").map_groups(attach_label,
+                                           batch_format="pyarrow")
+            nxt = _rebind(state_with_prev(state).union(valued)
+                          .groupby("key").map_groups(
+                              mode_cell, batch_format="pyarrow")
+                          .repartition(STATE_BLOCKS))
+            changed = nxt.sum("changed")
+            state = nxt.select_columns(["node", "community"])
+            if not changed:  # fixed point: further rounds are no-ops
+                break
+    finally:
+        shutil.rmtree(dir_path, ignore_errors=True)
     return state
 
 
