@@ -54,6 +54,10 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     oracles = {k: v.replace("/goldens/sf0.01/", f"/goldens/{tag}/")
                for k, v in oracles.items()}
     if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"unknown query name(s): {unknown}")
+            return 1
         qs = {k: v for k, v in qs.items() if k in only}
     failed = []
     for name, fn in qs.items():

@@ -71,8 +71,12 @@ CORE_LOCAL_STATE_MAX = 2_000_000
 # near-dup band index; in this single-node sandbox it is a private
 # tempdir under /tmp, removed when the op returns.
 
-_BUCKET_CACHE: dict = {}
-_BUCKET_CACHE_MAX = 96          # ≤ ~96 slices/worker; cleared on overflow
+_BUCKET_CACHE: dict = {}        # (dir, bucket) -> tuple of arrays
+_BUCKET_CACHE_BYTES = 0
+_BUCKET_CACHE_BUDGET = 256 << 20    # per-worker byte budget; evicts
+# other-dir entries first (a finished op's deleted tempdir must not
+# stay pinned), then oldest-inserted — so one op's full 256 slices fit
+# as long as they are under budget, with no wholesale clear thrash
 
 
 def _rebind(ds):
@@ -98,9 +102,11 @@ def _bucket_file(dir_path: str, b: int) -> str:
 
 def _load_bucket(dir_path: str, b: int, n_cols: int):
     """Int64 column arrays of one persisted bucket (empties if the
-    bucket file is absent), cached per worker process — rounds re-read
-    the same static slices, so each worker pays the parquet decode at
-    most once per (dir, bucket)."""
+    bucket file is absent), cached per worker process under a byte
+    budget — rounds re-read the same static slices, so each worker
+    pays the parquet decode at most once per (dir, bucket) while an
+    op runs, and a finished op's entries are the first evicted."""
+    global _BUCKET_CACHE_BYTES
     tag = (dir_path, int(b))
     hit = _BUCKET_CACHE.get(tag)
     if hit is None:
@@ -113,9 +119,20 @@ def _load_bucket(dir_path: str, b: int, n_cols: int):
         else:
             hit = tuple(np.array([], dtype=np.int64)
                         for _ in range(n_cols))
-        if len(_BUCKET_CACHE) >= _BUCKET_CACHE_MAX:
-            _BUCKET_CACHE.clear()
+        size = sum(a.nbytes for a in hit)
+        if _BUCKET_CACHE_BYTES + size > _BUCKET_CACHE_BUDGET:
+            # other-dir entries first (their op — and tempdir — is
+            # usually gone), then oldest-inserted of the current dir
+            for k in [k for k in _BUCKET_CACHE if k[0] != dir_path]:
+                _BUCKET_CACHE_BYTES -= sum(
+                    a.nbytes for a in _BUCKET_CACHE.pop(k))
+            while _BUCKET_CACHE and \
+                    _BUCKET_CACHE_BYTES + size > _BUCKET_CACHE_BUDGET:
+                k = next(iter(_BUCKET_CACHE))
+                _BUCKET_CACHE_BYTES -= sum(
+                    a.nbytes for a in _BUCKET_CACHE.pop(k))
         _BUCKET_CACHE[tag] = hit
+        _BUCKET_CACHE_BYTES += size
     return hit
 
 
@@ -2212,15 +2229,21 @@ def association_rules(lineitem, edges, min_support: int = 2,
         nab = batch.column("n_ab").to_numpy(zero_copy_only=False)
         na = batch.column("n_ante").to_numpy(zero_copy_only=False)
         nb = batch.column("n_cons").to_numpy(zero_copy_only=False)
-        # int64 bound guard (the cusum_changepoints posture): the lift
-        # numerator is 1e6·n_ab·N — past n_ab·N ≈ 9.2e12 it would
-        # wrap silently, so raise instead (documented, not silent)
-        if len(nab) and int(nab.max()) * int(_N) > (2**63 - 1) \
-                // ASSOC_MICRO:
-            raise ValueError(
-                "association_rules: 1e6*n_ab*N exceeds the int64 "
-                f"bound (n_ab_max={int(nab.max())}, N={int(_N)}); "
-                "drop ASSOC_MICRO to 1e3 and regenerate the oracle")
+        # int64 bound guard (the cusum_changepoints posture): both the
+        # lift numerator 1e6·n_ab·N AND the denominator n_a·n_b can
+        # wrap silently — raise on either (exact Python-int check)
+        if len(nab):
+            if int(nab.max()) * int(_N) > (2**63 - 1) // ASSOC_MICRO:
+                raise ValueError(
+                    "association_rules: 1e6*n_ab*N exceeds the int64 "
+                    f"bound (n_ab_max={int(nab.max())}, N={int(_N)}); "
+                    "drop ASSOC_MICRO to 1e3 and regenerate the "
+                    "oracle")
+            if int(na.max()) * int(nb.max()) > 2**63 - 1:
+                raise ValueError(
+                    "association_rules: n_ante*n_cons exceeds int64 "
+                    f"(max n_ante={int(na.max())}, "
+                    f"max n_cons={int(nb.max())})")
         conf = (np.int64(ASSOC_MICRO) * nab) // na
         lift = (np.int64(ASSOC_MICRO) * nab * np.int64(_N)) \
             // (na * nb)

@@ -1148,6 +1148,17 @@ def ref_integrity(sf_dir: str, n_buckets: int = 256):
 REF_PARENT_BROADCAST_MAX = 5_000_000    # keys; ~40 MB int64 per edge
 
 
+def _fold_edge_partials(rows, edges):
+    """Driver fold shared by both ref_integrity paths: sum the
+    (edge, n_rows, n_orphans) partial rows into edge order."""
+    agg = {i: [0, 0] for i in range(len(edges))}
+    for r in rows:
+        agg[int(r["edge"])][0] += int(r["n_rows"])
+        agg[int(r["edge"])][1] += int(r["n_orphans"])
+    return {edges[i][0]: (agg[i][0], agg[i][1])
+            for i in range(len(edges))}
+
+
 def _ref_integrity_broadcast(sf_dir: str, edges):
     """Zero-shuffle path: gated parent key sets broadcast once, child
     tables scanned once each, per-block (edge, n_rows, n_orphans)
@@ -1227,12 +1238,7 @@ def _ref_integrity_broadcast(sf_dir: str, edges):
             .map_batches(cemit(trs), batch_format="pyarrow",
                          zero_copy_batch=True)
         cds = ds if cds is None else cds.union(ds)
-    agg = {i: [0, 0] for i in range(len(edges))}
-    for r in cds.take_all():
-        agg[int(r["edge"])][0] += int(r["n_rows"])
-        agg[int(r["edge"])][1] += int(r["n_orphans"])
-    return {edges[i][0]: (agg[i][0], agg[i][1])
-            for i in range(len(edges))}
+    return _fold_edge_partials(cds.take_all(), edges)
 
 
 def _ref_integrity_exchange(sf_dir: str, edges, n_buckets: int):
@@ -1301,9 +1307,4 @@ def _ref_integrity_exchange(sf_dir: str, edges, n_buckets: int):
 
     rows = parts.groupby("cell").map_groups(
         audit_cell, batch_format="pyarrow").take_all()
-    agg = {i: [0, 0] for i in range(len(edges))}
-    for r in rows:
-        agg[int(r["edge"])][0] += int(r["n_rows"])
-        agg[int(r["edge"])][1] += int(r["n_orphans"])
-    return {edges[i][0]: (agg[i][0], agg[i][1])
-            for i in range(len(edges))}
+    return _fold_edge_partials(rows, edges)

@@ -871,7 +871,14 @@ def _attach_routed(fact, dim, key_col: str, attach_col: str,
     to `_bucket_attach` unchanged.  This is what turned the Q5/Q7/Q8/
     Q9 deep-join chains from 3-4 sort shuffles each into one (or
     zero) at bench scales without giving up the shuffle plan at
-    100 TB."""
+    100 TB.
+
+    CONTRACT on ``n_dim_rows``: compute it on the SOURCE read (e.g.
+    ``orders.count()`` straight off read_parquet, where Ray answers
+    from parquet metadata).  Counting a derived/filtered dataset
+    instead would execute its plan once for the count and again for
+    the collect — pass the upstream count, or the known cardinality,
+    in that case."""
     if n_dim_rows > DIM_BROADCAST_MAX_ROWS:
         return _bucket_attach(fact, dim, key_col, attach_col,
                               carry_cols)
