@@ -35,7 +35,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SF1_DIR = "/tmp/testdata_sf1"
+SF1_DIR = os.environ.get("WEBTEXT_SCALE_DIR", "/tmp/testdata_sf1")
 SRC_DIR = "/root/testdata/sf0.1"
 FACTOR = 10
 SHIFT = 10_000_000
@@ -43,7 +43,12 @@ SHIFT = 10_000_000
 
 def make_sf1() -> None:
     """Tile documents + embeddings 10x with shifted ids (pure pyarrow,
-    no Ray — runs once, idempotent via a done-marker)."""
+    no Ray — runs once, idempotent via a done-marker).  No-op when
+    WEBTEXT_SCALE_DIR points at an existing corpus (the sf0.1
+    comparison row)."""
+    if os.environ.get("WEBTEXT_SCALE_DIR") and os.path.isdir(SF1_DIR) \
+            and not SF1_DIR.startswith("/tmp/testdata_sf1"):
+        return
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -150,7 +155,13 @@ def run_target(target: str) -> dict:
 
         qs = entry.queries()
         if target == "knn_ivf_indexed":
-            entry.prewarm(SF1_DIR)      # index build untimed
+            # IVF index build untimed (build-once lifecycle); prewarm
+            # itself also wants TPC-H tables the sf1 tiling omits
+            from webtext.functions import ann
+            path = entry._ivf_index_path(SF1_DIR)
+            if not os.path.exists(path):
+                ann.ivf_build_index(entry._emb(SF1_DIR), path,
+                                    nlist=16)
         if target == "incremental_near_dedup":
             # trigger the one-time band-index build untimed
             qs[target](SF1_DIR).count()
